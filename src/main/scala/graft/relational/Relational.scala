@@ -1,0 +1,241 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.{dateMatches, dayStr}
+
+/** The reference's assignment-5 relational suite (Q1–Q7), re-expressed as
+  * declarative Catalyst plans over the Parquet fixture tables.
+  *
+  * Reference shapes (file:line cited per query) are hand-built RDD plans:
+  * driver-collected broadcast maps, `cogroup` + emptiness filters as inner
+  * joins, sentinel rows as semi-join misses. Here every one is a plain
+  * DataFrame plan: Catalyst does predicate pushdown into the Parquet scan,
+  * column pruning, broadcast-hash-join selection (all dims are far below the
+  * autoBroadcastJoinThreshold), and partial aggregation. At 100 TB the same
+  * plans hold: the only shuffles are the agg/join keys, dimension tables
+  * broadcast, and top-k is TakeOrderedAndProject (per-partition heap + driver
+  * merge of k rows, never a global sort).
+  *
+  * Money arithmetic is done in DECIMAL so sums are exact and associative —
+  * bit-identical between Spark and the DuckDB oracle regardless of partial-
+  * aggregation order — then rounded and cast to double for the output.
+  */
+object Relational {
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
+
+  /** Q1 (`Q1.scala:31-34`): count lineitems whose shipdate matches a date
+    * prefix. A count over a pushed-down predicate: the Parquet reader prunes
+    * row groups via min/max stats on l_shipdate at scale.
+    */
+  def q1(spark: SparkSession, dir: String, dt: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(dateMatches(col("l_shipdate"), dt))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q2 (`Q2.scala:30-49`): orderkeys having ≥1 lineitem with a matching
+    * shipdate, with the order's clerk column (fixtures carry o_custkey in
+    * that role — FIXTURES.md), first 20 by orderkey. The reference cogroups
+    * whole tables; here: aggregate lineitem down to distinct orderkeys
+    * *before* the join (smallest possible shuffle), then TakeOrdered.
+    */
+  def q2(spark: SparkSession, dir: String, dt: String): DataFrame = {
+    val keys = Tables.lineitem(spark, dir)
+      .filter(dateMatches(col("l_shipdate"), dt))
+      .select(col("l_orderkey")).distinct()
+    keys.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"))
+      .orderBy(col("o_orderkey")).limit(20)
+  }
+
+  /** Q3 (`Q3.scala:29-58`): lineitems with matching shipdate, resolved to
+    * part and supplier names. The reference builds two driver-side broadcast
+    * maps with sentinel-miss rows; here two broadcast hash joins (inner ==
+    * the reference's contains() check). l_linenumber makes the top-20 cut
+    * deterministic under ties on orderkey.
+    */
+  def q3(spark: SparkSession, dir: String, dt: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(dateMatches(col("l_shipdate"), dt))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("s_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(20)
+
+  /** Q4 (`Q4.scala:33-75`): lineitem count per nation of the ordering
+    * customer, for lineitems with matching shipdate. Reference: cogroup +
+    * two chained driver broadcast maps. Here: one shuffle join on orderkey
+    * (orders is 1/4 the fact size) then two broadcast joins up the
+    * customer→nation snowflake, then a partial+final count.
+    */
+  def q4(spark: SparkSession, dir: String, dt: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(dateMatches(col("l_shipdate"), dt))
+      .select(col("l_orderkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q5 (`Q5.scala:29-74`): per (ship-month, nation) lineitem counts for
+    * customers in nations 3 and 24. The nationkey IN-filter is applied to
+    * the broadcast customer side *before* the join, so the fact shuffle only
+    * carries qualifying orders.
+    */
+  def q5(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .filter(col("c_nationkey").isin(3, 24))
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("ship_month"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q6 (`Q6.scala:29-74`): TPC-H Q1 pricing summary. The reference hand
+    * rolls a 6-accumulator aggregateByKey; here one groupBy with partial
+    * aggregation. Sums are exact DECIMAL (associative ⇒ shuffle-order
+    * independent), averages derived from the exact sums.
+    */
+  def q6(spark: SparkSession, dir: String, dt: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(dateMatches(col("l_shipdate"), dt))
+    val qty   = dec(col("l_quantity"), 12, 2)
+    val price = dec(col("l_extendedprice"), 12, 2)
+    val disc  = dec(col("l_discount"), 4, 2)
+    val tax   = dec(col("l_tax"), 4, 2)
+    val discPrice = dec(price * (lit(1) - disc), 18, 4)
+    val charge    = dec(discPrice * (lit(1) + tax), 24, 6)
+    li.select(col("l_returnflag"), col("l_linestatus"),
+        qty.as("qty"), price.as("price"), disc.as("disc"),
+        discPrice.as("disc_price"), charge.as("charge"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("qty")), 2).cast("double").as("sum_qty"),
+        round(sum(col("price")), 2).cast("double").as("sum_base_price"),
+        round(sum(col("disc_price")), 2).cast("double").as("sum_disc_price"),
+        round(sum(col("charge")), 2).cast("double").as("sum_charge"),
+        round(sum(col("qty")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(col("price")).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(col("disc")).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Q7 (`Q7.scala:30-93`): TPC-H Q3 shipping-priority shape — top 10
+    * orders by revenue among orders placed before dt with lineitems shipped
+    * after dt. One shuffle join lineitem⋈orders on orderkey, customer
+    * broadcast, exact DECIMAL revenue, TakeOrdered(10) with orderkey
+    * tie-break for determinism.
+    */
+  def q7(spark: SparkSession, dir: String, dt: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(dayStr(col("o_orderdate")) < dt)
+      .join(broadcast(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"),
+        dayStr(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(dayStr(col("l_shipdate")) > dt)
+      .select(col("l_orderkey"),
+        dec(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)), 18, 4).as("rev"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_name"), col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("rev")), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // Baked-in parameters for the driver-run registry: chosen so every query
+  // is non-empty at sf0.001 (dates span 1995-01..2001-11 uniformly).
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_shipdate_count" -> ((s, d) => q1(s, d, "1996-03")),
+    "q2_order_clerks"   -> ((s, d) => q2(s, d, "1996-03")),
+    "q3_part_supplier"  -> ((s, d) => q3(s, d, "1996-03-15")),
+    "q4_nation_volume"  -> ((s, d) => q4(s, d, "1996")),
+    "q5_month_nation"   -> ((s, d) => q5(s, d)),
+    "q6_pricing_summary"-> ((s, d) => q6(s, d, "1996")),
+    "q7_top_revenue"    -> ((s, d) => q7(s, d, "1997-06-30")),
+  )
+
+  // DuckDB-dialect oracles over the same Parquet tables. Column aliases
+  // match the Spark plans exactly (driver hashes after sorting columns by
+  // name). strftime == date_format for these patterns.
+  val oracles: Map[String, String] = Map(
+    "q1_shipdate_count" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '1996-03%'",
+    "q2_order_clerks" ->
+      """SELECT o_custkey, o_orderkey
+         FROM (SELECT DISTINCT l_orderkey FROM lineitem
+               WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '1996-03%') k
+         JOIN orders ON k.l_orderkey = o_orderkey
+         ORDER BY o_orderkey LIMIT 20""",
+    "q3_part_supplier" ->
+      """SELECT l_orderkey, l_linenumber, p_name, s_name
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '1996-03-15%'
+         ORDER BY l_orderkey, l_linenumber LIMIT 20""",
+    "q4_nation_volume" ->
+      """SELECT n_nationkey, n_name, count(*) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '1996%'
+         GROUP BY n_nationkey, n_name""",
+    "q5_month_nation" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, n_name, count(*) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_nationkey IN (3, 24)
+         GROUP BY ship_month, n_name""",
+    "q6_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(qty), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(price), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(disc_price), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(charge), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(qty) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(price) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(disc) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+         FROM (
+           SELECT l_returnflag, l_linestatus, qty, price, disc,
+             CAST(price * (1 - disc) AS DECIMAL(18,4)) AS disc_price,
+             CAST(CAST(price * (1 - disc) AS DECIMAL(18,4)) * (1 + tax) AS DECIMAL(24,6)) AS charge
+           FROM (
+             SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+               CAST(l_discount AS DECIMAL(4,2)) AS disc,
+               CAST(l_tax AS DECIMAL(4,2)) AS tax
+             FROM lineitem
+             WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '1996%'))
+         GROUP BY l_returnflag, l_linestatus""",
+    "q7_top_revenue" ->
+      """SELECT c_name, l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority,
+           CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
+         FROM (
+           SELECT l_orderkey,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS rev
+           FROM lineitem WHERE strftime(l_shipdate, '%Y-%m-%d') > '1997-06-30') li
+         JOIN orders ON li.l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE strftime(o_orderdate, '%Y-%m-%d') < '1997-06-30'
+         GROUP BY c_name, l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+  )
+}
