@@ -17,6 +17,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (relational.Relational.queries, relational.Relational.oracles),
+      (text.Text.queries, text.Text.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

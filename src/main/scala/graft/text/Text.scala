@@ -1,0 +1,166 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analytics suite: the reference's a0–a2 surface (word/prefix counts,
+  * bigram relative frequency, pairs/stripes PMI) over the `documents`
+  * fixture table.
+  *
+  * All token manipulation stays inside codegen'd array expressions — no
+  * UDFs, no extra shuffles for bigram construction (the reference needs a
+  * custom partitioner + secondary sort for the same result,
+  * `ComputeBigramRelativeFrequencyPairs.scala:28-35,70`; here it's a window
+  * over the aggregated counts).
+  */
+object Text {
+
+  /** Reference tokenizer (`util/Tokenizer.scala:8-12`, cloned at
+    * `WordCount.java:47-49`): whitespace-split, lowercase, strip leading/
+    * trailing non-`[a-z]`, drop empties.
+    */
+  def tokenize(c: Column): Column =
+    filter(
+      transform(split(lower(c), "\\s+"),
+        w => regexp_replace(w, "(^[^a-z]+|[^a-z]+$)", "")),
+      w => length(w) > 0)
+
+  /** PMI-mapper token set (`PairsPMI.java:53-63`): first 100 non-empty
+    * tokens of the line, distinct in first-occurrence order.
+    */
+  def tokenizeDistinctCapped(c: Column, cap: Int = 100): Column =
+    array_distinct(slice(tokenize(c), 1, cap))
+
+  /** a0 WordCount (`WordCount.java:90-106,165`): token → occurrence count.
+    * Partial aggregation (the reference's in-mapper combiner,
+    * `WordCount.java:56-87`) is Catalyst's partial HashAggregate.
+    */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokenize(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** a0 PrefixCount (`PrefixCount.java:45-56`): 2-char prefix of each token
+    * (tokens of length 1 count as themselves).
+    */
+  def prefixCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokenize(col("text"))).as("word"))
+      .select(when(length(col("word")) > 1, substring(col("word"), 1, 2))
+        .otherwise(col("word")).as("prefix"))
+      .groupBy(col("prefix")).agg(count(lit(1)).as("cnt"))
+
+  /** a2 bigram relative frequency
+    * (`ComputeBigramRelativeFrequencyPairs.scala:55-95`, stripes twin
+    * `ComputeBigramRelativeFrequencyStripes.scala:38-69`):
+    * P(w2|w1) = count(w1,w2) / count(w1,*).
+    *
+    * Bigrams are built per document with an array transform (the
+    * reference's `sliding(2)`), so the only shuffles are the pair-count
+    * aggregation and the window by w1 — the marginal `(w,"*")` sentinel
+    * rows and secondary sort disappear entirely.
+    */
+  def bigramRelFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokenize(col("text")).as("toks"))
+      .select(explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(0, size(toks)-2),
+                          i -> struct(toks[i] AS w1, toks[i+1] AS w2)) END"""))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .withColumn("relfreq",
+        round(col("cnt").cast("double") /
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))), 6))
+
+  /** a1 pairs/stripes PMI (`CooccurrencePairs.java:56-133`,
+    * `PairsPMI.java:53-73`): directed pairs of distinct-per-doc tokens,
+    * co-occurrence threshold, PMI = log10(count(x,y)/(c(x)·c(y))·N) where
+    * c(w) = #docs containing w and N = #docs with ≥1 token.
+    *
+    * The reference is a 2-job MR pipeline with a DistributedCache side-file
+    * of word counts; here the side-file is just a join against the
+    * word-count aggregate, and N rides along as a lazy broadcast cross
+    * join (no driver-side collect — scale-safe).
+    */
+  def pmiPairs(spark: SparkSession, dir: String, minCooccur: Int = 10): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenizeDistinctCapped(col("text")).as("tok"))
+      .filter(size(col("tok")) > 0)
+    val dw = toks.select(col("doc_id"), explode(col("tok")).as("w")).cache()
+    val n  = toks.agg(count(lit(1)).as("n"))
+    val wc = dw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = dw.as("a").join(dw.as("b"), "doc_id")
+      .where(col("a.w") =!= col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("npairs"))
+      .where(col("npairs") >= minCooccur)
+    pairs
+      .join(wc.withColumnRenamed("w", "w1").withColumnRenamed("c", "cx"), "w1")
+      .join(wc.withColumnRenamed("w", "w2").withColumnRenamed("c", "cy"), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("npairs"),
+        round(log10(col("npairs").cast("double") /
+          (col("cx") * col("cy")).cast("double") * col("n").cast("double")), 6).as("pmi"))
+  }
+
+  /** Stripes form of the bigram table
+    * (`ComputeBigramRelativeFrequencyStripes.scala:52-69`): one row per w1
+    * with a w2→relfreq map. Same content as [[bigramRelFreq]]; the map
+    * shape is a presentation detail (tested for equivalence in
+    * TextSpec, not oracle-compared — map hashing is engine-specific).
+    */
+  def bigramStripes(spark: SparkSession, dir: String): DataFrame =
+    bigramRelFreq(spark, dir)
+      .groupBy(col("w1"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("w2"), col("relfreq")))))
+        .as("stripe"))
+
+  private val tokSql =
+    """list_filter(list_transform(string_split_regex(text, '\s+'),
+       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+       w -> w <> '')"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_wordcount"      -> ((s, d) => wordCount(s, d)),
+    "text_prefixcount"    -> ((s, d) => prefixCount(s, d)),
+    "text_bigram_relfreq" -> ((s, d) => bigramRelFreq(s, d)),
+    "text_pmi_pairs"      -> ((s, d) => pmiPairs(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_wordcount" ->
+      s"""SELECT word, count(*) AS cnt
+          FROM (SELECT unnest($tokSql) AS word FROM documents)
+          GROUP BY word""",
+    "text_prefixcount" ->
+      s"""SELECT CASE WHEN length(word) > 1 THEN word[1:2] ELSE word END AS prefix,
+                 count(*) AS cnt
+          FROM (SELECT unnest($tokSql) AS word FROM documents)
+          GROUP BY 1""",
+    "text_bigram_relfreq" ->
+      s"""WITH toks AS (SELECT $tokSql AS w FROM documents),
+          bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+                 FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)),
+          cnts AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2)
+          SELECT w1, w2, cnt,
+                 round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY w1), 6) AS relfreq
+          FROM cnts""",
+    "text_pmi_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct(($tokSql)[1:100]) AS tok FROM documents),
+          dw AS (SELECT doc_id, unnest(tok) AS w FROM toks WHERE len(tok) > 0),
+          n AS (SELECT count(*) AS n FROM toks WHERE len(tok) > 0),
+          wc AS (SELECT w, count(*) AS c FROM dw GROUP BY w),
+          pairs AS (SELECT a.w AS w1, b.w AS w2, count(*) AS npairs
+                    FROM dw a JOIN dw b USING (doc_id)
+                    WHERE a.w <> b.w GROUP BY 1, 2 HAVING count(*) >= 10)
+          SELECT w1, w2, npairs,
+                 round(log10(CAST(npairs AS DOUBLE) / CAST(cx * cy AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pmi
+          FROM pairs
+          JOIN (SELECT w AS w1, c AS cx FROM wc) USING (w1)
+          JOIN (SELECT w AS w2, c AS cy FROM wc) USING (w2), n""",
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Text
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+  import spark.implicits._
+
+  private def tok(s: String): Seq[String] =
+    Seq(s).toDF("t").select(Text.tokenize(col("t")).as("w"))
+      .head().getSeq[String](0)
+
+  test("tokenizer matches reference semantics") {
+    // util/Tokenizer.scala:8-12: lowercase, strip edge non-[a-z], drop empties
+    assert(tok("Hello, World!") == Seq("hello", "world"))
+    assert(tok("  123abc456 ...  ") == Seq("abc"))
+    assert(tok("don't CAN'T") == Seq("don't", "can't")) // inner chars survive
+    assert(tok("42 99!") == Seq.empty)                  // all-non-letter drops
+    assert(tok("") == Seq.empty)
+  }
+
+  test("tokenizer output is idempotent under re-tokenization") {
+    val words = tok("The Quick!! brown-fox's 12 jumps...")
+    assert(words.flatMap(w => tok(w)) == words)
+  }
+
+  test("distinct-capped keeps first-100 tokens then dedups (PairsPMI.java:53-63)") {
+    def word(i: Int) = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val many = (0 until 150).map(word).mkString(" ")
+    val got = Seq(many).toDF("t")
+      .select(Text.tokenizeDistinctCapped(col("t")).as("w"))
+      .head().getSeq[String](0)
+    assert(got.size == 100 && got.head == word(0) && got.last == word(99))
+    val dups = "a b a c b a"
+    val got2 = Seq(dups).toDF("t")
+      .select(Text.tokenizeDistinctCapped(col("t")).as("w"))
+      .head().getSeq[String](0)
+    assert(got2 == Seq("a", "b", "c"))
+  }
+
+  test("bigram relfreq sums to 1 per left word") {
+    val rows = Text.bigramRelFreq(spark, sf)
+      .groupBy("w1").agg(sum("relfreq").as("s")).collect()
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-3))
+  }
+
+  test("pmi is symmetric and thresholded") {
+    val rows = Text.pmiPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val m = rows.map(r => (r.getString(1), r.getString(0)) -> r.getAs[Double]("pmi")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("npairs") >= 10)
+      // directed pairs: (x,y) and (y,x) have identical counts hence pmi
+      assert(m((r.getString(0), r.getString(1))) == r.getAs[Double]("pmi"))
+    }
+  }
+
+  test("stripes form carries the same content as pairs form") {
+    val pairs = Text.bigramRelFreq(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("relfreq")).toMap
+    val stripes = Text.bigramStripes(spark, sf).collect()
+    val flat = stripes.flatMap { r =>
+      r.getMap[String, Double](1).map { case (w2, f) => (r.getString(0), w2) -> f }
+    }.toMap
+    assert(flat == pairs)
+  }
+}
