@@ -18,6 +18,7 @@ object SparkEntry {
     Seq(
       (relational.Relational.queries, relational.Relational.oracles),
       (text.Text.queries, text.Text.oracles),
+      (ir.InvertedIndex.queries, ir.InvertedIndex.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

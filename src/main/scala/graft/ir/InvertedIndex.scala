@@ -1,0 +1,123 @@
+package graft.ir
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.Text
+
+/** a3/a7 IR suite: inverted index construction and boolean retrieval over
+  * the `documents` table.
+  *
+  * The reference packs per-term postings as gap+VInt bytes into MapFiles
+  * (`BuildInvertedIndexCompressed.java:95-132`) and re-implements the
+  * write-side hash partitioner on the read path
+  * (`BooleanRetrievalCompressed.java:109-111`). Here the index is a plain
+  * DataFrame `(term, df, postings: array<struct<doc_id,tf>>)` — Parquet's
+  * dictionary/delta encodings replace the manual VInt gap compression, and
+  * point lookup is a pushed-down `term = t` filter. The a7 HBase variant
+  * (`BuildInvertedIndexHBase.java:119-146`) is logically the same table
+  * keyed by term.
+  */
+object InvertedIndex {
+
+  /** Per-(term, doc) term frequency (`BuildInvertedIndexCompressed.java:58-70`:
+    * tokenize, histogram per doc). One explode + one aggregation.
+    */
+  def termDocTf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The index: postings sorted by doc_id per term, df = postings length
+    * (`BuildInvertedIndexCompressed.java:89-139`). `sort_array` on the
+    * collected structs replaces the MR composite-key secondary sort
+    * (`:73-78`): struct ordering is by first field, doc_id.
+    */
+  def index(spark: SparkSession, dir: String): DataFrame =
+    termDocTf(spark, dir)
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
+
+  /** Stack-based postfix boolean query evaluator
+    * (`BooleanRetrievalCompressed.java:39-94`): terms push doc-id sets,
+    * AND intersects, OR unions. The driver-side interpreter builds a tree
+    * of DataFrame set operations — each term is a pushed-down filter on
+    * the (term, doc) relation, so no full index scan per term.
+    */
+  def booleanQuery(spark: SparkSession, dir: String, postfix: String): DataFrame = {
+    val dw = termDocTf(spark, dir).select(col("term"), col("doc_id"))
+    var stack = List.empty[DataFrame]
+    postfix.trim.split("\\s+").foreach {
+      case "AND" =>
+        val a :: b :: rest = stack: @unchecked
+        stack = a.intersect(b) :: rest
+      case "OR" =>
+        val a :: b :: rest = stack: @unchecked
+        stack = a.union(b).distinct() :: rest
+      case term =>
+        stack = dw.filter(col("term") === term).select(col("doc_id")) :: stack
+    }
+    require(stack.size == 1, s"malformed postfix query: $postfix")
+    stack.head
+  }
+
+  /** Retrieval incl. document fetch (`BooleanRetrievalCompressed.java:130-136`
+    * seeks the collection by byte offset; here a join on the doc key).
+    */
+  def retrieve(spark: SparkSession, dir: String, postfix: String): DataFrame =
+    booleanQuery(spark, dir, postfix)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+
+  // Fixed query over the fixture vocabulary: (spark AND table) OR merge.
+  private val demoQuery = "spark table AND merge OR"
+
+  private val tokSql =
+    """list_filter(list_transform(string_split_regex(text, '\s+'),
+       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+       w -> w <> '')"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ir_postings" -> ((s, d) => termDocTf(s, d)),
+    "ir_index_stats" -> ((s, d) => index(s, d).select(
+      col("term"), col("df"),
+      col("postings")(0).getField("doc_id").as("first_doc"),
+      element_at(col("postings"), -1).getField("doc_id").as("last_doc"),
+      aggregate(col("postings"), lit(0L), (acc, p) => acc + p.getField("tf")).as("total_tf"))),
+    "ir_boolean" -> ((s, d) => booleanQuery(s, d, demoQuery)),
+    "ir_retrieve" -> ((s, d) => retrieve(s, d, demoQuery)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ir_postings" ->
+      s"""SELECT term, doc_id, count(*) AS tf
+          FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          GROUP BY term, doc_id""",
+    "ir_index_stats" ->
+      s"""SELECT term, count(*) AS df, min(doc_id) AS first_doc,
+                 max(doc_id) AS last_doc, sum(tf) AS total_tf
+          FROM (SELECT term, doc_id, count(*) AS tf
+                FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+                GROUP BY term, doc_id)
+          GROUP BY term""",
+    "ir_boolean" ->
+      s"""WITH dw AS (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents)
+          SELECT doc_id FROM (
+            (SELECT doc_id FROM dw WHERE term = 'spark'
+             INTERSECT
+             SELECT doc_id FROM dw WHERE term = 'table')
+            UNION
+            SELECT doc_id FROM dw WHERE term = 'merge')""",
+    "ir_retrieve" ->
+      s"""WITH dw AS (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents),
+          hits AS (SELECT doc_id FROM (
+            (SELECT doc_id FROM dw WHERE term = 'spark'
+             INTERSECT
+             SELECT doc_id FROM dw WHERE term = 'table')
+            UNION
+            SELECT doc_id FROM dw WHERE term = 'merge'))
+          SELECT doc_id, text FROM hits JOIN documents USING (doc_id)""",
+  )
+}

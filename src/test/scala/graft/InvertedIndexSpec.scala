@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ir.InvertedIndex
+
+class InvertedIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("postings are sorted by doc_id and df matches length") {
+    val rows = InvertedIndex.index(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val postings = r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0))
+      assert(postings == postings.sorted)
+      assert(r.getAs[Long]("df") == postings.size)
+      assert(postings.distinct.size == postings.size)
+    }
+  }
+
+  test("tf sums to total token occurrences") {
+    val totalTf = InvertedIndex.termDocTf(spark, sf)
+      .agg(sum("tf")).head().getLong(0)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(explode(graft.text.Text.tokenize(col("text"))).as("w"))
+      .count()
+    assert(totalTf == totalTokens)
+  }
+
+  test("postfix AND is intersection, OR is union (BooleanRetrievalCompressed.java:64-94)") {
+    def ids(q: String): Set[Long] =
+      InvertedIndex.booleanQuery(spark, sf, q).collect().map(_.getLong(0)).toSet
+    val sparkDocs = ids("spark")
+    val tableDocs = ids("table")
+    assert(ids("spark table AND") == (sparkDocs intersect tableDocs))
+    assert(ids("spark table OR") == (sparkDocs union tableDocs))
+    assert(ids("spark table AND merge OR").contains(ids("merge").head) || ids("merge").isEmpty)
+  }
+
+  test("malformed postfix query is rejected") {
+    intercept[IllegalArgumentException] {
+      InvertedIndex.booleanQuery(spark, sf, "spark table")
+    }
+  }
+
+  test("retrieve joins document text") {
+    val rows = InvertedIndex.retrieve(spark, sf, "spark table AND").collect()
+    rows.foreach(r => assert(r.getAs[String]("text").nonEmpty))
+  }
+}
