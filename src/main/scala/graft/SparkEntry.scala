@@ -19,6 +19,10 @@ object SparkEntry {
       (relational.Relational.queries, relational.Relational.oracles),
       (text.Text.queries, text.Text.oracles),
       (ir.InvertedIndex.queries, ir.InvertedIndex.oracles),
+      (dedup.Dedup.queries, dedup.Dedup.oracles),
+      (sim.Similarity.queries, sim.Similarity.oracles),
+      (analysis.TextAnalysis.queries, analysis.TextAnalysis.oracles),
+      (events.Events.queries, events.Events.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -24,7 +24,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "events")
+  /** The events fixture stores ts as Parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos
+    * as raw longs and rebuild a microsecond timestamp (integer div — the
+    * values exceed 2^53, so double math would corrupt them).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("CAST(ts div 1000 AS BIGINT)")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

@@ -1,0 +1,157 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.Text
+
+/** Text-analysis operators for a training-data pipeline (driver-extension
+  * mandate): token statistics, quality scoring, n-gram language ID, and
+  * document fingerprinting — all per-row array expressions over
+  * `documents` (no shuffle at all: these scale linearly and partition
+  * trivially).
+  */
+object TextAnalysis {
+
+  private def withToks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", Text.tokenize(col("text")))
+
+  /** Per-document token statistics: counts, type-token ratio, average
+    * token length (whitespace tokenization = the fixture's BPE-ish floor).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    withToks(spark, dir).select(
+      col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_types"),
+      round(size(array_distinct(col("toks"))).cast("double") /
+        size(col("toks")).cast("double"), 6).as("ttr"),
+      round(aggregate(col("toks"), lit(0L), (a, w) => a + length(w)).cast("double") /
+        size(col("toks")).cast("double"), 6).as("avg_token_len"),
+      col("n_chars"))
+
+  private val StopWords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** Heuristic quality score: stopword ratio + short-token ratio blended;
+    * `pass` flags docs a pipeline would keep. Deterministic arithmetic
+    * only, so the oracle can replicate it exactly.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(StopWords.map(lit): _*)
+    withToks(spark, dir)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        round(size(array_intersect_count(col("toks"), stopArr)).cast("double") /
+          size(col("toks")).cast("double"), 6).as("stop_ratio"),
+        round(size(filter(col("toks"), w => length(w) <= 2)).cast("double") /
+          size(col("toks")).cast("double"), 6).as("short_ratio"))
+      // DECIMAL arithmetic: the inputs are 6-dp-rounded doubles, so casting
+      // to decimal is exact and the blend is associative — double round()
+      // implementations differ between engines at .5 boundaries.
+      .withColumn("score",
+        (lit(1.0).cast("decimal(8,6)") -
+          abs(col("stop_ratio").cast("decimal(8,6)") - lit(0.1).cast("decimal(8,6)")) -
+          col("short_ratio").cast("decimal(8,6)") * lit(0.5).cast("decimal(8,6)"))
+          .cast("double"))
+      .withColumn("pass", col("score") >= 0.8 && col("n_tokens") >= 10)
+  }
+
+  // filter(toks, w -> w IN stoplist) — keeps duplicates, unlike array_intersect.
+  private def array_intersect_count(toks: Column, stops: Column): Column =
+    filter(toks, w => array_contains(stops, w))
+
+  private val EnStop = Seq("the", "a", "of", "and")
+  private val EsStop = Seq("el", "la", "de", "y", "los")
+
+  /** N-gram/stopword language ID heuristic: score = fraction of tokens in
+    * each language's stopword list; argmax with deterministic tie order
+    * (en ≥ es > und). The fixture text is English-vocabulary, so `en`
+    * dominates regardless of the `lang` metadata column — the point is
+    * the operator shape, not fixture accuracy.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def ratio(words: Seq[String]): Column =
+      round(size(filter(col("toks"), w => array_contains(array(words.map(lit): _*), w)))
+        .cast("double") / size(col("toks")).cast("double"), 6)
+    withToks(spark, dir)
+      .select(col("doc_id"), ratio(EnStop).as("score_en"), ratio(EsStop).as("score_es"))
+      .withColumn("predicted",
+        when(col("score_en") >= col("score_es") && col("score_en") > 0, "en")
+          .when(col("score_es") > col("score_en"), "es")
+          .otherwise("und"))
+  }
+
+  /** Document fingerprints: md5 + sha256 content hashes and a Karp-Rabin
+    * style rolling hash over token hashes (base 131, mod 2^31−1) — the
+    * order-sensitive complement to the md5 set hash.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    withToks(spark, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      sha2(col("text"), 256).as("fp_sha256"),
+      expr("""aggregate(toks, CAST(0 AS BIGINT),
+              (acc, w) -> (acc * 131 +
+                CAST(conv(substring(md5(w), 1, 7), 16, 10) AS BIGINT)) % 2147483647)""")
+        .as("roll_hash"))
+
+  private val tokSql =
+    """list_filter(list_transform(string_split_regex(text, '\s+'),
+       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+       w -> w <> '')"""
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_token_stats" -> ((s, d) => tokenStats(s, d)),
+    "ta_quality"     -> ((s, d) => qualityScore(s, d)),
+    "ta_langid"      -> ((s, d) => langId(s, d)),
+    "ta_fingerprint" -> ((s, d) => fingerprint(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ta_token_stats" ->
+      s"""SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_types,
+                 round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr,
+                 round(list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                       / len(toks), 6) AS avg_token_len,
+                 n_chars
+          FROM (SELECT doc_id, n_chars, $tokSql AS toks FROM documents)""",
+    "ta_quality" ->
+      s"""SELECT doc_id, n_tokens, stop_ratio, short_ratio,
+                 CAST(CAST(1.0 AS DECIMAL(8,6))
+                      - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
+                      - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
+                      AS DOUBLE) AS score,
+                 (CAST(CAST(1.0 AS DECIMAL(8,6))
+                      - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
+                      - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
+                      AS DOUBLE) >= 0.8
+                  AND n_tokens >= 10) AS pass
+          FROM (SELECT doc_id, len(toks) AS n_tokens,
+                  round(len(list_filter(toks, w -> list_contains(${sqlList(StopWords)}, w)))::DOUBLE
+                        / len(toks), 6) AS stop_ratio,
+                  round(len(list_filter(toks, w -> length(w) <= 2))::DOUBLE
+                        / len(toks), 6) AS short_ratio
+                FROM (SELECT doc_id, $tokSql AS toks FROM documents))""",
+    "ta_langid" ->
+      s"""SELECT doc_id, score_en, score_es,
+                 CASE WHEN score_en >= score_es AND score_en > 0 THEN 'en'
+                      WHEN score_es > score_en THEN 'es'
+                      ELSE 'und' END AS predicted
+          FROM (SELECT doc_id,
+                  round(len(list_filter(toks, w -> list_contains(${sqlList(EnStop)}, w)))::DOUBLE
+                        / len(toks), 6) AS score_en,
+                  round(len(list_filter(toks, w -> list_contains(${sqlList(EsStop)}, w)))::DOUBLE
+                        / len(toks), 6) AS score_es
+                FROM (SELECT doc_id, $tokSql AS toks FROM documents))""",
+    "ta_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
+                 CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform($tokSql,
+                       w -> CAST('0x' || substr(md5(w), 1, 7) AS BIGINT))),
+                   (a, h) -> (a * 131 + h) % 2147483647) AS BIGINT) AS roll_hash
+          FROM documents""",
+  )
+}

@@ -1,0 +1,218 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.Text
+
+/** Document deduplication family (driver-extension mandate — no reference
+  * counterpart; see SURVEY.md §7 step 7): exact, n-gram Jaccard,
+  * MinHash+LSH, and SimHash, over the `documents` table.
+  *
+  * Scale design notes (100 TB posture):
+  *  - exact: one hash-groupBy window — the canonical pick is a window min,
+  *    no driver state.
+  *  - n-gram Jaccard: inverted-index self-join on shingles — only pairs
+  *    sharing ≥1 shingle are ever materialized (never the n² cross join).
+  *    At web scale you'd additionally drop ultra-high-df "stop shingles"
+  *    before the join (skew cap); the fixture vocabulary doesn't need it.
+  *  - MinHash: 64 hash functions = 64 deterministic xxhash64 seeds, banded
+  *    16×4; candidate pairs come from band-bucket equality (shuffle on the
+  *    band key), then are verified with an exact per-pair array intersect —
+  *    the verify join touches only candidates, not the corpus square.
+  *  - SimHash: per-document array fold (no shuffle at all for the sketch);
+  *    the pair scan here is a small nested-loop — the scale path is
+  *    pigeonhole banding of the 60 bits (k+1 bands ⇒ any pair within
+  *    hamming k shares a band), same LSH join shape as MinHash.
+  *
+  * All hash functions are deterministic (xxhash64 seeds / md5), so results
+  * are reproducible run-to-run and, for md5-based ones, replayable in the
+  * DuckDB oracle.
+  */
+object Dedup {
+
+  /** Word 3-gram shingle set, distinct, built in-row (no explode). */
+  def shingles(text: Column): Column = {
+    val toks = Text.tokenize(text)
+    when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+  }
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Exact dedup: md5 content fingerprint; canonical = min doc_id per
+    * fingerprint. Output keeps every doc so the query is non-empty even on
+    * a dup-free corpus.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    * explode distinct shingles, self-join on shingle, count shared, then
+    * |A∩B| / (|A|+|B|−|A∩B|) ≥ minJaccard.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.2): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.toDF("d1", "s").join(ex.toDF("d2", "s2"), col("s") === col("s2"))
+      .where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.toDF("d1", "n1"), "d1")
+      .join(counts.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = 4 // P(miss | j=0.9) = (1-0.9^4)^16 ≈ 4e-8
+
+  /** MinHash signature: sig[i] = min over shingles of xxhash64(i, shingle). */
+  def minhashSignature(sh: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+
+  /** MinHash+LSH near-dup pairs: band the signature, bucket-join candidate
+    * pairs, verify with exact Jaccard ≥ minJaccard. With the 16×4 banding,
+    * recall at j≥0.9 is 1−4e-8 — the declared oracle (all exact-Jaccard
+    * pairs) is safe for the fixture corpus, whose planted dups are ≥0.9.
+    */
+  def minhashPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+    val sh = docShingles(spark, dir).cache()
+    val bands = sh
+      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+      .select(col("doc_id"), explode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("key"))))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.toDF("d1", "band", "key")
+      .join(bands.toDF("d2", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    cand
+      .join(sh.toDF("d1", "sh1"), "d1")
+      .join(sh.toDF("d2", "sh2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"), 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  private val SimBits = 60 // 15 hex chars of md5 → fits a signed long
+
+  /** 60-bit SimHash per document, frequency-weighted over tokens, computed
+    * as a single per-row array fold (token hash = md5 hex substring —
+    * reproducible in SQL engines). Tie (bit-sum 0) ⇒ bit 0.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", Text.tokenize(col("text")))
+      .withColumn("bitsums", expr(
+        s"""aggregate(toks, array_repeat(CAST(0 AS BIGINT), $SimBits),
+            (acc, w) -> zip_with(acc,
+              transform(sequence(0, ${SimBits - 1}),
+                j -> ((CAST(conv(substring(md5(w), 2, 15), 16, 10) AS BIGINT)
+                       div CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1),
+              (a, b) -> a + CAST(b AS BIGINT)))"""))
+      .select(col("doc_id"), expr(
+        s"""aggregate(zip_with(bitsums, sequence(0, ${SimBits - 1}),
+              (s, j) -> CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END),
+            CAST(0 AS BIGINT), (a, b) -> a + b)""").as("simhash"))
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming. Nested-loop at
+    * fixture scale; see scale notes above for the banded join shape.
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 9): DataFrame = {
+    val s = simhash(spark, dir)
+    s.toDF("d1", "h1").join(s.toDF("d2", "h2"), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  private val tokSql =
+    """list_filter(list_transform(string_split_regex(text, '\s+'),
+       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+       w -> w <> '')"""
+
+  // Shared oracle CTE: distinct word-3-gram shingles per doc.
+  private val shSql =
+    s"""sh AS (
+          SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS s
+          FROM (SELECT doc_id, $tokSql AS w FROM documents)
+          WHERE len(w) >= 3)"""
+
+  private def jaccardOracle(minJ: Double): String =
+    s"""WITH $shSql
+        SELECT d1, d2, jaccard FROM (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 round(len(list_intersect(a.s, b.s))::DOUBLE /
+                       len(list_distinct(a.s || b.s)), 6) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= $minJ"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> ((s, d) => exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
+    "dedup_minhash"       -> ((s, d) => minhashPairs(s, d)),
+    "dedup_simhash"       -> ((s, d) => simhash(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fp,
+                min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+                count(*) OVER (PARTITION BY md5(text)) AS group_size
+         FROM documents""",
+    "dedup_ngram_jaccard" -> jaccardOracle(0.2),
+    "dedup_minhash"       -> jaccardOracle(0.5),
+    "dedup_simhash" ->
+      s"""WITH hs AS (
+            SELECT doc_id, list_transform($tokSql,
+              w -> CAST('0x' || substr(md5(w), 2, 15) AS BIGINT)) AS hl
+            FROM documents)
+          SELECT doc_id, CAST(list_sum(
+            [CASE WHEN list_sum(list_transform(hl,
+                    h -> ((h // (2**j)::BIGINT) % 2) * 2 - 1)) > 0
+                  THEN (2**j)::BIGINT ELSE 0 END
+             for j in generate_series(0, ${SimBits - 1})]) AS BIGINT) AS simhash
+          FROM hs""",
+    "dedup_simhash_pairs" ->
+      s"""WITH hs AS (
+            SELECT doc_id, list_transform($tokSql,
+              w -> CAST('0x' || substr(md5(w), 2, 15) AS BIGINT)) AS hl
+            FROM documents),
+          sim AS (
+            SELECT doc_id, CAST(list_sum(
+              [CASE WHEN list_sum(list_transform(hl,
+                      h -> ((h // (2**j)::BIGINT) % 2) * 2 - 1)) > 0
+                    THEN (2**j)::BIGINT ELSE 0 END
+               for j in generate_series(0, ${SimBits - 1})]) AS BIGINT) AS simhash
+            FROM hs)
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 9""",
+  )
+}

@@ -1,0 +1,133 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity search (driver-extension mandate) over the
+  * `embeddings` table (`vec_id`, `embedding: array<float>`, `label`).
+  *
+  * Brute-force cosine top-k is the exactness baseline; the scale path is
+  * random-hyperplane LSH: a 16-bit sign sketch per vector (deterministic
+  * hash-derived planes — no runtime RNG), banded 4×4, candidates from
+  * band-bucket equality, exact cosine re-rank on candidates only. At
+  * 100 TB the brute-force n² join is replaced by the LSH bucket join; the
+  * sketch is a per-row expression (no shuffle) and the re-rank join
+  * touches only same-bucket pairs. An IVF variant would swap the bucket
+  * key for a coarse-quantizer cell id — same join shape.
+  *
+  * All arithmetic is float→double cast then left-to-right sums, matching
+  * the DuckDB oracle's list_sum order, so rounded values hash-match.
+  */
+object Similarity {
+
+  /** dot(a, b) in double with sequential accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity rounded to 6 dp (the rounding makes Spark/DuckDB
+    * agree bit-for-bit and makes top-k ties deterministic).
+    */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  /** All pairs with cosine ≥ minCos — brute force (exactness baseline and
+    * the embedding-cosine near-dup detector).
+    */
+  def cosinePairs(spark: SparkSession, dir: String, minCos: Double = 0.45): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    e.toDF("v1", "e1").join(e.toDF("v2", "e2"), col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
+  /** Exact top-k cosine neighbors for the query set (vec_id < nQueries),
+    * ranked (cos desc, vec_id) for determinism.
+    */
+  def topK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < nQueries).toDF("query_id", "qe")
+    val scored = q.join(e.toDF("vec_id", "ce"), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  private val SketchBits = 16
+  private val SketchBands = 4
+  private val SketchRows = 4
+
+  /** Sign sketch: bit j = sign(Σ_d w(j,d)·v_d) with w(j,d) = ±1 derived
+    * from xxhash64(j, d) — deterministic pseudo-random hyperplanes.
+    */
+  def signSketch(v: Column): Column =
+    transform(sequence(lit(0), lit(SketchBits - 1)), j =>
+      when(aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, d) => x.cast("double") *
+            (pmod(xxhash64(j, d), lit(2)) * 2 - 1).cast("double")),
+        lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0))
+
+  /** LSH-bucketed approximate top-k: candidates share a sketch band with
+    * the query; exact cosine re-rank on candidates. Approximate ⇒ no SQL
+    * oracle (rows-only check); recall vs [[topK]] is asserted in
+    * SimilaritySpec.
+    */
+  def topKLsh(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), signSketch(col("embedding")).as("sk"))
+    val bands = e.select(col("vec_id"), col("embedding"),
+        explode(transform(sequence(lit(0), lit(SketchBands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sk"), b * SketchRows + 1, lit(SketchRows))).as("key"))))
+          .as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val q = bands.filter(col("vec_id") < nQueries).toDF("query_id", "qe", "band", "key")
+    val cand = q.join(bands.toDF("vec_id", "ce", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qe"), col("vec_id"), col("ce"))
+      .distinct()
+    cand
+      .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  private val cosSql =
+    """round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+       (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
+    "sim_topk"         -> ((s, d) => topK(s, d)),
+    "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)), // approximate: rows-only
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_pairs" ->
+      s"""SELECT v1, v2, cos FROM (
+            SELECT a.vec_id AS v1, b.vec_id AS v2, $cosSql AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          WHERE cos >= 0.45""",
+    "sim_topk" ->
+      s"""SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosSql AS cos
+                  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+                  WHERE a.vec_id < 10))
+          WHERE rank <= 3""",
+  )
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.analysis.TextAnalysis
+import graft.events.Events
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup: canonical is min of group and groups partition the corpus") {
+    val rows = Dedup.exact(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach(r => assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id")))
+  }
+
+  test("minhash+LSH finds exactly the exact-jaccard pairs at 0.5") {
+    val lsh = pairs(Dedup.minhashPairs(spark, sf))
+    val exact = pairs(Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5))
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // the generator plants near-dups at every sf
+  }
+
+  test("ngram jaccard at 0.2 equals 0.5 set on this corpus (clean gap)") {
+    assert(pairs(Dedup.ngramJaccardPairs(spark, sf)) ==
+      pairs(Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5)))
+  }
+
+  test("simhash pairs catch most planted near-dups") {
+    // simhash is a lossy sketch — assert coverage, not exact equality
+    val planted = pairs(Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5))
+    val sim = pairs(Dedup.simhashPairs(spark, sf))
+    val coverage = (planted intersect sim).size.toDouble / planted.size
+    assert(coverage >= 0.6, s"simhash coverage of planted dups: $coverage")
+  }
+
+  test("simhash is a 60-bit value") {
+    Dedup.simhash(spark, sf).collect().foreach { r =>
+      val h = r.getAs[Long]("simhash")
+      assert(h >= 0 && h < (1L << 60))
+    }
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("cosine values are in [-1, 1] and topk is 3 per query") {
+    val rows = Similarity.topK(spark, sf).collect()
+    assert(rows.length == 30)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cos")) <= 1.0))
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.values.forall(_ == 3))
+  }
+
+  test("LSH topk candidates score identically to exact where they overlap") {
+    val exact = Similarity.topK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val lsh = Similarity.topKLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val overlap = lsh.keySet intersect exact.keySet
+    overlap.foreach(k => assert(lsh(k) == exact(k)))
+    // recall is data-dependent; assert the buckets aren't degenerate
+    val recall = overlap.size.toDouble / exact.size
+    assert(recall > 0.2, s"LSH recall collapsed: $recall")
+  }
+}
+
+class AnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("token stats are internally consistent") {
+    TextAnalysis.tokenStats(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Int]("n_types") <= r.getAs[Int]("n_tokens"))
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr > 0 && ttr <= 1)
+    }
+  }
+
+  test("langid predicts en for this English-vocabulary corpus when stopwords present") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    rows.filter(_.getAs[Double]("score_en") > 0)
+      .foreach { r =>
+        if (r.getAs[Double]("score_en") >= r.getAs[Double]("score_es"))
+          assert(r.getAs[String]("predicted") == "en")
+      }
+  }
+
+  test("rolling hash is order-sensitive, md5 is content-exact") {
+    val fps = TextAnalysis.fingerprint(spark, sf).collect()
+    assert(fps.map(_.getAs[String]("fp_md5")).distinct.length == fps.length)
+    fps.foreach(r => assert(r.getAs[Long]("roll_hash") >= 0))
+  }
+}
+
+class EventsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("hourly rollup counts cover all events") {
+    val total = Events.hourlyRollup(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("sessions partition each user's events") {
+    val sessions = Events.sessionize(spark, sf).collect()
+    val totalEvents = sessions.map(_.getAs[Long]("n_events")).sum
+    assert(totalEvents == Tables.events(spark, sf).count())
+    sessions.foreach(r =>
+      assert(r.getAs[String]("session_start") <= r.getAs[String]("session_end")))
+  }
+
+  test("json extraction yields sane k stats") {
+    Events.jsonStats(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("min_k") >= 0 && r.getAs[Long]("max_k") <= 1000)
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+}
