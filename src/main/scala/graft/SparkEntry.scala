@@ -23,6 +23,8 @@ object SparkEntry {
       (sim.Similarity.queries, sim.Similarity.oracles),
       (analysis.TextAnalysis.queries, analysis.TextAnalysis.oracles),
       (events.Events.queries, events.Events.oracles),
+      (graph.PageRank.queries, graph.PageRank.oracles),
+      (ml.Spam.queries, ml.Spam.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

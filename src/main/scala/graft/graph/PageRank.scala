@@ -1,0 +1,135 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** a4 personalized PageRank (`RunPersonalizedPageRankBasic.java`), rebuilt
+  * as an iterative DataFrame driver loop.
+  *
+  * Reference protocol, preserved exactly (in linear double arithmetic
+  * instead of log-domain floats — the log domain is a float-underflow
+  * workaround, not a semantic; the reference's own output precision is 5
+  * decimals, `ExtractTopPersonalizedPageRankNodes.java:166`):
+  *  - multi-source: one rank per source per node; init rank=1 at source
+  *    (`BuildPersonalizedPageRankRecords.java:111`);
+  *  - per iteration, each node sends rank/outdegree to its neighbors; mass
+  *    sent to dangling ends or nonexistent nodes vanishes (`:257-265`);
+  *  - missing mass m_i = max(0, 1 − Σ received_i) computed globally
+  *    (`:458-464`) — here an `agg(sum)` collected to the driver (the only
+  *    driver-side data transfer: one double per source);
+  *  - re-injection at the source only (`:341-352`):
+  *    source: rank = α + (1−α)·(received + missing); others: (1−α)·received.
+  *
+  * Ranks are flat columns rank_0..rank_{k−1} (k sources is small and
+  * fixed), so each iteration is: one shuffle join rank⋈edges on src, one
+  * partial+final aggregation by dst, one broadcast-ish left join back to
+  * the node set. At 1000 executors the node set and edges would be
+  * co-partitioned by id once (`repartition(id)` + cache) and reused every
+  * iteration; lineage is cut with localCheckpoint every few iterations
+  * (the reference's per-iteration SequenceFile round-trip, S4).
+  */
+object PageRank {
+  val Alpha = 0.15 // RunPersonalizedPageRankBasic.java:366
+
+  /** Deterministic fixture-derived graph: 100 nodes; distinct edges
+    * (l_orderkey%100 → l_partkey%100), self-loops dropped. Dangling and
+    * unreferenced nodes occur naturally.
+    */
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(pmod(col("l_orderkey"), lit(100)).as("src"),
+        pmod(col("l_partkey"), lit(100)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+  def nodes(spark: SparkSession, dir: String): DataFrame =
+    edges(spark, dir).select(col("src").as("id"))
+      .union(edges(spark, dir).select(col("dst").as("id")))
+      .distinct()
+
+  /** Outdegree per node (dangling nodes absent ⇒ their mass vanishes, as
+    * in the reference).
+    */
+  def outDegrees(spark: SparkSession, dir: String): DataFrame =
+    edges(spark, dir).groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+
+  /** Run personalized PageRank for the given sources; returns
+    * (id, rank_0.., one column per source).
+    */
+  def run(spark: SparkSession, dir: String, sources: Seq[Long], iterations: Int): DataFrame = {
+    val e = edges(spark, dir).join(outDegrees(spark, dir), "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src")).cache()
+    val n = nodes(spark, dir).repartition(col("id")).cache()
+
+    val rankCols = sources.indices.map(i => s"rank_$i")
+    var ranks = n.select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
+      when(col("id") === s, 1.0).otherwise(0.0).as(s"rank_$i")
+    }: _*)
+
+    for (iter <- 1 to iterations) {
+      // Phase 1: distribute along edges; unreceiving nodes get 0.
+      val contrib = ranks.join(e, col("id") === col("src"))
+        .select(col("dst") +:
+          rankCols.map(c => (col(c) / col("outdeg")).as(c)): _*)
+      val received = contrib.groupBy(col("dst"))
+        .agg(rankCols.map(c => sum(col(c)).as(c)).head,
+          rankCols.map(c => sum(col(c)).as(c)).tail: _*)
+      // localCheckpoint (eager) cuts lineage every iteration — without it
+      // the driver-side mass action below would replay all prior
+      // iterations, turning the loop quadratic.
+      val joined = n.join(received, col("id") === col("dst"), "left_outer")
+        .select(col("id") +:
+          rankCols.map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
+        .localCheckpoint()
+
+      // Missing (dangling) mass per source — one double per source to the
+      // driver, clamped ≥ 0 (RunPersonalizedPageRankBasic.java:458-464).
+      val mass = joined.agg(
+        rankCols.map(c => sum(col(c)).as(c)).head,
+        rankCols.map(c => sum(col(c)).as(c)).tail: _*).head()
+      val missing = sources.indices.map(i => math.max(0.0, 1.0 - mass.getDouble(i)))
+
+      // Phase 2: jump + re-injection at the source only (:341-352).
+      ranks = joined.select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
+        when(col("id") === s,
+          lit(Alpha) + lit(1 - Alpha) * (col(s"rank_$i") + lit(missing(i))))
+          .otherwise(lit(1 - Alpha) * col(s"rank_$i")).as(s"rank_$i")
+      }: _*)
+    }
+    ranks
+  }
+
+  /** a4 ExtractTopPersonalizedPageRankNodes (`:104-184`): top-k nodes per
+    * source — the reference's per-reducer priority queues are a window
+    * row_number (or TakeOrdered per source).
+    */
+  def topK(spark: SparkSession, dir: String, sources: Seq[Long] = Seq(3, 57),
+           iterations: Int = 10, k: Int = 10): DataFrame = {
+    val ranked = run(spark, dir, sources, iterations)
+    val perSource = sources.zipWithIndex.map { case (s, i) =>
+      ranked.select(lit(s).as("source"), col("id").as("node"),
+        round(col(s"rank_$i"), 5).as("rank"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("rank").desc, col("node"))
+    perSource.reduce(_ union _)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("source"), col("node"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pr_edges_outdeg" -> ((s, d) => outDegrees(s, d)),
+    "pr_toprank"      -> ((s, d) => topK(s, d)), // iterative: in-test oracle
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pr_edges_outdeg" ->
+      """SELECT src, count(*) AS outdeg FROM (
+           SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+           FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100)
+         GROUP BY src""",
+  )
+}

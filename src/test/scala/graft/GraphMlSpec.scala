@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.PageRank
+import graft.ml.Spam
+
+/** In-test oracles for the two non-SQL-expressible suites: a scalar Scala
+  * reimplementation of the reference's protocols, run on collected sf0.001
+  * data, compared against the distributed DataFrame plans.
+  */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  /** Driver-side reference PageRank: same protocol as
+    * RunPersonalizedPageRankBasic.java (distribute, vanish dangling mass,
+    * clamp missing ≥0, re-inject at source, α jump at source only).
+    */
+  private def referencePr(edges: Seq[(Long, Long)], source: Long, iters: Int): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var rank = nodes.map(n => n -> (if (n == source) 1.0 else 0.0)).toMap
+    for (_ <- 1 to iters) {
+      val received = scala.collection.mutable.HashMap.empty[Long, Double]
+        .withDefaultValue(0.0)
+      rank.foreach { case (n, r) =>
+        adj.getOrElse(n, Nil).foreach(d => received(d) += r / outdeg(n))
+      }
+      val total = nodes.map(received(_)).sum
+      val missing = math.max(0.0, 1.0 - total)
+      rank = nodes.map { n =>
+        val base = received(n)
+        val v =
+          if (n == source) PageRank.Alpha + (1 - PageRank.Alpha) * (base + missing)
+          else (1 - PageRank.Alpha) * base
+        n -> v
+      }.toMap
+    }
+    rank
+  }
+
+  test("distributed PageRank matches the scalar reference protocol to 5dp") {
+    val edges = PageRank.edges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sources = Seq(3L, 57L)
+    val got = PageRank.run(spark, sf, sources, iterations = 10).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ref0 = referencePr(edges, 3L, 10)
+    val ref1 = referencePr(edges, 57L, 10)
+    got.foreach { case (id, (r0, r1)) =>
+      assert(math.abs(r0 - ref0(id)) < 1e-9, s"node $id source 3")
+      assert(math.abs(r1 - ref1(id)) < 1e-9, s"node $id source 57")
+    }
+  }
+
+  test("topK returns k rows per source, ranked desc, source has the α floor") {
+    val rows = PageRank.topK(spark, sf).collect()
+    val bySource = rows.groupBy(_.getLong(0))
+    assert(bySource.keySet == Set(3L, 57L))
+    bySource.foreach { case (s, rs) =>
+      assert(rs.length == 10)
+      val ranks = rs.map(_.getAs[Double]("rank"))
+      assert(ranks.sorted.reverse.sameElements(ranks), s"source $s not desc-sorted")
+      // the source node re-injects its own jump: rank(source) ≥ α
+      val selfRank = rs.find(_.getLong(1) == s).map(_.getAs[Double]("rank"))
+      assert(selfRank.exists(_ >= PageRank.Alpha - 1e-6))
+    }
+  }
+
+  test("outdegree matches a direct computation") {
+    val got = PageRank.outDegrees(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = PageRank.edges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(got == want)
+  }
+}
+
+class SpamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  /** Scalar reference SGD fold (TrainSpamClassifier.scala:68-85 semantics). */
+  private def referenceTrain(inst: Seq[(Long, Int, Seq[Int])]): Map[Int, Double] = {
+    val w = scala.collection.mutable.HashMap.empty[Int, Double]
+    inst.sortBy(_._1).foreach { case (_, label, feats) =>
+      var score = 0.0
+      feats.foreach(f => score += w.getOrElse(f, 0.0))
+      val prob = 1.0 / (1.0 + math.exp(-score))
+      feats.foreach(f => w.update(f, w.getOrElse(f, 0.0) + (label - prob) * Spam.Delta))
+    }
+    w.toMap
+  }
+
+  private def collectedInstances: Seq[(Long, Int, Seq[Int])] =
+    Spam.instances(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getAs[scala.collection.Seq[Int]](2).toSeq)
+    }.toSeq
+
+  test("distributed train reproduces the scalar sequential fold exactly") {
+    val got = Spam.train(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val want = referenceTrain(collectedInstances)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (f, wt) => assert(math.abs(wt - want(f)) < 1e-12, s"feature $f") }
+  }
+
+  test("seeded shuffle changes training order but stays deterministic") {
+    val a = Spam.train(spark, sf, shuffleSeed = Some(7L)).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val b = Spam.train(spark, sf, shuffleSeed = Some(7L)).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
+  test("applyModel separates the training classes (trained-on-data sanity)") {
+    val inst = Spam.instances(spark, sf)
+    val scored = Spam.applyModel(inst, Spam.train(spark, sf)).collect()
+    // one δ=0.002 pass on a tiny corpus doesn't calibrate the 0 threshold;
+    // the meaningful claim is that learning moved scores the right way:
+    // spam docs score strictly higher than ham docs on average
+    val (spam, ham) = scored.partition(_.getAs[Int]("label") == 1)
+    assert(spam.nonEmpty && ham.nonEmpty)
+    val spamAvg = spam.map(_.getAs[Double]("score")).sum / spam.length
+    val hamAvg = ham.map(_.getAs[Double]("score")).sum / ham.length
+    assert(spamAvg > hamAvg, s"spam avg $spamAvg not above ham avg $hamAvg")
+  }
+
+  test("ensemble average equals mean of member scores") {
+    val rows = Spam.ensemble(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_score")
+      val pred = r.getAs[String]("predicted_avg")
+      assert(if (avg > 0) pred == "spam" else pred == "ham")
+    }
+  }
+}
