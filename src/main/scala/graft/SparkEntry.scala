@@ -25,6 +25,7 @@ object SparkEntry {
       (events.Events.queries, events.Events.oracles),
       (graph.PageRank.queries, graph.PageRank.oracles),
       (ml.Spam.queries, ml.Spam.oracles),
+      (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,186 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal columns (driver-extension mandate — no reference counterpart):
+  * image/audio/video as opaque `binary` columns with typed metadata, plus
+  * decode / feature-extract / resize / frame-sample operators.
+  *
+  * The media table is derived deterministically from the `documents`
+  * fixture (payload = UTF-8 bytes of the text; modality cycles by doc_id),
+  * because the fixtures carry no real media — the POINT here is the
+  * Spark-side plumbing: an explicit schema with a `binary` payload + a
+  * typed `meta` struct, partition-parallel batch decode via
+  * `mapPartitions` over a typed `Dataset` (the Scala analog of
+  * `mapInPandas`: one iterator per partition, rows processed in a batch
+  * loop, no per-row driver involvement), and frame sampling as pure
+  * column/array expressions.
+  *
+  * ==STUB== Real decoders (JPEG/PNG, PCM, H.264) are NOT in this
+  * container. [[FakeCodec]] stands in: deterministic byte-level
+  * "features" (a normalized byte histogram) with the exact signature a
+  * real codec would have. Swap [[MediaCodec]]'s implementation to go
+  * live; every schema, partitioning, and batch shape stays unchanged.
+  *
+  * Scale notes (100 TB posture): payloads never leave executors (no
+  * collect); decode is narrow (mapPartitions, zero shuffle); frame
+  * sampling is an in-row array expression followed by posexplode —
+  * shuffle-free until the caller aggregates. Binary columns in Parquet
+  * are page-compressed and column-pruned like any other, so a
+  * metadata-only query never reads payload bytes.
+  */
+object Multimodal {
+
+  /** Typed row for the codec path (binary payload + typed metadata). */
+  final case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
+                            width: Int, height: Int, n_frames: Int, sample_rate: Int)
+
+  final case class MediaFeatures(doc_id: Long, modality: String,
+                                 n_bytes: Int, features: Array[Double])
+
+  /** Pluggable decode step — the ==STUB== boundary. A production
+    * implementation decodes the payload (image pixels / audio samples /
+    * video frames) and emits a feature vector; the fake emits a
+    * deterministic 16-bin normalized byte histogram so tests are exact.
+    */
+  trait MediaCodec extends Serializable {
+    def features(payload: Array[Byte]): Array[Double]
+  }
+  object FakeCodec extends MediaCodec {
+    val Bins = 16
+    def features(payload: Array[Byte]): Array[Double] = {
+      val h = new Array[Double](Bins)
+      payload.foreach(b => h((b & 0xff) % Bins) += 1.0)
+      val n = math.max(1, payload.length).toDouble
+      h.map(_ / n)
+    }
+  }
+
+  /** The media table: (doc_id, modality, payload binary, meta struct).
+    * Deterministic derivation from `documents`; metadata is
+    * modality-typed (images get width/height, video adds n_frames, audio
+    * gets sample_rate; unused slots are 0).
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        when(pmod(col("doc_id"), lit(3)) =!= 1, (lit(16) + pmod(col("doc_id"), lit(64))).cast("int"))
+          .otherwise(lit(0)).as("width"),
+        when(pmod(col("doc_id"), lit(3)) =!= 1, (lit(16) + pmod(col("doc_id"), lit(48))).cast("int"))
+          .otherwise(lit(0)).as("height"),
+        when(pmod(col("doc_id"), lit(3)) === 2, (lit(8) + pmod(col("doc_id"), lit(24))).cast("int"))
+          .otherwise(lit(0)).as("n_frames"),
+        when(pmod(col("doc_id"), lit(3)) === 1, lit(16000)).otherwise(lit(0))
+          .cast("int").as("sample_rate")).as("meta"))
+
+  /** Payload-level decode stats — pure column expressions (length +
+    * content hash), fully SQL-expressible for the oracle. A real pipeline
+    * runs this first to drop corrupt/empty payloads before decode.
+    */
+  def decodeStats(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).select(
+      col("doc_id"), col("modality"),
+      octet_length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.n_frames").as("n_frames"), col("meta.sample_rate").as("sample_rate"))
+
+  /** Batch feature extraction through the codec: typed Dataset →
+    * mapPartitions (one codec instance per partition, rows streamed
+    * through it — the mapInPandas batch shape). Deterministic via
+    * [[FakeCodec]]; rows-only oracle + exact scalar-reference spec.
+    */
+  def extractFeatures(spark: SparkSession, dir: String,
+                      codec: MediaCodec = FakeCodec): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("modality"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"), col("meta.sample_rate").as("sample_rate"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map(r => MediaFeatures(r.doc_id, r.modality, r.payload.length,
+          codec.features(r.payload).map(v => math.rint(v * 1e6) / 1e6)))
+      }
+      .toDF()
+  }
+
+  /** "Resize": deterministic metadata + payload transform standing in for
+    * a pixel resample — new dims scaled by num/den, payload truncated to
+    * the proportional byte budget. Column-expression only (no UDF), so
+    * it stays inside whole-stage codegen and has a SQL oracle.
+    */
+  def resize(spark: SparkSession, dir: String, num: Int = 1, den: Int = 2): DataFrame =
+    mediaTable(spark, dir)
+      .where(col("modality") === "image")
+      .select(
+        col("doc_id"),
+        (col("meta.width") * num / den).cast("int").as("width"),
+        (col("meta.height") * num / den).cast("int").as("height"),
+        octet_length(col("payload")).as("orig_bytes"),
+        md5(substring(col("payload"), lit(1),
+          greatest(lit(1), (octet_length(col("payload")) * num / den).cast("int"))))
+          .as("resized_md5"))
+
+  /** Frame sampling for video rows: split the payload into n_frames
+    * equal-size frames (in-row array expression), keep every `stride`-th
+    * frame via posexplode. Shuffle-free; the frame bytes stay on
+    * executors.
+    */
+  def frameSample(spark: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+    val v = mediaTable(spark, dir).where(col("modality") === "video")
+      .select(col("doc_id"), col("payload"), col("meta.n_frames").as("n_frames"),
+        (octet_length(col("payload")) / col("meta.n_frames")).cast("int").as("fsize"))
+      .where(col("fsize") > 0)
+    v.select(col("doc_id"), col("n_frames"),
+        posexplode(transform(sequence(lit(0), col("n_frames") - 1),
+          i => substring(col("payload"), (i * col("fsize") + 1).cast("int"), col("fsize"))))
+          .as(Seq("frame_no", "frame")))
+      .where(pmod(col("frame_no"), lit(stride)) === 0)
+      .select(col("doc_id"), col("frame_no"),
+        octet_length(col("frame")).as("frame_bytes"), md5(col("frame")).as("frame_md5"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_stats" -> ((s, d) => decodeStats(s, d)),
+    "mm_features"     -> ((s, d) => extractFeatures(s, d)
+      .select(col("doc_id"), col("modality"), col("n_bytes"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 16), 6).as("f15"))),
+    "mm_resize"       -> ((s, d) => resize(s, d)),
+    "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // DuckDB has no md5(BLOB)/BLOB slicing; payload = UTF-8 bytes of text
+    // and the fixture text is pure ASCII (verified: octet_length == length
+    // at every sf), so varchar md5/substr are byte-equivalent.
+    "mm_decode_stats" ->
+      """SELECT doc_id,
+                ['image','audio','video'][(doc_id % 3)::INT + 1] AS modality,
+                octet_length(encode(text)) AS n_bytes,
+                md5(text) AS payload_md5,
+                CASE WHEN doc_id % 3 <> 1 THEN 16 + doc_id % 64 ELSE 0 END::INT AS width,
+                CASE WHEN doc_id % 3 <> 1 THEN 16 + doc_id % 48 ELSE 0 END::INT AS height,
+                CASE WHEN doc_id % 3 = 2 THEN 8 + doc_id % 24 ELSE 0 END::INT AS n_frames,
+                CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END::INT AS sample_rate
+         FROM documents""",
+    "mm_resize" ->
+      """SELECT doc_id,
+                ((16 + doc_id % 64) // 2)::INT AS width,
+                ((16 + doc_id % 48) // 2)::INT AS height,
+                octet_length(encode(text)) AS orig_bytes,
+                md5(substr(text, 1, greatest(1, (octet_length(encode(text)) // 2)::INT)))
+                  AS resized_md5
+         FROM documents WHERE doc_id % 3 = 0""",
+    // mm_features: codec path (rows-only check; exact oracle in MultimodalSpec)
+    // mm_frame_sample: blob slicing semantics differ across engines; exact
+    // per-frame oracle lives in MultimodalSpec (rows-only here)
+  )
+}
