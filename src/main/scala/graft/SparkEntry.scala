@@ -26,6 +26,7 @@ object SparkEntry {
       (graph.PageRank.queries, graph.PageRank.oracles),
       (ml.Spam.queries, ml.Spam.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
+      (streaming.Streaming.queries, streaming.Streaming.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

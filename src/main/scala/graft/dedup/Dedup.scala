@@ -31,15 +31,14 @@ import graft.text.Text
   */
 object Dedup {
 
-  /** Word 3-gram shingle set, distinct, built in-row (no explode). */
-  def shingles(text: Column): Column = {
-    val toks = Text.tokenize(text)
-    when(size(toks) < 3, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-  }
+  /** Word 3-gram shingle set, distinct, built in-row (no explode) by the
+    * native [[graft.functions.ArrayExprs.WordShingles]] expression — the
+    * tokenizer tree is evaluated once per row (the previous declarative
+    * form referenced it through every element_at and CollapseProject
+    * duplicated it into each).
+    */
+  def shingles(text: Column): Column =
+    graft.functions.ArrayExprs.wordShingles(Text.tokenize(text), 3)
 
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -63,7 +62,9 @@ object Dedup {
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ minJaccard.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.2): DataFrame = {
-    val sh = docShingles(spark, dir)
+    // cache: referenced 4× below (both self-join sides + both count
+    // sides); uncached, each reference recomputes the shingling scan
+    val sh = docShingles(spark, dir).cache()
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val inter = ex.toDF("d1", "s").join(ex.toDF("d2", "s2"), col("s") === col("s2"))
@@ -83,10 +84,13 @@ object Dedup {
   private val Bands = 16
   private val RowsPerBand = 4 // P(miss | j=0.9) = (1-0.9^4)^16 ≈ 4e-8
 
-  /** MinHash signature: sig[i] = min over shingles of xxhash64(i, shingle). */
+  /** MinHash signature: sig[i] = min over shingles of xxhash64 with seed
+    * i — one native pass over the shingle array
+    * ([[graft.functions.ArrayExprs.MinHashSig]]) instead of 64
+    * interpreted transform+array_min passes.
+    */
   def minhashSignature(sh: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
+    graft.functions.ArrayExprs.minhashSig(sh, NumHashes)
 
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join candidate
     * pairs, verify with exact Jaccard ≥ minJaccard. With the 16×4 banding,
@@ -118,34 +122,40 @@ object Dedup {
 
   private val SimBits = 60 // 15 hex chars of md5 → fits a signed long
 
-  /** 60-bit SimHash per document, frequency-weighted over tokens, computed
-    * as a single per-row array fold (token hash = md5 hex substring —
-    * reproducible in SQL engines). Tie (bit-sum 0) ⇒ bit 0.
+  /** 60-bit SimHash per document, frequency-weighted over tokens (token
+    * hash = md5 hex substring — reproducible in SQL engines), computed by
+    * the native [[graft.functions.ArrayExprs.SimHash60]] expression (one
+    * md5 per token; the declarative fold recomputed it per token×bit).
+    * Tie (bit-sum 0) ⇒ bit 0.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("toks", Text.tokenize(col("text")))
-      .withColumn("bitsums", expr(
-        s"""aggregate(toks, array_repeat(CAST(0 AS BIGINT), $SimBits),
-            (acc, w) -> zip_with(acc,
-              transform(sequence(0, ${SimBits - 1}),
-                j -> ((CAST(conv(substring(md5(w), 2, 15), 16, 10) AS BIGINT)
-                       div CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1),
-              (a, b) -> a + CAST(b AS BIGINT)))"""))
-      .select(col("doc_id"), expr(
-        s"""aggregate(zip_with(bitsums, sequence(0, ${SimBits - 1}),
-              (s, j) -> CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT)
-                        ELSE CAST(0 AS BIGINT) END),
-            CAST(0 AS BIGINT), (a, b) -> a + b)""").as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.ArrayExprs.simhash60(Text.tokenize(col("text"))).as("simhash"))
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxHamming. Nested-loop at
-    * fixture scale; see scale notes above for the banded join shape.
+  private val HamBands = 10 // maxHamming 9 ⇒ 10 disjoint 6-bit blocks
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming — EXACT, via
+    * pigeonhole banding: split the 60 bits into maxHamming+1 disjoint
+    * blocks; any pair within hamming ≤ maxHamming agrees on ≥1 whole
+    * block, so candidates = pairs sharing (block index, block value) —
+    * an equi-join on the block key instead of the n² nested loop — then
+    * verified with the real hamming distance. Same result set, and the
+    * join shape survives a 1000× corpus.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 9): DataFrame = {
+    require(maxHamming == HamBands - 1, "banding fixed at 10×6 bits")
     val s = simhash(spark, dir)
-    s.toDF("d1", "h1").join(s.toDF("d2", "h2"), col("d1") < col("d2"))
+    val blocks = s.select(col("doc_id"), col("simhash"),
+      explode(expr(s"transform(sequence(0, ${HamBands - 1}), " +
+        "b -> struct(b AS blk, shiftright(simhash, b*6) & 63 AS bval))")).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.bval").as("bval"))
+    blocks.toDF("d1", "h1", "blk", "bval")
+      .join(blocks.toDF("d2", "h2", "blk2", "bval2"),
+        col("blk") === col("blk2") && col("bval") === col("bval2") && col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
       .where(col("hamming") <= maxHamming)
   }
 

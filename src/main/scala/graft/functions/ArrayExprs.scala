@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftExpr
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot per-row/per-pair math of the
+  * dedup + similarity suites.
+  *
+  * Spark's higher-order functions (`transform`/`zip_with`/`aggregate`)
+  * are CodegenFallback: every lambda application is an interpreted call
+  * with boxing. For an all-pairs cosine at n=2000×dim=64 that is ~10⁸
+  * interpreted evals — measured minutes on the bench. These expressions
+  * do the same arithmetic in a tight native loop; [[FloatDot]] (the only
+  * one evaluated per *pair* rather than per row) also implements
+  * `doGenCode` so it stays inside whole-stage codegen.
+  *
+  * Semantics are kept bit-identical to the declarative forms they
+  * replace (and therefore to the DuckDB oracles): double accumulation in
+  * strict left-to-right order, identical hash formulas.
+  */
+object ArrayExprs {
+
+  /** Σ a(i)·b(i) over two array<float> columns, accumulated
+    * left-to-right in double — identical to
+    * `aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, _+_)` and to DuckDB's
+    * `list_sum(list_transform(list_zip(a,b), p -> p[1]*p[2]))`.
+    */
+  case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "float_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double ${ev.value}_acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value}_acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = ${ev.value}_acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** MinHash signature over an array<string>: sig(i) = min over elements
+    * of xxhash64(seed=i, element), one native pass (numHashes × elements)
+    * instead of numHashes interpreted `transform`+`array_min` passes.
+    * Per-document (not per-pair) ⇒ CodegenFallback is fine.
+    */
+  case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val s = arr.getUTF8String(j)
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes()
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashUnsafeBytes(base, off, len, i.toLong)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 60-bit SimHash over an array<string> of tokens, md5-derived —
+    * bit-identical to the SQL form
+    * `conv(substring(md5(w), 2, 15), 16, 10)` per token (15 hex chars =
+    * nibbles 1..15 of the digest), frequency-weighted ±1 bit sums, tie
+    * (sum 0) ⇒ bit 0. One md5 per token instead of one per token×bit.
+    */
+  case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    val Bits = 60
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash60"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sums = new Array[Long](Bits)
+      var j = 0
+      while (j < arr.numElements()) {
+        val d = md.digest(arr.getUTF8String(j).getBytes)
+        // hex chars 1..15 = low nibble of byte 0, then bytes 1..7
+        var h = (d(0) & 0xFL) << 56
+        var b = 1
+        while (b < 8) { h |= (d(b) & 0xFFL) << ((7 - b) * 8); b += 1 }
+        var i = 0
+        while (i < Bits) {
+          sums(i) += ((h >>> i) & 1L) * 2 - 1
+          i += 1
+        }
+        j += 1
+      }
+      var out = 0L
+      var i = 0
+      while (i < Bits) { if (sums(i) > 0) out |= 1L << i; i += 1 }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Distinct word n-gram shingles over an array<string> of tokens,
+    * space-joined, first-occurrence order — identical set to
+    * `array_distinct(transform(sequence(1, size(t)-n+1), i ->
+    * concat_ws(' ', element_at(t,i)...)))`, but the token array is
+    * evaluated ONCE. The declarative form references the tokenizer tree
+    * per element_at, and CollapseProject inlines it into every
+    * reference — measured ~10⁹ interpreted regex evals at sf0.1.
+    */
+  case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val cnt = arr.numElements()
+      if (cnt < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+        val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+        var i = 0
+        while (i <= cnt - n) {
+          val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+          seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+          i += 1
+        }
+        new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def floatDot(a: Column, b: Column): Column =
+    GraftExpr.column(FloatDot(GraftExpr.expression(a), GraftExpr.expression(b)))
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    GraftExpr.column(WordShingles(GraftExpr.expression(tokens), n))
+
+  def minhashSig(sh: Column, numHashes: Int): Column =
+    GraftExpr.column(MinHashSig(GraftExpr.expression(sh), numHashes))
+
+  def simhash60(tokens: Column): Column =
+    GraftExpr.column(SimHash60(GraftExpr.expression(tokens)))
+}

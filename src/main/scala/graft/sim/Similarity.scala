@@ -22,10 +22,11 @@ import graft.Tables
   */
 object Similarity {
 
-  /** dot(a, b) in double with sequential accumulation. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) in double with sequential accumulation — a native
+    * codegen'd expression ([[graft.functions.ArrayExprs.FloatDot]]);
+    * arithmetic order identical to the DuckDB oracle's `list_sum`.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayExprs.floatDot(a, b)
 
   /** Cosine similarity rounded to 6 dp (the rounding makes Spark/DuckDB
     * agree bit-for-bit and makes top-k ties deterministic).
@@ -33,13 +34,26 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
+  /** Cosine from a precomputed per-vector norm: on an all-pairs join the
+    * norms are per-row (n) not per-pair (n²), so computing them in the
+    * scan does 1 dot per pair instead of 3. sqrt(dot(v,v)) is the exact
+    * same double either way, so results are unchanged.
+    */
+  private def cosinePre(a: Column, na: Column, b: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+
   /** All pairs with cosine ≥ minCos — brute force (exactness baseline and
     * the embedding-cosine near-dup detector).
     */
   def cosinePairs(spark: SparkSession, dir: String, minCos: Double = 0.45): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    e.toDF("v1", "e1").join(e.toDF("v2", "e2"), col("v1") < col("v2"))
-      .select(col("v1"), col("v2"), cosine(col("e1"), col("e2")).as("cos"))
+    val e = withNorm(Tables.embeddings(spark, dir))
+    e.toDF("v1", "e1", "n1").join(e.toDF("v2", "e2", "n2"), col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        cosinePre(col("e1"), col("n1"), col("e2"), col("n2")).as("cos"))
       .where(col("cos") >= minCos)
   }
 
@@ -47,10 +61,11 @@ object Similarity {
     * ranked (cos desc, vec_id) for determinism.
     */
   def topK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") < nQueries).toDF("query_id", "qe")
-    val scored = q.join(e.toDF("vec_id", "ce"), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos"))
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < nQueries).toDF("query_id", "qe", "qn")
+    val scored = q.join(e.toDF("vec_id", "ce", "cn"), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosinePre(col("qe"), col("qn"), col("ce"), col("cn")).as("cos"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))

