@@ -44,9 +44,51 @@ object Tables {
     */
   def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  private val Year  = "^(\\d{4})$".r
+  private val Month = "^(\\d{4})-(\\d{2})$".r
+  private val Day   = "^(\\d{4})-(\\d{2})-(\\d{2})$".r
+
+  /** [start, end) of the calendar period a reference date argument names,
+    * as java.time.LocalDate — None if it isn't a plain year/month/day.
+    */
+  private def period(dt: String): Option[(java.time.LocalDate, java.time.LocalDate)] = dt match {
+    case Year(y)        => val s = java.time.LocalDate.of(y.toInt, 1, 1); Some((s, s.plusYears(1)))
+    case Month(y, m)    => val s = java.time.LocalDate.of(y.toInt, m.toInt, 1); Some((s, s.plusMonths(1)))
+    case Day(y, m, d)   => val s = java.time.LocalDate.of(y.toInt, m.toInt, d.toInt); Some((s, s.plusDays(1)))
+    case _              => None
+  }
+
+  private def ts(d: java.time.LocalDate): Column = to_timestamp(lit(d.toString))
+
   /** Reference date predicate: `shipdate.contains(dt)` where dt is a
     * `YYYY`, `YYYY-MM` or `YYYY-MM-DD` prefix (`Q1.scala:32`). On a
-    * yyyy-MM-dd rendering, containment == prefix match.
+    * yyyy-MM-dd rendering, containment == prefix match — which for a
+    * calendar period is EXACTLY the half-open timestamp range
+    * [periodStart, periodEnd). The range form is what reaches the Parquet
+    * scan as PushedFilters (min/max row-group pruning at 100 TB); a
+    * `date_format(...).startsWith` wrapper would disable pushdown.
+    * Non-calendar prefixes fall back to the rendering compare.
     */
-  def dateMatches(c: Column, dt: String): Column = dayStr(c).startsWith(dt)
+  def dateMatches(c: Column, dt: String): Column = period(dt) match {
+    case Some((s, e)) => c >= ts(s) && c < ts(e)
+    case None         => dayStr(c).startsWith(dt)
+  }
+
+  /** Lexicographic `dayStr(c) < dt` (`Q7.scala:39`) as a pushdown-able
+    * range: day-rendering < dt ⇔ timestamp < periodStart(dt).
+    */
+  def dayBefore(c: Column, dt: String): Column = period(dt) match {
+    case Some((s, _)) => c < ts(s)
+    case None         => dayStr(c) < dt
+  }
+
+  /** Lexicographic `dayStr(c) > dt` (`Q7.scala:55`): for a full date the
+    * rendering compares > only from the NEXT day (equal 10-char strings
+    * aren't >); for a year/month prefix every day inside the period is
+    * already > (longer string, equal prefix) ⇒ timestamp ≥ periodStart.
+    */
+  def dayAfter(c: Column, dt: String): Column = period(dt) match {
+    case Some((s, e)) => if (dt.length == 10) c >= ts(e) else c >= ts(s)
+    case None         => dayStr(c) > dt
+  }
 }

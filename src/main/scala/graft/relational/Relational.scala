@@ -3,7 +3,7 @@ package graft.relational
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Tables.{dateMatches, dayStr}
+import graft.Tables.{dateMatches, dayAfter, dayBefore, dayStr}
 
 /** The reference's assignment-5 relational suite (Q1–Q7), re-expressed as
   * declarative Catalyst plans over the Parquet fixture tables.
@@ -141,13 +141,13 @@ object Relational {
     */
   def q7(spark: SparkSession, dir: String, dt: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-      .filter(dayStr(col("o_orderdate")) < dt)
+      .filter(dayBefore(col("o_orderdate"), dt))
       .join(broadcast(Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_name"),
         dayStr(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
     val li = Tables.lineitem(spark, dir)
-      .filter(dayStr(col("l_shipdate")) > dt)
+      .filter(dayAfter(col("l_shipdate"), dt))
       .select(col("l_orderkey"),
         dec(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)), 18, 4).as("rev"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.relational.Relational
+
+/** Physical-plan audit: the 100 TB-scale properties SURVEY.md §4 claims
+  * are asserted, not assumed — date predicates reach the Parquet scan as
+  * PushedFilters (row-group pruning), dimension joins broadcast, top-k
+  * plans as TakeOrderedAndProject (never a global sort).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: the date-prefix predicate is pushed to the parquet scan as a range") {
+    val p = plan(Relational.q1(spark, sf, "1996-03"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"missing pushed range filter:\n$p")
+    assert(p.contains("LessThan(l_shipdate"), p)
+  }
+
+  test("q7: both date range predicates are pushed down") {
+    val p = plan(Relational.q7(spark, sf, "1997-06-30"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+  }
+
+  test("q3/q4/q5: dimension joins are broadcast, fact join shuffles") {
+    Seq(
+      Relational.q3(spark, sf, "1996-03-15"),
+      Relational.q4(spark, sf, "1996"),
+      Relational.q5(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    }
+  }
+
+  test("q3/q7 top-k plans as TakeOrderedAndProject, not a global sort") {
+    Seq(Relational.q3(spark, sf, "1996-03-15"), Relational.q7(spark, sf, "1997-06-30"))
+      .foreach { df =>
+        val p = plan(df)
+        assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+      }
+  }
+
+  test("range rewrite of the reference's string-prefix date semantics is exact") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    for (dt <- Seq("1996", "1996-03", "1996-03-15")) {
+      val range = li.filter(Tables.dateMatches(col("l_shipdate"), dt)).count()
+      val prefix = li.filter(
+        date_format(col("l_shipdate"), "yyyy-MM-dd").startsWith(dt)).count()
+      assert(range == prefix, s"dt=$dt range=$range prefix=$prefix")
+    }
+    // lexicographic </> rewrites (Q7 semantics)
+    val gt = li.filter(Tables.dayAfter(col("l_shipdate"), "1997-06-30")).count()
+    val gtRef = li.filter(date_format(col("l_shipdate"), "yyyy-MM-dd") > "1997-06-30").count()
+    assert(gt == gtRef)
+    val o = Tables.orders(spark, sf)
+    val ltc = o.filter(Tables.dayBefore(col("o_orderdate"), "1997-06-30")).count()
+    val ltRef = o.filter(date_format(col("o_orderdate"), "yyyy-MM-dd") < "1997-06-30").count()
+    assert(ltc == ltRef)
+  }
+}
