@@ -27,6 +27,7 @@ object SparkEntry {
       (ml.Spam.queries, ml.Spam.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
+      (functions.LogSumExp.queries, functions.LogSumExp.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
