@@ -28,6 +28,7 @@ object SparkEntry {
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (functions.LogSumExp.queries, functions.LogSumExp.oracles),
+      (operators.Skew.queries, operators.Skew.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

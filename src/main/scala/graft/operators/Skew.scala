@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.Text
+
+/** Skew-mitigation operators (100 TB-posture mandate: "skewed keys →
+  * salting or AQE skew-join").
+  *
+  * AQE handles skewed *joins* automatically; skewed *aggregations* on a
+  * hot key still funnel every row of that key through one reduce task
+  * during the final aggregation when the per-key state is large (e.g.
+  * collect_list). For algebraic aggregates (count/sum/min/max) Spark's
+  * partial aggregation already neutralizes skew — [[saltedCount]] exists
+  * for the cases partial agg can't cover and as the documented pattern:
+  * stage 1 aggregates (key, salt) — spreading a hot key over `salts`
+  * reducers — stage 2 combines the partials per key.
+  */
+object Skew {
+
+  /** Two-stage salted count-by-key; result identical to
+    * `df.groupBy(key).count()` for any salt width.
+    */
+  def saltedCount(df: DataFrame, key: Column, salts: Int = 16): DataFrame =
+    df.select(key.as("k"))
+      .withColumn("salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col("k"), col("salt")).agg(count(lit(1)).as("c"))
+      .groupBy(col("k")).agg(sum(col("c")).as("cnt"))
+
+  /** Two-stage salted sum; identical to groupBy(key).sum(v). */
+  def saltedSum(df: DataFrame, key: Column, v: Column, salts: Int = 16): DataFrame =
+    df.select(key.as("k"), v.as("v"))
+      .withColumn("salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col("k"), col("salt")).agg(sum(col("v")).as("s"))
+      .groupBy(col("k")).agg(sum(col("s")).as("sum_v"))
+
+  /** Word count through the salted path — hash-checked against the same
+    * oracle as the direct text_wordcount, proving the rewrite is exact.
+    */
+  def saltedWordCount(spark: SparkSession, dir: String): DataFrame =
+    saltedCount(
+      Tables.documents(spark, dir).select(explode(Text.tokenize(col("text"))).as("word")),
+      col("word"))
+      .select(col("k").as("word"), col("cnt"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_salted_wordcount" -> ((s, d) => saltedWordCount(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sk_salted_wordcount" -> graft.text.Text.oracles("text_wordcount"),
+  )
+}

@@ -117,6 +117,58 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  private val IvfCells = 16
+  private val IvfProbes = 4
+
+  /** IVF coarse quantizer: the first `IvfCells` vectors act as centroids
+    * (deterministic — no runtime k-means; at scale you'd train centroids
+    * offline and broadcast them the same way). Assignment = argmax cosine
+    * against the broadcast centroid set: a narrow n×K map, no shuffle.
+    */
+  private def ivfAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce"), col("norm").as("cn"))
+    val assigned = e.toDF("vec_id", "embedding", "norm")
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
+        cosinePre(col("embedding"), col("norm"), col("ce"), col("cn")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+    (assigned, cents)
+  }
+
+  /** IVF approximate top-k: probe the query's `IvfProbes` nearest cells,
+    * exact cosine re-rank on their members only. The candidate join is an
+    * equi-join on the cell id — the 100 TB path: cell population ≈ n/K per
+    * bucket instead of the n² cross join. Approximate ⇒ rows-only oracle;
+    * recall vs exact topK asserted in SimilaritySpec.
+    */
+  def topKIvf(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val (assigned, cents) = ivfAssign(spark, dir)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
+    val probes = queries.join(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"),
+        cosinePre(col("qe"), col("qn"), col("ce"), col("cn")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .where(col("rk") <= IvfProbes)
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+    probes
+      .join(assigned.toDF("vec_id", "ce", "cn", "cell"), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosinePre(col("qe"), col("qn"), col("ce"), col("cn")).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   private val cosSql =
     """round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
          p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
@@ -127,6 +179,7 @@ object Similarity {
     "sim_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "sim_topk"         -> ((s, d) => topK(s, d)),
     "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)), // approximate: rows-only
+    "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)), // approximate: rows-only
   )
 
   val oracles: Map[String, String] = Map(

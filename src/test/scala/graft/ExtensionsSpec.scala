@@ -70,6 +70,28 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = overlap.size.toDouble / exact.size
     assert(recall > 0.2, s"LSH recall collapsed: $recall")
   }
+
+  test("IVF topk candidates score identically to exact where they overlap") {
+    val exact = Similarity.topK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val ivf = Similarity.topKIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val overlap = ivf.keySet intersect exact.keySet
+    overlap.foreach(k => assert(ivf(k) == exact(k)))
+    val recall = overlap.size.toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall collapsed: $recall")
+    // every query answered with k rows
+    assert(ivf.keys.map(_._1).toSeq.distinct.length == 10)
+  }
+
+  test("salted count equals direct groupBy count for every key") {
+    import org.apache.spark.sql.functions._
+    val direct = graft.text.Text.wordCount(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.operators.Skew.saltedWordCount(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
 }
 
 class AnalysisSpec extends AnyFunSuite {
