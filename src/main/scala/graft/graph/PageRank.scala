@@ -54,14 +54,42 @@ object PageRank {
   def outDegrees(spark: SparkSession, dir: String): DataFrame =
     edges(spark, dir).groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
 
+  /** Parse the reference's adjacency-text graph format
+    * (`BuildPersonalizedPageRankRecords.java:81-97`: whitespace-separated
+    * `nodeid [neighbor...]`, one node per line). Returns (nodes, edges).
+    * Only LISTED nodes exist: mass sent to an unlisted neighbor vanishes
+    * (`RunPersonalizedPageRankBasic.java:257-265`) — [[runOnGraph]] keeps
+    * that semantic because its node set is exactly the listed ids.
+    */
+  def fromAdjacency(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val lines = spark.read.text(path)
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .filter(size(col("f")) > 0 && col("f").getItem(0) =!= "")
+    val nodes = lines.select(col("f").getItem(0).cast("long").as("id"))
+    val edges = lines
+      .select(col("f").getItem(0).cast("long").as("src"),
+        explode(expr("slice(f, 2, size(f) - 1)")).as("d"))
+      .select(col("src"), col("d").cast("long").as("dst"))
+    (nodes, edges)
+  }
+
   /** Run personalized PageRank for the given sources; returns
     * (id, rank_0.., one column per source).
     */
-  def run(spark: SparkSession, dir: String, sources: Seq[Long], iterations: Int): DataFrame = {
-    val e = edges(spark, dir).join(outDegrees(spark, dir), "src")
+  def run(spark: SparkSession, dir: String, sources: Seq[Long], iterations: Int): DataFrame =
+    runOnGraph(nodes(spark, dir), edges(spark, dir), sources, iterations)
+
+  /** Core driver loop over an explicit (nodes, edges) graph. Mass sent to
+    * a dst not in `nodes` vanishes and returns via the missing-mass
+    * re-injection — the reference's protocol for nonexistent nodes.
+    */
+  def runOnGraph(nodesDf: DataFrame, edgesDf: DataFrame,
+                 sources: Seq[Long], iterations: Int): DataFrame = {
+    val outdeg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edgesDf.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
       .repartition(col("src")).cache()
-    val n = nodes(spark, dir).repartition(col("id")).cache()
+    val n = nodesDf.repartition(col("id")).cache()
 
     val rankCols = sources.indices.map(i => s"rank_$i")
     var ranks = n.select(col("id") +: sources.zipWithIndex.map { case (s, i) =>

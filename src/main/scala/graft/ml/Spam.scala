@@ -39,6 +39,22 @@ object Spam {
         transform(col("toks"),
           w => pmod(xxhash64(w), lit(NumFeatures)).cast("int")).as("features"))
 
+  /** Parse the reference's instance-line format
+    * (`TrainSpamClassifier.scala:43-55`): whitespace-separated
+    * `docid {spam|ham} f1 f2 ...` with integer feature ids. Output schema
+    * matches [[instances]] (docid, label, features) with string docids
+    * hashed to longs when non-numeric.
+    */
+  def parseInstances(lines: DataFrame): DataFrame =
+    lines
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .filter(size(col("f")) >= 2)
+      .select(
+        coalesce(expr("try_cast(f[0] AS BIGINT)"),
+          pmod(xxhash64(col("f").getItem(0)), lit(Long.MaxValue))).as("docid"),
+        when(col("f").getItem(1) === "spam", 1).otherwise(0).as("label"),
+        expr("transform(slice(f, 3, size(f) - 2), x -> CAST(x AS INT))").as("features"))
+
   /** Sequential SGD fold (`TrainSpamClassifier.scala:68-85`): score with
     * current weights, sigmoid, update every feature occurrence by
     * (label − prob)·δ. Returns the weight table (feature, weight).

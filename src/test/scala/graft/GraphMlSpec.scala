@@ -16,8 +16,15 @@ class PageRankSpec extends AnyFunSuite {
     * RunPersonalizedPageRankBasic.java (distribute, vanish dangling mass,
     * clamp missing ≥0, re-inject at source, α jump at source only).
     */
-  private def referencePr(edges: Seq[(Long, Long)], source: Long, iters: Int): Map[Long, Double] = {
-    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+  private def referencePr(edges: Seq[(Long, Long)], source: Long, iters: Int): Map[Long, Double] =
+    referencePrOn((edges.map(_._1) ++ edges.map(_._2)).distinct, edges, source, iters)
+
+  /** Explicit node set: mass sent to a dst not in `nodes` vanishes
+    * (RunPersonalizedPageRankBasic.java:257-265) and returns via the
+    * missing-mass re-injection.
+    */
+  private def referencePrOn(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                            source: Long, iters: Int): Map[Long, Double] = {
     val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     var rank = nodes.map(n => n -> (if (n == source) 1.0 else 0.0)).toMap
@@ -68,6 +75,25 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("adjacency-text graph: parse, vanish mass to unlisted nodes, match reference") {
+    val path = getClass.getResource("/graph-adj.txt").getPath
+    val (nodesDf, edgesDf) = PageRank.fromAdjacency(spark, path)
+    val nodes = nodesDf.collect().map(_.getLong(0)).toSeq
+    val edges = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(nodes.toSet == Set(1L, 2L, 3L, 4L, 6L)) // 5 is referenced but unlisted
+    assert(edges.toSet == Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 4L),
+      (4L, 5L), (4L, 1L), (6L, 1L), (6L, 6L)))
+    val got = PageRank.runOnGraph(nodesDf, edgesDf, Seq(1L), 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = referencePrOn(nodes, edges, 1L, 8)
+    assert(got.keySet == want.keySet) // node 5 must NOT appear
+    got.foreach { case (id, r) => assert(math.abs(r - want(id)) < 1e-12, s"node $id") }
+    // dangling node 3 received mass; unlisted node 5's share vanished and
+    // was re-injected at the source, so total mass stays 1 after phase 2
+    // only if nothing leaked: the source absorbs alpha + missing
+    assert(math.abs(got.values.sum - want.values.sum) < 1e-12)
+  }
+
   test("outdegree matches a direct computation") {
     val got = PageRank.outDegrees(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -105,6 +131,22 @@ class SpamSpec extends AnyFunSuite {
     val want = referenceTrain(collectedInstances)
     assert(got.keySet == want.keySet)
     got.foreach { case (f, wt) => assert(math.abs(wt - want(f)) < 1e-12, s"feature $f") }
+  }
+
+  test("reference instance-line format parses and trains to the scalar fold") {
+    val path = getClass.getResource("/spam-train.txt").getPath
+    val parsed = Spam.parseInstances(spark.read.text(path))
+    val rows = parsed.collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getAs[scala.collection.Seq[Int]](2).toSeq)
+    }.toSeq
+    assert(rows.length == 40)
+    assert(rows.count(_._2 == 1) == 13) // doc03, 06, ..., 39
+    rows.foreach { case (_, _, feats) => assert(feats.length == 7) }
+    val got = Spam.trainOn(parsed).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val want = referenceTrain(rows)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (f, w) => assert(math.abs(w - want(f)) < 1e-12, s"feature $f") }
   }
 
   test("seeded shuffle changes training order but stays deterministic") {
