@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen infra, vectorized parquet reader, JIT)
+    // so the first measured query isn't charged for JVM startup.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try SparkEntry.queries.head._2(spark, sfDir).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

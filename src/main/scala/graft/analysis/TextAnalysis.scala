@@ -102,14 +102,33 @@ object TextAnalysis {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** BPE-ish token counting: subword-style segmentation by regex
+    * ([a-z]+ runs, single digits, single non-alphanumeric marks) next to
+    * the whitespace count — the two levels a data pipeline budgets with.
+    * regexp_extract_all is codegen'd; the same pattern runs in the
+    * oracle.
+    */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).as("n_ws"),
+      size(expr("""regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"""))
+        .as("n_bpe"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_token_stats" -> ((s, d) => tokenStats(s, d)),
+    "ta_bpe_tokens"  -> ((s, d) => bpeTokenCount(s, d)),
     "ta_quality"     -> ((s, d) => qualityScore(s, d)),
     "ta_langid"      -> ((s, d) => langId(s, d)),
     "ta_fingerprint" -> ((s, d) => fingerprint(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_bpe_tokens" ->
+      """SELECT doc_id,
+                len(string_split_regex(text, '\s+')) AS n_ws,
+                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe
+         FROM documents""",
     "ta_token_stats" ->
       s"""SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_types,
                  round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr,

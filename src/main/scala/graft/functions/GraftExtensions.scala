@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector exposing the native expressions to
+  * SQL — install with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * [[GraftExtensions.register]] on a live session), then:
+  *
+  * {{{
+  *   SELECT float_dot(a.embedding, b.embedding) ...
+  *   SELECT minhash_sig(shingles, 64), simhash60(tokens), word_shingles(tokens, 3)
+  * }}}
+  *
+  * This is the standard extension point ((c) in the build mandate's
+  * preference order) — the same hook would carry custom optimizer Rules
+  * or a SparkStrategy; none are needed for this surface (SURVEY §4).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+  override def apply(ext: SparkSessionExtensions): Unit =
+    entries.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions.ArrayExprs", null, name, usage, "")
+
+  private val entries: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("float_dot",
+      info("float_dot", "float_dot(a, b) - dot product of two float arrays in double"),
+      (args: Seq[Expression]) => ArrayExprs.FloatDot(args(0), args(1))),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(arr, k) - k-hash MinHash signature"),
+      (args: Seq[Expression]) => ArrayExprs.MinHashSig(args(0),
+        args(1).eval().asInstanceOf[Int])),
+    ("simhash60",
+      info("simhash60", "simhash60(tokens) - 60-bit md5-derived SimHash"),
+      (args: Seq[Expression]) => ArrayExprs.SimHash60(args(0))),
+    ("word_shingles",
+      info("word_shingles", "word_shingles(tokens, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) => ArrayExprs.WordShingles(args(0),
+        args(1).eval().asInstanceOf[Int])),
+  )
+
+  /** Register on an already-built session (test/driver convenience). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    entries.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+}

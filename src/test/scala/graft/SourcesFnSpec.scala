@@ -92,3 +92,34 @@ class LogSumExpSpec extends AnyFunSuite {
     assert(math.abs(lse - 1001.1019428) < 1e-3)
   }
 }
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("native expressions are callable from SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    import spark.implicits._
+    val row = spark.sql(
+      """SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+                simhash60(array('hello', 'world')) AS sh,
+                size(minhash_sig(array('a b c'), 8)) AS msz,
+                word_shingles(array('a','b','c','d'), 3) AS ws""").head()
+    assert(row.getAs[Double]("d") == 11.0)
+    assert(row.getAs[Long]("sh") >= 0L)
+    assert(row.getAs[Int]("msz") == 8)
+    assert(row.getAs[scala.collection.Seq[String]]("ws") == Seq("a b c", "b c d"))
+  }
+
+  test("a new session built with the extensions class resolves the functions") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // getOrCreate may return the existing session; registration still must resolve
+    graft.functions.GraftExtensions.register(s2)
+    assert(s2.sql("SELECT simhash60(array('x')) AS h").head().getLong(0) >= 0)
+  }
+}
