@@ -123,3 +123,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(s2.sql("SELECT simhash60(array('x')) AS h").head().getLong(0) >= 0)
   }
 }
+
+class BucketedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("bucketed fact join plans with no exchange and matches the shuffled join") {
+    graft.sources.Bucketed.bucketizeFacts(spark, sf, buckets = 8)
+    val df = graft.sources.Bucketed.coLocatedJoin(spark)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey")
+      && !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join inputs still shuffle:\n$plan")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+}
