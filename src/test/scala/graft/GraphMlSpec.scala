@@ -180,3 +180,24 @@ class SpamSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Rank-sum AUC on the training set — the SURVEY §5/§7 stand-in for the
+  * reference's 1-ROCA% quality metric (exact hash equality is the wrong
+  * test for a learned score; threshold-free ranking quality is right).
+  */
+class SpamQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("model ranks spam above ham: AUC well above chance") {
+    val scored = Spam.applyModel(Spam.instances(spark, sf), Spam.train(spark, sf))
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Double]("score")))
+    val pos = scored.filter(_._1 == 1).map(_._2)
+    val neg = scored.filter(_._1 == 0).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val auc = wins / (pos.length.toLong * neg.length)
+    assert(auc > 0.75, s"training-set AUC $auc")
+  }
+}

@@ -49,3 +49,28 @@ class InvertedIndexSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[String]("text").nonEmpty))
   }
 }
+
+/** S6: the index persisted as a Parquet table with point lookups served
+  * by a pushed-down term filter (the reference's MapFile get,
+  * `BooleanRetrievalCompressed.java:33,111`).
+  */
+class IndexPersistenceSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("persisted index point-lookup pushes the term filter and matches in-memory") {
+    import org.apache.spark.sql.functions._
+    val path = "target/ir_index"
+    ir.InvertedIndex.index(spark, sf).write.mode("overwrite").parquet(path)
+    val onDisk = spark.read.parquet(path)
+    val q = onDisk.filter(col("term") === "spark")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,spark)]"),
+      s"term filter not pushed:\n$plan")
+    val got = q.select(col("df"), col("postings")).collect()
+    val want = ir.InvertedIndex.index(spark, sf)
+      .filter(col("term") === "spark").select(col("df"), col("postings")).collect()
+    assert(got.map(_.toString).toSet == want.map(_.toString).toSet)
+    assert(got.nonEmpty)
+  }
+}
