@@ -48,6 +48,23 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("near-dup and ANN candidate generation is join-shaped, not a cross product") {
+    // brute-force baselines (cosinePairs, topK) are *documented* nested
+    // loops; the scale-path variants must never plan one
+    Seq(
+      graft.dedup.Dedup.minhashPairs(spark, sf),
+      graft.dedup.Dedup.simhashPairs(spark, sf),
+      graft.sim.Similarity.topKIvf(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") || df.columns.contains("rank"),
+        s"nested loop in candidate generation:\n$p")
+    }
+    // IVF's centroid probe IS a broadcast nested loop over K=16 rows —
+    // bounded by the centroid count, which is the design
+  }
+
   test("range rewrite of the reference's string-prefix date semantics is exact") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
