@@ -155,8 +155,10 @@ object Dedup {
         col("blk") === col("blk2") && col("bval") === col("bval2") && col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: bit_count is cheap, and dropping
+      // non-matches first shrinks the distinct's exchange ~10×
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   private val tokSql =

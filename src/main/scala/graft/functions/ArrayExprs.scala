@@ -179,6 +179,44 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Random-hyperplane sign sketch over an array<float>: bit j =
+    * [Σ_d v(d)·w(j,d) > 0] with w(j,d) = ±1 derived from xxhash64 of
+    * (j,d) — deterministic pseudo-random planes, one native pass
+    * (bits × dims) instead of interpreted nested HOFs. Output
+    * array<int> of 0/1, matching the declarative form's shape.
+    */
+  case class SignSketch(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "sign_sketch"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dims = v.numElements()
+      val out = new Array[Any](bits)
+      var j = 0
+      while (j < bits) {
+        val seed = XXH64.hashLong(j.toLong, 42L)
+        var acc = 0.0
+        var d = 0
+        while (d < dims) {
+          val w = if ((XXH64.hashLong(d.toLong, seed) & 1L) == 0L) -1.0 else 1.0
+          acc += v.getFloat(d).toDouble * w
+          d += 1
+        }
+        out(j) = if (acc > 0) 1 else 0
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def signSketch(v: Column, bits: Int): Column =
+    GraftExpr.column(SignSketch(GraftExpr.expression(v), bits))
+
   def floatDot(a: Column, b: Column): Column =
     GraftExpr.column(FloatDot(GraftExpr.expression(a), GraftExpr.expression(b)))
 

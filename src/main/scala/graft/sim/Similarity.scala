@@ -78,15 +78,12 @@ object Similarity {
   private val SketchRows = 4
 
   /** Sign sketch: bit j = sign(Σ_d w(j,d)·v_d) with w(j,d) = ±1 derived
-    * from xxhash64(j, d) — deterministic pseudo-random hyperplanes.
+    * from xxhash64 of (j,d) — deterministic pseudo-random hyperplanes,
+    * computed natively in one pass
+    * ([[graft.functions.ArrayExprs.SignSketch]]).
     */
   def signSketch(v: Column): Column =
-    transform(sequence(lit(0), lit(SketchBits - 1)), j =>
-      when(aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x.cast("double") *
-            (pmod(xxhash64(j, d), lit(2)) * 2 - 1).cast("double")),
-        lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0))
+    graft.functions.ArrayExprs.signSketch(v, SketchBits)
 
   /** LSH-bucketed approximate top-k: candidates share a sketch band with
     * the query; exact cosine re-rank on candidates. Approximate ⇒ no SQL
