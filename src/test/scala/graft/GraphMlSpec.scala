@@ -94,6 +94,29 @@ class PageRankSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - want.values.sum) < 1e-12)
   }
 
+  test("partitionGraph: hash and range partitionings cover all nodes, range is ordered") {
+    val n = PageRank.nodes(spark, sf)
+    val e = PageRank.edges(spark, sf)
+    val total = n.count()
+    for (byRange <- Seq(false, true)) {
+      val parted = PageRank.partitionGraph(n, e, 4, byRange)
+      assert(parted.rdd.getNumPartitions == 4)
+      assert(parted.count() == total)
+      if (byRange) {
+        // range partitions hold disjoint, ordered id ranges
+        val ranges = parted.rdd.mapPartitionsWithIndex { (i, rows) =>
+          val ids = rows.map(_.getLong(0)).toSeq
+          if (ids.isEmpty) Iterator.empty
+          else Iterator((i, ids.min, ids.max))
+        }.collect().sortBy(_._1)
+        ranges.sliding(2).foreach {
+          case Array((_, _, max1), (_, min2, _)) => assert(max1 < min2)
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("outdegree matches a direct computation") {
     val got = PageRank.outDegrees(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
