@@ -66,7 +66,12 @@ object Dedup {
     // sides); uncached, each reference recomputes the shingling scan
     val sh = docShingles(spark, dir).cache()
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    // join on the shingle's 64-bit hash, not the string: smaller shuffle
+    // rows and cheaper key compares; a collision would need two distinct
+    // shingles in one corpus to share an xxhash64 (~|shingles|²/2⁶⁴ ≈
+    // 1e-11 here) — intersection COUNTS only, so impact would be one ±1
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val inter = ex.toDF("d1", "s").join(ex.toDF("d2", "s2"), col("s") === col("s2"))
       .where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))

@@ -107,6 +107,17 @@ object Text {
           (col("cx") * col("cy")).cast("double") * col("n").cast("double")), 6).as("pmi"))
   }
 
+  /** Stripes form of the PMI table (`StripesPMI.java:44-143` — a1 ships
+    * pairs and stripes variants of the same computation): one row per w1
+    * with a w2→pmi map. Same content as [[pmiPairs]]; spec-tested for
+    * equivalence (map-valued rows aren't oracle-hashable).
+    */
+  def pmiStripes(spark: SparkSession, dir: String, minCooccur: Int = 10): DataFrame =
+    pmiPairs(spark, dir, minCooccur)
+      .groupBy(col("w1"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("w2"), col("pmi")))))
+        .as("stripe"))
+
   /** Stripes form of the bigram table
     * (`ComputeBigramRelativeFrequencyStripes.scala:52-69`): one row per w1
     * with a w2→relfreq map. Same content as [[bigramRelFreq]]; the map

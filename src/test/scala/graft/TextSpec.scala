@@ -58,6 +58,19 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("pmi stripes carry the same content as pmi pairs") {
+    import org.apache.spark.sql.functions._
+    val pairs = Text.pmiPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val stripes = Text.pmiStripes(spark, sf).collect()
+      .flatMap { r =>
+        val w1 = r.getString(0)
+        r.getAs[Map[String, Double]](1).map { case (w2, pmi) => (w1, w2) -> pmi }
+      }.toMap
+    assert(stripes == pairs)
+    assert(pairs.nonEmpty)
+  }
+
   test("stripes form carries the same content as pairs form") {
     val pairs = Text.bigramRelFreq(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("relfreq")).toMap
