@@ -166,6 +166,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup group resolution: connected components over the
+    * MinHash-pair graph, labels = min doc_id of the component (canonical
+    * doc). Iterative min-label propagation — per round one equi-join +
+    * aggregation, converging in component-diameter rounds (near-dup
+    * components are tiny, so 2–3); convergence detected by the monotone
+    * label sum. The 100 TB shape: all shuffles key on doc id; no driver
+    * state beyond the one convergence scalar per round.
+    */
+  def dupGroups(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(spark, dir, minJaccard).select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("a", "b").cache()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+    var prevSum = Long.MaxValue
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
+    while (sum < prevSum) {
+      val nbrMin = edges.join(labels, col("b") === col("doc_id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nl"))
+      labels = labels.join(nbrMin, col("doc_id") === col("a"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      prevSum = sum
+      sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
@@ -194,6 +222,7 @@ object Dedup {
     "dedup_minhash"       -> ((s, d) => minhashPairs(s, d)),
     "dedup_simhash"       -> ((s, d) => simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "dedup_groups"        -> ((s, d) => dupGroups(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -204,6 +233,24 @@ object Dedup {
          FROM documents""",
     "dedup_ngram_jaccard" -> jaccardOracle(0.2),
     "dedup_minhash"       -> jaccardOracle(0.5),
+    // connected components over the ≥0.5-jaccard pair graph via a
+    // recursive CTE; canonical = min reachable doc_id
+    "dedup_groups" ->
+      s"""WITH RECURSIVE ${shSql},
+          pairs AS (
+            SELECT d1, d2 FROM (
+              SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     round(len(list_intersect(a.s, b.s))::DOUBLE /
+                           len(list_distinct(a.s || b.s)), 6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                    UNION ALL SELECT d2, d1 FROM pairs),
+          reach(doc, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)
+          SELECT doc AS doc_id, min(r) AS canonical_id FROM reach GROUP BY doc""",
     "dedup_simhash" ->
       s"""WITH hs AS (
             SELECT doc_id, list_transform($tokSql,

@@ -39,6 +39,26 @@ class DedupSpec extends AnyFunSuite {
     assert(coverage >= 0.6, s"simhash coverage of planted dups: $coverage")
   }
 
+  test("dup groups equal scalar union-find over the pair graph") {
+    val pairList = pairs(Dedup.minhashPairs(spark, sf))
+    val got = Dedup.dupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scalar union-find
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = got.keys.map(d => d -> find(d)).toMap
+    assert(got == want)
+    // canonical is the min of each component and a fixpoint
+    got.foreach { case (_, c) => assert(got(c) == c) }
+  }
+
   test("simhash is a 60-bit value") {
     Dedup.simhash(spark, sf).collect().foreach { r =>
       val h = r.getAs[Long]("simhash")
