@@ -44,11 +44,36 @@ object Skew {
       col("word"))
       .select(col("k").as("word"), col("cnt"))
 
+  /** Deterministic train/val/test split for a training-data pipeline:
+    * bucket = md5(key) mod 100 (content-stable, engine-portable — no
+    * rand(), so membership survives reruns, repartitioning and backfills;
+    * the DuckDB oracle computes the identical buckets). 80/10/10.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10), 100)")
+          .cast("int").as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_salted_wordcount" -> ((s, d) => saltedWordCount(s, d)),
+    "ml_hash_split"       -> ((s, d) => hashSplit(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "sk_salted_wordcount" -> graft.text.Text.oracles("text_wordcount"),
+    "ml_hash_split" ->
+      """SELECT doc_id,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                   AS bucket
+               FROM documents)""",
   )
 }
