@@ -76,7 +76,7 @@ object Events {
          FROM events GROUP BY 1, 2""",
     "ev_json_stats" ->
       """SELECT event_type, count(*) AS n,
-               sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+               CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
          FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
@@ -92,8 +92,8 @@ object Events {
                  FROM events)),
          s AS (
            SELECT user_id, ts, value,
-                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
                 strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,

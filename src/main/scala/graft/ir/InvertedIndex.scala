@@ -97,7 +97,7 @@ object InvertedIndex {
           GROUP BY term, doc_id""",
     "ir_index_stats" ->
       s"""SELECT term, count(*) AS df, min(doc_id) AS first_doc,
-                 max(doc_id) AS last_doc, sum(tf) AS total_tf
+                 max(doc_id) AS last_doc, CAST(sum(tf) AS BIGINT) AS total_tf
           FROM (SELECT term, doc_id, count(*) AS tf
                 FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
                 GROUP BY term, doc_id)

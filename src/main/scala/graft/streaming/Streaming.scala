@@ -89,7 +89,11 @@ object Streaming {
       }
       var i = 1
       while (i < evs.length) {
-        if ((evs(i).tsMicros - evs(i - 1).tsMicros) / 1000L > gapMs) { close(i); start = i }
+        // gap compared on per-event millisecond floors (unix_millis
+        // semantics) — NOT floor of the micro difference — so batch plan,
+        // oracle, and this fold agree on events straddling the boundary
+        if (Math.floorDiv(evs(i).tsMicros, 1000L) -
+            Math.floorDiv(evs(i - 1).tsMicros, 1000L) > gapMs) { close(i); start = i }
         i += 1
       }
       close(evs.length)
