@@ -83,30 +83,36 @@ object PageRank {
     * a dst not in `nodes` vanishes and returns via the missing-mass
     * re-injection — the reference's protocol for nonexistent nodes.
     *
-    * `partitions`: shuffle width for the per-iteration joins/aggs. An
-    * iterative loop re-shuffles its (small, fixed-size) rank frame every
-    * iteration, so the width must track the WORKING SET, not the session
-    * default — 32 partitions over a 100-row frame is pure scheduling
-    * overhead × iterations (measured 2× on the bench). At cluster scale
-    * pass None and size `spark.sql.shuffle.partitions` to the graph.
+    * The loop is fully plan-side: the per-source missing mass is a one-row
+    * global aggregate joined back with `crossJoin(broadcast(...))`, not a
+    * driver `.head()` — no per-iteration driver-side DATA transfer, no
+    * session-conf mutation. Lineage is cut with an eager `localCheckpoint`
+    * every [[CheckpointEvery]] iterations (see its note for why 1 measured
+    * fastest: the twice-referenced `joined` subtree doubles the logical
+    * plan per uncut iteration).
+    *
+    * `partitions`: explicit shuffle width for the per-iteration joins/aggs
+    * (`repartition(p, key)` on every exchange, so the session's
+    * `spark.sql.shuffle.partitions` is never touched). An iterative loop
+    * re-shuffles its (small, fixed-size) rank frame every iteration, so the
+    * width must track the WORKING SET, not the session default — 32
+    * partitions over a 100-row frame is pure scheduling overhead ×
+    * iterations (measured 2× on the bench). Defaults to the session width.
     */
   def runOnGraph(nodesDf: DataFrame, edgesDf: DataFrame,
                  sources: Seq[Long], iterations: Int,
                  partitions: Option[Int] = None): DataFrame = {
     val spark = nodesDf.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    partitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
-    try runLoop(nodesDf, edgesDf, sources, iterations)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-  }
-
-  private def runLoop(nodesDf: DataFrame, edgesDf: DataFrame,
-                      sources: Seq[Long], iterations: Int): DataFrame = {
+    val p = partitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val outdeg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val e = edgesDf.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(col("src")).cache()
-    val n = nodesDf.repartition(col("id")).cache()
+      .repartition(p, col("src")).cache()
+    // n and e are co-partitioned at width p once and reused every
+    // iteration; ranks inherits hash(id, p) from n, so the rank⋈edges join
+    // and the left join back to n plan without extra exchanges.
+    val n = nodesDf.repartition(p, col("id")).cache()
 
     val rankCols = sources.indices.map(i => s"rank_$i")
     var ranks = n.select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
@@ -118,33 +124,43 @@ object PageRank {
       val contrib = ranks.join(e, col("id") === col("src"))
         .select(col("dst") +:
           rankCols.map(c => (col(c) / col("outdeg")).as(c)): _*)
-      val received = contrib.groupBy(col("dst"))
+      val received = contrib.repartition(p, col("dst")).groupBy(col("dst"))
         .agg(rankCols.map(c => sum(col(c)).as(c)).head,
           rankCols.map(c => sum(col(c)).as(c)).tail: _*)
-      // localCheckpoint (eager) cuts lineage every iteration — without it
-      // the driver-side mass action below would replay all prior
-      // iterations, turning the loop quadratic.
       val joined = n.join(received, col("id") === col("dst"), "left_outer")
         .select(col("id") +:
           rankCols.map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
-        .localCheckpoint()
 
-      // Missing (dangling) mass per source — one double per source to the
-      // driver, clamped ≥ 0 (RunPersonalizedPageRankBasic.java:458-464).
-      val mass = joined.agg(
-        rankCols.map(c => sum(col(c)).as(c)).head,
-        rankCols.map(c => sum(col(c)).as(c)).tail: _*).head()
-      val missing = sources.indices.map(i => math.max(0.0, 1.0 - mass.getDouble(i)))
+      // Missing (dangling) mass per source, clamped ≥ 0
+      // (RunPersonalizedPageRankBasic.java:458-464) — a one-row global
+      // aggregate broadcast back onto every node row: stays distributed,
+      // costs one broadcast of `sources.size` doubles.
+      val missAggs = sources.indices.map(i =>
+        greatest(lit(0.0), lit(1.0) - sum(col(s"rank_$i"))).as(s"miss_$i"))
+      val mass = joined.agg(missAggs.head, missAggs.tail: _*)
 
       // Phase 2: jump + re-injection at the source only (:341-352).
-      ranks = joined.select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
-        when(col("id") === s,
-          lit(Alpha) + lit(1 - Alpha) * (col(s"rank_$i") + lit(missing(i))))
-          .otherwise(lit(1 - Alpha) * col(s"rank_$i")).as(s"rank_$i")
-      }: _*)
+      ranks = joined.crossJoin(broadcast(mass))
+        .select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
+          when(col("id") === s,
+            lit(Alpha) + lit(1 - Alpha) * (col(s"rank_$i") + col(s"miss_$i")))
+            .otherwise(lit(1 - Alpha) * col(s"rank_$i")).as(s"rank_$i")
+        }: _*)
+      if (iter % CheckpointEvery == 0 && iter < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
+
+  /** Lineage-cut cadence. The `joined` subtree appears twice per iteration
+    * (under the mass aggregate and under the re-injection), so the logical
+    * plan grows ~2^k between cuts — measured at sf0.1: every-1 ≈ 4 s,
+    * every-3 ≈ 7 s, every-5 ≈ 35 s warm. Catalyst/AQE re-optimization of
+    * the doubled tree dominates long before the physical work does
+    * (exchanges are deduped by ReuseExchange), so cut every iteration:
+    * 10 small linear-plan actions beat 2-3 exponential-plan ones.
+    */
+  val CheckpointEvery = 1
 
   /** a4 ExtractTopPersonalizedPageRankNodes (`:104-184`): top-k nodes per
     * source — the reference's per-reducer priority queues are a window
