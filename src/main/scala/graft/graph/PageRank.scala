@@ -204,8 +204,64 @@ object PageRank {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr_edges_outdeg" -> ((s, d) => outDegrees(s, d)),
-    "pr_toprank"      -> ((s, d) => topK(s, d)), // iterative: in-test oracle
+    "pr_toprank"      -> ((s, d) => topK(s, d)),
   )
+
+  /** DuckDB replay of [[topK]]: the 10-iteration protocol unrolled as
+    * chained CTEs over the same edge derivation — per iteration, the
+    * received-mass aggregate (left join keeps unreceiving nodes at 0),
+    * the clamped missing mass, and the source-only re-injection. Float
+    * literals are cast to DOUBLE (DuckDB parses bare `0.85` as DECIMAL,
+    * which would switch the whole recurrence to decimal arithmetic), and
+    * every per-iteration CTE is MATERIALIZED — DuckDB inlines CTEs by
+    * default, and each r_i is referenced twice, so an un-materialized
+    * chain expands the base scan 2^iterations times.
+    */
+  private def topKOracle(sources: Seq[Long], iterations: Int, k: Int): String = {
+    val srcVals = sources.map(s => s"($s)").mkString(", ")
+    val sb = new StringBuilder(
+      s"""WITH e AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+            FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100),
+          deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+          nodes AS (SELECT DISTINCT id FROM
+            (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+          srcs AS (SELECT CAST(source AS BIGINT) AS source
+                   FROM (VALUES $srcVals) AS t(source)),
+          r0 AS MATERIALIZED (SELECT s.source, n.id,
+                   CASE WHEN n.id = s.source THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS rank
+                 FROM nodes n CROSS JOIN srcs s)""")
+    for (i <- 1 to iterations) sb ++=
+      s""",
+          recv$i AS MATERIALIZED (
+            SELECT b.source, b.id, coalesce(x.m, CAST(0.0 AS DOUBLE)) AS recv
+            FROM r${i - 1} b
+            LEFT JOIN (SELECT r.source, e.dst AS id,
+                              sum(r.rank / d.outdeg) AS m
+                       FROM r${i - 1} r
+                       JOIN e ON r.id = e.src JOIN deg d ON e.src = d.src
+                       GROUP BY r.source, e.dst) x
+              ON b.source = x.source AND b.id = x.id),
+          miss$i AS MATERIALIZED (
+            SELECT source,
+                   greatest(CAST(0.0 AS DOUBLE), 1.0 - sum(recv)) AS miss
+            FROM recv$i GROUP BY source),
+          r$i AS MATERIALIZED (
+            SELECT rc.source, rc.id,
+                   CASE WHEN rc.id = rc.source
+                        THEN $Alpha + ${1 - Alpha} * (rc.recv + m.miss)
+                        ELSE ${1 - Alpha} * rc.recv END AS rank
+            FROM recv$i rc JOIN miss$i m ON rc.source = m.source)"""
+    sb ++=
+      s"""
+          SELECT source, node, rank FROM (
+            SELECT source, id AS node, round(rank, 5) AS rank,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY round(rank, 5) DESC, id) AS rn
+            FROM r$iterations) WHERE rn <= $k"""
+    sb.toString
+  }
 
   val oracles: Map[String, String] = Map(
     "pr_edges_outdeg" ->
@@ -213,5 +269,6 @@ object PageRank {
            SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
            FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100)
          GROUP BY src""",
+    "pr_toprank" -> topKOracle(Seq(3, 57), iterations = 10, k = 10),
   )
 }

@@ -179,8 +179,21 @@ object Multimodal {
                 md5(substr(text, 1, greatest(1, (octet_length(encode(text)) // 2)::INT)))
                   AS resized_md5
          FROM documents WHERE doc_id % 3 = 0""",
+    // Same ASCII-payload equivalence as mm_resize: frames of the encoded
+    // payload == substr runs of the text, replayed per frame_no via
+    // generate_series. fsize uses integer division on both sides (Spark's
+    // double-divide + cast-to-int truncates identically for positives).
+    "mm_frame_sample" ->
+      """SELECT doc_id, frame_no, fsize AS frame_bytes,
+                md5(substr(text, (frame_no * fsize + 1)::INT, fsize)) AS frame_md5
+         FROM (
+           SELECT doc_id, text,
+                  CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_no,
+                  (octet_length(encode(text)) // n_frames)::INT AS fsize
+           FROM (SELECT doc_id, text, 8 + doc_id % 24 AS n_frames
+                 FROM documents WHERE doc_id % 3 = 2)
+           WHERE (octet_length(encode(text)) // n_frames) > 0
+         ) WHERE frame_no % 4 = 0""",
     // mm_features: codec path (rows-only check; exact oracle in MultimodalSpec)
-    // mm_frame_sample: blob slicing semantics differ across engines; exact
-    // per-frame oracle lives in MultimodalSpec (rows-only here)
   )
 }
