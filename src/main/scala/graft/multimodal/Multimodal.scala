@@ -18,11 +18,15 @@ import graft.Tables
   * loop, no per-row driver involvement), and frame sampling as pure
   * column/array expressions.
   *
-  * ==STUB== Real decoders (JPEG/PNG, PCM, H.264) are NOT in this
-  * container. [[FakeCodec]] stands in: deterministic byte-level
-  * "features" (a normalized byte histogram) with the exact signature a
-  * real codec would have. Swap [[MediaCodec]]'s implementation to go
-  * live; every schema, partitioning, and batch shape stays unchanged.
+  * Decoders: the image modality is REAL — [[ImageIOCodec]] decodes PNG
+  * payloads with pure-JVM `javax.imageio` (see [[imageTable]] /
+  * [[pngDecode]]; the `mm_png_decode` oracle proves the encode→decode
+  * round-trip pixel-exactly). ==STUB== Audio/video decoders (PCM,
+  * H.264) are NOT in this container; [[FakeCodec]] stands in for those
+  * two modalities: deterministic byte-level "features" (a normalized
+  * byte histogram) with the exact signature a real codec would have.
+  * Swap [[MediaCodec]]'s implementation to go live; every schema,
+  * partitioning, and batch shape stays unchanged.
   *
   * Scale notes (100 TB posture): payloads never leave executors (no
   * collect); decode is narrow (mapPartitions, zero shuffle); frame
@@ -56,6 +60,89 @@ object Multimodal {
       val n = math.max(1, payload.length).toDouble
       h.map(_ / n)
     }
+  }
+
+  /** Real image codec: decodes a PNG/JPEG payload with pure-JVM
+    * `javax.imageio` and emits `[width, height, sumR, sumG, sumB]`.
+    * Channel sums over a ≤127×127 image fit a Double exactly
+    * (max 255·16129 ≪ 2^53), so the feature signature stays lossless.
+    */
+  object ImageIOCodec extends MediaCodec {
+    def features(payload: Array[Byte]): Array[Double] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Array(img.getWidth.toDouble, img.getHeight.toDouble,
+        sr.toDouble, sg.toDouble, sb.toDouble)
+    }
+  }
+
+  /** Deterministic tiny PNG: each channel is a pure function of
+    * (docId, x, y), so an oracle can replay the pixel values in SQL
+    * without ever seeing the bytes. PNG is lossless — decode must
+    * recover these exact channels.
+    */
+  private[graft] def pngBytes(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + x * 3 + y * 5) % 256).toInt
+        val b = ((docId * 29 + x * 11 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image table with REAL PNG payloads, generated on executors inside
+    * `mapPartitions` (the same batch shape a production ingest uses —
+    * payload bytes are born and stay executor-side, never on the driver).
+    * Dimensions match [[mediaTable]]'s image metadata.
+    */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"),
+        (lit(16) + pmod(col("doc_id"), lit(64))).cast("int").as("width"),
+        (lit(16) + pmod(col("doc_id"), lit(48))).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) => (id, w, h, pngBytes(id, w, h)) })
+      .toDF("doc_id", "width", "height", "payload")
+  }
+
+  /** Decode the PNG payloads back through [[ImageIOCodec]] and emit the
+    * per-image channel sums. Width/height come from the DECODED image
+    * (not the metadata) and the sums from the DECODED pixels, so the
+    * oracle's formula replay certifies the full encode→decode round trip.
+    */
+  def pngDecode(spark: SparkSession, dir: String,
+                codec: MediaCodec = ImageIOCodec): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val f = codec.features(png)
+        (id, f(0).toInt, f(1).toInt, f(2).toLong, f(3).toLong, f(4).toLong)
+      })
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
   /** The media table: (doc_id, modality, payload binary, meta struct).
@@ -155,6 +242,7 @@ object Multimodal {
         round(element_at(col("features"), 16), 6).as("f15"))),
     "mm_resize"       -> ((s, d) => resize(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
+    "mm_png_decode"   -> ((s, d) => pngDecode(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,5 +283,18 @@ object Multimodal {
            WHERE (octet_length(encode(text)) // n_frames) > 0
          ) WHERE frame_no % 4 = 0""",
     // mm_features: codec path (rows-only check; exact oracle in MultimodalSpec)
+    // mm_png_decode: Spark decodes REAL PNG bytes (javax.imageio); the
+    // oracle never sees them — it replays the (doc_id, x, y) pixel
+    // formula, so a hash match proves the codec recovered exact pixels.
+    "mm_png_decode" ->
+      """SELECT doc_id, width, height,
+                CAST(sum((doc_id*31 + (p % width)*7 + (p // width)*13) % 256) AS BIGINT) AS sum_r,
+                CAST(sum((doc_id*17 + (p % width)*3 + (p // width)*5) % 256) AS BIGINT) AS sum_g,
+                CAST(sum((doc_id*29 + (p % width)*11 + (p // width)*19) % 256) AS BIGINT) AS sum_b
+         FROM (
+           SELECT doc_id, (16 + doc_id % 64)::INT AS width, (16 + doc_id % 48)::INT AS height,
+                  unnest(generate_series(0, (16 + doc_id % 64)*(16 + doc_id % 48) - 1)) AS p
+           FROM documents WHERE doc_id % 3 = 0)
+         GROUP BY doc_id, width, height""",
   )
 }

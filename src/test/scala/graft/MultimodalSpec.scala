@@ -69,6 +69,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIOCodec round-trips a known-answer PNG exactly") {
+    // 3x2 image, channels from the (docId=5, x, y) formula — hand-checkable.
+    val png = Multimodal.pngBytes(5L, 3, 2)
+    val f = Multimodal.ImageIOCodec.features(png)
+    def s(cd: Long, cx: Long, cy: Long) =
+      (for (y <- 0 until 2; x <- 0 until 3) yield (5 * cd + x * cx + y * cy) % 256).sum
+    assert(f.toSeq == Seq(3.0, 2.0, s(31, 7, 13).toDouble, s(17, 3, 5).toDouble,
+      s(29, 11, 19).toDouble))
+  }
+
+  test("pngDecode recovers the exact pixel formula for every image") {
+    val rows = Multimodal.pngDecode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      assert(w == 16 + (id % 64) && h == 16 + (id % 48))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (id * 31 + x * 7 + y * 13) % 256
+        sg += (id * 17 + x * 3 + y * 5) % 256
+        sb += (id * 29 + x * 11 + y * 19) % 256
+      }
+      assert((r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b"))
+        == ((sr, sg, sb)))
+    }
+  }
+
   test("resize halves dimensions and hashes the prefix") {
     Multimodal.resize(spark, sf).collect().foreach { r =>
       assert(r.getAs[Int]("width") >= 8 && r.getAs[Int]("width") <= 39)
