@@ -40,10 +40,27 @@ object Dedup {
   def shingles(text: Column): Column =
     graft.functions.ArrayExprs.wordShingles(Text.tokenize(text), 3)
 
+  /** Cross-query memo: the shingle scan feeds dedup_ngram_jaccard,
+    * dedup_minhash AND dedup_groups, and the MinHash pair graph feeds the
+    * latter two — a full registry run should pay for each once. Keyed per
+    * (session, dir, variant) and persisted; [[graft.Caches.releaseAll]]
+    * unpersists and clears the memo.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  graft.Caches.onRelease(() => memo.clear())
+
+  private def memoized(spark: SparkSession, dir: String, key: String)
+                      (build: => DataFrame): DataFrame =
+    memo.computeIfAbsent((System.identityHashCode(spark), dir, key),
+      _ => graft.Caches.register(build.persist()))
+
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+    memoized(spark, dir, "shingles") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+    }
 
   /** Exact dedup: md5 content fingerprint; canonical = min doc_id per
     * fingerprint. Output keeps every doc so the query is non-empty even on
@@ -61,17 +78,38 @@ object Dedup {
     * explode distinct shingles, self-join on shingle, count shared, then
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ minJaccard.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.2): DataFrame = {
-    // cache: referenced 4× below (both self-join sides + both count
-    // sides); uncached, each reference recomputes the shingling scan
-    val sh = docShingles(spark, dir).cache()
+  /** @param maxShingleDf optional "stop shingle" cap — the documented
+    *   100 TB skew guard: a shingle occurring in more than this many
+    *   documents is dropped from the inverted index BEFORE the self-join
+    *   (boilerplate headers/footers otherwise put ~df² candidate rows
+    *   through one hot key). Capped shingles still count toward each
+    *   doc's |A| via n_sh, so Jaccard becomes a conservative UNDER-count
+    *   for pairs whose overlap was mostly boilerplate — exactly the
+    *   near-dup definition a training-data pipeline wants. Off (None) at
+    *   fixture scale so the exact-Jaccard oracle holds.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.2,
+                        maxShingleDf: Option[Long] = None): DataFrame = {
+    // referenced 4× below (both self-join sides + both count sides);
+    // docShingles is memo-persisted so each reference hits the cache
+    val sh = docShingles(spark, dir)
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     // join on the shingle's 64-bit hash, not the string: smaller shuffle
     // rows and cheaper key compares; a collision would need two distinct
     // shingles in one corpus to share an xxhash64 (~|shingles|²/2⁶⁴ ≈
     // 1e-11 here) — intersection COUNTS only, so impact would be one ±1
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exAll = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val ex = maxShingleDf.fold(exAll) { cap =>
+      // df per shingle hash, then semi-join the index against the keepers;
+      // both sides shuffle on `s`, so the cap costs one extra aggregation
+      // on the already-shuffled key, not a new exchange of the index.
+      val keep = exAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= cap).select(col("s"))
+      // NB: a USING-column join moves `s` to the front — re-select into
+      // the (doc_id, s) order the positional toDF renames below expect.
+      exAll.join(keep, Seq("s"), "left_semi").select(col("doc_id"), col("s"))
+    }
     val inter = ex.toDF("d1", "s").join(ex.toDF("d2", "s2"), col("s") === col("s2"))
       .where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
@@ -103,7 +141,7 @@ object Dedup {
     * pairs) is safe for the fixture corpus, whose planted dups are ≥0.9.
     */
   def minhashPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
-    val sh = docShingles(spark, dir).cache()
+    val sh = docShingles(spark, dir)
     val bands = sh
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
       .select(col("doc_id"), explode(transform(sequence(lit(0), lit(Bands - 1)),
@@ -174,9 +212,16 @@ object Dedup {
     * label sum. The 100 TB shape: all shuffles key on doc id; no driver
     * state beyond the one convergence scalar per round.
     */
+  /** [[minhashPairs]] behind the cross-query memo: dedup_minhash and
+    * dedup_groups both consume the pair graph, one LSH join per run.
+    */
+  def minhashPairsShared(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame =
+    memoized(spark, dir, s"minhash_pairs_$minJaccard")(minhashPairs(spark, dir, minJaccard))
+
   def dupGroups(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
-    val pairs = minhashPairs(spark, dir, minJaccard).select(col("d1"), col("d2"))
-    val edges = pairs.union(pairs.select(col("d2"), col("d1"))).toDF("a", "b").cache()
+    val pairs = minhashPairsShared(spark, dir, minJaccard).select(col("d1"), col("d2"))
+    val edges = graft.Caches.register(
+      pairs.union(pairs.select(col("d2"), col("d1"))).toDF("a", "b").persist())
     var labels = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("label"))
     var prevSum = Long.MaxValue
@@ -219,7 +264,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> ((s, d) => exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
-    "dedup_minhash"       -> ((s, d) => minhashPairs(s, d)),
+    "dedup_minhash"       -> ((s, d) => minhashPairsShared(s, d)),
     "dedup_simhash"       -> ((s, d) => simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_groups"        -> ((s, d) => dupGroups(s, d)),

@@ -106,13 +106,13 @@ object PageRank {
     val p = partitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val outdeg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = edgesDf.join(outdeg, "src")
+    val e = graft.Caches.register(edgesDf.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(p, col("src")).cache()
+      .repartition(p, col("src")).persist())
     // n and e are co-partitioned at width p once and reused every
     // iteration; ranks inherits hash(id, p) from n, so the rank⋈edges join
     // and the left join back to n plan without extra exchanges.
-    val n = nodesDf.repartition(p, col("id")).cache()
+    val n = graft.Caches.register(nodesDf.repartition(p, col("id")).persist())
 
     val rankCols = sources.indices.map(i => s"rank_$i")
     var ranks = n.select(col("id") +: sources.zipWithIndex.map { case (s, i) =>

@@ -175,8 +175,14 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "sim_topk"         -> ((s, d) => topK(s, d)),
-    "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)), // approximate: rows-only
-    "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)), // approximate: rows-only
+    // sim_topk_lsh / sim_topk_ivf are APPROXIMATE by contract: their
+    // result is a function of the (seeded) hash family / quantizer, not
+    // of the data alone, so no engine-independent SQL oracle exists.
+    // Correctness = the driver's rows-only check here plus recall-vs-
+    // exact-topK assertions in SimilaritySpec (which bound how far the
+    // approximation may drift from sim_topk's oracle-checked answer).
+    "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)),
+    "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
   )
 
   val oracles: Map[String, String] = Map(

@@ -89,7 +89,8 @@ object Text {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), tokenizeDistinctCapped(col("text")).as("tok"))
       .filter(size(col("tok")) > 0)
-    val dw = toks.select(col("doc_id"), explode(col("tok")).as("w")).cache()
+    val dw = graft.Caches.register(
+      toks.select(col("doc_id"), explode(col("tok")).as("w")).persist())
     val n  = toks.agg(count(lit(1)).as("n"))
     val wc = dw.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val pairs = dw.as("a").join(dw.as("b"), "doc_id")

@@ -26,9 +26,45 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty) // the generator plants near-dups at every sf
   }
 
+  test("fixture guard: the exact-jaccard oracle stays safe for 16x4 LSH") {
+    // The dedup_minhash/dedup_groups oracles enumerate ALL exact-jaccard
+    // >= 0.5 pairs, while 16x4 banding's recall is only near-certain for
+    // j >~ 0.8 (miss prob (1-j^4)^16: 2e-4 at j=0.8, 0.35 at j=0.5).
+    // Oracle equality therefore RELIES on the corpus: (a) NO pair may sit
+    // in [0.5, 0.8), and (b) any pair in [0.8, 0.9) must actually be
+    // caught by this (deterministic) hash family — asserted here so a new
+    // fixture fails loudly instead of as a silent driver hash mismatch.
+    val exact = Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5)
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val weak = exact.filter(_._2 < 0.8)
+    assert(weak.isEmpty, s"pairs in LSH's low-recall band [0.5, 0.8): $weak")
+    val marginal = exact.filter { case (_, j) => j >= 0.8 && j < 0.9 }.keySet
+    val lsh = pairs(Dedup.minhashPairs(spark, sf))
+    assert(marginal.subsetOf(lsh),
+      s"marginal-band pairs missed by LSH: ${marginal -- lsh}")
+  }
+
   test("ngram jaccard at 0.2 equals 0.5 set on this corpus (clean gap)") {
     assert(pairs(Dedup.ngramJaccardPairs(spark, sf)) ==
       pairs(Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5)))
+  }
+
+  test("stop-shingle cap: planted dups still surface with the cap on") {
+    val base = pairs(Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5))
+    // A generous cap (no fixture shingle is boilerplate-hot) must change
+    // nothing; jaccard values must match pair-for-pair, not just the set.
+    val capped = Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5,
+      maxShingleDf = Some(1000L))
+    assert(pairs(capped) == base)
+    // An aggressive cap may only shrink jaccard (conservative under-count):
+    // every surviving pair must also be a base pair, and the planted
+    // near-dups (which share many LOW-df shingles) must still surface.
+    val tight = Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5,
+      maxShingleDf = Some(5L))
+    val tightPairs = pairs(tight)
+    assert(tightPairs.subsetOf(base))
+    assert(tightPairs.nonEmpty, "aggressive cap killed all planted dups")
   }
 
   test("simhash pairs catch most planted near-dups") {
