@@ -18,6 +18,7 @@ object SparkEntry {
     Seq(
       (relational.Relational.queries, relational.Relational.oracles),
       (text.Text.queries, text.Text.oracles),
+      (text.Bpe.queries, text.Bpe.oracles),
       (ir.InvertedIndex.queries, ir.InvertedIndex.oracles),
       (dedup.Dedup.queries, dedup.Dedup.oracles),
       (sim.Similarity.queries, sim.Similarity.oracles),
