@@ -30,10 +30,22 @@ object Tables {
     * values exceed 2^53, so double math would corrupt them).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosAsLong(spark)
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("CAST(ts div 1000 AS BIGINT)")))
   }
+
+  /** Reading NANOS parquet needs `spark.sql.legacy.parquet.nanosAsLong`,
+    * which Spark exposes only as a SESSION conf (no per-read option as of
+    * 4.1 — verified against ParquetOptions). Hosts should opt in at
+    * session build (Bench/Verify/TestSpark do); for a session that
+    * didn't, this fallback sets it once, skipping the write when already
+    * set. Documented global effect: NANOS columns surface as raw longs —
+    * a no-op for every other read this library performs.
+    */
+  def requireNanosAsLong(spark: SparkSession): Unit =
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

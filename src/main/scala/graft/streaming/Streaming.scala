@@ -35,7 +35,7 @@ object Streaming {
     * untouched).
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.requireNanosAsLong(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
     java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)

@@ -10,6 +10,7 @@ object TestSpark {
     .config("spark.sql.warehouse.dir", "target/test-warehouse")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   val sf = "/root/testdata/sf0.001"
