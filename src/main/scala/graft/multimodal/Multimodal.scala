@@ -236,10 +236,14 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stats" -> ((s, d) => decodeStats(s, d)),
+    // Feature values are reported in integer ppm (micro-units): the codec
+    // already rounds to 6 dp, so ×1e6 sits within float-eps of an integer
+    // and BOTH engines recover it exactly — no double-tie-rounding hazard
+    // in the hash compare.
     "mm_features"     -> ((s, d) => extractFeatures(s, d)
       .select(col("doc_id"), col("modality"), col("n_bytes"),
-        round(element_at(col("features"), 1), 6).as("f0"),
-        round(element_at(col("features"), 16), 6).as("f15"))),
+        round(element_at(col("features"), 1) * 1e6, 0).cast("long").as("f0_ppm"),
+        round(element_at(col("features"), 16) * 1e6, 0).cast("long").as("f15_ppm"))),
     "mm_resize"       -> ((s, d) => resize(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
     "mm_png_decode"   -> ((s, d) => pngDecode(s, d)),
@@ -282,7 +286,30 @@ object Multimodal {
                  FROM documents WHERE doc_id % 3 = 2)
            WHERE (octet_length(encode(text)) // n_frames) > 0
          ) WHERE frame_no % 4 = 0""",
-    // mm_features: codec path (rows-only check; exact oracle in MultimodalSpec)
+    // mm_features replays FakeCodec's 16-bin byte histogram in SQL: the
+    // payload is ASCII text, so bin membership (byte % 16) is a character
+    // class — bin 0 = bytes {0,16,32,48,64,80,96,112}, bin 15 =
+    // {15,31,47,63,79,95,111,127} — and a count is length minus the
+    // class-stripped length. The codec's math.rint (half-even) tie
+    // behavior is emulated exactly in the CASE (DuckDB round() is
+    // half-away, which differs on exact .5 ties).
+    "mm_features" ->
+      """SELECT doc_id, modality, n_bytes,
+                CASE WHEN v0 - floor(v0) = 0.5
+                     THEN CAST(floor(v0) AS BIGINT) + CAST(floor(v0) AS BIGINT) % 2
+                     ELSE CAST(round(v0) AS BIGINT) END AS f0_ppm,
+                CASE WHEN v15 - floor(v15) = 0.5
+                     THEN CAST(floor(v15) AS BIGINT) + CAST(floor(v15) AS BIGINT) % 2
+                     ELSE CAST(round(v15) AS BIGINT) END AS f15_ppm
+         FROM (
+           SELECT doc_id,
+                  ['image','audio','video'][(doc_id % 3)::INT + 1] AS modality,
+                  octet_length(encode(text)) AS n_bytes,
+                  ((length(text) - length(regexp_replace(text, '[\x00\x10 0@P`p]', '', 'g')))::DOUBLE
+                    / greatest(1, length(text))) * 1e6 AS v0,
+                  ((length(text) - length(regexp_replace(text, '[\x0f\x1f/?O_o\x7f]', '', 'g')))::DOUBLE
+                    / greatest(1, length(text))) * 1e6 AS v15
+           FROM documents)""",
     // mm_png_decode: Spark decodes REAL PNG bytes (javax.imageio); the
     // oracle never sees them — it replays the (doc_id, x, y) pixel
     // formula, so a hash match proves the codec recovered exact pixels.
