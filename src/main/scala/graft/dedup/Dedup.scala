@@ -94,23 +94,27 @@ object Dedup {
     // docShingles is memo-persisted so each reference hits the cache
     val sh = docShingles(spark, dir)
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    // join on the shingle's 64-bit hash, not the string: smaller shuffle
-    // rows and cheaper key compares; a collision would need two distinct
-    // shingles in one corpus to share an xxhash64 (~|shingles|²/2⁶⁴ ≈
-    // 1e-11 here) — intersection COUNTS only, so impact would be one ±1
+    // join on (xxhash64, length) of the shingle, not the string: smaller
+    // shuffle rows and cheaper key compares. A spurious intersection would
+    // need two distinct shingles in one corpus to collide on BOTH the
+    // 64-bit hash and their length — the length guard keeps the collision
+    // odds negligible even at 100 TB shingle cardinality, where hash-only
+    // keying's ~|shingles|²/2⁶⁴ birthday bound starts to bite.
     val exAll = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
     val ex = maxShingleDf.fold(exAll) { cap =>
-      // df per shingle hash, then semi-join the index against the keepers;
-      // both sides shuffle on `s`, so the cap costs one extra aggregation
-      // on the already-shuffled key, not a new exchange of the index.
-      val keep = exAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .where(col("df") <= cap).select(col("s"))
-      // NB: a USING-column join moves `s` to the front — re-select into
-      // the (doc_id, s) order the positional toDF renames below expect.
-      exAll.join(keep, Seq("s"), "left_semi").select(col("doc_id"), col("s"))
+      // df per shingle key, then semi-join the index against the keepers;
+      // both sides shuffle on the key, so the cap costs one extra
+      // aggregation on the already-shuffled key, not a new exchange.
+      val keep = exAll.groupBy(col("s"), col("sl")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= cap).select(col("s"), col("sl"))
+      // NB: a USING-column join moves the keys to the front — re-select
+      // into the (doc_id, s, sl) order the positional toDF renames expect.
+      exAll.join(keep, Seq("s", "sl"), "left_semi")
+        .select(col("doc_id"), col("s"), col("sl"))
     }
-    val inter = ex.toDF("d1", "s").join(ex.toDF("d2", "s2"), col("s") === col("s2"))
+    val inter = ex.toDF("d1", "s", "sl")
+      .join(ex.toDF("d2", "s2", "sl2"), col("s") === col("s2") && col("sl") === col("sl2"))
       .where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))

@@ -58,6 +58,26 @@ object Streaming {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact-dedup: emit each distinct (hour-window, user, type)
+    * key once — duplicate-event suppression (double-fires, retries), the
+    * stream-side twin of Dedup.exact's hash-groupBy. The dedup keys
+    * INCLUDE the event-time window, so `dropDuplicates` state is evicted
+    * at the watermark horizon: bounded by distinct keys per (2 h + 1 h),
+    * not by stream length — the property that keeps this runnable forever
+    * at 100 TB/day. Only the key columns are emitted (a non-key column
+    * would make "which duplicate survives" arrival-order-dependent and
+    * the result nondeterministic); on batch input the plan degenerates to
+    * DISTINCT, which is exactly what the shared oracle replays.
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(window(col("ts"), "1 hour").as("w"),
+        col("user_id"), col("event_type"))
+      .dropDuplicates(Seq("w", "user_id", "event_type"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("user_id"), col("event_type"))
+
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
   private def fmtMicros(us: Long): String =
     LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
@@ -126,10 +146,16 @@ object Streaming {
     // batch execution of the streaming plans — same code, same oracle
     "st_windowed_rollup" -> ((s, d) => windowedRollup(Tables.events(s, d))),
     "st_sessions_stateful" -> ((s, d) => sessionizeStateful(Tables.events(s, d)).toDF()),
+    "st_dedup" -> ((s, d) => streamingDedup(Tables.events(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
     "st_windowed_rollup" -> graft.events.Events.oracles("ev_hourly_rollup"),
     "st_sessions_stateful" -> graft.events.Events.oracles("ev_sessionize"),
+    "st_dedup" ->
+      """SELECT DISTINCT
+              strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+              user_id, event_type
+         FROM events""",
   )
 }

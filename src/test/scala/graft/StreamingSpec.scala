@@ -28,6 +28,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming dedup (file source, AvailableNow) equals the batch DISTINCT") {
+    val stream = Streaming.streamingDedup(Streaming.readEventStream(spark, sf))
+    val qname = "dedup_test"
+    val q = stream.writeStream
+      .format("memory").queryName(qname)
+      .outputMode("append") // dedup emits each key at first arrival
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("st-chk").toString)
+      .start()
+    q.awaitTermination(120000)
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(String, Long, String)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val got = keys(spark.table(qname))
+    val want = keys(Streaming.streamingDedup(Tables.events(spark, sf)))
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the fixture actually contains collapsible duplicates at hour grain
+    assert(want.size < Tables.events(spark, sf).count())
+  }
+
   test("stateful sessionization on batch reproduces the window-based sessionize") {
     val stateful = Streaming.sessionizeStateful(Tables.events(spark, sf)).toDF()
       .collect()
