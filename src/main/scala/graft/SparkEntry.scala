@@ -22,6 +22,7 @@ object SparkEntry {
       (ir.InvertedIndex.queries, ir.InvertedIndex.oracles),
       (dedup.Dedup.queries, dedup.Dedup.oracles),
       (sim.Similarity.queries, sim.Similarity.oracles),
+      (sim.KMeans.queries, sim.KMeans.oracles),
       (analysis.TextAnalysis.queries, analysis.TextAnalysis.oracles),
       (events.Events.queries, events.Events.oracles),
       (graph.PageRank.queries, graph.PageRank.oracles),

@@ -1,0 +1,192 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed Lloyd's k-means over the embedding column — the "offline"
+  * coarse-quantizer training step the IVF index presumes
+  * ([[Similarity.topKIvf]] documents centroids as trained out-of-band;
+  * this is that trainer, as a registered operator).
+  *
+  * Protocol (deterministic, engine-portable — the DuckDB oracle replays
+  * it iteration by iteration):
+  *  - init: centroids = vectors 0..k−1, float widened to double;
+  *  - assign: argmax over cells of cosine(v, centroid) ROUNDED to 6 dp,
+  *    ties to the lowest cell (the rounding is the fp-portability
+  *    contract: raw doubles would make argmax depend on summation order);
+  *  - update: centroid_d = round6(Σ member v_d / n); a cell that loses
+  *    all members keeps its previous centroid (cannot happen here — cell
+  *    c always contains vector c itself — but the rule is part of the
+  *    protocol);
+  *  - output after the last update: (cell, n_members, first two centroid
+  *    coords, centroid norm).
+  *
+  * Scale shape: assignment is a narrow map against BROADCAST centroids
+  * (no shuffle of the vector table); the update is a typed Aggregator
+  * with map-side partial aggregation, so one iteration shuffles only
+  * K × dim partial-sum buffers per partition — never raw vectors. Driver
+  * state is the K × dim centroid matrix. That is the textbook
+  * 100 TB k-means loop; iterations stream the same cached scan.
+  */
+object KMeans {
+
+  final case class MeanOut(mean: Array[Double], n: Long)
+  final case class VecBuf(sum: Array[Double], var n: Long)
+
+  /** Element-wise vector mean: buffer = (Σ per dim, count). `reduce`
+    * mutates the buffer array in place (Aggregator contract allows it),
+    * so a partition pass allocates one buffer, not one per row.
+    */
+  class VecMeanAgg(dim: Int) extends Aggregator[Array[Float], VecBuf, MeanOut] {
+    def zero: VecBuf = VecBuf(new Array[Double](dim), 0L)
+    def reduce(b: VecBuf, v: Array[Float]): VecBuf = {
+      var i = 0
+      while (i < dim) { b.sum(i) += v(i).toDouble; i += 1 }
+      b.n += 1
+      b
+    }
+    def merge(a: VecBuf, b: VecBuf): VecBuf = {
+      var i = 0
+      while (i < dim) { a.sum(i) += b.sum(i); i += 1 }
+      a.n += b.n
+      a
+    }
+    def finish(b: VecBuf): MeanOut =
+      MeanOut(if (b.n == 0) b.sum else b.sum.map(_ / b.n), b.n)
+    def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
+    def outputEncoder: Encoder[MeanOut] = Encoders.product[MeanOut]
+  }
+
+  /** Spark's round(col, 6) semantics (HALF_UP over the double's shortest
+    * decimal repr) — used in the scalar assignment so the broadcast-side
+    * math matches the plan-side and oracle-side rounding exactly.
+    */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Argmax_cell round6(cos(v, cent)), ties to the lowest cell (ascending
+    * scan keeps the first best).
+    */
+  private[sim] def nearest(cents: Array[Array[Double]], v: Array[Float]): Int = {
+    var best = 0
+    var bestCos = -2.0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < cent.length) {
+        val x = v(i).toDouble
+        dot += x * cent(i); nv += x * x; nc += cent(i) * cent(i)
+        i += 1
+      }
+      val cos = r6(dot / (math.sqrt(nv) * math.sqrt(nc)))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Run the loop; returns (centroids, member counts) after the final
+    * update. One job per iteration (the Aggregator collect); everything
+    * else stays on executors.
+    */
+  def train(spark: SparkSession, dir: String,
+            k: Int = 8, iterations: Int = 5): (Array[Array[Double]], Array[Long]) = {
+    import spark.implicits._
+    val ds = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    var cents = ds.filter(_._1 < k).collect().sortBy(_._1)
+      .map(_._2.map(_.toDouble))
+    val dim = cents(0).length
+    var counts = new Array[Long](k)
+    for (_ <- 1 to iterations) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val stats = ds
+        .map { case (_, v) => (nearest(bc.value, v), v) }
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new VecMeanAgg(dim).toColumn)
+        .collect().toMap
+      cents = Array.tabulate(k) { c =>
+        stats.get(c).filter(_.n > 0)
+          .map(_.mean.map(r6)).getOrElse(cents(c))
+      }
+      counts = Array.tabulate(k)(c => stats.get(c).map(_.n).getOrElse(0L))
+      bc.destroy()
+    }
+    (cents, counts)
+  }
+
+  /** sim_kmeans: the trained quantizer as a table — per cell, member
+    * count, the first two centroid coordinates, and the centroid norm.
+    */
+  def trainQuery(spark: SparkSession, dir: String,
+                 k: Int = 8, iterations: Int = 5): DataFrame = {
+    import spark.implicits._
+    val (cents, counts) = train(spark, dir, k, iterations)
+    (0 until k).map { c =>
+      (c, counts(c), cents(c)(0), cents(c)(1),
+        r6(math.sqrt(cents(c).map(x => x * x).sum)))
+    }.toDF("cell", "n_members", "c0", "c1", "cnorm")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Replay of the full protocol as chained MATERIALIZED CTEs (the
+    * pr_toprank technique): per iteration, a cross-join argmax assignment
+    * over round6 cosines and an unnest-by-dim mean re-assembled with
+    * `list(... ORDER BY d)`. Double-summation order differs between
+    * engines; the per-iteration round6 on cosines and centroid
+    * coordinates absorbs the ulp noise, so the recurrence stays in
+    * lockstep.
+    */
+  private def kmeansOracle(k: Int, iterations: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+          c0 AS MATERIALIZED (
+            SELECT vec_id::INT AS cell,
+                   list_transform(embedding, x -> x::DOUBLE) AS cent
+            FROM embeddings WHERE vec_id < $k)""")
+    for (i <- 1 to iterations) sb ++=
+      s""",
+          a$i AS MATERIALIZED (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       round(list_sum(list_transform(list_zip(e.embedding, c.cent),
+                               p -> p[1]::DOUBLE * p[2]))
+                         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                            * sqrt(list_sum(list_transform(c.cent, x -> x * x)))), 6) DESC,
+                       c.cell) AS rk
+              FROM e CROSS JOIN c${i - 1} c) WHERE rk = 1),
+          m$i AS MATERIALIZED (
+            SELECT cell, any_value(n) AS n, list(round(s, 6) ORDER BY d) AS cent
+            FROM (SELECT cell, d, sum(val) / count(*) AS s,
+                         count(*) AS n
+                  FROM (SELECT a.cell, unnest(a.embedding)::DOUBLE AS val,
+                               generate_subscripts(a.embedding, 1) AS d
+                        FROM a$i a)
+                  GROUP BY cell, d)
+            GROUP BY cell),
+          c$i AS MATERIALIZED (
+            SELECT p.cell, coalesce(m.cent, p.cent) AS cent
+            FROM c${i - 1} p LEFT JOIN m$i m USING (cell))"""
+    sb ++=
+      s"""
+          SELECT c.cell, coalesce(m.n, 0) AS n_members,
+                 c.cent[1] AS c0, c.cent[2] AS c1,
+                 round(sqrt(list_sum(list_transform(c.cent, x -> x * x))), 6) AS cnorm
+          FROM c$iterations c LEFT JOIN m$iterations m USING (cell)"""
+    sb.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans" -> ((s, d) => trainQuery(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_kmeans" -> kmeansOracle(k = 8, iterations = 5),
+  )
+}
