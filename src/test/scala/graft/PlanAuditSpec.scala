@@ -65,6 +65,22 @@ class PlanAuditSpec extends AnyFunSuite {
     // bounded by the centroid count, which is the design
   }
 
+  test("round-2 operators keep their scale shapes") {
+    // BPE encode is a narrow per-row map: scan → project, zero exchanges
+    val bpe = plan(graft.text.Bpe.encode(spark, sf))
+    assert(!bpe.contains("Exchange"), s"BPE encode should be shuffle-free:\n$bpe")
+    // batch streaming-dedup is DISTINCT: partial+final aggregate around
+    // exactly one hash exchange
+    val sd = plan(graft.streaming.Streaming.streamingDedup(Tables.events(spark, sf)))
+    assert("Exchange hashpartitioning".r.findAllMatchIn(sd).size == 1,
+      s"stream dedup should shuffle once:\n$sd")
+    assert(!sd.contains("CartesianProduct"), sd)
+    // mm_features' codec stage stays mapPartitions-shaped (no exchange
+    // before the serialize boundary)
+    val mf = plan(graft.multimodal.Multimodal.extractFeatures(spark, sf).toDF())
+    assert(!mf.contains("Exchange"), s"feature extraction should be narrow:\n$mf")
+  }
+
   test("range rewrite of the reference's string-prefix date semantics is exact") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
