@@ -46,11 +46,23 @@ object Similarity {
     df.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
 
+  /** The two brute-force n² queries below are EXACTNESS BASELINES (the
+    * LSH/IVF variants are the scale path). Their input is explicitly
+    * bounded to `vec_id < MaxExactVectors` — a no-op at every current
+    * fixture tier (≤ 2000 vectors) that keeps the registered bench from
+    * growing quadratically if a larger tier ever appears. The bound is
+    * part of the query contract and replayed by the oracles.
+    */
+  val MaxExactVectors = 4096
+
+  private def exactInput(spark: SparkSession, dir: String): DataFrame =
+    withNorm(Tables.embeddings(spark, dir).where(col("vec_id") < MaxExactVectors))
+
   /** All pairs with cosine ≥ minCos — brute force (exactness baseline and
     * the embedding-cosine near-dup detector).
     */
   def cosinePairs(spark: SparkSession, dir: String, minCos: Double = 0.45): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+    val e = exactInput(spark, dir)
     e.toDF("v1", "e1", "n1").join(e.toDF("v2", "e2", "n2"), col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
         cosinePre(col("e1"), col("n1"), col("e2"), col("n2")).as("cos"))
@@ -61,7 +73,7 @@ object Similarity {
     * ranked (cos desc, vec_id) for determinism.
     */
   def topK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+    val e = exactInput(spark, dir)
     val q = e.filter(col("vec_id") < nQueries).toDF("query_id", "qe", "qn")
     val scored = q.join(e.toDF("vec_id", "ce", "cn"), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
@@ -189,7 +201,9 @@ object Similarity {
     "sim_cosine_pairs" ->
       s"""SELECT v1, v2, cos FROM (
             SELECT a.vec_id AS v1, b.vec_id AS v2, $cosSql AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            FROM (SELECT * FROM embeddings WHERE vec_id < 4096) a
+            JOIN (SELECT * FROM embeddings WHERE vec_id < 4096) b
+              ON a.vec_id < b.vec_id)
           WHERE cos >= 0.45""",
     "sim_topk" ->
       s"""SELECT query_id, vec_id, cos, rank FROM (
@@ -197,7 +211,9 @@ object Similarity {
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY cos DESC, vec_id) AS rank
             FROM (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosSql AS cos
-                  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+                  FROM embeddings a
+                  JOIN (SELECT * FROM embeddings WHERE vec_id < 4096) b
+                    ON b.vec_id <> a.vec_id
                   WHERE a.vec_id < 10))
           WHERE rank <= 3""",
   )
