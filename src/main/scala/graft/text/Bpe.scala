@@ -234,18 +234,60 @@ object Bpe {
                s -> rtrim(s, ' ')))) AS subs
          FROM (SELECT doc_id, $tokSql AS toks FROM documents))"""
 
+  /** DuckDB replay of the TRAINER: the sequential argmax recurrence
+    * unrolls into chained MATERIALIZED CTEs (the pr_toprank technique) —
+    * per merge, a weighted adjacent-pair count over the current
+    * segmentations (`list_zip(syms, syms[2:])`), the deterministic argmax
+    * (count desc, pair asc), and the dictionary re-segmentation via the
+    * same sentinel-replace [[encodeOracle]] uses. A defensive LEFT JOIN
+    * keeps the dictionary unchanged if the pair supply ever runs dry
+    * (early-stop parity with [[train]]).
+    */
+  private def trainOracle(numMerges: Int, maxDict: Int): String = {
+    val segSyms =
+      s"""list_transform(string_split(seg, chr(10))[2:], x -> rtrim(x, ' '))"""
+    val sb = new StringBuilder(
+      s"""WITH dict AS MATERIALIZED (
+            SELECT chr(10) || array_to_string(regexp_extract_all(word, '.'), ' ' || chr(10))
+                   || ' ' || chr(10) || '</w> ' AS seg,
+                   freq
+            FROM (SELECT word, count(*) AS freq
+                  FROM (SELECT unnest(toks) AS word
+                        FROM (SELECT $tokSql AS toks FROM documents))
+                  GROUP BY word ORDER BY freq DESC, word LIMIT $maxDict)),
+          s0 AS MATERIALIZED (SELECT seg, freq FROM dict)""")
+    for (i <- 1 to numMerges) sb ++=
+      s""",
+          b$i AS MATERIALIZED (
+            SELECT u[1] AS a, u[2] AS b FROM (
+              SELECT u, sum(freq) AS c FROM (
+                SELECT unnest(list_zip(syms, syms[2:])) AS u, freq
+                FROM (SELECT $segSyms AS syms, freq FROM s${i - 1}))
+              WHERE u[2] IS NOT NULL
+              GROUP BY u)
+            ORDER BY c DESC, u[1], u[2] LIMIT 1),
+          s$i AS MATERIALIZED (
+            SELECT CASE WHEN b.a IS NULL THEN s.seg
+                   ELSE replace(s.seg,
+                     chr(10) || b.a || ' ' || chr(10) || b.b || ' ',
+                     chr(10) || b.a || b.b || ' ') END AS seg,
+                   s.freq
+            FROM s${i - 1} s LEFT JOIN b$i b ON true)"""
+    sb ++= (1 to numMerges).map(i =>
+      s"""
+          SELECT $i AS rank, a AS lhs, b AS rhs, a || b AS merged FROM b$i""")
+      .mkString("", " UNION ALL", "")
+    sb ++= "\n          ORDER BY rank"
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_encode" -> ((s, d) => encode(s, d)),
-    // ta_bpe_train is a sequential argmax recurrence (each merge depends
-    // on the segmentation state all previous merges produced) — not
-    // expressible as set-oriented SQL, so the driver's check is rows-only;
-    // exactness is BpeSpec's scalar-reference trainer comparison, and the
-    // frozen-merges provenance assertion ties it to ta_bpe_encode's
-    // oracle-checked output.
     "ta_bpe_train"  -> ((s, d) => trainQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "ta_bpe_encode" -> encodeOracle,
+    "ta_bpe_train"  -> trainOracle(numMerges = 48, maxDict = 50000),
   )
 }
