@@ -233,10 +233,16 @@ object Dedup {
     while (sum < prevSum) {
       val nbrMin = edges.join(labels, col("b") === col("doc_id"))
         .groupBy(col("a")).agg(min(col("label")).as("nl"))
-      labels = labels.join(nbrMin, col("doc_id") === col("a"), "left_outer")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
+      // persist, not localCheckpoint: an evicted persisted block is
+      // recomputed from lineage (slow-but-correct), while a lost
+      // checkpoint block ABORTS the job. The loop converges in component
+      // diameter (2–3 rounds) and the cache substitution bounds each
+      // round's plan, so checkpoint-style lineage truncation isn't needed.
+      labels = graft.Caches.register(
+        labels.join(nbrMin, col("doc_id") === col("a"), "left_outer")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .persist())
       prevSum = sum
       sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
     }

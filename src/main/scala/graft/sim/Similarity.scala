@@ -187,12 +187,12 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "sim_topk"         -> ((s, d) => topK(s, d)),
-    // sim_topk_lsh / sim_topk_ivf are APPROXIMATE by contract: their
-    // result is a function of the (seeded) hash family / quantizer, not
-    // of the data alone, so no engine-independent SQL oracle exists.
-    // Correctness = the driver's rows-only check here plus recall-vs-
-    // exact-topK assertions in SimilaritySpec (which bound how far the
-    // approximation may drift from sim_topk's oracle-checked answer).
+    // sim_topk_lsh is approximate via an xxhash64-derived hyperplane
+    // family — DuckDB has no xxhash64, so the sketch is not replayable
+    // and the driver's check stays rows-only; recall vs the oracle-checked
+    // exact topK is asserted in SimilaritySpec. sim_topk_ivf, by
+    // contrast, is approximate-but-DETERMINISTIC data-only math (cosine
+    // argmax quantizer, no hash family), so it gets a full SQL oracle.
     "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
   )
@@ -215,6 +215,44 @@ object Similarity {
                   JOIN (SELECT * FROM embeddings WHERE vec_id < 4096) b
                     ON b.vec_id <> a.vec_id
                   WHERE a.vec_id < 10))
+          WHERE rank <= 3""",
+    // Full replay of the IVF pipeline: assignment (argmax cosine to the
+    // 16 seed centroids, ties to the lowest cell), probe the query's 4
+    // nearest cells, exact re-rank over probed members. Cosines rounded
+    // to 6 dp exactly like the plan.
+    "sim_topk_ivf" ->
+      s"""WITH e AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings),
+          c AS MATERIALIZED (
+            SELECT vec_id AS cell, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+          asn AS MATERIALIZED (
+            SELECT vec_id, embedding, nrm, cell FROM (
+              SELECT e.vec_id, e.embedding, e.nrm, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       round(list_sum(list_transform(list_zip(e.embedding, c.ce),
+                               z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (e.nrm * c.cn), 6) DESC,
+                       c.cell) AS rk
+              FROM e CROSS JOIN c) WHERE rk = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+                FROM asn WHERE vec_id < 10),
+          p AS MATERIALIZED (
+            SELECT query_id, qe, qn, cell FROM (
+              SELECT q.query_id, q.qe, q.qn, c.cell,
+                     row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       round(list_sum(list_transform(list_zip(q.qe, c.ce),
+                               z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (q.qn * c.cn), 6) DESC,
+                       c.cell) AS rk
+              FROM q CROSS JOIN c) WHERE rk <= 4)
+          SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM (SELECT DISTINCT p.query_id, a.vec_id,
+                         round(list_sum(list_transform(list_zip(p.qe, a.embedding),
+                                 z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.qn * a.nrm), 6) AS cos
+                  FROM p JOIN asn a ON p.cell = a.cell AND p.query_id <> a.vec_id))
           WHERE rank <= 3""",
   )
 }
