@@ -18,15 +18,16 @@ import graft.Tables
   * loop, no per-row driver involvement), and frame sampling as pure
   * column/array expressions.
   *
-  * Decoders: the image modality is REAL — [[ImageIOCodec]] decodes PNG
-  * payloads with pure-JVM `javax.imageio` (see [[imageTable]] /
-  * [[pngDecode]]; the `mm_png_decode` oracle proves the encode→decode
-  * round-trip pixel-exactly). ==STUB== Audio/video decoders (PCM,
-  * H.264) are NOT in this container; [[FakeCodec]] stands in for those
-  * two modalities: deterministic byte-level "features" (a normalized
-  * byte histogram) with the exact signature a real codec would have.
-  * Swap [[MediaCodec]]'s implementation to go live; every schema,
-  * partitioning, and batch shape stays unchanged.
+  * Decoders: image and audio are REAL — [[ImageIOCodec]] decodes PNG
+  * with pure-JVM `javax.imageio` and [[WavCodec]] decodes RIFF/WAV PCM
+  * with pure-JVM `javax.sound.sampled` (see [[pngDecode]] /
+  * [[wavDecode]]; the `mm_png_decode` / `mm_wav_decode` oracles prove
+  * both encode→decode round trips sample-exactly). ==STUB== A video
+  * decoder (H.264) is NOT in this container; [[FakeCodec]] stands in
+  * for that one modality: deterministic byte-level "features" (a
+  * normalized byte histogram) with the exact signature a real codec
+  * would have. Swap [[MediaCodec]]'s implementation to go live; every
+  * schema, partitioning, and batch shape stays unchanged.
   *
   * Scale notes (100 TB posture): payloads never leave executors (no
   * collect); decode is narrow (mapPartitions, zero shuffle); frame
@@ -85,6 +86,88 @@ object Multimodal {
       Array(img.getWidth.toDouble, img.getHeight.toDouble,
         sr.toDouble, sg.toDouble, sb.toDouble)
     }
+  }
+
+  /** Real audio codec: decodes a RIFF/WAV payload with pure-JVM
+    * `javax.sound.sampled` and emits
+    * `[n_samples, sample_rate, sum, min, max]` over the 16-bit PCM
+    * samples. Sums fit a Double exactly (|sample| < 2^15, n ≪ 2^38).
+    */
+  object WavCodec extends MediaCodec {
+    def features(payload: Array[Byte]): Array[Double] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        "codec expects 16-bit mono PCM")
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var n = 0L; var sum = 0L
+      var mn = Int.MaxValue; var mx = Int.MinValue
+      while (bb.remaining() >= 2) {
+        val s = bb.getShort.toInt
+        n += 1; sum += s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+      }
+      Array(n.toDouble, fmt.getSampleRate.toDouble, sum.toDouble,
+        mn.toDouble, mx.toDouble)
+    }
+  }
+
+  /** Deterministic 16-bit mono PCM WAV: sample i is a pure function of
+    * (docId, i), so an oracle can replay the waveform in SQL without
+    * ever seeing the bytes. PCM is lossless — decode must recover these
+    * exact samples.
+    */
+  private[graft] def wavBytes(docId: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((((docId * 31 + i.toLong * 7) % 65536) - 32768).toShort)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio table with REAL WAV payloads (executor-generated, like
+    * [[imageTable]]); sample rate matches [[mediaTable]]'s audio meta.
+    */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"),
+        (lit(256) + pmod(col("doc_id"), lit(1024))).cast("int").as("n_samples"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) => (id, n, wavBytes(id, n, 16000)) })
+      .toDF("doc_id", "n_samples", "payload")
+  }
+
+  /** Decode the WAV payloads back through [[WavCodec]]; counts and sample
+    * stats come from the DECODED stream, so the oracle's waveform-formula
+    * replay certifies the encode→decode round trip (same contract as
+    * [[pngDecode]]).
+    */
+  def wavDecode(spark: SparkSession, dir: String,
+                codec: MediaCodec = WavCodec): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, wav) =>
+        val f = codec.features(wav)
+        (id, f(0).toInt, f(1).toInt, f(2).toLong, f(3).toInt, f(4).toInt)
+      })
+      .toDF("doc_id", "n_samples", "sample_rate", "sum_s", "min_s", "max_s")
   }
 
   /** Deterministic tiny PNG: each channel is a pure function of
@@ -247,6 +330,7 @@ object Multimodal {
     "mm_resize"       -> ((s, d) => resize(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
     "mm_png_decode"   -> ((s, d) => pngDecode(s, d)),
+    "mm_wav_decode"   -> ((s, d) => wavDecode(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -313,6 +397,18 @@ object Multimodal {
     // mm_png_decode: Spark decodes REAL PNG bytes (javax.imageio); the
     // oracle never sees them — it replays the (doc_id, x, y) pixel
     // formula, so a hash match proves the codec recovered exact pixels.
+    // Spark decodes REAL RIFF/WAV bytes (javax.sound.sampled); the oracle
+    // replays the (doc_id, i) waveform formula — a hash match proves the
+    // codec recovered the exact 16-bit samples.
+    "mm_wav_decode" ->
+      """SELECT doc_id, count(*) AS n_samples, 16000 AS sample_rate,
+                CAST(sum(s) AS BIGINT) AS sum_s,
+                CAST(min(s) AS INT) AS min_s, CAST(max(s) AS INT) AS max_s
+         FROM (SELECT doc_id, (doc_id*31 + i*7) % 65536 - 32768 AS s
+               FROM (SELECT doc_id,
+                            unnest(generate_series(0, 255 + doc_id % 1024)) AS i
+                     FROM documents WHERE doc_id % 3 = 1))
+         GROUP BY doc_id""",
     "mm_png_decode" ->
       """SELECT doc_id, width, height,
                 CAST(sum((doc_id*31 + (p % width)*7 + (p // width)*13) % 256) AS BIGINT) AS sum_r,

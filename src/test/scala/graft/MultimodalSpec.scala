@@ -97,6 +97,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WavCodec round-trips a known-answer waveform exactly") {
+    val wav = Multimodal.wavBytes(7L, 16, 16000)
+    val f = Multimodal.WavCodec.features(wav)
+    val samples = (0 until 16).map(i => (7 * 31 + i.toLong * 7) % 65536 - 32768)
+    assert(f.toSeq == Seq(16.0, 16000.0, samples.sum.toDouble,
+      samples.min.toDouble, samples.max.toDouble))
+  }
+
+  test("wavDecode recovers the exact waveform formula for every clip") {
+    val rows = Multimodal.wavDecode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = r.getAs[Int]("n_samples")
+      assert(n == 256 + (id % 1024))
+      val samples = (0 until n).map(i => (id * 31 + i.toLong * 7) % 65536 - 32768)
+      assert(r.getAs[Int]("sample_rate") == 16000)
+      assert(r.getAs[Long]("sum_s") == samples.sum)
+      assert(r.getAs[Int]("min_s") == samples.min.toInt)
+      assert(r.getAs[Int]("max_s") == samples.max.toInt)
+    }
+  }
+
   test("resize halves dimensions and hashes the prefix") {
     Multimodal.resize(spark, sf).collect().foreach { r =>
       assert(r.getAs[Int]("width") >= 8 && r.getAs[Int]("width") <= 39)
