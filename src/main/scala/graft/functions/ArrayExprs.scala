@@ -214,8 +214,58 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Random-hyperplane sign sketch with md5-DERIVED planes: w(j,d) = ±1
+    * from the low bit of the first digest byte of md5("j:d"). Unlike
+    * [[SignSketch]]'s xxhash64 planes, md5 exists in every SQL engine,
+    * so an oracle can regenerate the exact plane family and replay the
+    * sketch — the property that lets sim_topk_lsh be hash-checked. The
+    * (bits × dims) weight matrix is memoized once per shape; per row the
+    * eval is the same tight bits × dims loop.
+    */
+  case class SignSketchMd5(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "sign_sketch_md5"
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dims = v.numElements()
+      val w = SignSketchMd5.weights(bits, dims)
+      val out = new Array[Any](bits)
+      var j = 0
+      while (j < bits) {
+        val wj = w(j)
+        var acc = 0.0
+        var d = 0
+        while (d < dims) { acc += v.getFloat(d).toDouble * wj(d); d += 1 }
+        out(j) = if (acc > 0) 1 else 0
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object SignSketchMd5 {
+    private val memo =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    def weights(bits: Int, dims: Int): Array[Array[Double]] =
+      memo.computeIfAbsent((bits, dims), { key =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Array.tabulate(key._1)(j => Array.tabulate(key._2) { d =>
+          val h = md.digest(s"$j:$d".getBytes)
+          if ((h(0) & 1) == 1) 1.0 else -1.0
+        })
+      })
+  }
+
   def signSketch(v: Column, bits: Int): Column =
     GraftExpr.column(SignSketch(GraftExpr.expression(v), bits))
+
+  def signSketchMd5(v: Column, bits: Int): Column =
+    GraftExpr.column(SignSketchMd5(GraftExpr.expression(v), bits))
 
   def floatDot(a: Column, b: Column): Column =
     GraftExpr.column(FloatDot(GraftExpr.expression(a), GraftExpr.expression(b)))

@@ -90,25 +90,33 @@ object Similarity {
   private val SketchRows = 4
 
   /** Sign sketch: bit j = sign(Σ_d w(j,d)·v_d) with w(j,d) = ±1 derived
-    * from xxhash64 of (j,d) — deterministic pseudo-random hyperplanes,
-    * computed natively in one pass
-    * ([[graft.functions.ArrayExprs.SignSketch]]).
+    * from md5 of "j:d" — deterministic pseudo-random hyperplanes from a
+    * hash EVERY engine has, computed natively in one pass
+    * ([[graft.functions.ArrayExprs.SignSketchMd5]]). An earlier xxhash64
+    * family ([[graft.functions.ArrayExprs.SignSketch]]) is kept for SQL
+    * registration, but the registered query uses the md5 family so the
+    * oracle can regenerate the planes.
     */
   def signSketch(v: Column): Column =
-    graft.functions.ArrayExprs.signSketch(v, SketchBits)
+    graft.functions.ArrayExprs.signSketchMd5(v, SketchBits)
 
   /** LSH-bucketed approximate top-k: candidates share a sketch band with
-    * the query; exact cosine re-rank on candidates. Approximate ⇒ no SQL
-    * oracle (rows-only check); recall vs [[topK]] is asserted in
-    * SimilaritySpec.
+    * the query; exact cosine re-rank on candidates. Approximate relative
+    * to exact top-k, but DETERMINISTIC given the md5 plane family — the
+    * SQL oracle replays sketching, banding, and re-rank end to end;
+    * recall vs [[topK]] is additionally asserted in spec.
     */
   def topKLsh(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), signSketch(col("embedding")).as("sk"))
+    // band key = the band's 4 bits as an integer (b0 + 2b1 + 4b2 + 8b3):
+    // 16 buckets per band, no hashing — the oracle rebuilds it verbatim
     val bands = e.select(col("vec_id"), col("embedding"),
         explode(transform(sequence(lit(0), lit(SketchBands - 1)),
           b => struct(b.as("band"),
-            xxhash64(slice(col("sk"), b * SketchRows + 1, lit(SketchRows))).as("key"))))
+            (0 until SketchRows).map(i =>
+              element_at(col("sk"), b * SketchRows + lit(i + 1)) * lit(1 << i))
+              .reduce(_ + _).as("key"))))
           .as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.band").as("band"), col("bk.key").as("key"))
@@ -187,12 +195,10 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "sim_topk"         -> ((s, d) => topK(s, d)),
-    // sim_topk_lsh is approximate via an xxhash64-derived hyperplane
-    // family — DuckDB has no xxhash64, so the sketch is not replayable
-    // and the driver's check stays rows-only; recall vs the oracle-checked
-    // exact topK is asserted in SimilaritySpec. sim_topk_ivf, by
-    // contrast, is approximate-but-DETERMINISTIC data-only math (cosine
-    // argmax quantizer, no hash family), so it gets a full SQL oracle.
+    // Both ANN variants are approximate RELATIVE TO exact top-k but
+    // deterministic in themselves (md5-derived LSH planes / seed-vector
+    // quantizer), so both carry full SQL oracles; recall vs the
+    // oracle-checked exact topK is additionally asserted in spec.
     "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
   )
@@ -215,6 +221,43 @@ object Similarity {
                   JOIN (SELECT * FROM embeddings WHERE vec_id < 4096) b
                     ON b.vec_id <> a.vec_id
                   WHERE a.vec_id < 10))
+          WHERE rank <= 3""",
+    // Full replay of the LSH pipeline: regenerate the md5 plane family
+    // (w CTE: 16 bits × 64 dims — the fixture embedding width), sketch
+    // every vector, band the bits into 4-bit integer bucket keys, then
+    // exact cosine re-rank of same-bucket candidates.
+    "sim_topk_lsh" ->
+      s"""WITH w AS MATERIALIZED (
+            SELECT j, list(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || d::VARCHAR), 1, 2))::INT & 1 = 1
+                                THEN 1.0 ELSE -1.0 END ORDER BY d) AS wv
+            FROM generate_series(0, 15) t(j), generate_series(0, 63) s(d)
+            GROUP BY j),
+          e AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings),
+          sk AS MATERIALIZED (
+            SELECT vec_id, any_value(embedding) AS embedding, any_value(nrm) AS nrm,
+                   list(CASE WHEN dotv > 0 THEN 1 ELSE 0 END ORDER BY j) AS sk
+            FROM (SELECT e.vec_id, e.embedding, e.nrm, w.j,
+                         list_sum(list_transform(list_zip(e.embedding, w.wv),
+                           z -> z[1]::DOUBLE * z[2])) AS dotv
+                  FROM e CROSS JOIN w)
+            GROUP BY vec_id),
+          bd AS MATERIALIZED (
+            SELECT vec_id, embedding, nrm, b,
+                   sk[b*4+1] + 2*sk[b*4+2] + 4*sk[b*4+3] + 8*sk[b*4+4] AS key
+            FROM sk, generate_series(0, 3) g(b))
+          SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM (SELECT DISTINCT q.vec_id AS query_id, c.vec_id,
+                         round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                 z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (q.nrm * c.nrm), 6) AS cos
+                  FROM bd q JOIN bd c
+                    ON q.b = c.b AND q.key = c.key AND q.vec_id <> c.vec_id
+                  WHERE q.vec_id < 10))
           WHERE rank <= 3""",
     // Full replay of the IVF pipeline: assignment (argmax cosine to the
     // 16 seed centroids, ties to the lowest cell), probe the query's 4
