@@ -27,6 +27,7 @@ object SparkEntry {
       (events.Events.queries, events.Events.oracles),
       (graph.PageRank.queries, graph.PageRank.oracles),
       (ml.Spam.queries, ml.Spam.oracles),
+      (ml.BatchLogit.queries, ml.BatchLogit.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (functions.LogSumExp.queries, functions.LogSumExp.oracles),

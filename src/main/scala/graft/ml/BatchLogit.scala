@@ -1,0 +1,131 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.Text
+
+/** Batch-gradient logistic regression — the SET-ORIENTED counterpart of
+  * [[Spam]]'s sequential SGD fold (driver-extension). Where SGD's
+  * per-instance recurrence has no SQL form, full-batch gradient descent
+  * is nothing but joins and grouped sums, so the whole training run is
+  * oracle-replayable (chained CTEs, like sim_kmeans / pr_toprank).
+  *
+  * Protocol (deterministic, engine-portable):
+  *  - instances: label = doc contains "spark"; feature ids =
+  *    md5-derived token hashes mod [[NumFeatures]] (md5, not xxhash64,
+  *    exactly so the oracle can re-derive them), one id PER OCCURRENCE;
+  *  - iterate [[Iterations]] times: weights live in DECIMAL(18,6), so
+  *    score_d = Σ w(f) is an EXACT, order-independent decimal sum;
+  *    prob_d = sigmoid(score_d as double) rounded to 6 dp and cast back
+  *    to DECIMAL(9,6); the gradient Σ (label_d − prob_d) is again exact
+  *    decimal; w += [[Eta]] · grad, decimal-rounded to 6 dp.
+  *
+  * Why DECIMAL: Eta = 0.5 times a 6-dp-grid gradient puts every update
+  * EXACTLY on a half-tie at the 7th digit, and double rounding modes
+  * differ across engines precisely at ties (observed as a 1-digit
+  * weight mismatch at sf0.01). Decimal addition is exact and
+  * associative — summation order stops mattering — and both Spark
+  * (HALF_UP) and DuckDB round decimal ties away from zero identically.
+  * Only the sigmoid runs in double, on a bit-identical input.
+  *
+  * Scale shape: the corpus-sized work is the per-iteration score/gradient
+  * aggregation (partial+final HashAggregates over the exploded
+  * occurrence table, cached once); the weight table is bounded by
+  * [[NumFeatures]] and rides a broadcast join — the driver holds only
+  * that map between iterations, the same split as [[graft.sim.KMeans]].
+  */
+object BatchLogit {
+  val Eta = BigDecimal("0.5")
+  val Iterations = 8
+  val NumFeatures = 1000
+
+  /** Exploded training table: (docid, label, feature) — one row per
+    * token OCCURRENCE. conv(md5-prefix) is codegen'd and replayable in
+    * any engine with md5.
+    */
+  def occurrences(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", Text.tokenize(col("text")))
+      .select(
+        col("doc_id").as("docid"),
+        when(array_contains(col("toks"), "spark"), 1).otherwise(0).as("label"),
+        explode(col("toks")).as("w"))
+      .select(col("docid"), col("label"),
+        (expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)") % NumFeatures)
+          .as("feature"))
+
+  /** Run the loop; returns the trained weight table (feature, weight). */
+  def train(spark: SparkSession, dir: String, iterations: Int = Iterations): DataFrame = {
+    import spark.implicits._
+    val ex = graft.Caches.register(occurrences(spark, dir).persist())
+    var w: Map[Long, BigDecimal] =
+      ex.select(col("feature")).distinct().as[Long].collect()
+        .map(_ -> BigDecimal(0).setScale(6)).toMap
+    for (_ <- 1 to iterations) {
+      val wDf = w.toSeq.map { case (f, wd) => (f, wd.bigDecimal) }.toDF("feature", "w")
+        .withColumn("w", col("w").cast("decimal(18,6)"))
+      val scored = ex.join(broadcast(wDf), "feature")
+        .groupBy(col("docid"), col("label"))
+        .agg(sum(col("w")).as("score")) // exact decimal sum, order-free
+        .withColumn("prob",
+          round(lit(1.0) / (lit(1.0) + exp(-col("score").cast("double"))), 6)
+            .cast("decimal(9,6)"))
+      val grad = ex.join(scored.select(col("docid"), col("prob")), "docid")
+        .groupBy(col("feature"))
+        .agg(sum(col("label") - col("prob")).as("g")) // exact decimal sum
+        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+      w = w.map { case (f, wt) =>
+        f -> (wt + Eta * grad.getOrElse(f, BigDecimal(0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    w.toSeq.map { case (f, wd) => (f, wd.toDouble) }.toDF("feature", "weight")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private val tokSql =
+    """list_filter(list_transform(string_split_regex(text, '\s+'),
+       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+       w -> w <> '')"""
+
+  /** Chained-CTE replay of the full training run. */
+  private def gdOracle(iterations: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH inst AS MATERIALIZED (
+            SELECT doc_id AS docid,
+                   CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS label,
+                   unnest(list_transform(toks,
+                     w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % $NumFeatures)) AS feature
+            FROM (SELECT doc_id, $tokSql AS toks FROM documents)),
+          w0 AS MATERIALIZED (
+            SELECT DISTINCT feature, CAST(0.000000 AS DECIMAL(18,6)) AS w FROM inst)""")
+    for (i <- 1 to iterations) sb ++=
+      s""",
+          sc$i AS MATERIALIZED (
+            SELECT docid, label,
+                   CAST(round(1.0 / (1.0 + exp(-CAST(score AS DOUBLE))), 6) AS DECIMAL(9,6)) AS prob
+            FROM (SELECT i.docid, i.label, sum(ww.w) AS score
+                  FROM inst i JOIN w${i - 1} ww USING (feature)
+                  GROUP BY i.docid, i.label)),
+          g$i AS MATERIALIZED (
+            SELECT i.feature, sum(sc.label - sc.prob) AS g
+            FROM inst i JOIN sc$i sc USING (docid)
+            GROUP BY i.feature),
+          w$i AS MATERIALIZED (
+            SELECT ww.feature, CAST(round(ww.w + 0.5 * g.g, 6) AS DECIMAL(18,6)) AS w
+            FROM w${i - 1} ww JOIN g$i g USING (feature))"""
+    sb ++= s"""
+          SELECT feature, CAST(w AS DOUBLE) AS weight FROM w$iterations"""
+    sb.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_batch_gd" -> ((s, d) => train(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ml_batch_gd" -> gdOracle(Iterations),
+  )
+}

@@ -79,6 +79,27 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("property: encode is lossless and replace-replayable for arbitrary words") {
+    // the tokenizer guarantees words contain no whitespace; everything
+    // else (digits, punctuation, unicode) may appear word-internally
+    val gen = org.scalacheck.Gen.chooseNum(1, 24).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n,
+        org.scalacheck.Gen.frequency(
+          8 -> org.scalacheck.Gen.alphaLowerChar,
+          2 -> org.scalacheck.Gen.oneOf('0', '9', '\'', '-', '<', '/', '>', 'é', 'ß'),
+        )).map(_.mkString))
+    val words = org.scalacheck.Gen.listOfN(500, gen).sample.get
+    words.foreach { w =>
+      val subs = Bpe.encodeWord(w, Bpe.FrozenMerges)
+      assert(subs.mkString.stripSuffix(Bpe.Eow) == w, s"lossy on $w")
+      val seg0 = w.map(ch => s"\n$ch ").mkString + s"\n${Bpe.Eow} "
+      val viaReplace = Bpe.FrozenMerges.foldLeft(seg0) { case (acc, (a, b)) =>
+        acc.replace(s"\n$a \n$b ", s"\n$a$b ")
+      }.split("\n").toIndexedSeq.drop(1).map(_.stripSuffix(" "))
+      assert(viaReplace == subs, s"replace divergence on $w")
+    }
+  }
+
   test("ta_bpe_encode: n_subwords consistent with per-word encoding") {
     val df = Bpe.encode(spark, sf)
     val docs = Tables.documents(spark, sf)
