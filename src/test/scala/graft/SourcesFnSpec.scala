@@ -104,11 +104,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
                           array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
                 simhash60(array('hello', 'world')) AS sh,
                 size(minhash_sig(array('a b c'), 8)) AS msz,
-                word_shingles(array('a','b','c','d'), 3) AS ws""").head()
+                word_shingles(array('a','b','c','d'), 3) AS ws,
+                size(sign_sketch_md5(array(CAST(0.5 AS FLOAT)), 16)) AS sksz,
+                bpe_encode(array('the')) AS bpe""").head()
     assert(row.getAs[Double]("d") == 11.0)
     assert(row.getAs[Long]("sh") >= 0L)
     assert(row.getAs[Int]("msz") == 8)
     assert(row.getAs[scala.collection.Seq[String]]("ws") == Seq("a b c", "b c d"))
+    assert(row.getAs[Int]("sksz") == 16)
+    assert(row.getAs[scala.collection.Seq[String]]("bpe") ==
+      graft.text.Bpe.encodeWord("the", graft.text.Bpe.FrozenMerges))
   }
 
   test("a new session built with the extensions class resolves the functions") {
