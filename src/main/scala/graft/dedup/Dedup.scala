@@ -50,10 +50,26 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
   graft.Caches.onRelease(() => memo.clear())
 
+  /** NOT computeIfAbsent: the minhash-pairs build recursively memoizes
+    * the shingle scan on the same map, and a nested computeIfAbsent
+    * throws "Recursive update" whenever the two keys happen to share a
+    * hash bin (identityHashCode varies per JVM run — this surfaced as a
+    * FLAKY dedup_groups failure). Plain get + putIfAbsent allows the
+    * nesting; a lost race (impossible in the single-threaded registry
+    * runs, harmless otherwise) just persists a duplicate frame that
+    * releaseAll cleans up.
+    */
   private def memoized(spark: SparkSession, dir: String, key: String)
-                      (build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((System.identityHashCode(spark), dir, key),
-      _ => graft.Caches.register(build.persist()))
+                      (build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(spark), dir, key)
+    val cached = memo.get(k)
+    if (cached != null) cached
+    else {
+      val df = graft.Caches.register(build.persist())
+      val prev = memo.putIfAbsent(k, df)
+      if (prev != null) prev else df
+    }
+  }
 
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "shingles") {
