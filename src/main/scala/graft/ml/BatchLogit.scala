@@ -55,7 +55,16 @@ object BatchLogit {
         (expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)") % NumFeatures)
           .as("feature"))
 
-  /** Run the loop; returns the trained weight table (feature, weight). */
+  /** Run the loop; returns the trained weight table (feature, weight).
+    *
+    * The occurrence table is cached unpartitioned: at 1000-executor
+    * scale, pre-partitioning it by docid would make the score aggregate
+    * and the gradient join exchange-free (one feature-keyed shuffle per
+    * iteration), but measured locally that layout pushes AQE into
+    * re-broadcasting the corpus-sized side every iteration (5 s → 16 s
+    * at sf0.1), so the shipped form lets AQE plan each iteration's two
+    * small shuffles instead.
+    */
   def train(spark: SparkSession, dir: String, iterations: Int = Iterations): DataFrame = {
     import spark.implicits._
     val ex = graft.Caches.register(occurrences(spark, dir).persist())
