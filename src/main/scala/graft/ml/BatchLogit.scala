@@ -29,9 +29,11 @@ import graft.text.Text
   * (HALF_UP) and DuckDB round decimal ties away from zero identically.
   * Only the sigmoid runs in double, on a bit-identical input.
   *
-  * Scale shape: the corpus-sized work is the per-iteration score/gradient
-  * aggregation (partial+final HashAggregates over the exploded
-  * occurrence table, cached once); the weight table is bounded by
+  * Scale shape: the corpus-sized scan happens ONCE, building the
+  * occurrence-count compression (see [[compressed]]) — the per-iteration
+  * score/gradient aggregations then run over the cached deduplicated
+  * (docid, feature, cnt) table, smaller than the raw occurrence stream
+  * by the token-duplication factor; the weight table is bounded by
   * [[NumFeatures]] and rides a broadcast join — the driver holds only
   * that map between iterations, the same split as [[graft.sim.KMeans]].
   */
@@ -55,9 +57,22 @@ object BatchLogit {
         (expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)") % NumFeatures)
           .as("feature"))
 
+  /** Occurrence-count compression of [[occurrences]]: one row per
+    * DISTINCT (docid, feature) with its multiplicity. Exact and lossless
+    * for the protocol: Σ_occurrences w(f) = Σ_distinct cnt·w(f) and
+    * Σ_occurrences (label − prob) = Σ_distinct cnt·(label − prob),
+    * because an integer count times a decimal is an exact decimal. Every
+    * per-iteration shuffle then moves the deduplicated table (smaller by
+    * the token-duplication factor) instead of the raw occurrence table.
+    */
+  def compressed(spark: SparkSession, dir: String): DataFrame =
+    occurrences(spark, dir)
+      .groupBy(col("docid"), col("label"), col("feature"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Run the loop; returns the trained weight table (feature, weight).
     *
-    * The occurrence table is cached unpartitioned: at 1000-executor
+    * The compressed table is cached unpartitioned: at 1000-executor
     * scale, pre-partitioning it by docid would make the score aggregate
     * and the gradient join exchange-free (one feature-keyed shuffle per
     * iteration), but measured locally that layout pushes AQE into
@@ -67,7 +82,7 @@ object BatchLogit {
     */
   def train(spark: SparkSession, dir: String, iterations: Int = Iterations): DataFrame = {
     import spark.implicits._
-    val ex = graft.Caches.register(occurrences(spark, dir).persist())
+    val ex = graft.Caches.register(compressed(spark, dir).persist())
     var w: Map[Long, BigDecimal] =
       ex.select(col("feature")).distinct().as[Long].collect()
         .map(_ -> BigDecimal(0).setScale(6)).toMap
@@ -76,13 +91,13 @@ object BatchLogit {
         .withColumn("w", col("w").cast("decimal(18,6)"))
       val scored = ex.join(broadcast(wDf), "feature")
         .groupBy(col("docid"), col("label"))
-        .agg(sum(col("w")).as("score")) // exact decimal sum, order-free
+        .agg(sum(col("cnt") * col("w")).as("score")) // exact decimal sum, order-free
         .withColumn("prob",
           round(lit(1.0) / (lit(1.0) + exp(-col("score").cast("double"))), 6)
             .cast("decimal(9,6)"))
       val grad = ex.join(scored.select(col("docid"), col("prob")), "docid")
         .groupBy(col("feature"))
-        .agg(sum(col("label") - col("prob")).as("g")) // exact decimal sum
+        .agg(sum(col("cnt") * (col("label") - col("prob"))).as("g")) // exact decimal sum
         .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
       w = w.map { case (f, wt) =>
         f -> (wt + Eta * grad.getOrElse(f, BigDecimal(0)))
