@@ -86,7 +86,7 @@ object PageRank {
     * The loop is fully plan-side: the per-source missing mass is a one-row
     * global aggregate joined back with `crossJoin(broadcast(...))`, not a
     * driver `.head()` — no per-iteration driver-side DATA transfer, no
-    * session-conf mutation. Lineage is cut with an eager `localCheckpoint`
+    * session-conf mutation. Lineage is cut with a LAZY `localCheckpoint`
     * every [[CheckpointEvery]] iterations (see its note for why 1 measured
     * fastest: the twice-referenced `joined` subtree doubles the logical
     * plan per uncut iteration).
@@ -127,27 +127,32 @@ object PageRank {
       val received = contrib.repartition(p, col("dst")).groupBy(col("dst"))
         .agg(rankCols.map(c => sum(col(c)).as(c)).head,
           rankCols.map(c => sum(col(c)).as(c)).tail: _*)
+      // fp-portability contract (same as sim.KMeans): every derived
+      // quantity is rounded to 6 dp each iteration, so partial-aggregation
+      // merge order (Spark) vs left-to-right order (DuckDB) cannot drift
+      // the recurrence by an ulp — both engines stay on the same decimal
+      // grid and the oracle replays the rounds verbatim.
       val joined = n.join(received, col("id") === col("dst"), "left_outer")
         .select(col("id") +:
-          rankCols.map(c => coalesce(col(c), lit(0.0)).as(c)): _*)
+          rankCols.map(c => round(coalesce(col(c), lit(0.0)), 6).as(c)): _*)
 
       // Missing (dangling) mass per source, clamped ≥ 0
       // (RunPersonalizedPageRankBasic.java:458-464) — a one-row global
       // aggregate broadcast back onto every node row: stays distributed,
       // costs one broadcast of `sources.size` doubles.
       val missAggs = sources.indices.map(i =>
-        greatest(lit(0.0), lit(1.0) - sum(col(s"rank_$i"))).as(s"miss_$i"))
+        round(greatest(lit(0.0), lit(1.0) - sum(col(s"rank_$i"))), 6).as(s"miss_$i"))
       val mass = joined.agg(missAggs.head, missAggs.tail: _*)
 
       // Phase 2: jump + re-injection at the source only (:341-352).
       ranks = joined.crossJoin(broadcast(mass))
         .select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
           when(col("id") === s,
-            lit(Alpha) + lit(1 - Alpha) * (col(s"rank_$i") + col(s"miss_$i")))
-            .otherwise(lit(1 - Alpha) * col(s"rank_$i")).as(s"rank_$i")
+            round(lit(Alpha) + lit(1 - Alpha) * (col(s"rank_$i") + col(s"miss_$i")), 6))
+            .otherwise(round(lit(1 - Alpha) * col(s"rank_$i"), 6)).as(s"rank_$i")
         }: _*)
       if (iter % CheckpointEvery == 0 && iter < iterations)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint(eager = false)
     }
     ranks
   }
@@ -157,8 +162,13 @@ object PageRank {
     * plan grows ~2^k between cuts — measured at sf0.1: every-1 ≈ 4 s,
     * every-3 ≈ 7 s, every-5 ≈ 35 s warm. Catalyst/AQE re-optimization of
     * the doubled tree dominates long before the physical work does
-    * (exchanges are deduped by ReuseExchange), so cut every iteration:
-    * 10 small linear-plan actions beat 2-3 exponential-plan ones.
+    * (exchanges are deduped by ReuseExchange), so cut every iteration —
+    * but LAZILY: `localCheckpoint(eager = false)` replaces the logical
+    * tree with a LogicalRDD at compose time (paying only driver-side
+    * planning per iteration) without scheduling a job, so the 10
+    * per-iteration eager checkpoint actions of the eager form collapse
+    * into the one final action, which materializes the chained RDD
+    * lineage with its localCheckpoint markers in a single pass.
     */
   val CheckpointEvery = 1
 
@@ -235,7 +245,7 @@ object PageRank {
     for (i <- 1 to iterations) sb ++=
       s""",
           recv$i AS MATERIALIZED (
-            SELECT b.source, b.id, coalesce(x.m, CAST(0.0 AS DOUBLE)) AS recv
+            SELECT b.source, b.id, round(coalesce(x.m, CAST(0.0 AS DOUBLE)), 6) AS recv
             FROM r${i - 1} b
             LEFT JOIN (SELECT r.source, e.dst AS id,
                               sum(r.rank / d.outdeg) AS m
@@ -245,13 +255,13 @@ object PageRank {
               ON b.source = x.source AND b.id = x.id),
           miss$i AS MATERIALIZED (
             SELECT source,
-                   greatest(CAST(0.0 AS DOUBLE), 1.0 - sum(recv)) AS miss
+                   round(greatest(CAST(0.0 AS DOUBLE), 1.0 - sum(recv)), 6) AS miss
             FROM recv$i GROUP BY source),
           r$i AS MATERIALIZED (
             SELECT rc.source, rc.id,
                    CASE WHEN rc.id = rc.source
-                        THEN $Alpha + ${1 - Alpha} * (rc.recv + m.miss)
-                        ELSE ${1 - Alpha} * rc.recv END AS rank
+                        THEN round($Alpha + ${1 - Alpha} * (rc.recv + m.miss), 6)
+                        ELSE round(${1 - Alpha} * rc.recv, 6) END AS rank
             FROM recv$i rc JOIN miss$i m ON rc.source = m.source)"""
     sb ++=
       s"""

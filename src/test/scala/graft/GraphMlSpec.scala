@@ -23,6 +23,9 @@ class PageRankSpec extends AnyFunSuite {
     * (RunPersonalizedPageRankBasic.java:257-265) and returns via the
     * missing-mass re-injection.
     */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private def referencePrOn(nodes: Seq[Long], edges: Seq[(Long, Long)],
                             source: Long, iters: Int): Map[Long, Double] = {
     val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
@@ -34,13 +37,16 @@ class PageRankSpec extends AnyFunSuite {
       rank.foreach { case (n, r) =>
         adj.getOrElse(n, Nil).foreach(d => received(d) += r / outdeg(n))
       }
-      val total = nodes.map(received(_)).sum
-      val missing = math.max(0.0, 1.0 - total)
+      // fp-portability contract: every derived quantity rounds to 6 dp per
+      // iteration (mirrors PageRank.runOnGraph and the DuckDB oracle)
+      val recvR = nodes.map(n => n -> r6(received(n))).toMap
+      val total = nodes.map(recvR(_)).sum
+      val missing = r6(math.max(0.0, 1.0 - total))
       rank = nodes.map { n =>
-        val base = received(n)
+        val base = recvR(n)
         val v =
-          if (n == source) PageRank.Alpha + (1 - PageRank.Alpha) * (base + missing)
-          else (1 - PageRank.Alpha) * base
+          if (n == source) r6(PageRank.Alpha + (1 - PageRank.Alpha) * (base + missing))
+          else r6((1 - PageRank.Alpha) * base)
         n -> v
       }.toMap
     }
