@@ -122,25 +122,143 @@ object Spam {
         when(col("votes") > 0, "spam").otherwise("ham").as("predicted_vote"))
   }
 
+  /** Bound on the docids [[trainSeq]] folds over — small enough that the
+    * per-instance recurrence unrolls into one chained-CTE oracle, large
+    * enough that weight trajectories genuinely interact across steps.
+    */
+  val SeqDocs = 40L
+
+  /** The order-dependent sequential SGD fold itself, UNDER A HARD SQL
+    * ORACLE: the same per-instance recurrence as [[trainOn]]
+    * (`TrainSpamClassifier.scala:68-85`), bounded to docid < [[SeqDocs]]
+    * and run in the exact-decimal fp-portability protocol of
+    * [[BatchLogit]] so the DuckDB replay is bit-identical:
+    *
+    *  - instances and features come from [[BatchLogit.occurrences]]
+    *    (md5-derived ids — SQL-replayable), compressed to per-instance
+    *    (feature, cnt) multiplicities;
+    *  - weights live on an exact decimal grid (scale 9 = prob scale 6 ×
+    *    δ scale 3); score_d = Σ cnt·w(f) is an exact order-free decimal
+    *    sum; prob = round(sigmoid(score as double), 6) — the one double
+    *    step, on a bit-identical input (the ml_batch_gd green contract);
+    *  - update: w(f) += cnt · (label − prob) · δ, exact decimal;
+    *  - instances fold in ascending docid order: one partition, sorted —
+    *    the A13 physical shape, shrunk to an oracle-checkable prefix.
+    *
+    * The full-corpus [[train]] keeps the reference's raw-double protocol
+    * and its exact in-test scalar oracle (SpamSpec); this bounded variant
+    * is what puts the ORDER-DEPENDENT fold under the DuckDB hash gate.
+    */
+  def trainSeq(spark: SparkSession, dir: String, maxDocid: Long = SeqDocs): DataFrame = {
+    import spark.implicits._
+    val occ = BatchLogit.occurrences(spark, dir)
+      .filter(col("docid") < maxDocid)
+      .groupBy(col("docid"), col("label"), col("feature"))
+      .agg(count(lit(1)).as("cnt"))
+    occ.repartition(1).sortWithinPartitions(col("docid"), col("feature"))
+      .mapPartitions { rows =>
+        val Half = BigDecimal.RoundingMode.HALF_UP
+        val Delta = BigDecimal("0.002")
+        val w = scala.collection.mutable.HashMap.empty[Long, BigDecimal]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var curDoc = Long.MinValue
+        var curLabel = 0
+        def flush(): Unit = if (buf.nonEmpty) {
+          val score = buf.foldLeft(BigDecimal(0)) { case (a, (f, c)) =>
+            a + w.getOrElse(f, BigDecimal(0)) * BigDecimal(c)
+          }
+          val prob = BigDecimal(1.0 / (1.0 + math.exp(-score.toDouble)))
+            .setScale(6, Half)
+          val inc = (BigDecimal(curLabel) - prob) * Delta
+          buf.foreach { case (f, c) =>
+            w.update(f, w.getOrElse(f, BigDecimal(0)) + inc * BigDecimal(c))
+          }
+          buf.clear()
+        }
+        rows.foreach { r =>
+          val d = r.getAs[Long]("docid")
+          if (d != curDoc) { flush(); curDoc = d; curLabel = r.getAs[Int]("label") }
+          buf += ((r.getAs[Long]("feature"), r.getAs[Long]("cnt")))
+        }
+        flush()
+        w.iterator.map { case (f, wt) => (f, wt.toDouble) }
+      }
+      .toDF("feature", "weight")
+  }
+
+  /** DuckDB replay of [[trainSeq]]: the per-instance recurrence unrolled
+    * as one MATERIALIZED CTE per docid step (the ta_bpe_train technique).
+    * Types are pinned so every decimal op stays exact (DuckDB silently
+    * falls back to DOUBLE past precision 38): cnt DECIMAL(4,0), w
+    * DECIMAL(18,9), prob DECIMAL(9,6), inc DECIMAL(12,9). Steps with no
+    * matching instance (corpus smaller than [[SeqDocs]]) degrade to
+    * no-ops via the coalesce guards.
+    */
+  private def trainSeqOracle(steps: Int, numFeatures: Int): String = {
+    val tokSql =
+      """list_filter(list_transform(string_split_regex(text, '\s+'),
+         w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+         w -> w <> '')"""
+    val sb = new StringBuilder(
+      s"""WITH inst AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id AS docid,
+                   CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS label
+            FROM (SELECT doc_id, $tokSql AS toks FROM documents WHERE doc_id < $steps)),
+          occ AS MATERIALIZED (
+            SELECT i.rn, f.feature, CAST(count(*) AS DECIMAL(4,0)) AS cnt
+            FROM inst i JOIN (
+              SELECT doc_id AS docid,
+                     unnest(list_transform(toks,
+                       w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % $numFeatures)) AS feature
+              FROM (SELECT doc_id, $tokSql AS toks FROM documents
+                    WHERE doc_id < $steps)) f
+              ON i.docid = f.docid
+            GROUP BY i.rn, f.feature),
+          w0 AS MATERIALIZED (
+            SELECT DISTINCT feature, CAST(0 AS DECIMAL(18,9)) AS w FROM occ)""")
+    for (i <- 1 to steps) sb ++=
+      s""",
+          w$i AS MATERIALIZED (
+            SELECT ww.feature,
+                   CAST(ww.w + coalesce(o.cnt, CAST(0 AS DECIMAL(4,0))) * coalesce(
+                     (SELECT CAST((CAST(i2.label AS DECIMAL(2,0)) -
+                              CAST(round(1.0 / (1.0 + exp(-CAST(coalesce(
+                                (SELECT sum(o2.cnt * w2.w)
+                                 FROM occ o2 JOIN w${i - 1} w2 USING (feature)
+                                 WHERE o2.rn = $i), 0) AS DOUBLE))), 6) AS DECIMAL(9,6)))
+                            * CAST(0.002 AS DECIMAL(4,3)) AS DECIMAL(12,9))
+                      FROM inst i2 WHERE i2.rn = $i),
+                     CAST(0 AS DECIMAL(12,9))) AS DECIMAL(18,9)) AS w
+            FROM w${i - 1} ww
+            LEFT JOIN (SELECT feature, cnt FROM occ WHERE rn = $i) o USING (feature))"""
+    sb ++= s"""
+          SELECT feature, CAST(w AS DOUBLE) AS weight FROM w$steps"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Sequential folds / model-dependent outputs: no SQL oracle (rows-only
-    // driver check); exact-match oracle lives in SpamSpec against an
-    // in-test reference fold.
-    "spam_train"    -> ((s, d) => train(s, d)
+    // Full-corpus sequential folds / model-dependent outputs: no SQL
+    // oracle at corpus size (rows-only driver check); the exact-match
+    // oracle lives in SpamSpec against an in-test reference fold, and the
+    // ORDER-DEPENDENT fold protocol itself is hash-gated through the
+    // bounded spam_train_seq below.
+    "spam_train"     -> ((s, d) => train(s, d)
       .select(col("feature"), round(col("weight"), 6).as("weight"))),
-    "spam_apply"    -> ((s, d) => applyModel(instances(s, d), train(s, d))
+    "spam_train_seq" -> ((s, d) => trainSeq(s, d)),
+    "spam_apply"     -> ((s, d) => applyModel(instances(s, d), train(s, d))
       .select(col("docid"), col("label"), round(col("score"), 6).as("score"), col("predicted"))),
-    "spam_ensemble" -> ((s, d) => ensemble(s, d)),
+    "spam_ensemble"  -> ((s, d) => ensemble(s, d)),
   )
 
-  /** Deliberately empty — none of the spam queries is SQL-expressible.
-    * spam_train is a SEQUENTIAL SGD fold (each instance's gradient step
-    * depends on all prior steps in shuffled order, reference protocol):
-    * no set-oriented SQL can replay it; correctness is the exact
-    * scalar-fold match in SpamSpec. spam_apply/spam_ensemble score with
-    * those trained weights, so they inherit the non-expressibility;
-    * their end-to-end quality bar (AUC) is also spec-asserted. The
-    * driver's rows-only check is the strongest available hard signal.
+  /** spam_train/apply/ensemble stay oracle-less BY NECESSITY: the
+    * full-corpus sequential SGD fold (each instance's gradient step
+    * depends on all prior steps, reference protocol) cannot unroll into
+    * SQL at corpus size; correctness is the exact scalar-fold match in
+    * SpamSpec plus the AUC quality bar. The fold SEMANTICS are still
+    * hash-gated: spam_train_seq runs the same per-instance recurrence
+    * over a bounded docid prefix with a full chained-CTE DuckDB oracle.
     */
-  val oracles: Map[String, String] = Map()
+  val oracles: Map[String, String] = Map(
+    "spam_train_seq" -> trainSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
+  )
 }

@@ -178,6 +178,29 @@ class SpamSpec extends AnyFunSuite {
     got.foreach { case (f, w) => assert(math.abs(w - want(f)) < 1e-12, s"feature $f") }
   }
 
+  test("bounded sequential fold matches a scalar exact-decimal replay") {
+    import graft.ml.BatchLogit
+    val Half = BigDecimal.RoundingMode.HALF_UP
+    val occ = BatchLogit.occurrences(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("docid") < Spam.SeqDocs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // independent replay: per docid ascending, score with current weights,
+    // sigmoid rounded to 6 dp, update every occurrence by (label-prob)*δ
+    val w = scala.collection.mutable.HashMap.empty[Long, BigDecimal]
+    occ.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      val label = rows.head._2
+      val feats = rows.map(_._3)
+      val score = feats.map(f => w.getOrElse(f, BigDecimal(0))).sum
+      val prob = BigDecimal(1.0 / (1.0 + math.exp(-score.toDouble))).setScale(6, Half)
+      val inc = (BigDecimal(label) - prob) * BigDecimal("0.002")
+      feats.foreach(f => w.update(f, w.getOrElse(f, BigDecimal(0)) + inc))
+    }
+    val want = w.map { case (f, wt) => f -> wt.toDouble }.toMap
+    val got = Spam.trainSeq(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
   test("seeded shuffle changes training order but stays deterministic") {
     val a = Spam.train(spark, sf, shuffleSeed = Some(7L)).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
