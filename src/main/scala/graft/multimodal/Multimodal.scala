@@ -18,16 +18,17 @@ import graft.Tables
   * loop, no per-row driver involvement), and frame sampling as pure
   * column/array expressions.
   *
-  * Decoders: image and audio are REAL — [[ImageIOCodec]] decodes PNG
-  * with pure-JVM `javax.imageio` and [[WavCodec]] decodes RIFF/WAV PCM
-  * with pure-JVM `javax.sound.sampled` (see [[pngDecode]] /
-  * [[wavDecode]]; the `mm_png_decode` / `mm_wav_decode` oracles prove
-  * both encode→decode round trips sample-exactly). ==STUB== A video
-  * decoder (H.264) is NOT in this container; [[FakeCodec]] stands in
-  * for that one modality: deterministic byte-level "features" (a
-  * normalized byte histogram) with the exact signature a real codec
-  * would have. Swap [[MediaCodec]]'s implementation to go live; every
-  * schema, partitioning, and batch shape stays unchanged.
+  * Decoders: all three modalities are REAL — [[ImageIOCodec]] decodes
+  * PNG with pure-JVM `javax.imageio`, [[WavCodec]] decodes RIFF/WAV PCM
+  * with pure-JVM `javax.sound.sampled`, and [[PngVideoDemux]] demuxes an
+  * MJPEG-style video container (concatenated per-frame PNG streams,
+  * split by walking the PNG chunk grammar — signature, then chunks to
+  * IEND) and decodes each frame through [[ImageIOCodec]]. The
+  * `mm_png_decode` / `mm_wav_decode` / `mm_video_decode` oracles prove
+  * each encode→decode round trip sample-exactly by replaying the
+  * generating formula without ever seeing the bytes. An H.264 decoder is
+  * not in this container; swapping one into the [[MediaCodec]] seam
+  * changes no schema, partitioning, or batch shape.
   *
   * Scale notes (100 TB posture): payloads never leave executors (no
   * collect); decode is narrow (mapPartitions, zero shuffle); frame
@@ -38,6 +39,15 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is a TEMP FILE per read/write — at
+    * tens of thousands of frame codec calls per task that serializes the
+    * whole stage on file creation. Payloads here are KB-sized, so
+    * memory-cached streams are strictly better; flipped once per JVM,
+    * lazily, before the first codec call.
+    */
+  private[multimodal] lazy val imageIoMemoryStreams: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed row for the codec path (binary payload + typed metadata). */
   final case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
                             width: Int, height: Int, n_frames: Int, sample_rate: Int)
@@ -45,15 +55,21 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, modality: String,
                                  n_bytes: Int, features: Array[Double])
 
-  /** Pluggable decode step — the ==STUB== boundary. A production
-    * implementation decodes the payload (image pixels / audio samples /
-    * video frames) and emits a feature vector; the fake emits a
-    * deterministic 16-bin normalized byte histogram so tests are exact.
+  /** Pluggable decode step. Implementations decode the payload (image
+    * pixels / audio samples / video frames) and emit a feature vector.
     */
   trait MediaCodec extends Serializable {
     def features(payload: Array[Byte]): Array[Double]
   }
-  object FakeCodec extends MediaCodec {
+
+  /** Content-agnostic payload featurizer: a 16-bin normalized byte
+    * histogram. Not a decoder stand-in — the modality-aware decoders are
+    * [[ImageIOCodec]]/[[WavCodec]]/[[PngVideoDemux]]; this is the
+    * cheap first-pass signal a data pipeline computes on EVERY payload
+    * (corrupt-blob triage, format drift detection) before paying for a
+    * real decode, and it is exactly SQL-replayable (mm_features).
+    */
+  object ByteHistogramCodec extends MediaCodec {
     val Bins = 16
     def features(payload: Array[Byte]): Array[Double] = {
       val h = new Array[Double](Bins)
@@ -70,6 +86,7 @@ object Multimodal {
     */
   object ImageIOCodec extends MediaCodec {
     def features(payload: Array[Byte]): Array[Double] = {
+      Multimodal.imageIoMemoryStreams
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, "payload is not a decodable image")
       var (sr, sg, sb) = (0L, 0L, 0L)
@@ -171,19 +188,21 @@ object Multimodal {
   }
 
   /** Deterministic tiny PNG: each channel is a pure function of
-    * (docId, x, y), so an oracle can replay the pixel values in SQL
-    * without ever seeing the bytes. PNG is lossless — decode must
-    * recover these exact channels.
+    * (docId, frame, x, y), so an oracle can replay the pixel values in
+    * SQL without ever seeing the bytes. PNG is lossless — decode must
+    * recover these exact channels. The frame term vanishes at frame = 0,
+    * so still images and video frames share one formula family.
     */
-  private[graft] def pngBytes(docId: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def pngBytes(docId: Long, w: Int, h: Int, frame: Int = 0): Array[Byte] = {
+    imageIoMemoryStreams
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
-        val g = ((docId * 17 + x * 3 + y * 5) % 256).toInt
-        val b = ((docId * 29 + x * 11 + y * 19) % 256).toInt
+        val r = ((docId * 31 + frame * 37L + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + frame * 41L + x * 3 + y * 5) % 256).toInt
+        val b = ((docId * 29 + frame * 43L + x * 11 + y * 19) % 256).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -228,6 +247,89 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** MJPEG-style video demuxer: the container is a bare concatenation of
+    * per-frame PNG streams, and frames are split by walking the PNG
+    * grammar — 8-byte signature, then length-prefixed chunks up to and
+    * including IEND — NOT by scanning for magic bytes (compressed IDAT
+    * data could contain the signature; the chunk walk cannot false-split).
+    * This is the real demux-then-decode shape of a production video
+    * reader; only the codec inside each frame differs from H.264.
+    */
+  object PngVideoDemux extends Serializable {
+    private val Signature = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** Split a concatenated-PNG payload into its frame byte ranges. */
+    def frames(payload: Array[Byte]): Seq[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var pos = 0
+      while (pos < payload.length) {
+        val start = pos
+        require(pos + 8 <= payload.length &&
+          java.util.Arrays.equals(payload, pos, pos + 8, Signature, 0, 8),
+          s"not a PNG frame boundary at offset $pos")
+        pos += 8
+        var done = false
+        while (!done) {
+          require(pos + 8 <= payload.length, "truncated PNG chunk header")
+          val len = java.nio.ByteBuffer.wrap(payload, pos, 4).getInt
+          val ctype = new String(payload, pos + 4, 4, "US-ASCII")
+          pos += 8 + len + 4 // header + data + crc
+          require(pos <= payload.length, "truncated PNG chunk body")
+          if (ctype == "IEND") done = true
+        }
+        out += java.util.Arrays.copyOfRange(payload, start, pos)
+      }
+      out.toSeq
+    }
+  }
+
+  /** Video table with REAL concatenated-PNG payloads (executor-generated
+    * inside `mapPartitions`, like [[imageTable]]); n_frames matches
+    * [[mediaTable]]'s video meta, frame dims are deterministic per doc.
+    */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .where(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"),
+        (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("n_frames"),
+        (lit(8) + pmod(col("doc_id"), lit(16))).cast("int").as("width"),
+        (lit(8) + pmod(col("doc_id"), lit(12))).cast("int").as("height"))
+      // the parquet scan yields few partitions at fixture scale; encode is
+      // CPU-bound, so spread the (tiny, payload-free) metadata rows across
+      // the full width before generating frames
+      .repartition(col("doc_id"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, nf, w, h) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < nf) { bos.write(pngBytes(id, w, h, f)); f += 1 }
+        (id, nf, w, h, bos.toByteArray)
+      })
+      .toDF("doc_id", "n_frames", "width", "height", "payload")
+  }
+
+  /** Demux + decode the video payloads: [[PngVideoDemux]] splits the
+    * container into frames, [[ImageIOCodec]] decodes each one; dims and
+    * channel sums come from the DECODED pixels, so the oracle's
+    * per-(doc, frame) formula replay certifies container splitting AND
+    * frame decoding end-to-end. Narrow (mapPartitions, zero shuffle);
+    * frame bytes never leave the executor.
+    */
+  def videoDecode(spark: SparkSession, dir: String,
+                  frameCodec: MediaCodec = ImageIOCodec): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, video) =>
+        PngVideoDemux.frames(video).iterator.zipWithIndex.map { case (png, i) =>
+          val f = frameCodec.features(png)
+          (id, i, f(0).toInt, f(1).toInt, f(2).toLong, f(3).toLong, f(4).toLong)
+        }
+      })
+      .toDF("doc_id", "frame_no", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
   /** The media table: (doc_id, modality, payload binary, meta struct).
     * Deterministic derivation from `documents`; metadata is
     * modality-typed (images get width/height, video adds n_frames, audio
@@ -264,10 +366,11 @@ object Multimodal {
   /** Batch feature extraction through the codec: typed Dataset →
     * mapPartitions (one codec instance per partition, rows streamed
     * through it — the mapInPandas batch shape). Deterministic via
-    * [[FakeCodec]]; rows-only oracle + exact scalar-reference spec.
+    * [[ByteHistogramCodec]]; SQL oracle (mm_features) + exact
+    * scalar-reference spec.
     */
   def extractFeatures(spark: SparkSession, dir: String,
-                      codec: MediaCodec = FakeCodec): DataFrame = {
+                      codec: MediaCodec = ByteHistogramCodec): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .select(col("doc_id"), col("modality"), col("payload"),
@@ -331,6 +434,7 @@ object Multimodal {
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
     "mm_png_decode"   -> ((s, d) => pngDecode(s, d)),
     "mm_wav_decode"   -> ((s, d) => wavDecode(s, d)),
+    "mm_video_decode" -> ((s, d) => videoDecode(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -409,6 +513,24 @@ object Multimodal {
                             unnest(generate_series(0, 255 + doc_id % 1024)) AS i
                      FROM documents WHERE doc_id % 3 = 1))
          GROUP BY doc_id""",
+    // mm_video_decode: Spark demuxes a REAL concatenated-PNG container
+    // and decodes every frame; the oracle replays the (doc_id, frame_no,
+    // x, y) pixel formula — a hash match proves both the container split
+    // and each frame's decode recovered exact pixels.
+    "mm_video_decode" ->
+      """SELECT doc_id, frame_no, width, height,
+                CAST(sum((doc_id*31 + frame_no*37 + (p % width)*7 + (p // width)*13) % 256) AS BIGINT) AS sum_r,
+                CAST(sum((doc_id*17 + frame_no*41 + (p % width)*3 + (p // width)*5) % 256) AS BIGINT) AS sum_g,
+                CAST(sum((doc_id*29 + frame_no*43 + (p % width)*11 + (p // width)*19) % 256) AS BIGINT) AS sum_b
+         FROM (
+           SELECT doc_id, width, height, frame_no,
+                  unnest(generate_series(0, width*height - 1)) AS p
+           FROM (
+             SELECT doc_id, (8 + doc_id % 16)::INT AS width,
+                    (8 + doc_id % 12)::INT AS height,
+                    CAST(unnest(generate_series(0, 7 + doc_id % 24)) AS INT) AS frame_no
+             FROM documents WHERE doc_id % 3 = 2))
+         GROUP BY doc_id, frame_no, width, height""",
     "mm_png_decode" ->
       """SELECT doc_id, width, height,
                 CAST(sum((doc_id*31 + (p % width)*7 + (p // width)*13) % 256) AS BIGINT) AS sum_r,

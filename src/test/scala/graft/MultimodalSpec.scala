@@ -37,12 +37,12 @@ class MultimodalSpec extends AnyFunSuite {
     val want = Multimodal.mediaTable(spark, sf).collect().map { r =>
       val p = r.getAs[Array[Byte]]("payload")
       r.getAs[Long]("doc_id") ->
-        (p.length, Multimodal.FakeCodec.features(p).map(v => math.rint(v * 1e6) / 1e6).toSeq)
+        (p.length, Multimodal.ByteHistogramCodec.features(p).map(v => math.rint(v * 1e6) / 1e6).toSeq)
     }.toMap
     assert(got == want)
     // histogram is a distribution
     got.values.foreach { case (_, f) =>
-      assert(f.length == Multimodal.FakeCodec.Bins)
+      assert(f.length == Multimodal.ByteHistogramCodec.Bins)
       assert(math.abs(f.sum - 1.0) < 1e-3)
     }
   }
@@ -117,6 +117,41 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("sum_s") == samples.sum)
       assert(r.getAs[Int]("min_s") == samples.min.toInt)
       assert(r.getAs[Int]("max_s") == samples.max.toInt)
+    }
+  }
+
+  test("PngVideoDemux splits a concatenated container into the exact frames") {
+    val frames = (0 until 5).map(f => Multimodal.pngBytes(9L, 6, 4, f))
+    val container = frames.reduce(_ ++ _)
+    val got = Multimodal.PngVideoDemux.frames(container)
+    assert(got.length == 5)
+    got.zip(frames).foreach { case (g, w) => assert(g.sameElements(w)) }
+    // corrupt container (stray bytes between frames) is rejected, not
+    // silently mis-split
+    intercept[IllegalArgumentException] {
+      Multimodal.PngVideoDemux.frames(container.take(10) ++ container)
+    }
+  }
+
+  test("videoDecode recovers the per-frame pixel formula for every video") {
+    val rows = Multimodal.videoDecode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.length == 8 + (id % 24), s"doc $id frame count")
+      val (w, h) = (8 + (id % 16).toInt, 8 + (id % 12).toInt)
+      rs.foreach { r =>
+        val fno = r.getAs[Int]("frame_no")
+        assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          sr += (id * 31 + fno * 37L + x * 7 + y * 13) % 256
+          sg += (id * 17 + fno * 41L + x * 3 + y * 5) % 256
+          sb += (id * 29 + fno * 43L + x * 11 + y * 19) % 256
+        }
+        assert((r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"), r.getAs[Long]("sum_b"))
+          == ((sr, sg, sb)), s"doc $id frame $fno")
+      }
     }
   }
 
