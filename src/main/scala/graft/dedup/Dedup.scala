@@ -40,36 +40,14 @@ object Dedup {
   def shingles(text: Column): Column =
     graft.functions.ArrayExprs.wordShingles(Text.tokenize(text), 3)
 
-  /** Cross-query memo: the shingle scan feeds dedup_ngram_jaccard,
+  /** Cross-query memo (now the shared [[graft.Caches.memoized]], keyed
+    * on sessionUUID): the shingle scan feeds dedup_ngram_jaccard,
     * dedup_minhash AND dedup_groups, and the MinHash pair graph feeds the
-    * latter two — a full registry run should pay for each once. Keyed per
-    * (session, dir, variant) and persisted; [[graft.Caches.releaseAll]]
-    * unpersists and clears the memo.
-    */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
-  graft.Caches.onRelease(() => memo.clear())
-
-  /** NOT computeIfAbsent: the minhash-pairs build recursively memoizes
-    * the shingle scan on the same map, and a nested computeIfAbsent
-    * throws "Recursive update" whenever the two keys happen to share a
-    * hash bin (identityHashCode varies per JVM run — this surfaced as a
-    * FLAKY dedup_groups failure). Plain get + putIfAbsent allows the
-    * nesting; a lost race (impossible in the single-threaded registry
-    * runs, harmless otherwise) just persists a duplicate frame that
-    * releaseAll cleans up.
+    * latter two — a full registry run should pay for each once.
     */
   private def memoized(spark: SparkSession, dir: String, key: String)
-                      (build: => DataFrame): DataFrame = {
-    val k = (System.identityHashCode(spark), dir, key)
-    val cached = memo.get(k)
-    if (cached != null) cached
-    else {
-      val df = graft.Caches.register(build.persist())
-      val prev = memo.putIfAbsent(k, df)
-      if (prev != null) prev else df
-    }
-  }
+                      (build: => DataFrame): DataFrame =
+    graft.Caches.memoized(spark, dir, s"dedup:$key")(build)
 
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "shingles") {

@@ -29,13 +29,30 @@ object InvertedIndex {
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** The BUILT index relation, persisted once per (session, dir) — the
+    * Spark analog of the reference WRITING its MapFile index once and
+    * serving every query from it (`BuildInvertedIndexCompressed.java:
+    * 95-132`). Clustered by term (`repartition(term)`) so (a) cached
+    * batches hold narrow term ranges and a `term = t` lookup prunes to
+    * few batches on the batch min/max stats — the MapFile point-get
+    * analog — and (b) the [[index]] per-term aggregation plans without a
+    * further exchange. Every ir_* query serves from this one relation:
+    * one corpus tokenize+aggregate per run, like the reference's
+    * build-once/query-many split.
+    */
+  def postingsRelation(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "ir:postings") {
+      termDocTf(spark, dir).repartition(col("term"))
+    }
+
   /** The index: postings sorted by doc_id per term, df = postings length
     * (`BuildInvertedIndexCompressed.java:89-139`). `sort_array` on the
     * collected structs replaces the MR composite-key secondary sort
-    * (`:73-78`): struct ordering is by first field, doc_id.
+    * (`:73-78`): struct ordering is by first field, doc_id. Aggregates
+    * the persisted [[postingsRelation]], already clustered by term.
     */
   def index(spark: SparkSession, dir: String): DataFrame =
-    termDocTf(spark, dir)
+    postingsRelation(spark, dir)
       .groupBy(col("term"))
       .agg(
         count(lit(1)).as("df"),
@@ -44,11 +61,13 @@ object InvertedIndex {
   /** Stack-based postfix boolean query evaluator
     * (`BooleanRetrievalCompressed.java:39-94`): terms push doc-id sets,
     * AND intersects, OR unions. The driver-side interpreter builds a tree
-    * of DataFrame set operations — each term is a pushed-down filter on
-    * the (term, doc) relation, so no full index scan per term.
+    * of DataFrame set operations — each term is a `term = t` lookup
+    * against the PERSISTED index relation (the reference's MapFile
+    * point-get, `BooleanRetrievalCompressed.java:109-124`), so the corpus
+    * is scanned once per run, not once per term branch.
     */
   def booleanQuery(spark: SparkSession, dir: String, postfix: String): DataFrame = {
-    val dw = termDocTf(spark, dir).select(col("term"), col("doc_id"))
+    val dw = postingsRelation(spark, dir).select(col("term"), col("doc_id"))
     var stack = List.empty[DataFrame]
     postfix.trim.split("\\s+").foreach {
       case "AND" =>
@@ -80,7 +99,7 @@ object InvertedIndex {
        w -> w <> '')"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ir_postings" -> ((s, d) => termDocTf(s, d)),
+    "ir_postings" -> ((s, d) => postingsRelation(s, d)),
     "ir_index_stats" -> ((s, d) => index(s, d).select(
       col("term"), col("df"),
       col("postings")(0).getField("doc_id").as("first_doc"),

@@ -38,6 +38,25 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(ids("spark table AND merge OR").contains(ids("merge").head) || ids("merge").isEmpty)
   }
 
+  test("booleanQuery serves every term branch from the persisted index relation") {
+    // build/refresh the memoized index relation, then check the query
+    // plan: every leaf must be an in-memory (cached) scan — the corpus
+    // parquet is never re-read per term branch
+    InvertedIndex.postingsRelation(spark, sf).count()
+    val q = InvertedIndex.booleanQuery(spark, sf, "spark table AND merge OR")
+    // cache substitution happens on the optimized logical plan: every leaf
+    // must be the cached index relation, never a fresh corpus file scan
+    val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    leaves.foreach { l =>
+      assert(l.nodeName.contains("InMemoryRelation"),
+        s"term branch leaf is not the cached index relation: ${l.nodeName}")
+    }
+    // and the term lookup filter sits directly on the cached relation
+    val planStr = q.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("term#"), s"term predicate missing from plan:\n$planStr")
+  }
+
   test("malformed postfix query is rejected") {
     intercept[IllegalArgumentException] {
       InvertedIndex.booleanQuery(spark, sf, "spark table")
