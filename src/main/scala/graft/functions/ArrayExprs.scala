@@ -221,6 +221,12 @@ object ArrayExprs {
     * sketch — the property that lets sim_topk_lsh be hash-checked. The
     * (bits × dims) weight matrix is memoized once per shape; per row the
     * eval is the same tight bits × dims loop.
+    *
+    * The projection is rounded to 6 dp BEFORE taking the sign (the
+    * repo-wide fp-portability contract): the raw double sum depends on
+    * accumulation order, so an engine summing pairwise instead of
+    * left-to-right could flip a bit whose projection sits within an ulp
+    * of zero; on the 6 dp grid both engines see the same value.
     */
   case class SignSketchMd5(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
@@ -238,7 +244,9 @@ object ArrayExprs {
         var acc = 0.0
         var d = 0
         while (d < dims) { acc += v.getFloat(d).toDouble * wj(d); d += 1 }
-        out(j) = if (acc > 0) 1 else 0
+        val r = java.math.BigDecimal.valueOf(acc)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        out(j) = if (r > 0) 1 else 0
         j += 1
       }
       new GenericArrayData(out)

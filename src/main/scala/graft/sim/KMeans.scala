@@ -98,8 +98,14 @@ object KMeans {
     import spark.implicits._
     val ds = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    var cents = ds.filter(_._1 < k).collect().sortBy(_._1)
-      .map(_._2.map(_.toDouble))
+    val seeds = ds.filter(_._1 < k).collect().sortBy(_._1)
+    // cell ids are array POSITIONS of the sorted seeds while the oracle
+    // uses vec_id as the cell id: the two agree only if the seed ids are
+    // exactly 0..k-1 — fail loudly on sparse/1-based fixtures instead of
+    // silently misaligning cells
+    require(seeds.length == k && seeds.map(_._1).sameElements(0L until k map (_.toLong)),
+      s"k-means seeding expects vec_ids 0..${k - 1}; got ${seeds.map(_._1).mkString(",")}")
+    var cents = seeds.map(_._2.map(_.toDouble))
     val dim = cents(0).length
     var counts = new Array[Long](k)
     for (_ <- 1 to iterations) {

@@ -238,7 +238,7 @@ object Similarity {
             FROM embeddings),
           sk AS MATERIALIZED (
             SELECT vec_id, any_value(embedding) AS embedding, any_value(nrm) AS nrm,
-                   list(CASE WHEN dotv > 0 THEN 1 ELSE 0 END ORDER BY j) AS sk
+                   list(CASE WHEN round(dotv, 6) > 0 THEN 1 ELSE 0 END ORDER BY j) AS sk
             FROM (SELECT e.vec_id, e.embedding, e.nrm, w.j,
                          list_sum(list_transform(list_zip(e.embedding, w.wv),
                            z -> z[1]::DOUBLE * z[2])) AS dotv

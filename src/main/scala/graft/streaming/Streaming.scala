@@ -38,7 +38,11 @@ object Streaming {
     graft.Tables.requireNanosAsLong(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    // the dir holds only one symlink: register both for JVM-exit cleanup
+    // (deepest-first — deleteOnExit runs in reverse registration order)
+    streamDir.toFile.deleteOnExit()
     java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
+    streamDir.resolve("events.parquet").toFile.deleteOnExit()
     val schema = spark.read.parquet(src.toString).schema
     spark.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("CAST(ts div 1000 AS BIGINT)")))
@@ -88,6 +92,16 @@ object Streaming {
     * session including the trailing one — correct for batch and for an
     * AvailableNow stream end; a live stream would hold the open session
     * in `state` until the event-time timeout fires.
+    *
+    * MEMORY CONTRACT: `rows.toArray` materializes ONE USER's events in
+    * the executor task that owns that group — required because session
+    * numbering needs the user's full time-sorted history, and Spark does
+    * not sort groups for flatMapGroupsWithState. The bound is per-user
+    * event count, NOT partition or stream size; a user must fit in one
+    * task's heap (a 10⁵-event hot user ≈ a few MB — see the skewed-user
+    * spec). For corpora where single users exceed task memory, the
+    * windowed `ev_sessionize` (window + lag, spillable sort) is the
+    * declared scale path.
     */
   private def sessionFold(gapMs: Long)(
       userId: Long, rows: Iterator[Ev], state: GroupState[Long]): Iterator[Session] = {

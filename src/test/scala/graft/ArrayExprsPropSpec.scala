@@ -68,7 +68,10 @@ class ArrayExprsPropSpec extends AnyFunSuite {
           val h = java.security.MessageDigest.getInstance("MD5").digest(s"$j:$d".getBytes)
           a + x.toDouble * (if ((h(0) & 1) == 1) 1.0 else -1.0)
         }
-        if (acc > 0) 1 else 0
+        // mirror the expression's 6 dp fp-portability rounding
+        val r = java.math.BigDecimal.valueOf(acc)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (r > 0) 1 else 0
       }
     val got = vecs.toDF("v")
       .select(ArrayExprs.signSketchMd5(col("v"), 16).as("sk")).collect()

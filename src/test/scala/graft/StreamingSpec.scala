@@ -63,4 +63,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful == windowed)
     assert(stateful.nonEmpty)
   }
+
+  test("skewed hot user (10^5 events in one group) sessionizes correctly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one pathological user with 100k events (every 2 min, so a session
+    // break every time the 30-min gap is exceeded — here never) plus a
+    // sprinkle of normal users; pins the per-user memory contract: the
+    // hot group materializes in ONE task and still folds correctly
+    val hot = spark.range(100000).select(
+      lit(1L).as("user_id"), col("id").as("event_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 120L * 1000000L).as("ts"),
+      lit(1.0).as("value"))
+    val cold = spark.range(50).select(
+      (col("id") + 10L).as("user_id"), (col("id") + 200000L).as("event_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 3600L * 1000000L).as("ts"),
+      lit(2.0).as("value"))
+    val sessions = Streaming.sessionizeStateful(hot.union(cold), gapMinutes = 30)
+      .collect()
+    val hotSessions = sessions.filter(_.user_id == 1L)
+    // 2-min cadence never exceeds the 30-min gap: exactly one session
+    // holding all 100k events, value sum exact
+    assert(hotSessions.length == 1)
+    assert(hotSessions.head.n_events == 100000L)
+    assert(hotSessions.head.sum_value == 100000.0)
+    // cold users: 1-hour cadence always exceeds the gap: one session per event
+    val coldSessions = sessions.filter(_.user_id >= 10L)
+    assert(coldSessions.length == 50)
+    assert(coldSessions.forall(s => s.n_events == 1L && s.sum_value == 2.0))
+  }
 }
