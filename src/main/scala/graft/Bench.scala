@@ -7,11 +7,20 @@ import org.apache.spark.sql.SparkSession
   * the measured work down to a row count (a bare `count()` would let it
   * drop every per-row transform). Failures are NOT recorded as fast times:
   * a failed query reports its elapsed time AND an entry in `"errors"`.
+  *
+  * Each query runs `SPARK_GRAFT_REPS` times (default 3) and reports the
+  * per-query MEDIAN, with the raw [min, max] recorded under `"spread"` —
+  * single-shot times on an iterative registry swing by multiple seconds
+  * run-over-run, which made round-over-round deltas unreadable. Cross-query
+  * memo caches persist across reps (as across queries), so rep 1 carries
+  * any cache build and the median reflects the shared-cache steady state;
+  * the spread keeps the cold time visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,9 +47,14 @@ object Bench {
     materialize(SparkEntry.queries.head._1)
 
     val results = SparkEntry.queries.keys.toSeq.map { name =>
-      val t0 = System.nanoTime()
-      val err = materialize(name)
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err = materialize(name)
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val times = runs.map(_._1).sorted
+      val median = times(times.length / 2)
+      (name, median, times.head, times.last, runs.flatMap(_._2).headOption)
     }
 
     def q(s: String): String = "\"" + s.flatMap {
@@ -49,11 +63,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" }
+    val qs = results.map { case (k, med, _, _, _) => s"${q(k)}:$med" }.mkString("{", ",", "}")
+    val spread = results.map { case (k, _, mn, mx, _) => s"${q(k)}:[$mn,$mx]" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(e)) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
     Caches.releaseAll()
     spark.stop()
   }

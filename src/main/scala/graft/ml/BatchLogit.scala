@@ -82,7 +82,7 @@ object BatchLogit {
     */
   def train(spark: SparkSession, dir: String, iterations: Int = Iterations): DataFrame = {
     import spark.implicits._
-    val ex = graft.Caches.register(compressed(spark, dir).persist())
+    val ex = graft.Caches.memoized(spark, dir, "ml:gd_compressed")(compressed(spark, dir))
     var w: Map[Long, BigDecimal] =
       ex.select(col("feature")).distinct().as[Long].collect()
         .map(_ -> BigDecimal(0).setScale(6)).toMap

@@ -105,7 +105,7 @@ object Spam {
     * and by sign vote.
     */
   def ensemble(spark: SparkSession, dir: String): DataFrame = {
-    val inst = graft.Caches.register(instances(spark, dir).persist())
+    val inst = graft.Caches.memoized(spark, dir, "ml:spam_instances")(instances(spark, dir))
     val scores = (0 until 3).map { m =>
       val shard = inst.filter(pmod(col("docid"), lit(3)) === m)
       applyModel(inst, trainOn(shard))

@@ -89,8 +89,8 @@ object Text {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), tokenizeDistinctCapped(col("text")).as("tok"))
       .filter(size(col("tok")) > 0)
-    val dw = graft.Caches.register(
-      toks.select(col("doc_id"), explode(col("tok")).as("w")).persist())
+    val dw = graft.Caches.memoized(spark, dir, "text:pmi_dw")(
+      toks.select(col("doc_id"), explode(col("tok")).as("w")))
     val n  = toks.agg(count(lit(1)).as("n"))
     val wc = dw.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val pairs = dw.as("a").join(dw.as("b"), "doc_id")
