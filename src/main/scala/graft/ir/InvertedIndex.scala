@@ -90,6 +90,57 @@ object InvertedIndex {
     booleanQuery(spark, dir, postfix)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
 
+  /** BM25 ranked retrieval over the persisted index — the ranked
+    * counterpart of [[booleanQuery]] (same build-once/query-many split;
+    * a course-standard extension of the reference's boolean-only
+    * retrieval). Per query term: idf = ln((N − df + ½)/(df + ½) + 1)
+    * (the Robertson/Lucene positive variant), tf normalization with
+    * k1/b length correction against the corpus mean doc length.
+    *
+    * fp-portability contract: idf and each per-(term, doc) contribution
+    * are rounded to 6 dp, the contribution is cast to DECIMAL(18,6), and
+    * the per-doc score is the exact order-free decimal sum — so the
+    * oracle replays the ranking bit-for-bit (same technique as
+    * ml_batch_gd). Inputs to every double op are exact integers or
+    * shared-grid values, so both engines compute identical doubles.
+    *
+    * Scale shape: two aggregations over the cached index relation (doc
+    * lengths; per-term df on the query terms only), one-row global stats
+    * broadcast, scoring join keyed on doc_id. Nothing scans the corpus —
+    * the index relation serves everything.
+    */
+  def bm25(spark: SparkSession, dir: String,
+           terms: Seq[String] = Seq("spark", "table", "merge"),
+           k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+    val post = postingsRelation(spark, dir)
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dft = post.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf6 = round(
+      log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)), 6)
+    // literal shapes mirror the oracle exactly: 1.0 - b folds to the same
+    // double constant DuckDB computes at runtime; * and / associate left
+    val tfn = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val scored = post.filter(col("term").isin(terms: _*))
+      .join(broadcast(dft), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(idf6 * tfn, 6).cast("decimal(18,6)").as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score_d")) // exact decimal sum, order-free
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_d").desc, col("doc_id"))))
+      .where(col("rank") <= topN)
+      .select(col("doc_id"), col("score_d").cast("double").as("score"), col("rank"))
+  }
+
   // Fixed query over the fixture vocabulary: (spark AND table) OR merge.
   private val demoQuery = "spark table AND merge OR"
 
@@ -107,6 +158,7 @@ object InvertedIndex {
       aggregate(col("postings"), lit(0L), (acc, p) => acc + p.getField("tf")).as("total_tf"))),
     "ir_boolean" -> ((s, d) => booleanQuery(s, d, demoQuery)),
     "ir_retrieve" -> ((s, d) => retrieve(s, d, demoQuery)),
+    "ir_bm25" -> ((s, d) => bm25(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -129,6 +181,32 @@ object InvertedIndex {
              SELECT doc_id FROM dw WHERE term = 'table')
             UNION
             SELECT doc_id FROM dw WHERE term = 'merge')""",
+    "ir_bm25" ->
+      s"""WITH post AS MATERIALIZED (
+            SELECT term, doc_id, count(*) AS tf
+            FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+            GROUP BY term, doc_id),
+          dl AS MATERIALIZED (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+          qt AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+                 WHERE term IN ('spark', 'table', 'merge') GROUP BY term)
+          SELECT doc_id, score, rank FROM (
+            SELECT doc_id, CAST(score_d AS DOUBLE) AS score,
+                   row_number() OVER (ORDER BY score_d DESC, doc_id) AS rank
+            FROM (
+              SELECT p.doc_id,
+                     sum(CAST(round(
+                       round(ln((CAST(st.n_docs AS DOUBLE) - q.df + 0.5) / (q.df + 0.5) + 1.0), 6)
+                       * (CAST(p.tf AS DOUBLE) * 2.2 /
+                          (CAST(p.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                            (CAST(d.dl AS DOUBLE) /
+                             (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))),
+                       6) AS DECIMAL(18,6))) AS score_d
+              FROM post p JOIN qt q USING (term) JOIN dl d USING (doc_id) CROSS JOIN st
+              GROUP BY p.doc_id))
+          WHERE rank <= 20""",
     "ir_retrieve" ->
       s"""WITH dw AS (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents),
           hits AS (SELECT doc_id FROM (

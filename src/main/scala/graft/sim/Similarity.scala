@@ -106,20 +106,30 @@ object Similarity {
     * SQL oracle replays sketching, banding, and re-rank end to end;
     * recall vs [[topK]] is additionally asserted in spec.
     */
+  /** Banded sign sketches for every vector, persisted once per
+    * (session, dir): band key = the band's 4 bits as an integer
+    * (b0 + 2b1 + 4b2 + 8b3), 16 buckets per band, no hashing — the
+    * oracle rebuilds it verbatim. Shared by [[topKLsh]] (ANN search) and
+    * [[embeddingDedupGroups]] (near-dup detection): one sketch pass
+    * serves both, the build-once/query-many split again.
+    */
+  private def bandedSketches(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "sim:lsh_bands") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), signSketch(col("embedding")).as("sk"))
+        .select(col("vec_id"), col("embedding"),
+          explode(transform(sequence(lit(0), lit(SketchBands - 1)),
+            b => struct(b.as("band"),
+              (0 until SketchRows).map(i =>
+                element_at(col("sk"), b * SketchRows + lit(i + 1)) * lit(1 << i))
+                .reduce(_ + _).as("key"))))
+            .as("bk"))
+        .select(col("vec_id"), col("embedding"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+
   def topKLsh(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), signSketch(col("embedding")).as("sk"))
-    // band key = the band's 4 bits as an integer (b0 + 2b1 + 4b2 + 8b3):
-    // 16 buckets per band, no hashing — the oracle rebuilds it verbatim
-    val bands = e.select(col("vec_id"), col("embedding"),
-        explode(transform(sequence(lit(0), lit(SketchBands - 1)),
-          b => struct(b.as("band"),
-            (0 until SketchRows).map(i =>
-              element_at(col("sk"), b * SketchRows + lit(i + 1)) * lit(1 << i))
-              .reduce(_ + _).as("key"))))
-          .as("bk"))
-      .select(col("vec_id"), col("embedding"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = bandedSketches(spark, dir)
     val q = bands.filter(col("vec_id") < nQueries).toDF("query_id", "qe", "band", "key")
     val cand = q.join(bands.toDF("vec_id", "ce", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2") &&
@@ -132,6 +142,63 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  /** Embedding-cosine near-dup GROUPS — the fifth dedup detector of the
+    * pipeline mandate, at its 100 TB shape: candidates come from the LSH
+    * band-bucket equi-join (never the n² cross join — [[cosinePairs]] is
+    * the bounded exactness baseline for this), the exact cosine runs on
+    * candidates only, and duplicate groups resolve by min-label
+    * propagation (the dedup_groups pattern: per-round equi-join +
+    * one monotone convergence scalar to the driver).
+    *
+    * LSH-approximate BY DESIGN relative to all-pairs (a near-dup pair
+    * sharing no band is missed — recall asserted against the exact
+    * baseline in spec) but fully deterministic given the md5 plane
+    * family, so the DuckDB oracle replays sketch → band → candidates →
+    * cosine → recursive min-label reachability end to end.
+    */
+  def embeddingDedupGroups(spark: SparkSession, dir: String,
+                           minCos: Double = 0.45): DataFrame = {
+    val bands = bandedSketches(spark, dir)
+    // dedupe candidates on the ID PAIR only (embeddings don't ride the
+    // distinct exchange), then fetch vectors back by key for the exact
+    // cosine — the lean shape when vectors are wide
+    val cand = bands.select(col("vec_id").as("v1"), col("band"), col("key"))
+      .join(bands.select(col("vec_id").as("v2"),
+        col("band").as("band2"), col("key").as("key2")),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("v1") < col("v2"))
+      .select(col("v1"), col("v2"))
+      .distinct()
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val pairs = cand
+      .join(e.toDF("v1", "e1", "n1"), "v1")
+      .join(e.toDF("v2", "e2", "n2"), "v2")
+      .select(col("v1"), col("v2"),
+        cosinePre(col("e1"), col("n1"), col("e2"), col("n2")).as("cos"))
+      .where(col("cos") >= minCos)
+      .select(col("v1"), col("v2"))
+    val edges = graft.Caches.memoized(spark, dir, s"sim:dedup_edges_$minCos")(
+      pairs.union(pairs.select(col("v2"), col("v1"))).toDF("a", "b"))
+    var labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("vec_id").as("label"))
+    var prevSum = Long.MaxValue
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
+    while (sum < prevSum) {
+      val nbrMin = edges.join(labels, col("b") === col("vec_id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nl"))
+      // persist-not-checkpoint: see dedup.Dedup.dupGroups — converges in
+      // component diameter, cache substitution bounds each round's plan
+      labels = graft.Caches.register(
+        labels.join(nbrMin, col("vec_id") === col("a"), "left_outer")
+          .select(col("vec_id"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .persist())
+      prevSum = sum
+      sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
+    }
+    labels.select(col("vec_id"), col("label").as("canonical_id"))
   }
 
   private val IvfCells = 16
@@ -201,6 +268,7 @@ object Similarity {
     // oracle-checked exact topK is additionally asserted in spec.
     "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
+    "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -259,6 +327,47 @@ object Similarity {
                     ON q.b = c.b AND q.key = c.key AND q.vec_id <> c.vec_id
                   WHERE q.vec_id < 10))
           WHERE rank <= 3""",
+    // Full replay of the embedding near-dup pipeline: the sim_topk_lsh
+    // sketch/band CTEs, candidate pairs from band-bucket equality, exact
+    // cosine at the 0.45 threshold, then recursive min-label reachability
+    // (the dedup_groups technique) over all vectors.
+    "dedup_embedding" ->
+      s"""WITH RECURSIVE w AS MATERIALIZED (
+            SELECT j, list(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || d::VARCHAR), 1, 2))::INT & 1 = 1
+                                THEN 1.0 ELSE -1.0 END ORDER BY d) AS wv
+            FROM generate_series(0, 15) t(j), generate_series(0, 63) s(d)
+            GROUP BY j),
+          e AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings),
+          sk AS MATERIALIZED (
+            SELECT vec_id, any_value(embedding) AS embedding, any_value(nrm) AS nrm,
+                   list(CASE WHEN round(dotv, 6) > 0 THEN 1 ELSE 0 END ORDER BY j) AS sk
+            FROM (SELECT e.vec_id, e.embedding, e.nrm, w.j,
+                         list_sum(list_transform(list_zip(e.embedding, w.wv),
+                           z -> z[1]::DOUBLE * z[2])) AS dotv
+                  FROM e CROSS JOIN w)
+            GROUP BY vec_id),
+          bd AS MATERIALIZED (
+            SELECT vec_id, embedding, nrm, b,
+                   sk[b*4+1] + 2*sk[b*4+2] + 4*sk[b*4+3] + 8*sk[b*4+4] AS key
+            FROM sk, generate_series(0, 3) g(b)),
+          pairs AS MATERIALIZED (
+            SELECT v1, v2 FROM (
+              SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
+                     round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                             z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (a.nrm * b.nrm), 6) AS cos
+              FROM bd a JOIN bd b
+                ON a.b = b.b AND a.key = b.key AND a.vec_id < b.vec_id)
+            WHERE cos >= 0.45),
+          edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+                    UNION ALL SELECT v2, v1 FROM pairs),
+          reach(v, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT reach.v, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a)
+          SELECT v AS vec_id, min(r) AS canonical_id FROM reach GROUP BY v""",
     // Full replay of the IVF pipeline: assignment (argmax cosine to the
     // 16 seed centroids, ties to the lowest cell), probe the query's 4
     // nearest cells, exact re-rank over probed members. Cosines rounded

@@ -140,6 +140,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.keys.map(_._1).toSeq.distinct.length == 10)
   }
 
+  test("embedding dedup groups: components valid, recall vs exact pairs") {
+    val got = Similarity.embeddingDedupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == Tables.embeddings(spark, sf).count())
+    // canonical is a fixpoint and the min of its component
+    got.foreach { case (v, c) => assert(got(c) == c && c <= v) }
+    // grouped pairs must actually be near-dups per the EXACT baseline:
+    // every exact cosine>=0.45 pair that shares an LSH band must land in
+    // the same component (the oracle checks exact equality; this spec
+    // checks the semantic claim against the independent n^2 baseline)
+    val exactPairs = Similarity.cosinePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grouped = got.groupBy(_._2).values.map(_.keys.toSet).filter(_.size > 1)
+    val groupedPairs = grouped.flatMap(g =>
+      g.toSeq.sorted.combinations(2).map(p => (p(0), p(1)))).toSet
+    // transitivity can group pairs below threshold, but some exact pairs
+    // must be recovered (LSH recall non-degenerate)
+    val recall = (groupedPairs intersect exactPairs).size.toDouble /
+      math.max(1, exactPairs.size)
+    assert(recall > 0.2, s"embedding-dedup LSH recall collapsed: $recall")
+  }
+
   test("salted count equals direct groupBy count for every key") {
     import org.apache.spark.sql.functions._
     val direct = graft.text.Text.wordCount(spark, sf).collect()

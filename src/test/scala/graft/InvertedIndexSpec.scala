@@ -63,6 +63,33 @@ class InvertedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 matches a scalar replay of the scoring protocol") {
+    val terms = Seq("spark", "table", "merge")
+    val post = InvertedIndex.termDocTf(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dl = post.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nDocs = dl.size.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs.toDouble
+    val dfT = post.filter(p => terms.contains(p._1)).groupBy(_._1)
+      .view.mapValues(_.length.toLong).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val scores = post.filter(p => terms.contains(p._1)).groupBy(_._2).map {
+      case (doc, rows) =>
+        doc -> rows.map { case (t, _, tf) =>
+          val df = dfT(t)
+          val idf6 = r6(math.log((nDocs.toDouble - df + 0.5) / (df + 0.5) + 1.0)).toDouble
+          val tfn = tf.toDouble * 2.2 /
+            (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl(doc).toDouble / avgdl)))
+          r6(idf6 * tfn)
+        }.sum
+    }
+    val want = scores.toSeq.sortBy { case (d, s) => (-s, d) }.take(20)
+      .zipWithIndex.map { case ((d, s), i) => (d, s.toDouble, i + 1) }
+    val got = InvertedIndex.bm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(got == want)
+  }
+
   test("retrieve joins document text") {
     val rows = InvertedIndex.retrieve(spark, sf, "spark table AND").collect()
     rows.foreach(r => assert(r.getAs[String]("text").nonEmpty))
