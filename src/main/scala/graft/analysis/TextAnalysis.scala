@@ -31,6 +31,32 @@ object TextAnalysis {
         size(col("toks")).cast("double"), 6).as("avg_token_len"),
       col("n_chars"))
 
+  /** Within-document repetition signal (the Gopher/MassiveText-style
+    * repetitious-text filter): fraction of word trigrams that are
+    * duplicates of an earlier trigram in the same document. High ratio =
+    * boilerplate/spam/looped generation; an LLM-data pipeline drops or
+    * downweights these before training. Raw (non-distinct) trigrams are
+    * built in-row with an index transform; shuffle-free like the rest of
+    * the suite.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val tris = when(size(col("toks")) >= 3,
+      transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    withToks(spark, dir)
+      .withColumn("tris", tris)
+      .select(
+        col("doc_id"),
+        size(col("tris")).as("n_trigrams"),
+        size(array_distinct(col("tris"))).as("n_distinct"),
+        when(size(col("tris")) > 0,
+          round(lit(1.0) - size(array_distinct(col("tris"))).cast("double") /
+            size(col("tris")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
   private val StopWords = Seq("the", "a", "and", "of", "to", "in")
 
   /** Heuristic quality score: stopword ratio + short-token ratio blended;
@@ -121,6 +147,7 @@ object TextAnalysis {
     "ta_quality"     -> ((s, d) => qualityScore(s, d)),
     "ta_langid"      -> ((s, d) => langId(s, d)),
     "ta_fingerprint" -> ((s, d) => fingerprint(s, d)),
+    "ta_repetition"  -> ((s, d) => repetition(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +163,19 @@ object TextAnalysis {
                        / len(toks), 6) AS avg_token_len,
                  n_chars
           FROM (SELECT doc_id, n_chars, $tokSql AS toks FROM documents)""",
+    "ta_repetition" ->
+      s"""SELECT doc_id,
+                 CAST(len(tris) AS INT) AS n_trigrams,
+                 CAST(len(list_distinct(tris)) AS INT) AS n_distinct,
+                 CASE WHEN len(tris) > 0
+                      THEN round(1.0 - len(list_distinct(tris))::DOUBLE / len(tris), 6)
+                      ELSE 0.0 END AS rep_ratio
+          FROM (SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                       ELSE [] END AS tris
+                FROM (SELECT doc_id, $tokSql AS toks FROM documents))""",
     "ta_quality" ->
       s"""SELECT doc_id, n_tokens, stop_ratio, short_ratio,
                  CAST(CAST(1.0 AS DECIMAL(8,6))

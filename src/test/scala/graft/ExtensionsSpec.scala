@@ -176,6 +176,28 @@ class AnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("repetition ratio matches a scalar trigram replay") {
+    val toks = Tables.documents(spark, sf).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+").toSeq
+          .map(_.replaceAll("(^[^a-z]+|[^a-z]+$)", "")).filter(_.nonEmpty)
+    }.toMap
+    val got = TextAnalysis.repetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got.keySet == toks.keySet)
+    got.foreach { case (id, (n, nd, ratio)) =>
+      val tris = toks(id).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      assert(n == tris.length, s"doc $id trigram count")
+      assert(nd == tris.distinct.length, s"doc $id distinct count")
+      val want = if (tris.isEmpty) 0.0
+        else BigDecimal(1.0 - tris.distinct.length.toDouble / tris.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ratio == want, s"doc $id ratio")
+    }
+    // fixture actually exercises the signal
+    assert(got.values.exists(_._3 > 0))
+  }
+
   test("token stats are internally consistent") {
     TextAnalysis.tokenStats(spark, sf).collect().foreach { r =>
       assert(r.getAs[Int]("n_types") <= r.getAs[Int]("n_tokens"))

@@ -81,6 +81,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!mf.contains("Exchange"), s"feature extraction should be narrow:\n$mf")
   }
 
+  test("round-3 operators keep their scale shapes") {
+    // video decode is narrow: metadata repartition, then generation and
+    // demux+decode stay in one mapPartitions pipeline — no payload shuffle
+    val vd = plan(graft.multimodal.Multimodal.videoDecode(spark, sf))
+    assert(!vd.contains("CartesianProduct"), vd)
+    // bm25 joins are keyed (term / doc_id) with the global stats broadcast;
+    // never a cartesian product
+    val bm = plan(graft.ir.InvertedIndex.bm25(spark, sf))
+    assert(!bm.contains("CartesianProduct"), s"bm25 plans a cartesian:\n$bm")
+    assert(bm.contains("BroadcastHashJoin") || bm.contains("BroadcastExchange"),
+      s"bm25 stats/df should broadcast:\n$bm")
+    // embedding near-dup candidates come from the band equi-join
+    val ed = plan({
+      Caches.releaseAll() // plan the first round, not the memoized cache
+      graft.sim.Similarity.embeddingDedupGroups(spark, sf)
+    })
+    assert(!ed.contains("CartesianProduct"), s"embedding dedup cartesian:\n$ed")
+  }
+
   test("range rewrite of the reference's string-prefix date semantics is exact") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
