@@ -48,6 +48,14 @@ object Multimodal {
   private[multimodal] lazy val imageIoMemoryStreams: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** Partition width for the CPU-bound codec stages: the session shuffle
+    * width (the cluster's parallelism knob), pinned EXPLICITLY so AQE's
+    * small-partition coalescing can't fold the tiny metadata rows — and
+    * with them the expensive per-row encode/decode work — onto one task.
+    */
+  private def codecWidth(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** Typed row for the codec path (binary payload + typed metadata). */
   final case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
                             width: Int, height: Int, n_frames: Int, sample_rate: Int)
@@ -165,6 +173,7 @@ object Multimodal {
       .where(pmod(col("doc_id"), lit(3)) === 1)
       .select(col("doc_id"),
         (lit(256) + pmod(col("doc_id"), lit(1024))).cast("int").as("n_samples"))
+      .repartition(codecWidth(spark), col("doc_id")) // see codecWidth
       .as[(Long, Int)]
       .mapPartitions(_.map { case (id, n) => (id, n, wavBytes(id, n, 16000)) })
       .toDF("doc_id", "n_samples", "payload")
@@ -225,6 +234,7 @@ object Multimodal {
       .select(col("doc_id"),
         (lit(16) + pmod(col("doc_id"), lit(64))).cast("int").as("width"),
         (lit(16) + pmod(col("doc_id"), lit(48))).cast("int").as("height"))
+      .repartition(codecWidth(spark), col("doc_id")) // see codecWidth
       .as[(Long, Int, Int)]
       .mapPartitions(_.map { case (id, w, h) => (id, w, h, pngBytes(id, w, h)) })
       .toDF("doc_id", "width", "height", "payload")
@@ -295,10 +305,11 @@ object Multimodal {
         (lit(8) + pmod(col("doc_id"), lit(24))).cast("int").as("n_frames"),
         (lit(8) + pmod(col("doc_id"), lit(16))).cast("int").as("width"),
         (lit(8) + pmod(col("doc_id"), lit(12))).cast("int").as("height"))
-      // the parquet scan yields few partitions at fixture scale; encode is
-      // CPU-bound, so spread the (tiny, payload-free) metadata rows across
-      // the full width before generating frames
-      .repartition(col("doc_id"))
+      // the parquet scan yields few partitions at fixture scale and AQE
+      // coalesces a width-free repartition of tiny metadata rows back to
+      // ~1 partition — which would serialize the CPU-bound codec stage on
+      // one thread. An EXPLICIT width is exempt from AQE coalescing.
+      .repartition(codecWidth(spark), col("doc_id"))
       .as[(Long, Int, Int, Int)]
       .mapPartitions(_.map { case (id, nf, w, h) =>
         val bos = new java.io.ByteArrayOutputStream()
