@@ -39,23 +39,20 @@ object TextAnalysis {
     * built in-row with an index transform; shuffle-free like the rest of
     * the suite.
     */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val tris = when(size(col("toks")) >= 3,
-      transform(sequence(lit(1), size(col("toks")) - 2),
-        i => concat_ws(" ", element_at(col("toks"), i),
-          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
-      .otherwise(array().cast("array<string>"))
+  def repetition(spark: SparkSession, dir: String): DataFrame =
     withToks(spark, dir)
-      .withColumn("tris", tris)
+      // one native pass computes both counts; the declarative
+      // transform/array_distinct form materialized the trigram array
+      // once per consumer (CollapseProject) and GC-thrashed at sf0.1
+      .withColumn("st", graft.functions.ArrayExprs.shingleStats(col("toks"), 3))
       .select(
         col("doc_id"),
-        size(col("tris")).as("n_trigrams"),
-        size(array_distinct(col("tris"))).as("n_distinct"),
-        when(size(col("tris")) > 0,
-          round(lit(1.0) - size(array_distinct(col("tris"))).cast("double") /
-            size(col("tris")).cast("double"), 6))
+        col("st.n_shingles").as("n_trigrams"),
+        col("st.n_distinct").as("n_distinct"),
+        when(col("st.n_shingles") > 0,
+          round(lit(1.0) - col("st.n_distinct").cast("double") /
+            col("st.n_shingles").cast("double"), 6))
           .otherwise(lit(0.0)).as("rep_ratio"))
-  }
 
   private val StopWords = Seq("the", "a", "and", "of", "to", "in")
 

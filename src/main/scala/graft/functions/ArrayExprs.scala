@@ -179,6 +179,47 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Raw + distinct word n-gram counts in one pass:
+    * struct(n_shingles = max(0, size-n+1), n_distinct), identical to
+    * counting `transform(sequence(...), concat_ws(' ', ...))` and its
+    * `array_distinct` — but the token array evaluates ONCE and no
+    * shingle array is ever materialized per reference (the declarative
+    * form's tree is inlined by CollapseProject into every one of the
+    * three consumers, all interpreted; measured as multi-second GC
+    * churn at sf0.1). Backs the ta_repetition quality signal.
+    */
+  case class ShingleStats(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_shingles", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false)))
+    override def prettyName: String = "shingle_stats"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val cnt = arr.numElements()
+      if (cnt < n) new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, 0))
+      else {
+        val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+        val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+        var i = 0
+        while (i <= cnt - n) {
+          val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+          seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](cnt - n + 1, seen.size()))
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Random-hyperplane sign sketch over an array<float>: bit j =
     * [Σ_d v(d)·w(j,d) > 0] with w(j,d) = ±1 derived from xxhash64 of
     * (j,d) — deterministic pseudo-random planes, one native pass
@@ -280,6 +321,9 @@ object ArrayExprs {
 
   def wordShingles(tokens: Column, n: Int): Column =
     GraftExpr.column(WordShingles(GraftExpr.expression(tokens), n))
+
+  def shingleStats(tokens: Column, n: Int): Column =
+    GraftExpr.column(ShingleStats(GraftExpr.expression(tokens), n))
 
   def minhashSig(sh: Column, numHashes: Int): Column =
     GraftExpr.column(MinHashSig(GraftExpr.expression(sh), numHashes))
