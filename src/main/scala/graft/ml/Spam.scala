@@ -186,6 +186,35 @@ object Spam {
       .toDF("feature", "weight")
   }
 
+  /** Distributed scoring with the [[trainSeq]] model, fully hash-gated:
+    * the J7 explode⋈weights⋈agg shape of [[applyModel]]
+    * (`ApplySpamClassifier.scala:48-65`), run over the FULL corpus (the
+    * scoring side is set-oriented — only the trained fold needed the
+    * docid bound) in the exact-decimal protocol. Weights rebuilt as
+    * DECIMAL(18,9) (their doubles sit on the 1e-9 grid, so the cast
+    * recovers the exact decimal in both engines); score_d =
+    * Σ cnt·coalesce(w, 0) is an exact order-free decimal sum; spam iff
+    * score > 0.
+    */
+  def applySeq(spark: SparkSession, dir: String): DataFrame = {
+    val w = trainSeq(spark, dir)
+      .select(col("feature"), col("weight").cast("decimal(18,9)").as("w"))
+    BatchLogit.occurrences(spark, dir)
+      .groupBy(col("docid"), col("label"), col("feature"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(w), Seq("feature"), "left_outer")
+      .groupBy(col("docid"), col("label"))
+      // cnt must be a NARROW decimal: a bare LONG × DECIMAL(18,9) hits
+      // Spark's precision-38 cap and silently truncates the product
+      // scale to 8 digits (adjustPrecisionScale), drifting scores off
+      // the oracle by 1e-9-scale amounts
+      .agg(sum(col("cnt").cast("decimal(6,0)") * coalesce(col("w"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,9)"))).as("score_d"))
+      .select(col("docid"), col("label"),
+        col("score_d").cast("double").as("score"),
+        when(col("score_d") > 0, "spam").otherwise("ham").as("predicted"))
+  }
+
   /** DuckDB replay of [[trainSeq]]: the per-instance recurrence unrolled
     * as one MATERIALIZED CTE per docid step (the ta_bpe_train technique).
     * Types are pinned so every decimal op stays exact (DuckDB silently
@@ -194,11 +223,13 @@ object Spam {
     * matching instance (corpus smaller than [[SeqDocs]]) degrade to
     * no-ops via the coalesce guards.
     */
-  private def trainSeqOracle(steps: Int, numFeatures: Int): String = {
-    val tokSql =
-      """list_filter(list_transform(string_split_regex(text, '\s+'),
-         w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-         w -> w <> '')"""
+  private val tokSql =
+    """list_filter(list_transform(string_split_regex(text, '\s+'),
+       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+       w -> w <> '')"""
+
+  /** The shared CTE chain replaying [[trainSeq]] (no final SELECT). */
+  private def trainSeqCtes(steps: Int, numFeatures: Int): String = {
     val sb = new StringBuilder(
       s"""WITH inst AS MATERIALIZED (
             SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id AS docid,
@@ -231,10 +262,37 @@ object Spam {
                      CAST(0 AS DECIMAL(12,9))) AS DECIMAL(18,9)) AS w
             FROM w${i - 1} ww
             LEFT JOIN (SELECT feature, cnt FROM occ WHERE rn = $i) o USING (feature))"""
-    sb ++= s"""
-          SELECT feature, CAST(w AS DOUBLE) AS weight FROM w$steps"""
     sb.toString
   }
+
+  private def trainSeqOracle(steps: Int, numFeatures: Int): String =
+    trainSeqCtes(steps, numFeatures) + s"""
+          SELECT feature, CAST(w AS DOUBLE) AS weight FROM w$steps"""
+
+  /** DuckDB replay of [[applySeq]]: the [[trainSeqCtes]] chain, a
+    * full-corpus occurrence-count table, and the scoring join. The
+    * weight round-trips through DOUBLE exactly as the Spark side does
+    * (grid value → same decimal back).
+    */
+  private def applySeqOracle(steps: Int, numFeatures: Int): String =
+    trainSeqCtes(steps, numFeatures) + s""",
+          occf AS MATERIALIZED (
+            SELECT docid, label, feature, CAST(count(*) AS DECIMAL(6,0)) AS cnt
+            FROM (SELECT doc_id AS docid,
+                         CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS label,
+                         unnest(list_transform(toks,
+                           w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % $numFeatures)) AS feature
+                  FROM (SELECT doc_id, $tokSql AS toks FROM documents))
+            GROUP BY docid, label, feature),
+          wd AS (SELECT feature,
+                        CAST(CAST(w AS DOUBLE) AS DECIMAL(18,9)) AS w
+                 FROM w$steps)
+          SELECT docid, label, CAST(score_d AS DOUBLE) AS score,
+                 CASE WHEN score_d > 0 THEN 'spam' ELSE 'ham' END AS predicted
+          FROM (SELECT o.docid, o.label,
+                       sum(o.cnt * coalesce(w.w, CAST(0 AS DECIMAL(18,9)))) AS score_d
+                FROM occf o LEFT JOIN wd w USING (feature)
+                GROUP BY o.docid, o.label)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full-corpus sequential folds / model-dependent outputs: no SQL
@@ -245,6 +303,7 @@ object Spam {
     "spam_train"     -> ((s, d) => train(s, d)
       .select(col("feature"), round(col("weight"), 6).as("weight"))),
     "spam_train_seq" -> ((s, d) => trainSeq(s, d)),
+    "spam_apply_seq" -> ((s, d) => applySeq(s, d)),
     "spam_apply"     -> ((s, d) => applyModel(instances(s, d), train(s, d))
       .select(col("docid"), col("label"), round(col("score"), 6).as("score"), col("predicted"))),
     "spam_ensemble"  -> ((s, d) => ensemble(s, d)),
@@ -260,5 +319,6 @@ object Spam {
     */
   val oracles: Map[String, String] = Map(
     "spam_train_seq" -> trainSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
+    "spam_apply_seq" -> applySeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
   )
 }

@@ -201,6 +201,26 @@ class SpamSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bounded-model scoring matches a scalar decimal replay") {
+    import graft.ml.BatchLogit
+    val w = Spam.trainSeq(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        BigDecimal(r.getDouble(1)).setScale(9, BigDecimal.RoundingMode.HALF_UP)).toMap
+    val occ = BatchLogit.occurrences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val want = occ.groupBy(o => (o._1, o._2)).map { case ((d, l), rows) =>
+      (d, l) -> rows.map(o => w.getOrElse(o._3, BigDecimal(0))).sum
+    }
+    val got = Spam.applySeq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getString(3))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (score, pred)) =>
+      assert(score == want(k).toDouble, s"doc $k")
+      assert(pred == (if (want(k) > 0) "spam" else "ham"))
+    }
+  }
+
   test("seeded shuffle changes training order but stays deterministic") {
     val a = Spam.train(spark, sf, shuffleSeed = Some(7L)).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
