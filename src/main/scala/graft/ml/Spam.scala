@@ -149,10 +149,13 @@ object Spam {
     * and its exact in-test scalar oracle (SpamSpec); this bounded variant
     * is what puts the ORDER-DEPENDENT fold under the DuckDB hash gate.
     */
-  def trainSeq(spark: SparkSession, dir: String, maxDocid: Long = SeqDocs): DataFrame = {
+  def trainSeq(spark: SparkSession, dir: String, maxDocid: Long = SeqDocs,
+               shardMod: Int = -1): DataFrame = {
     import spark.implicits._
+    val shardFilter =
+      if (shardMod < 0) lit(true) else pmod(col("docid"), lit(3)) === shardMod
     val occ = BatchLogit.occurrences(spark, dir)
-      .filter(col("docid") < maxDocid)
+      .filter(col("docid") < maxDocid && shardFilter)
       .groupBy(col("docid"), col("label"), col("feature"))
       .agg(count(lit(1)).as("cnt"))
     occ.repartition(1).sortWithinPartitions(col("docid"), col("feature"))
@@ -215,6 +218,40 @@ object Spam {
         when(col("score_d") > 0, "spam").otherwise("ham").as("predicted"))
   }
 
+  /** A14 ensemble combine, hash-gated: three [[trainSeq]] models on the
+    * DISJOINT docid%3 shards of the bounded prefix
+    * (`ApplyEnsembleSpamClassifier.scala:76-108` protocol), each scoring
+    * the FULL corpus in the [[applySeq]] exact-decimal shape; combined
+    * by score average and sign vote. Per-model scores are cast to
+    * DECIMAL(18,9) before combining (exact — |score| ≪ 10⁹; a
+    * DECIMAL(38,9) addition would overflow precision 38 and silently
+    * lose scale), so votes and the avg sign are decimal-exact; only the
+    * reported avg_score divides in double, on identical inputs.
+    */
+  def ensembleSeq(spark: SparkSession, dir: String): DataFrame = {
+    val occ = BatchLogit.occurrences(spark, dir)
+      .groupBy(col("docid"), col("label"), col("feature"))
+      .agg(count(lit(1)).as("cnt"))
+    val zero9 = lit(java.math.BigDecimal.ZERO).cast("decimal(18,9)")
+    val scores = (0 until 3).map { m =>
+      val w = trainSeq(spark, dir, shardMod = m)
+        .select(col("feature"), col("weight").cast("decimal(18,9)").as("w"))
+      occ.join(broadcast(w), Seq("feature"), "left_outer")
+        .groupBy(col("docid"), col("label"))
+        .agg(sum(col("cnt").cast("decimal(6,0)") * coalesce(col("w"), zero9))
+          .cast("decimal(18,9)").as(s"s_$m"))
+    }
+    def sign(c: org.apache.spark.sql.Column) =
+      when(c > 0, 1).when(c < 0, -1).otherwise(0)
+    val total = col("s_0") + col("s_1") + col("s_2")
+    scores.reduce(_.join(_, Seq("docid", "label")))
+      .select(col("docid"), col("label"),
+        (total.cast("double") / lit(3.0)).as("avg_score"),
+        when(total > 0, "spam").otherwise("ham").as("predicted_avg"),
+        when(sign(col("s_0")) + sign(col("s_1")) + sign(col("s_2")) > 0, "spam")
+          .otherwise("ham").as("predicted_vote"))
+  }
+
   /** DuckDB replay of [[trainSeq]]: the per-instance recurrence unrolled
     * as one MATERIALIZED CTE per docid step (the ta_bpe_train technique).
     * Types are pinned so every decimal op stays exact (DuckDB silently
@@ -228,45 +265,54 @@ object Spam {
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
        w -> w <> '')"""
 
-  /** The shared CTE chain replaying [[trainSeq]] (no final SELECT). */
-  private def trainSeqCtes(steps: Int, numFeatures: Int): String = {
+  /** The shared CTE chain replaying [[trainSeq]]: no "WITH" prefix and
+    * no final SELECT, so callers can splice several chains (distinct
+    * `sfx`) into one statement; `shardMod >= 0` restricts the fold to
+    * docid % 3 = shardMod (the ensemble's disjoint shards). The fixed
+    * step count exceeds the shard's instance count — absent steps are
+    * no-ops via the coalesce guards.
+    */
+  private def trainSeqCtes(steps: Int, numFeatures: Int,
+                           sfx: String = "", shardMod: Int = -1): String = {
+    val shard = if (shardMod < 0) "TRUE" else s"doc_id % 3 = $shardMod"
     val sb = new StringBuilder(
-      s"""WITH inst AS MATERIALIZED (
+      s"""inst$sfx AS MATERIALIZED (
             SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id AS docid,
                    CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS label
-            FROM (SELECT doc_id, $tokSql AS toks FROM documents WHERE doc_id < $steps)),
-          occ AS MATERIALIZED (
+            FROM (SELECT doc_id, $tokSql AS toks FROM documents
+                  WHERE doc_id < $steps AND $shard)),
+          occ$sfx AS MATERIALIZED (
             SELECT i.rn, f.feature, CAST(count(*) AS DECIMAL(4,0)) AS cnt
-            FROM inst i JOIN (
+            FROM inst$sfx i JOIN (
               SELECT doc_id AS docid,
                      unnest(list_transform(toks,
                        w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % $numFeatures)) AS feature
               FROM (SELECT doc_id, $tokSql AS toks FROM documents
-                    WHERE doc_id < $steps)) f
+                    WHERE doc_id < $steps AND $shard)) f
               ON i.docid = f.docid
             GROUP BY i.rn, f.feature),
-          w0 AS MATERIALIZED (
-            SELECT DISTINCT feature, CAST(0 AS DECIMAL(18,9)) AS w FROM occ)""")
+          w${sfx}0 AS MATERIALIZED (
+            SELECT DISTINCT feature, CAST(0 AS DECIMAL(18,9)) AS w FROM occ$sfx)""")
     for (i <- 1 to steps) sb ++=
       s""",
-          w$i AS MATERIALIZED (
+          w$sfx$i AS MATERIALIZED (
             SELECT ww.feature,
                    CAST(ww.w + coalesce(o.cnt, CAST(0 AS DECIMAL(4,0))) * coalesce(
                      (SELECT CAST((CAST(i2.label AS DECIMAL(2,0)) -
                               CAST(round(1.0 / (1.0 + exp(-CAST(coalesce(
                                 (SELECT sum(o2.cnt * w2.w)
-                                 FROM occ o2 JOIN w${i - 1} w2 USING (feature)
+                                 FROM occ$sfx o2 JOIN w$sfx${i - 1} w2 USING (feature)
                                  WHERE o2.rn = $i), 0) AS DOUBLE))), 6) AS DECIMAL(9,6)))
                             * CAST(0.002 AS DECIMAL(4,3)) AS DECIMAL(12,9))
-                      FROM inst i2 WHERE i2.rn = $i),
+                      FROM inst$sfx i2 WHERE i2.rn = $i),
                      CAST(0 AS DECIMAL(12,9))) AS DECIMAL(18,9)) AS w
-            FROM w${i - 1} ww
-            LEFT JOIN (SELECT feature, cnt FROM occ WHERE rn = $i) o USING (feature))"""
+            FROM w$sfx${i - 1} ww
+            LEFT JOIN (SELECT feature, cnt FROM occ$sfx WHERE rn = $i) o USING (feature))"""
     sb.toString
   }
 
   private def trainSeqOracle(steps: Int, numFeatures: Int): String =
-    trainSeqCtes(steps, numFeatures) + s"""
+    "WITH " + trainSeqCtes(steps, numFeatures) + s"""
           SELECT feature, CAST(w AS DOUBLE) AS weight FROM w$steps"""
 
   /** DuckDB replay of [[applySeq]]: the [[trainSeqCtes]] chain, a
@@ -275,7 +321,7 @@ object Spam {
     * (grid value → same decimal back).
     */
   private def applySeqOracle(steps: Int, numFeatures: Int): String =
-    trainSeqCtes(steps, numFeatures) + s""",
+    "WITH " + trainSeqCtes(steps, numFeatures) + s""",
           occf AS MATERIALIZED (
             SELECT docid, label, feature, CAST(count(*) AS DECIMAL(6,0)) AS cnt
             FROM (SELECT doc_id AS docid,
@@ -294,6 +340,40 @@ object Spam {
                 FROM occf o LEFT JOIN wd w USING (feature)
                 GROUP BY o.docid, o.label)"""
 
+  /** DuckDB replay of [[ensembleSeq]]: three suffixed [[trainSeqCtes]]
+    * chains (one per shard), the shared full-corpus occurrence table,
+    * one scoring aggregate per model, and the combine.
+    */
+  private def ensembleSeqOracle(steps: Int, numFeatures: Int): String = {
+    val chains = (0 until 3).map(m =>
+      trainSeqCtes(steps, numFeatures, sfx = s"m${m}_", shardMod = m))
+    val scoring = (0 until 3).map(m => s""",
+          wd$m AS (SELECT feature, CAST(CAST(w AS DOUBLE) AS DECIMAL(18,9)) AS w
+                   FROM wm${m}_$steps),
+          sc$m AS MATERIALIZED (
+            SELECT o.docid, o.label,
+                   CAST(sum(o.cnt * coalesce(w.w, CAST(0 AS DECIMAL(18,9))))
+                        AS DECIMAL(18,9)) AS s_$m
+            FROM occf o LEFT JOIN wd$m w USING (feature)
+            GROUP BY o.docid, o.label)""").mkString
+    def sign(c: String) = s"(CASE WHEN $c > 0 THEN 1 WHEN $c < 0 THEN -1 ELSE 0 END)"
+    "WITH " + chains.mkString(",\n          ") + s""",
+          occf AS MATERIALIZED (
+            SELECT docid, label, feature, CAST(count(*) AS DECIMAL(6,0)) AS cnt
+            FROM (SELECT doc_id AS docid,
+                         CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS label,
+                         unnest(list_transform(toks,
+                           w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % $numFeatures)) AS feature
+                  FROM (SELECT doc_id, $tokSql AS toks FROM documents))
+            GROUP BY docid, label, feature)$scoring
+          SELECT docid, label,
+                 CAST(s_0 + s_1 + s_2 AS DOUBLE) / 3.0 AS avg_score,
+                 CASE WHEN s_0 + s_1 + s_2 > 0 THEN 'spam' ELSE 'ham' END AS predicted_avg,
+                 CASE WHEN ${sign("s_0")} + ${sign("s_1")} + ${sign("s_2")} > 0
+                      THEN 'spam' ELSE 'ham' END AS predicted_vote
+          FROM sc0 JOIN sc1 USING (docid, label) JOIN sc2 USING (docid, label)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full-corpus sequential folds / model-dependent outputs: no SQL
     // oracle at corpus size (rows-only driver check); the exact-match
@@ -304,6 +384,7 @@ object Spam {
       .select(col("feature"), round(col("weight"), 6).as("weight"))),
     "spam_train_seq" -> ((s, d) => trainSeq(s, d)),
     "spam_apply_seq" -> ((s, d) => applySeq(s, d)),
+    "spam_ensemble_seq" -> ((s, d) => ensembleSeq(s, d)),
     "spam_apply"     -> ((s, d) => applyModel(instances(s, d), train(s, d))
       .select(col("docid"), col("label"), round(col("score"), 6).as("score"), col("predicted"))),
     "spam_ensemble"  -> ((s, d) => ensemble(s, d)),
@@ -320,5 +401,6 @@ object Spam {
   val oracles: Map[String, String] = Map(
     "spam_train_seq" -> trainSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
     "spam_apply_seq" -> applySeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
+    "spam_ensemble_seq" -> ensembleSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
   )
 }

@@ -221,6 +221,32 @@ class SpamSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded ensemble combines three shard models decimal-exactly") {
+    import graft.ml.BatchLogit
+    val occ = BatchLogit.occurrences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def modelScores(m: Int): Map[(Long, Int), BigDecimal] = {
+      val w = Spam.trainSeq(spark, sf, shardMod = m).collect()
+        .map(r => r.getLong(0) ->
+          BigDecimal(r.getDouble(1)).setScale(9, BigDecimal.RoundingMode.HALF_UP)).toMap
+      occ.groupBy(o => (o._1, o._2)).map { case (k, rows) =>
+        k -> rows.map(o => w.getOrElse(o._3, BigDecimal(0))).sum
+      }
+    }
+    val s0 = modelScores(0); val s1 = modelScores(1); val s2 = modelScores(2)
+    val got = Spam.ensembleSeq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getString(3), r.getString(4))).toMap
+    assert(got.keySet == s0.keySet)
+    got.foreach { case (k, (avg, pAvg, pVote)) =>
+      val total = s0(k) + s1(k) + s2(k)
+      assert(avg == total.toDouble / 3.0, s"doc $k avg")
+      assert(pAvg == (if (total > 0) "spam" else "ham"))
+      val votes = Seq(s0(k), s1(k), s2(k)).map(_.signum).sum
+      assert(pVote == (if (votes > 0) "spam" else "ham"))
+    }
+  }
+
   test("seeded shuffle changes training order but stays deterministic") {
     val a = Spam.train(spark, sf, shuffleSeed = Some(7L)).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
