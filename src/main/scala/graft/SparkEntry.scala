@@ -25,6 +25,7 @@ object SparkEntry {
       (sim.KMeans.queries, sim.KMeans.oracles),
       (analysis.TextAnalysis.queries, analysis.TextAnalysis.oracles),
       (events.Events.queries, events.Events.oracles),
+      (events.Temporal.queries, events.Temporal.oracles),
       (graph.PageRank.queries, graph.PageRank.oracles),
       (ml.Spam.queries, ml.Spam.oracles),
       (ml.BatchLogit.queries, ml.BatchLogit.oracles),

@@ -1,0 +1,235 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal join and window-analytics operators over the `events` table
+  * (driver-extension mandate). The reference has none of these — its only
+  * join shapes are inner/semi equi-joins (SURVEY.md §2.3 "Not present") —
+  * but a production event pipeline leans on exactly this family: as-of
+  * joins (enrich with the latest preceding fact), range joins (events
+  * inside a time window), lag/lead deltas, rollup summaries, distinct
+  * counts, and quantiles.
+  *
+  * Scale posture: Spark has no native as-of or range join — the naive
+  * spellings (a non-equi theta join) plan as BroadcastNestedLoop or a
+  * cartesian product, O(n·m) at 100 TB. Both operators here avoid that by
+  * construction:
+  *   - as-of = union both sides tagged, one hash shuffle by user_id, a
+  *     partition-local running `last(..., ignoreNulls)` window. Shuffle
+  *     volume is |left|+|right| rows, never a pair blow-up.
+  *   - range = bin timestamps to interval-length buckets, explode each
+  *     interval to the (≤2) buckets it overlaps, equi-join on the bucket,
+  *     then apply the exact range predicate. The equi-join shuffles
+  *     candidates only (pairs within ±1 bucket), not the cross product.
+  * All value sums are exact DECIMAL, so results are shuffle-order
+  * independent and hash-match the DuckDB oracle bit-for-bit.
+  *
+  * Millisecond integer timestamps (`unix_millis`) are the cross-engine
+  * comparison currency throughout: the fixture stores TIMESTAMP(NANOS),
+  * Spark reads microseconds, and integer ms floors identically in both
+  * engines (all fixture timestamps are post-epoch).
+  */
+object Temporal {
+  private def ms(cname: String) = unix_millis(col(cname))
+
+  /** Per-event lag deltas: time since the user's previous event and the
+    * change in `value` (exact DECIMAL difference). One shuffle by user_id;
+    * the lag window is partition-local (W-surface: lag/lead, the idiom the
+    * reference's secondary-sort machinery approximates — SURVEY.md §2.5).
+    */
+  def userDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t_ms"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        ms("ts").as("t_ms"), col("value").cast("decimal(12,2)").as("v"))
+      .withColumn("gap_ms", col("t_ms") - lag(col("t_ms"), 1).over(byUser))
+      .withColumn("value_delta",
+        (col("v") - lag(col("v"), 1).over(byUser)).cast("double"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("gap_ms"), col("value_delta"))
+  }
+
+  /** As-of join: each purchase event picks the user's most recent click at
+    * or before its timestamp (ties on ms: the click counts; among several,
+    * the highest event_id).
+    *
+    * Implementation is the distributed as-of idiom: tag both sides, union,
+    * shuffle once by user_id, and carry the latest click forward with a
+    * running `last(..., ignoreNulls = true)` ordered by (ms, side,
+    * event_id) — side 0 (click) before side 1 (purchase) makes the
+    * equal-timestamp click visible to the purchase. No pair expansion at
+    * any point; a 1000-executor run shuffles each event exactly once.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), ms("ts").as("t_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("t_ms"), col("event_id"), lit(0).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_ms"), col("event_id"), lit(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_ms"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isClick = col("side") === 0
+    clicks.unionByName(purchases)
+      .withColumn("click_id", last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ms", last(when(isClick, col("t_ms")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"), (col("t_ms") - col("click_ms")).as("ms_since_click"))
+  }
+
+  private val RangeMs = 3600000L // 1-hour incident window
+
+  /** Range join: for every error event ("incident"), count and sum the
+    * value of ALL events (any user, any type) strictly inside the hour
+    * after it. A pure interval join with no equi key — the shape Spark
+    * would otherwise plan as BroadcastNestedLoop.
+    *
+    * The bucketed rewrite: bin = floor(ms / windowLen). An incident's
+    * window overlaps at most 2 bins (window length == bin length), so each
+    * incident explodes to ≤2 (bin, incident) rows, equi-joins events on
+    * bin, and the exact predicate filters the candidates. Each matching
+    * pair appears exactly once (an event lives in exactly one bin).
+    * Incidents with no matches are restored by a left join against the
+    * aggregated pairs — output row count == incident count always.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), ms("ts").as("t_ms"),
+        col("value").cast("decimal(12,2)").as("v"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("t_ms").as("start_ms"))
+    val expanded = incidents.withColumn("bin",
+      explode(sequence(floor(col("start_ms") / RangeMs),
+        floor((col("start_ms") + lit(RangeMs - 1)) / RangeMs))))
+    val binned = ev.withColumn("bin", floor(col("t_ms") / RangeMs))
+    val matched = expanded.join(binned, Seq("bin"))
+      .filter(col("t_ms") > col("start_ms") && col("t_ms") < col("start_ms") + RangeMs)
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("m_n"), sum(col("v")).as("m_sum"))
+    incidents.join(matched, Seq("incident_id"), "left")
+      .select(col("incident_id"),
+        coalesce(col("m_n"), lit(0L)).as("n_events"),
+        coalesce(col("m_sum"), lit(0).cast("decimal(22,2)")).cast("double").as("sum_value"))
+  }
+
+  /** ROLLUP(event_type, day): per-type-per-day, per-type, and grand-total
+    * rows in one pass (the reference has no grouping-sets surface at all —
+    * SURVEY.md §2.4 "Not present"). Catalyst expands the rollup before the
+    * aggregate, so it is still a single partial+final shuffle. `lvl`
+    * disambiguates the NULL super-aggregate rows explicitly
+    * (grouping-bit formula spelled out in both engines).
+    */
+  def rollupDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .rollup(col("event_type"), col("day"))
+      .agg(
+        (grouping(col("event_type")) * 2 + grouping(col("day")))
+          .cast("long").as("lvl"),
+        count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("sum_value"))
+      .select(col("event_type"), col("day"), col("lvl"), col("n"), col("sum_value"))
+
+  /** Distinct-count aggregate: users per event type (the reference's only
+    * dedup is `array_distinct` per line — no distinct aggregation exists).
+    * Catalyst plans count(DISTINCT) as a two-phase expand/agg — shuffle
+    * keys are (event_type, user_id) partials, never raw rows collected.
+    */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+
+  /** Exact interpolated quantiles of `value` per event type, 6-dp rounded
+    * (the repo-wide fp-portability contract). `percentile` sorts each
+    * group — fine at per-type cardinalities; at 100 TB the drop-in is
+    * `percentile_approx` (bounded-memory sketch), spec-checked against
+    * this exact form within tolerance in TemporalSpec.
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_user_deltas"    -> ((s, d) => userDeltas(s, d)),
+    "ev_asof_join"      -> ((s, d) => asofJoin(s, d)),
+    "ev_range_join"     -> ((s, d) => rangeJoin(s, d)),
+    "ev_rollup_daily"   -> ((s, d) => rollupDaily(s, d)),
+    "ev_distinct_users" -> ((s, d) => distinctUsers(s, d)),
+    "ev_quantiles"      -> ((s, d) => valueQuantiles(s, d)),
+  )
+
+  // DuckDB oracles. epoch_ms(CAST(ts AS TIMESTAMP)) floors ns → ms exactly
+  // like Spark's unix_millis on the micros-rebuilt column (verified: the
+  // fixture has no sub-microsecond components and no duplicate
+  // (user_id, ms) pairs, so ordering is identical too).
+  val oracles: Map[String, String] = Map(
+    "ev_user_deltas" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms,
+               CAST(value AS DECIMAL(12,2)) AS v
+             FROM events)
+         SELECT event_id, user_id, event_type,
+           t_ms - lag(t_ms) OVER w AS gap_ms,
+           CAST(v - lag(v) OVER w AS DOUBLE) AS value_delta
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)""",
+    "ev_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms, event_id, 0 AS side
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms, event_id, 1 AS side
+           FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT user_id, t_ms, event_id, side,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w AS click_id,
+             last_value(CASE WHEN side = 0 THEN t_ms END IGNORE NULLS) OVER w AS click_ms
+           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, side, event_id
+                               ROWS UNBOUNDED PRECEDING))
+         SELECT event_id AS purchase_id, user_id, click_id,
+           t_ms - click_ms AS ms_since_click
+         FROM m WHERE side = 1""",
+    "ev_range_join" ->
+      """WITH e AS (SELECT event_id, event_type,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms,
+               CAST(value AS DECIMAL(12,2)) AS v
+             FROM events),
+         i AS (SELECT event_id AS incident_id, t_ms AS start_ms
+               FROM e WHERE event_type = 'error')
+         SELECT i.incident_id,
+           count(e.event_id) AS n_events,
+           CAST(coalesce(sum(e.v), 0) AS DOUBLE) AS sum_value
+         FROM i LEFT JOIN e
+           ON e.t_ms > i.start_ms AND e.t_ms < i.start_ms + 3600000
+         GROUP BY i.incident_id""",
+    "ev_rollup_daily" ->
+      """SELECT event_type, day,
+           CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS lvl,
+           count(*) AS n,
+           CAST(sum(v) AS DOUBLE) AS sum_value
+         FROM (SELECT event_type,
+                 strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                 CAST(value AS DECIMAL(12,2)) AS v
+               FROM events)
+         GROUP BY ROLLUP(event_type, day)""",
+    "ev_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+         FROM events GROUP BY event_type""",
+    "ev_quantiles" ->
+      """SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY event_type""",
+  )
+}

@@ -157,6 +157,45 @@ object Relational {
       .limit(10)
   }
 
+  /** Q8 (extension — the reference has no anti-join, SURVEY.md §2.3 "Not
+    * present"): customers with no order above a total-price threshold.
+    * LEFT ANTI against the filtered orders projection: the anti side
+    * shuffles only (o_custkey) keys that survive the pushed-down price
+    * predicate, and at dimension scale Catalyst broadcasts it.
+    */
+  def q8(spark: SparkSession, dir: String, minTotal: Double): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > minTotal).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+
+  /** Q9 (extension — no full-outer exists in the reference): per-nation
+    * negative-balance customer vs supplier profile. Both sides aggregate
+    * BEFORE the join (≤25 rows each), so the full outer join is a
+    * nation-count-sized merge no matter the fact scale; unmatched sides
+    * surface as zero counts via coalesce.
+    */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_acctbal") < 0)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"), 12, 2)).as("cust_bal"))
+    val s = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(dec(col("s_acctbal"), 12, 2)).as("supp_bal"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("cust_bal"), lit(0).cast("decimal(22,2)"))
+          .cast("double").as("cust_bal"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        coalesce(col("supp_bal"), lit(0).cast("decimal(22,2)"))
+          .cast("double").as("supp_bal"))
+  }
+
   // Baked-in parameters for the driver-run registry: chosen so every query
   // is non-empty at sf0.001 (dates span 1995-01..2001-11 uniformly).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -167,6 +206,8 @@ object Relational {
     "q5_month_nation"   -> ((s, d) => q5(s, d)),
     "q6_pricing_summary"-> ((s, d) => q6(s, d, "1996")),
     "q7_top_revenue"    -> ((s, d) => q7(s, d, "1997-06-30")),
+    "q8_cust_no_big_orders" -> ((s, d) => q8(s, d, 300000.0)),
+    "q9_nation_balance"     -> ((s, d) => q9(s, d)),
   )
 
   // DuckDB-dialect oracles over the same Parquet tables. Column aliases
@@ -237,5 +278,22 @@ object Relational {
          WHERE strftime(o_orderdate, '%Y-%m-%d') < '1997-06-30'
          GROUP BY c_name, l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q8_cust_no_big_orders" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+    "q9_nation_balance" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust,
+                      sum(CAST(c_acctbal AS DECIMAL(12,2))) AS cust_bal
+                    FROM customer WHERE c_acctbal < 0 GROUP BY c_nationkey),
+            s AS (SELECT s_nationkey, count(*) AS n_supp,
+                      sum(CAST(s_acctbal AS DECIMAL(12,2))) AS supp_bal
+                    FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey)
+         SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           CAST(coalesce(cust_bal, 0) AS DOUBLE) AS cust_bal,
+           coalesce(n_supp, 0) AS n_supp,
+           CAST(coalesce(supp_bal, 0) AS DOUBLE) AS supp_bal
+         FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""",
   )
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.events.Temporal
+
+/** Temporal join operators: semantic pins (as-of tie rules, range-join
+  * exactness vs brute force) and the 100 TB plan-shape guarantees (the
+  * binned range join must never plan a nested loop; the as-of join must
+  * shuffle each side once, by user).
+  */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("asof join: every purchase appears exactly once, matches precede") {
+    val out = Temporal.asofJoin(spark, sf).collect()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.length == purchases)
+    out.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getAs[Long]("ms_since_click") >= 0,
+        s"click after purchase: $r")
+    }
+  }
+
+  test("asof join: matched click is the latest preceding one (brute-force check)") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("t_ms"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicks = ev.filter(_._3 == "click").groupBy(_._2)
+    val expect = ev.filter(_._3 == "purchase").map { case (pid, uid, _, pms) =>
+      val best = clicks.getOrElse(uid, Array.empty)
+        .filter(_._4 <= pms) // tie at equal ms: click counts
+        .sortBy(c => (c._4, c._1)).lastOption // then max event_id
+      pid -> best.map(_._1)
+    }.toMap
+    val got = Temporal.asofJoin(spark, sf).collect().map { r =>
+      r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(2)) None else Some(r.getAs[Long]("click_id")))
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("range join: binned rewrite equals the brute-force theta join") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_millis(col("ts")).as("t_ms"),
+        col("value").cast("decimal(12,2)").as("v"))
+    val inc = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("t_ms").as("start_ms"))
+    val brute = inc.join(ev,
+        col("t_ms") > col("start_ms") && col("t_ms") < col("start_ms") + 3600000L,
+        "left")
+      .groupBy(col("incident_id"))
+      .agg(count(col("event_id")).as("n_events"),
+        coalesce(sum(col("v")), lit(0).cast("decimal(22,2)"))
+          .cast("double").as("sum_value"))
+    val got = Temporal.rangeJoin(spark, sf)
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("range join plans as an equi-join on the bin, never a nested loop") {
+    val p = plan(Temporal.rangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested loop in range join:\n$p")
+  }
+
+  test("asof join shuffles by user once and never expands pairs") {
+    val p = plan(Temporal.asofJoin(spark, sf))
+    assert(!p.contains("Join"), s"as-of should be window-only, no join operator:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("user deltas: gaps are positive and first-event rows are null") {
+    val rows = Temporal.userDeltas(spark, sf).collect()
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(rows.count(_.isNullAt(3)) == users) // one null gap per user
+    rows.filter(!_.isNullAt(3)).foreach(r => assert(r.getAs[Long]("gap_ms") > 0))
+  }
+
+  test("rollup: level rows reconcile (grand total == sum of type rows)") {
+    val rows = Temporal.rollupDaily(spark, sf).collect()
+    val grand = rows.filter(_.getAs[Long]("lvl") == 3)
+    assert(grand.length == 1)
+    val typeRows = rows.filter(_.getAs[Long]("lvl") == 1)
+    assert(typeRows.map(_.getAs[Long]("n")).sum == grand.head.getAs[Long]("n"))
+    val leafRows = rows.filter(_.getAs[Long]("lvl") == 0)
+    assert(leafRows.map(_.getAs[Long]("n")).sum == grand.head.getAs[Long]("n"))
+  }
+
+  test("percentile_approx tracks the exact quantiles (the 100 TB drop-in)") {
+    val exact = Temporal.valueQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    val approx = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    exact.foreach { case (t, e) =>
+      assert(math.abs(approx(t) - e) <= math.abs(e) * 0.02 + 1.0,
+        s"approx p50 drifted for $t: exact=$e approx=${approx(t)}")
+    }
+  }
+}
