@@ -156,11 +156,41 @@ object Streaming {
         sessionFold(gapMs))
   }
 
+  /** Stream-stream interval self-join: each purchase pairs with the same
+    * user's clicks in the preceding 6 hours. Both sides carry watermarks
+    * and the join predicate bounds the event-time distance, so Structured
+    * Streaming can evict buffered rows older than watermark + 6 h — state
+    * is bounded by the time horizon, never the stream length (the
+    * requirement for a stream-stream join to run forever). The range
+    * condition stays on the raw event-time columns (not derived ms
+    * arithmetic) because that is what the state-cleanup analyzer can
+    * reason about. On batch input the watermarks are no-ops and the plan
+    * is a plain equi-join on user_id with a range filter — the shape the
+    * shared DuckDB oracle replays. Exercised as a real AvailableNow
+    * stream-stream join in StreamingSpec.
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 6 HOURS"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("ms_before"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // batch execution of the streaming plans — same code, same oracle
     "st_windowed_rollup" -> ((s, d) => windowedRollup(Tables.events(s, d))),
     "st_sessions_stateful" -> ((s, d) => sessionizeStateful(Tables.events(s, d)).toDF()),
     "st_dedup" -> ((s, d) => streamingDedup(Tables.events(s, d))),
+    "st_interval_join" -> ((s, d) => intervalJoin(Tables.events(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -171,5 +201,14 @@ object Streaming {
               strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
               user_id, event_type
          FROM events""",
+    "st_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+              epoch_ms(CAST(p.ts AS TIMESTAMP)) - epoch_ms(CAST(c.ts AS TIMESTAMP)) AS ms_before
+         FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 6 HOUR""",
   )
 }

@@ -49,6 +49,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size < Tables.events(spark, sf).count())
   }
 
+  test("stream-stream interval join (file source, AvailableNow) equals the batch join") {
+    val ev = Streaming.readEventStream(spark, sf)
+    val stream = Streaming.intervalJoin(ev)
+    val qname = "ivjoin_test"
+    val q = stream.writeStream
+      .format("memory").queryName(qname)
+      .outputMode("append") // stream-stream inner joins are append-only
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("st-chk").toString)
+      .start()
+    q.awaitTermination(120000)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = pairs(spark.table(qname))
+    val want = pairs(Streaming.intervalJoin(Tables.events(spark, sf)))
+    assert(got == want)
+    assert(want.nonEmpty)
+    // sanity of the interval semantics on the batch result
+    want.foreach { case (_, _, _, msBefore) =>
+      assert(msBefore >= 0 && msBefore < 6L * 3600 * 1000)
+    }
+  }
+
   test("stateful sessionization on batch reproduces the window-based sessionize") {
     val stateful = Streaming.sessionizeStateful(Tables.events(spark, sf)).toDF()
       .collect()
