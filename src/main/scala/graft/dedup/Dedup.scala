@@ -243,6 +243,40 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Benchmark-contamination check — the training-data hygiene operator:
+    * for every training document, the fraction of its word-3-gram
+    * shingles that appear anywhere in the held-out eval set (here: the
+    * md5-bucket "test" split of [[graft.operators.Skew.hashSplit]], so
+    * membership is content-stable and oracle-replayable). The GPT-style
+    * n-gram-overlap decontamination shape.
+    *
+    * Scale posture: eval benchmarks are tiny next to a 100 TB corpus, so
+    * the distinct eval shingle keys are broadcast — the corpus-side scan
+    * never shuffles; per-doc counts aggregate on doc_id only. Shingles
+    * join on (xxhash64, length) like the Jaccard index (smaller rows,
+    * negligible collision odds); the oracle replays in string space.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      "pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10), 100)")
+    val tagged = docShingles(spark, dir).withColumn("bucket", bucket)
+    val evalKeys = tagged.where(col("bucket") >= 90)
+      .select(explode(col("sh")).as("s"))
+      .select(xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+      .distinct()
+    val train = tagged.where(col("bucket") < 90)
+    val dirty = train.select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("s"), length(col("g")).as("sl"))
+      .join(broadcast(evalKeys), Seq("s", "sl"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dirty"))
+    train.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+      .join(dirty, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_dirty"), lit(0L)).as("n_dirty"),
+        round(coalesce(col("n_dirty"), lit(0L)).cast("double") /
+          col("n_sh").cast("double"), 6).as("dirty_frac"))
+  }
+
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
@@ -272,6 +306,7 @@ object Dedup {
     "dedup_simhash"       -> ((s, d) => simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_groups"        -> ((s, d) => dupGroups(s, d)),
+    "dedup_contamination" -> ((s, d) => contamination(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -327,5 +362,20 @@ object Dedup {
                  bit_count(xor(a.simhash, b.simhash)) AS hamming
           FROM sim a JOIN sim b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 9""",
+    "dedup_contamination" ->
+      s"""WITH $shSql,
+          b AS (SELECT doc_id, s,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                    AS bucket
+                FROM sh),
+          ek AS (SELECT DISTINCT unnest(s) AS g FROM b WHERE bucket >= 90),
+          tr AS (SELECT doc_id, unnest(s) AS g FROM b WHERE bucket < 90),
+          d AS (SELECT tr.doc_id, count(*) AS n_dirty
+                FROM tr JOIN ek ON tr.g = ek.g GROUP BY tr.doc_id),
+          base AS (SELECT doc_id, len(s) AS n_sh FROM b WHERE bucket < 90)
+          SELECT base.doc_id, n_sh,
+            coalesce(n_dirty, 0) AS n_dirty,
+            round(coalesce(n_dirty, 0)::DOUBLE / n_sh, 6) AS dirty_frac
+          FROM base LEFT JOIN d ON base.doc_id = d.doc_id""",
   )
 }

@@ -98,6 +98,12 @@ class PlanAuditSpec extends AnyFunSuite {
       graft.sim.Similarity.embeddingDedupGroups(spark, sf)
     })
     assert(!ed.contains("CartesianProduct"), s"embedding dedup cartesian:\n$ed")
+    // contamination: the eval shingle set broadcasts (corpus side never
+    // shuffles for the membership probe) and nothing goes cartesian
+    val ct = plan(graft.dedup.Dedup.contamination(spark, sf))
+    assert(!ct.contains("CartesianProduct"), s"contamination cartesian:\n$ct")
+    assert(ct.contains("BroadcastHashJoin"),
+      s"eval shingle set should broadcast:\n$ct")
   }
 
   test("range rewrite of the reference's string-prefix date semantics is exact") {
