@@ -24,6 +24,7 @@ object SparkEntry {
       (sim.Similarity.queries, sim.Similarity.oracles),
       (sim.KMeans.queries, sim.KMeans.oracles),
       (analysis.TextAnalysis.queries, analysis.TextAnalysis.oracles),
+      (analysis.Curation.queries, analysis.Curation.oracles),
       (events.Events.queries, events.Events.oracles),
       (events.Temporal.queries, events.Temporal.oracles),
       (graph.PageRank.queries, graph.PageRank.oracles),

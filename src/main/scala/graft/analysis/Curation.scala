@@ -1,0 +1,174 @@
+package graft.analysis
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.Text
+
+/** Training-data curation operators (driver-extension mandate): the
+  * selection/shaping steps between "cleaned corpus" and "training
+  * examples" — stratified sampling, source mixture weighting, fixed-stride
+  * chunking, and sequence packing.
+  *
+  * Everything is content-deterministic (md5-derived buckets/ranks, never
+  * rand()), so results survive reruns, repartitioning, and backfills, and
+  * every operator is replayable by the DuckDB oracle.
+  *
+  * Scale posture: sampling and mixture are per-row filters plus one
+  * bounded-key window; chunking is a pure per-row explode; packing folds
+  * within md5-bucket shards whose size is corpus/buckets — the shard
+  * count scales with the corpus so no executor ever sees more than one
+  * shard's docs (the same bounded-group contract as the stateful
+  * sessionizer, documented at the fold).
+  */
+object Curation {
+
+  private def withToks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", Text.tokenize(col("text")))
+
+  /** Stratified sample: up to `perStratum` docs per language, ranked by
+    * md5(text) (content-stable pseudo-randomness — the rank is uniform
+    * but reproducible). One shuffle on the stratum key; the window is
+    * rank-only so the per-group state is a counter, never a buffer.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, perStratum: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(w).cast("long").as("rk"))
+      .where(col("rk") <= perStratum)
+  }
+
+  /** Source mixture weighting: per-source keep-rates (here a declared
+    * ramp over the source index — src0 keeps 100%, each next source 4
+    * points fewer), applied as a deterministic md5-bucket threshold on
+    * (doc_id, source). This is the "data mixing" step that rebalances
+    * web/books/code proportions before training; shuffle-free.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(substring(source, 4) AS INT)").as("src_idx"),
+        expr("""pmod(conv(substring(md5(concat(CAST(doc_id AS STRING), source)), 1, 8),
+                16, 10), 100)""").cast("long").as("bucket"))
+      .withColumn("rate_pct", (lit(100) - col("src_idx") * 4).cast("long"))
+      .where(col("bucket") < col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("rate_pct"))
+
+  private val ChunkLen = 8
+  private val ChunkStride = 6
+
+  /** Fixed-stride token chunking: overlapping windows of `ChunkLen`
+    * tokens every `ChunkStride` — how long documents become training
+    * examples. Pure per-row transform+explode (narrow, shuffle-free);
+    * trailing short chunks are kept, like a real packing pipeline's
+    * remainder handling.
+    */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    withToks(spark, dir)
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(toks) - 1) DIV $ChunkStride AS INT)),
+            i -> slice(toks, i * $ChunkStride + 1, $ChunkLen))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("long").as("n_chunk_toks"))
+
+  private val PackCapacity = 48L
+  private val PackBuckets = 16
+
+  // public: Spark codegen instantiates the deserializer from generated code
+  final case class PackDoc(bucket: Int, doc_id: Long, n: Long)
+
+  /** Sequence packing: greedy next-fit of documents into
+    * `PackCapacity`-token bins, folded in doc_id order WITHIN md5-bucket
+    * shards. Packing is inherently order-dependent, so the distributed
+    * form shards first (content-stable md5 bucket), then folds each shard
+    * sequentially — the executor materializes ONE shard's (doc_id, n)
+    * pairs (16 bytes/doc; shard size = corpus/buckets, and buckets scales
+    * with the corpus at 100 TB). A doc longer than the capacity gets its
+    * own bin. The per-shard recurrence is replayed exactly by the
+    * oracle's recursive CTE.
+    */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withToks(spark, dir)
+      .select(
+        expr(s"""CAST(pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10),
+                 $PackBuckets) AS INT)""").as("bucket"),
+        col("doc_id"), size(col("toks")).cast("long").as("n"))
+      .as[PackDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (bucket, it) =>
+        val docs = it.toArray.sortBy(_.doc_id)
+        var bin = 0L
+        var fill = 0L
+        docs.iterator.map { d =>
+          if (fill > 0 && fill + d.n > PackCapacity) { bin += 1; fill = d.n }
+          else fill += d.n
+          (d.doc_id, bucket.toLong, bin, d.n)
+        }
+      }
+      .toDF("doc_id", "bucket", "bin_id", "n_tokens")
+  }
+
+  private val tokSql =
+    """list_filter(list_transform(string_split_regex(text, '\s+'),
+       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
+       w -> w <> '')"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "ta_mixture_sample"    -> ((s, d) => mixtureSample(s, d)),
+    "ta_chunk"             -> ((s, d) => chunk(s, d)),
+    "ta_pack"              -> ((s, d) => pack(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ta_stratified_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 50""",
+    "ta_mixture_sample" ->
+      """SELECT doc_id, source, bucket, rate_pct FROM (
+           SELECT doc_id, source,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || source), 1, 8)
+                  AS BIGINT) % 100 AS bucket,
+             CAST(100 - CAST(substring(source, 4) AS INT) * 4 AS BIGINT) AS rate_pct
+           FROM documents)
+         WHERE bucket < rate_pct""",
+    "ta_chunk" ->
+      s"""SELECT doc_id, i AS chunk_idx,
+            array_to_string(toks[i*$ChunkStride+1 : i*$ChunkStride+$ChunkLen], ' ')
+              AS chunk_text,
+            len(toks[i*$ChunkStride+1 : i*$ChunkStride+$ChunkLen]) AS n_chunk_toks
+          FROM (SELECT doc_id, toks,
+                  unnest(generate_series(0, (len(toks) - 1) // $ChunkStride)) AS i
+                FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+                WHERE len(toks) > 0)""",
+    "ta_pack" ->
+      s"""WITH RECURSIVE seq AS (
+            SELECT bucket, doc_id, n,
+              row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+            FROM (SELECT
+                    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                      % $PackBuckets AS bucket,
+                    doc_id, len($tokSql) AS n
+                  FROM documents)),
+          packed(bucket, rn, doc_id, n, bin, fill) AS (
+            SELECT bucket, rn, doc_id, n, CAST(0 AS BIGINT), n
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.bucket, s.rn, s.doc_id, s.n,
+              CASE WHEN p.fill > 0 AND p.fill + s.n > $PackCapacity
+                   THEN p.bin + 1 ELSE p.bin END,
+              CASE WHEN p.fill > 0 AND p.fill + s.n > $PackCapacity
+                   THEN s.n ELSE p.fill + s.n END
+            FROM packed p JOIN seq s ON s.bucket = p.bucket AND s.rn = p.rn + 1)
+          SELECT doc_id, bucket, bin AS bin_id, n AS n_tokens FROM packed""",
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.Curation
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("stratified sample: at most k per language, ranks contiguous from 1") {
+    val rows = Curation.stratifiedSample(spark, sf, perStratum = 50).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length <= 50, s"$lang oversampled")
+      val rks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(rks.sameElements(1L to rks.length), s"$lang ranks not contiguous")
+    }
+  }
+
+  test("mixture sample keeps higher-rate sources more often") {
+    val kept = Curation.mixtureSample(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0 keeps 100% — every doc of src0 must survive
+    val src0Total = Tables.documents(spark, sf)
+      .filter(col("source") === "src0").count()
+    assert(kept.getOrElse("src0", 0L) == src0Total)
+    // monotone-ish: the top-rate half must keep at least as many in total
+    // as the bottom-rate half (exact counts are md5-deterministic)
+    val hi = (0 to 9).map(i => kept.getOrElse(s"src$i", 0L)).sum
+    val lo = (10 to 19).map(i => kept.getOrElse(s"src$i", 0L)).sum
+    assert(hi >= lo)
+  }
+
+  test("chunks cover every token and respect the stride geometry") {
+    val docToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.text.Text.tokenize(col("text")).as("toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    val chunks = Curation.chunk(spark, sf).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, cs) =>
+      val toks = docToks(id)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      // chunk i starts at i*stride and is the slice the source holds
+      sorted.foreach { c =>
+        val i = c.getAs[Long]("chunk_idx").toInt
+        val expect = toks.slice(i * 6, i * 6 + 8).mkString(" ")
+        assert(c.getAs[String]("chunk_text") == expect)
+      }
+      // the last chunk reaches the end of the document
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_idx").toInt * 6 + last.getAs[Long]("n_chunk_toks") >= toks.length)
+    }
+    assert(byDoc.keySet == docToks.filter(_._2.nonEmpty).keySet)
+  }
+
+  test("packing: bins stay within capacity except single oversized docs") {
+    val rows = Curation.pack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("doc_id")))
+    val byBin = rows.groupBy(t => (t._1, t._2))
+    byBin.foreach { case (bin, docs) =>
+      val total = docs.map(_._3).sum
+      assert(total <= 48 || docs.length == 1,
+        s"bin $bin overfilled with ${docs.length} docs / $total tokens")
+    }
+    // next-fit leaves no two consecutive bins that could have merged:
+    // the doc that OPENED bin k+1 (its lowest doc_id) must not have fit
+    // into bin k
+    rows.groupBy(_._1).foreach { case (_, shard) =>
+      val bins = shard.groupBy(_._2).toSeq.sortBy(_._1)
+      bins.sliding(2).foreach {
+        case Seq((_, a), (_, b)) =>
+          val opener = b.minBy(_._4)._3
+          assert(a.map(_._3).sum + opener > 48,
+            "next-fit would have continued the previous bin")
+        case _ =>
+      }
+    }
+    assert(rows.length == Tables.documents(spark, sf).count())
+  }
+}
