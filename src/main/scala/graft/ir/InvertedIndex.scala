@@ -141,8 +141,51 @@ object InvertedIndex {
       .select(col("doc_id"), col("score_d").cast("double").as("score"), col("rank"))
   }
 
+  /** POSITIONAL index relation: per (term, doc), the sorted 1-based token
+    * offsets — the positional-postings extension a phrase-capable engine
+    * needs on top of the reference's (doc, tf) postings. Built once per
+    * (session, dir) and term-clustered like [[postingsRelation]]; the
+    * position list is bounded by per-doc term frequency, so rows stay
+    * small at any corpus scale.
+    */
+  def positionsRelation(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "ir:positions") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(Text.tokenize(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .repartition(col("term"))
+    }
+
+  /** Exact phrase query over the positional index: the phrase matches at
+    * start position p iff term i sits at p+i for every i, i.e. the
+    * intersection of each term's position list shifted left by its
+    * offset. One `term = t` lookup per phrase word against the persisted
+    * relation, joined on doc_id (k−1 joins for a k-word phrase — k is
+    * query length, never corpus-sized), then a per-row array intersect.
+    */
+  def phraseQuery(spark: SparkSession, dir: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val pos = positionsRelation(spark, dir)
+    val shifted = phrase.zipWithIndex.map { case (w, i) =>
+      pos.filter(col("term") === w)
+        .select(col("doc_id"),
+          transform(col("positions"), p => p - i).as(s"p$i"))
+    }
+    val starts = phrase.indices.map(i => col(s"p$i"))
+      .reduce((a, b) => array_intersect(a, b))
+    shifted.reduce(_.join(_, "doc_id"))
+      .select(col("doc_id"), starts.as("starts"))
+      .where(size(col("starts")) > 0)
+      .select(col("doc_id"),
+        size(col("starts")).cast("long").as("n_matches"),
+        array_min(col("starts")).as("first_pos"))
+  }
+
   // Fixed query over the fixture vocabulary: (spark AND table) OR merge.
   private val demoQuery = "spark table AND merge OR"
+  private val demoPhrase = Seq("table", "hash")
 
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
@@ -159,6 +202,7 @@ object InvertedIndex {
     "ir_boolean" -> ((s, d) => booleanQuery(s, d, demoQuery)),
     "ir_retrieve" -> ((s, d) => retrieve(s, d, demoQuery)),
     "ir_bm25" -> ((s, d) => bm25(s, d)),
+    "ir_phrase" -> ((s, d) => phraseQuery(s, d, demoPhrase)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -216,5 +260,19 @@ object InvertedIndex {
             UNION
             SELECT doc_id FROM dw WHERE term = 'merge'))
           SELECT doc_id, text FROM hits JOIN documents USING (doc_id)""",
+    "ir_phrase" ->
+      s"""WITH tp AS (
+            SELECT doc_id, pos, toks[pos] AS term
+            FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks))) AS pos
+                  FROM (SELECT doc_id, $tokSql AS toks FROM documents))),
+          p0 AS (SELECT doc_id, pos FROM tp WHERE term = 'table'),
+          p1 AS (SELECT doc_id, pos - 1 AS pos FROM tp WHERE term = 'hash'),
+          starts AS (
+            SELECT doc_id, pos FROM p0
+            INTERSECT
+            SELECT doc_id, pos FROM p1)
+          SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+          FROM starts GROUP BY doc_id""",
   )
 }

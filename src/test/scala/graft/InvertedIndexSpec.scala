@@ -94,6 +94,24 @@ class InvertedIndexSpec extends AnyFunSuite {
     val rows = InvertedIndex.retrieve(spark, sf, "spark table AND").collect()
     rows.foreach(r => assert(r.getAs[String]("text").nonEmpty))
   }
+
+  test("phrase query matches a brute-force sliding scan (2- and 3-word)") {
+    import org.apache.spark.sql.functions._
+    val docToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.text.Text.tokenize(col("text")).as("toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    for (phrase <- Seq(Seq("table", "hash"), Seq("the", "data", "slow"))) {
+      val expect = docToks.flatMap { case (id, toks) =>
+        val starts = toks.sliding(phrase.length).zipWithIndex
+          .collect { case (w, i) if w == phrase => i + 1L }.toSeq
+        if (starts.nonEmpty) Some(id -> (starts.length.toLong, starts.min)) else None
+      }
+      val got = InvertedIndex.phraseQuery(spark, sf, phrase).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos"))).toMap
+      assert(got == expect, s"phrase $phrase mismatch")
+    }
+  }
 }
 
 /** S6: the index persisted as a Parquet table with point lookups served
