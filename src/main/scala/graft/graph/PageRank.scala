@@ -212,9 +212,36 @@ object PageRank {
     else full.repartition(n, col("id"))
   }
 
+  /** Per-node triangle participation (graph-extension beyond the
+    * reference's PageRank-only surface). Ordered-wedge enumeration:
+    * canonicalize to undirected a<b edges, join (a,b)⋈(b,c) wedges back
+    * against (a,c) — every triangle materializes exactly once as
+    * a<b<c, so no post-hoc division. All three joins are equi-joins on
+    * node ids (shuffle keys, broadcastable small sides at dimension
+    * scale); production systems order by degree instead of id to tame
+    * hub skew — same plan shape, different canonical order.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = edges(spark, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val tri = und.toDF("a", "b")
+      .join(und.toDF("b2", "c"), col("b") === col("b2"))
+      .join(und.toDF("a3", "c3"),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    nodes(spark, dir).join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr_edges_outdeg" -> ((s, d) => outDegrees(s, d)),
     "pr_toprank"      -> ((s, d) => topK(s, d)),
+    "pr_triangles"    -> ((s, d) => triangles(s, d)),
   )
 
   /** DuckDB replay of [[topK]]: the 10-iteration protocol unrolled as
@@ -280,5 +307,24 @@ object PageRank {
            FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100)
          GROUP BY src""",
     "pr_toprank" -> topKOracle(Seq(3, 57), iterations = 10, k = 10),
+    "pr_triangles" ->
+      """WITH e AS (
+           SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+           FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+         tri AS (
+           SELECT e1.a, e1.b, e2.b AS c
+           FROM und e1 JOIN und e2 ON e1.b = e2.a
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pn AS (
+           SELECT id, count(*) AS n_triangles FROM (
+             SELECT a AS id FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+           GROUP BY id),
+         n AS (SELECT DISTINCT id FROM
+                 (SELECT src AS id FROM e UNION SELECT dst FROM e))
+         SELECT n.id, coalesce(pn.n_triangles, 0) AS n_triangles
+         FROM n LEFT JOIN pn ON n.id = pn.id""",
   )
 }

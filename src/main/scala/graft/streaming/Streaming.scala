@@ -62,6 +62,22 @@ object Streaming {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 30 minutes — each event lands in
+    * exactly 2 overlapping windows (Spark expands the slide inside the
+    * aggregate; state keyed by (window, type) like the tumbling form,
+    * watermark-evicted). Epoch-aligned window starts, so the oracle can
+    * regenerate the window set arithmetically.
+    */
+  def slidingRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Streaming exact-dedup: emit each distinct (hour-window, user, type)
     * key once — duplicate-event suppression (double-fires, retries), the
     * stream-side twin of Dedup.exact's hash-groupBy. The dedup keys
@@ -191,6 +207,7 @@ object Streaming {
     "st_sessions_stateful" -> ((s, d) => sessionizeStateful(Tables.events(s, d)).toDF()),
     "st_dedup" -> ((s, d) => streamingDedup(Tables.events(s, d))),
     "st_interval_join" -> ((s, d) => intervalJoin(Tables.events(s, d))),
+    "st_sliding_rollup" -> ((s, d) => slidingRollup(Tables.events(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -210,5 +227,15 @@ object Streaming {
                FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 6 HOUR""",
+    // each event belongs to the 2 epoch-aligned sliding windows
+    // [start, start+1h) with start = 30-min slot of ts, minus 0 or 1 slots
+    "st_sliding_rollup" ->
+      """SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, count(*) AS n,
+              CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+         FROM (SELECT event_type, value,
+                 (epoch_ms(CAST(ts AS TIMESTAMP)) // 1800000 - j) * 1800000000 AS start_us
+               FROM events, unnest(generate_series(0, 1)) AS u(j))
+         GROUP BY 1, 2""",
   )
 }

@@ -93,6 +93,19 @@ class TemporalSpec extends AnyFunSuite {
     assert(leafRows.map(_.getAs[Long]("n")).sum == grand.head.getAs[Long]("n"))
   }
 
+  test("approx_count_distinct tracks the exact distinct counts (HLL drop-in)") {
+    val exact = Temporal.distinctUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    val approx = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    exact.foreach { case (t, e) =>
+      assert(math.abs(approx(t) - e) <= math.max(3.0, e * 0.05),
+        s"HLL drifted for $t: exact=$e approx=${approx(t)}")
+    }
+  }
+
   test("percentile_approx tracks the exact quantiles (the 100 TB drop-in)") {
     val exact = Temporal.valueQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
