@@ -59,13 +59,52 @@ object Skew {
           .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
 
+  /** Salted equi-join for a skewed build side: the probe side gets a
+    * random-but-deterministic salt in [0, salts), the build side is
+    * REPLICATED once per salt value, and the join keys on (key, salt) —
+    * a hot key's probe rows spread over `salts` reducers instead of
+    * funneling through one. Result identical to the unsalted join for
+    * any salt width (each probe row meets each build row exactly once,
+    * at its own salt). AQE's skew-join split covers sort-merge joins
+    * automatically; explicit salting remains the tool when AQE can't
+    * split (e.g. a skewed aggregate-after-join keyed on the hot key).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val salted = probe.withColumn("salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val replicated = build.withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
+    salted.join(replicated, Seq(key, "salt")).drop("salt")
+  }
+
+  /** Per-customer order-lineitem volumes through the salted join —
+    * hash-checked against the same oracle shape as a plain join, proving
+    * the rewrite exact.
+    */
+  def saltedJoinVolumes(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      Tables.lineitem(spark, dir).select(col("l_orderkey").as("o_orderkey"),
+        col("l_quantity").cast("decimal(12,2)").as("qty")),
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+      "o_orderkey")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("qty")).cast("double").as("sum_qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_salted_wordcount" -> ((s, d) => saltedWordCount(s, d)),
+    "sk_salted_join"      -> ((s, d) => saltedJoinVolumes(s, d)),
     "ml_hash_split"       -> ((s, d) => hashSplit(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
     "sk_salted_wordcount" -> graft.text.Text.oracles("text_wordcount"),
+    "sk_salted_join" ->
+      """SELECT o_custkey, count(*) AS n_items,
+              CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_custkey""",
     "ml_hash_split" ->
       """SELECT doc_id,
                 CASE WHEN bucket < 80 THEN 'train'
