@@ -23,14 +23,23 @@ import graft.Tables
   */
 object LogSumExp {
 
-  /** log(Σ exp(x)) per group, stable: max_g + log(Σ exp(x − max_g)). */
+  /** log(Σ exp(x)) per group, stable: max_g + log(Σ exp(x − max_g)).
+    *
+    * The group-max side is an aggregate of group-cardinality rows, so it
+    * is BROADCAST — the fact scan never shuffles for the join (a shuffle
+    * join here funnels every row through |groups| hot reducers). Each
+    * exp term is rounded to 12 dp and summed as exact DECIMAL, so the
+    * per-group sum is associative — shuffle/partial-agg order cannot
+    * move the 6-dp result, and the oracle replays it bit-for-bit.
+    */
   def twoPass(df: DataFrame, groupCol: String, x: Column): DataFrame = {
     val t = df.select(col(groupCol), x.as("x"))
     val m = t.groupBy(col(groupCol)).agg(max(col("x")).as("mx"))
-    t.join(m, groupCol)
+    t.join(broadcast(m), groupCol)
       .groupBy(col(groupCol), col("mx"))
-      .agg(sum(exp(col("x") - col("mx"))).as("s"))
-      .select(col(groupCol), round(col("mx") + log(col("s")), 6).as("lse"))
+      .agg(sum(round(exp(col("x") - col("mx")), 12).cast("decimal(26,12)")).as("s"))
+      .select(col(groupCol),
+        round(col("mx") + log(col("s").cast("double")), 6).as("lse"))
   }
 
   /** Single-pass LSE Aggregator: state = (runningMax, Σ exp(x − runningMax)). */
@@ -62,11 +71,14 @@ object LogSumExp {
   )
 
   val oracles: Map[String, String] = Map(
-    // identical 2-pass shape so the fp path matches
+    // identical 2-pass shape; 12-dp rounded exp terms summed as DECIMAL
+    // mirror the associative Spark aggregation exactly
     "fn_logsumexp" ->
       """WITH t AS (SELECT l_returnflag, ln(l_quantity + 1) AS x FROM lineitem),
             m AS (SELECT l_returnflag, max(x) AS mx FROM t GROUP BY l_returnflag)
-         SELECT t.l_returnflag, round(mx + ln(sum(exp(x - mx))), 6) AS lse
+         SELECT t.l_returnflag,
+           round(mx + ln(CAST(sum(CAST(round(exp(x - mx), 12) AS DECIMAL(26,12)))
+                              AS DOUBLE)), 6) AS lse
          FROM t JOIN m USING (l_returnflag)
          GROUP BY t.l_returnflag, mx""",
   )
