@@ -87,7 +87,10 @@ object Skew {
       Tables.lineitem(spark, dir).select(col("l_orderkey").as("o_orderkey"),
         col("l_quantity").cast("decimal(12,2)").as("qty")),
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-      "o_orderkey")
+      "o_orderkey",
+      // 8 spreads a hot key over a quarter of the 32-way cluster while
+      // keeping the build replication factor (the salting tax) low
+      salts = 8)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("qty")).cast("double").as("sum_qty"))
