@@ -136,6 +136,24 @@ object Temporal {
         sum(col("v")).cast("double").as("sum_value"))
       .select(col("event_type"), col("day"), col("lvl"), col("n"), col("sum_value"))
 
+  /** CUBE(event_type, dow): all four grouping sets — per-(type, weekday),
+    * per-type, per-weekday, and grand total — in one partial+final
+    * aggregate (completes the grouping-sets family next to
+    * [[rollupDaily]]; the weekday dimension keeps the cube small at any
+    * corpus scale).
+    */
+  def cubeWeekday(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), date_format(col("ts"), "EEEE").as("dow"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .cube(col("event_type"), col("dow"))
+      .agg(
+        (grouping(col("event_type")) * 2 + grouping(col("dow")))
+          .cast("long").as("lvl"),
+        count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("sum_value"))
+      .select(col("event_type"), col("dow"), col("lvl"), col("n"), col("sum_value"))
+
   /** Distinct-count aggregate: users per event type (the reference's only
     * dedup is `array_distinct` per line — no distinct aggregation exists).
     * Catalyst plans count(DISTINCT) as a two-phase expand/agg — shuffle
@@ -165,6 +183,7 @@ object Temporal {
     "ev_asof_join"      -> ((s, d) => asofJoin(s, d)),
     "ev_range_join"     -> ((s, d) => rangeJoin(s, d)),
     "ev_rollup_daily"   -> ((s, d) => rollupDaily(s, d)),
+    "ev_cube_weekday"   -> ((s, d) => cubeWeekday(s, d)),
     "ev_distinct_users" -> ((s, d) => distinctUsers(s, d)),
     "ev_quantiles"      -> ((s, d) => valueQuantiles(s, d)),
   )
@@ -222,6 +241,16 @@ object Temporal {
                  CAST(value AS DECIMAL(12,2)) AS v
                FROM events)
          GROUP BY ROLLUP(event_type, day)""",
+    "ev_cube_weekday" ->
+      """SELECT event_type, dow,
+           CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS lvl,
+           count(*) AS n,
+           CAST(sum(v) AS DOUBLE) AS sum_value
+         FROM (SELECT event_type,
+                 strftime(CAST(ts AS TIMESTAMP), '%A') AS dow,
+                 CAST(value AS DECIMAL(12,2)) AS v
+               FROM events)
+         GROUP BY CUBE(event_type, dow)""",
     "ev_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
          FROM events GROUP BY event_type""",

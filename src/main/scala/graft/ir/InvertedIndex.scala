@@ -76,6 +76,9 @@ object InvertedIndex {
       case "OR" =>
         val a :: b :: rest = stack: @unchecked
         stack = a.union(b).distinct() :: rest
+      case "NOT" => // binary difference: "x y NOT" = x minus y
+        val b :: a :: rest = stack: @unchecked
+        stack = a.except(b) :: rest
       case term =>
         stack = dw.filter(col("term") === term).select(col("doc_id")) :: stack
     }
@@ -203,6 +206,9 @@ object InvertedIndex {
     "ir_retrieve" -> ((s, d) => retrieve(s, d, demoQuery)),
     "ir_bm25" -> ((s, d) => bm25(s, d)),
     "ir_phrase" -> ((s, d) => phraseQuery(s, d, demoPhrase)),
+    // E-family difference (EXCEPT was "Not present" in the reference —
+    // SURVEY §2.7): docs containing spark but not merge
+    "ir_boolean_not" -> ((s, d) => booleanQuery(s, d, "spark merge NOT")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -274,5 +280,10 @@ object InvertedIndex {
             SELECT doc_id, pos FROM p1)
           SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
           FROM starts GROUP BY doc_id""",
+    "ir_boolean_not" ->
+      s"""WITH dw AS (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents)
+          SELECT doc_id FROM dw WHERE term = 'spark'
+          EXCEPT
+          SELECT doc_id FROM dw WHERE term = 'merge'""",
   )
 }

@@ -106,6 +106,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"eval shingle set should broadcast:\n$ct")
   }
 
+  test("day-partitioned layout prunes partitions at the scan (100 TB layout)") {
+    import org.apache.spark.sql.functions._
+    val path = "target/events_by_day"
+    Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    val q = spark.read.parquet(path).filter(col("day") === "2024-01-02")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("isnotnull(day"),
+      s"no partition filter at the scan:\n$p")
+    // the pruned scan reads only the one day's rows
+    val expect = Tables.events(spark, sf)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-02").count()
+    assert(q.count() == expect && expect > 0)
+  }
+
   test("range rewrite of the reference's string-prefix date semantics is exact") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
