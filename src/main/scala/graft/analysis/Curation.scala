@@ -121,12 +121,39 @@ object Curation {
       .toDF("doc_id", "bucket", "bin_id", "n_tokens")
   }
 
+  /** End-to-end corpus curation — the composed training-data pipeline:
+    * keep a document iff it
+    *  1. passes the heuristic quality gate (ta_quality `pass`),
+    *  2. is its exact-dedup group's canonical (min doc_id per md5),
+    *  3. is its NEAR-dup component's canonical (MinHash pair graph →
+    *     connected components, dedup_groups),
+    *  4. sits in the train split with eval-overlap dirty_frac < 0.5
+    *     (dedup_contamination — eval-split docs are held out entirely).
+    * Every stage is the already-oracle-checked operator; this registers
+    * their COMPOSITION under one hash gate, which is what an actual
+    * pipeline runs. All joins key on doc_id; the per-stage scale
+    * arguments (broadcast eval set, banded LSH, bounded label
+    * propagation) carry over unchanged.
+    */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .where(col("pass")).select(col("doc_id"), col("score"))
+    val exactCanon = graft.dedup.Dedup.exact(spark, dir)
+      .where(col("doc_id") === col("canonical_id")).select(col("doc_id"))
+    val nearCanon = graft.dedup.Dedup.dupGroups(spark, dir)
+      .where(col("doc_id") === col("canonical_id")).select(col("doc_id"))
+    val clean = graft.dedup.Dedup.contamination(spark, dir)
+      .where(col("dirty_frac") < 0.5).select(col("doc_id"), col("dirty_frac"))
+    q.join(exactCanon, "doc_id").join(nearCanon, "doc_id").join(clean, "doc_id")
+  }
+
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
        w -> w <> '')"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate"      -> ((s, d) => curate(s, d)),
     "ta_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "ta_mixture_sample"    -> ((s, d) => mixtureSample(s, d)),
     "ta_chunk"             -> ((s, d) => chunk(s, d)),
@@ -134,6 +161,66 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE
+          tk AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+          q AS (
+            SELECT doc_id, score FROM (
+              SELECT doc_id, n_tokens,
+                CAST(CAST(1.0 AS DECIMAL(8,6))
+                     - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
+                     - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
+                     AS DOUBLE) AS score
+              FROM (SELECT doc_id, len(toks) AS n_tokens,
+                      round(len(list_filter(toks, w -> list_contains(['the', 'a', 'and', 'of', 'to', 'in'], w)))::DOUBLE
+                            / len(toks), 6) AS stop_ratio,
+                      round(len(list_filter(toks, w -> length(w) <= 2))::DOUBLE
+                            / len(toks), 6) AS short_ratio
+                    FROM tk))
+            WHERE score >= 0.8 AND n_tokens >= 10),
+          ec AS (
+            SELECT doc_id FROM (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+              FROM documents)
+            WHERE doc_id = canon),
+          sh AS (
+            SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in generate_series(1, len(toks) - 2)]) AS s
+            FROM tk WHERE len(toks) >= 3),
+          pairs AS (
+            SELECT d1, d2 FROM (
+              SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     round(len(list_intersect(a.s, b.s))::DOUBLE /
+                           len(list_distinct(a.s || b.s)), 6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                    UNION ALL SELECT d2, d1 FROM pairs),
+          reach(doc, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
+          nc AS (
+            SELECT doc_id FROM (
+              SELECT doc AS doc_id, min(r) AS canonical_id FROM reach GROUP BY doc)
+            WHERE doc_id = canonical_id),
+          bkt AS (SELECT doc_id, s,
+                    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                      AS bucket
+                  FROM sh),
+          ek AS (SELECT DISTINCT unnest(s) AS g FROM bkt WHERE bucket >= 90),
+          tr AS (SELECT doc_id, unnest(s) AS g FROM bkt WHERE bucket < 90),
+          dc AS (SELECT tr.doc_id, count(*) AS n_dirty
+                 FROM tr JOIN ek ON tr.g = ek.g GROUP BY tr.doc_id),
+          ct AS (
+            SELECT doc_id, dirty_frac FROM (
+              SELECT base.doc_id,
+                round(coalesce(n_dirty, 0)::DOUBLE / n_sh, 6) AS dirty_frac
+              FROM (SELECT doc_id, len(s) AS n_sh FROM bkt WHERE bucket < 90) base
+              LEFT JOIN dc ON base.doc_id = dc.doc_id)
+            WHERE dirty_frac < 0.5)
+          SELECT q.doc_id, q.score, ct.dirty_frac
+          FROM q JOIN ec USING (doc_id) JOIN nc USING (doc_id) JOIN ct USING (doc_id)""",
     "ta_stratified_sample" ->
       """SELECT doc_id, lang, rk FROM (
            SELECT doc_id, lang,
