@@ -22,6 +22,9 @@ import graft.text.Text
   * shard's docs (the same bounded-group contract as the stateful
   * sessionizer, documented at the fold).
   */
+// top-level: Spark codegen instantiates the deserializer from generated code
+final case class PackDoc(bucket: Int, doc_id: Long, n: Long)
+
 object Curation {
 
   private def withToks(spark: SparkSession, dir: String): DataFrame =
@@ -86,8 +89,6 @@ object Curation {
   private val PackCapacity = 48L
   private val PackBuckets = 16
 
-  // public: Spark codegen instantiates the deserializer from generated code
-  final case class PackDoc(bucket: Int, doc_id: Long, n: Long)
 
   /** Sequence packing: greedy next-fit of documents into
     * `PackCapacity`-token bins, folded in doc_id order WITHIN md5-bucket
@@ -101,19 +102,31 @@ object Curation {
     */
   def pack(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    withToks(spark, dir)
-      .select(
-        expr(s"""CAST(pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10),
-                 $PackBuckets) AS INT)""").as("bucket"),
-        col("doc_id"), size(col("toks")).cast("long").as("n"))
-      .as[PackDoc]
+    packShards(
+      withToks(spark, dir)
+        .select(
+          expr(s"""CAST(pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10),
+                   $PackBuckets) AS INT)""").as("bucket"),
+          col("doc_id"), size(col("toks")).cast("long").as("n"))
+        .as[PackDoc],
+      PackCapacity)
+  }
+
+  /** The distributed shard fold behind [[pack]], exposed for independent
+    * property testing against a local sequential replay.
+    */
+  def packShards(docs: org.apache.spark.sql.Dataset[PackDoc],
+                 capacity: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
       .groupByKey(_.bucket)
       .flatMapGroups { (bucket, it) =>
-        val docs = it.toArray.sortBy(_.doc_id)
+        val sorted = it.toArray.sortBy(_.doc_id)
         var bin = 0L
         var fill = 0L
-        docs.iterator.map { d =>
-          if (fill > 0 && fill + d.n > PackCapacity) { bin += 1; fill = d.n }
+        sorted.iterator.map { d =>
+          if (fill > 0 && fill + d.n > capacity) { bin += 1; fill = d.n }
           else fill += d.n
           (d.doc_id, bucket.toLong, bin, d.n)
         }
