@@ -118,6 +118,36 @@ object TextAnalysis {
                 CAST(conv(substring(md5(w), 1, 7), 16, 10) AS BIGINT)) % 2147483647)""")
         .as("roll_hash"))
 
+  /** Unigram-LM perplexity scoring — the model-based quality filter
+    * (CCNet/Gopher-style, with the LM trained on the corpus itself):
+    * p(w) = corpus count / total tokens; doc score = avg −ln p(w) over
+    * its tokens (= log-perplexity). High score ⇒ improbable token mix ⇒
+    * drop/downweight before training.
+    *
+    * fp-portability: each token's −ln p is rounded to 6 dp and summed as
+    * exact DECIMAL per doc (order-free), then divided by the token count
+    * and re-rounded — the ir_bm25 protocol, so the oracle replays the
+    * scores bit-for-bit. Scale: the vocabulary aggregate is one
+    * partial+final shuffle; the probe join BROADCASTS the vocab (a 100 TB
+    * corpus's word vocab is executor-memory-sized by Heaps' law; were it
+    * not, the same plan holds as a shuffle join keyed on the word).
+    */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val tok = withToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val nll = round(-log(col("cnt").cast("double") / col("total").cast("double")), 6)
+    tok
+      .join(broadcast(vocab), "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), nll.cast("decimal(18,6)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_nll"))
+  }
+
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
@@ -145,6 +175,7 @@ object TextAnalysis {
     "ta_langid"      -> ((s, d) => langId(s, d)),
     "ta_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "ta_repetition"  -> ((s, d) => repetition(s, d)),
+    "ta_perplexity"  -> ((s, d) => perplexity(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,6 +232,17 @@ object TextAnalysis {
                   round(len(list_filter(toks, w -> list_contains(${sqlList(EsStop)}, w)))::DOUBLE
                         / len(toks), 6) AS score_es
                 FROM (SELECT doc_id, $tokSql AS toks FROM documents))""",
+    "ta_perplexity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
+          v AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
+          SELECT doc_id, count(*) AS n_tokens,
+            round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+          FROM (SELECT doc_id,
+                  CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS nll
+                FROM tok JOIN v USING (w) CROSS JOIN t)
+          GROUP BY doc_id""",
     "ta_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
                  CAST(list_reduce(
