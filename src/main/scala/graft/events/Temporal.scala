@@ -136,6 +136,49 @@ object Temporal {
         sum(col("v")).cast("double").as("sum_value"))
       .select(col("event_type"), col("day"), col("lvl"), col("n"), col("sum_value"))
 
+  /** Funnel analysis: per signed-up user, the earliest signup, the
+    * earliest click AT OR AFTER it, and the earliest purchase at or after
+    * that click — `stage` counts how deep the user got. Three grouped
+    * mins chained by user-keyed joins (every shuffle keys on user_id; no
+    * ordering state beyond a min per user), the standard distributed
+    * funnel shape.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), ms("ts").as("t_ms"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t_ms")).as("s_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(s, "user_id").where(col("t_ms") >= col("s_ms"))
+      .groupBy(col("user_id")).agg(min(col("t_ms")).as("c_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("t_ms") >= col("c_ms"))
+      .groupBy(col("user_id")).agg(min(col("t_ms")).as("p_ms"))
+    s.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("s_ms"), col("c_ms"), col("p_ms"),
+        (lit(1L) + when(col("c_ms").isNotNull, 1L).otherwise(0L)
+          + when(col("p_ms").isNotNull, 1L).otherwise(0L)).as("stage"))
+  }
+
+  private val DayMs = 86400000L
+
+  /** Cohort retention matrix: users bucketed by the epoch-day of their
+    * FIRST event, counted per day they were active. Epoch-day integer
+    * division keeps the bucketing engine-portable (no calendar/locale
+    * semantics). Two user-keyed aggregates and one join — each shuffle
+    * carries one row per (user) or (user, day).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"CAST(unix_millis(ts) DIV $DayMs AS BIGINT)").as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.distinct()
+      .join(first, "user_id")
+      .groupBy(col("cohort_day"), col("day").as("active_day"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** CUBE(event_type, dow): all four grouping sets — per-(type, weekday),
     * per-type, per-weekday, and grand total — in one partial+final
     * aggregate (completes the grouping-sets family next to
@@ -184,6 +227,8 @@ object Temporal {
     "ev_range_join"     -> ((s, d) => rangeJoin(s, d)),
     "ev_rollup_daily"   -> ((s, d) => rollupDaily(s, d)),
     "ev_cube_weekday"   -> ((s, d) => cubeWeekday(s, d)),
+    "ev_funnel"         -> ((s, d) => funnel(s, d)),
+    "ev_cohort"         -> ((s, d) => cohortRetention(s, d)),
     "ev_distinct_users" -> ((s, d) => distinctUsers(s, d)),
     "ev_quantiles"      -> ((s, d) => valueQuantiles(s, d)),
   )
@@ -241,6 +286,28 @@ object Temporal {
                  CAST(value AS DECIMAL(12,2)) AS v
                FROM events)
          GROUP BY ROLLUP(event_type, day)""",
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms FROM events),
+         s AS (SELECT user_id, min(t_ms) AS s_ms FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(t_ms) AS c_ms
+               FROM e JOIN s USING (user_id)
+               WHERE event_type = 'click' AND t_ms >= s_ms GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(t_ms) AS p_ms
+               FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND t_ms >= c_ms GROUP BY e.user_id)
+         SELECT s.user_id, s_ms, c_ms, p_ms,
+           CAST(1 + (CASE WHEN c_ms IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN p_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+         FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "ev_cohort" ->
+      """WITH w AS (SELECT user_id,
+               epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM w GROUP BY user_id)
+         SELECT cohort_day, day AS active_day, count(*) AS n_users
+         FROM (SELECT DISTINCT user_id, day FROM w) a JOIN f USING (user_id)
+         GROUP BY cohort_day, active_day""",
     "ev_cube_weekday" ->
       """SELECT event_type, dow,
            CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS lvl,
