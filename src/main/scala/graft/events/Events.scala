@@ -62,10 +62,31 @@ object Events {
         round(sum(col("value").cast("decimal(12,2)")), 2).cast("double").as("sum_value"))
   }
 
+  /** Sessionization through Spark's NATIVE `session_window` operator —
+    * the built-in merging-window aggregate (streaming-compatible with
+    * state eviction, unlike the hand-rolled lag/cumsum of [[sessionize]]).
+    * Semantics nuance mirrored in the oracle: session_window's window is
+    * [first, last + gap) with an EXCLUSIVE end, so an event exactly
+    * `gap` after the previous one starts a NEW session (the lag/cumsum
+    * form breaks only on strictly-greater gaps); `session_end` here is
+    * therefore last-event-ts + gap, not last-event-ts.
+    */
+  def sessionWindow(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(12,2)")), 2).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_hourly_rollup" -> ((s, d) => hourlyRollup(s, d)),
     "ev_json_stats"    -> ((s, d) => jsonStats(s, d)),
     "ev_sessionize"    -> ((s, d) => sessionize(s, d)),
+    "ev_session_window"-> ((s, d) => sessionWindow(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -100,5 +121,28 @@ object Events {
                 strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
                 CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
          FROM s GROUP BY user_id, session_id""",
+    // session_window semantics: micros-exact, break on gap >= 30 min
+    // (exclusive window end), session_end = last event + gap
+    "ev_session_window" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, event_id, ts, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                 FROM events)),
+         s AS (
+           SELECT user_id, ts, value,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT user_id,
+                strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                strftime(max(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE,
+                         '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, sid""",
   )
 }
