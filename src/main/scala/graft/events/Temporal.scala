@@ -197,6 +197,29 @@ object Temporal {
         sum(col("v")).cast("double").as("sum_value"))
       .select(col("event_type"), col("dow"), col("lvl"), col("n"), col("sum_value"))
 
+  /** Per-event z-score against its type's value distribution — the
+    * moment-based anomaly scorer (and the variance/stddev aggregate
+    * family, absent from the reference). Exactness protocol: n, Σv, Σv²
+    * accumulate as exact DECIMAL (v is a 2-dp value, so v² is exact at
+    * 4 dp), then mean/var/z are computed in double from those exact
+    * inputs with literally mirrored expression shapes — IEEE ops on
+    * identical inputs give identical doubles in both engines. One
+    * aggregate + one broadcast join back to the events.
+    */
+  def zscores(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(12,2)").as("v"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast("decimal(38,4)")).as("ss"))
+    val mean = col("s").cast("double") / col("n").cast("double")
+    val variance = col("ss").cast("double") / col("n").cast("double") - mean * mean
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round((col("v").cast("double") - mean) / sqrt(variance), 6).as("z"))
+  }
+
   /** Distinct-count aggregate: users per event type (the reference's only
     * dedup is `array_distinct` per line — no distinct aggregation exists).
     * Catalyst plans count(DISTINCT) as a two-phase expand/agg — shuffle
@@ -230,6 +253,7 @@ object Temporal {
     "ev_funnel"         -> ((s, d) => funnel(s, d)),
     "ev_cohort"         -> ((s, d) => cohortRetention(s, d)),
     "ev_distinct_users" -> ((s, d) => distinctUsers(s, d)),
+    "ev_zscore"         -> ((s, d) => zscores(s, d)),
     "ev_quantiles"      -> ((s, d) => valueQuantiles(s, d)),
   )
 
@@ -321,6 +345,18 @@ object Temporal {
     "ev_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
          FROM events GROUP BY event_type""",
+    "ev_zscore" ->
+      """WITH e AS (SELECT event_id, event_type,
+               CAST(value AS DECIMAL(12,2)) AS v FROM events),
+         st AS (SELECT event_type, count(*) AS n, sum(v) AS s,
+                  sum(CAST(v * v AS DECIMAL(38,4))) AS ss
+                FROM e GROUP BY event_type)
+         SELECT event_id, e.event_type,
+           round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+                 sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS z
+         FROM e JOIN st USING (event_type)""",
     "ev_quantiles" ->
       """SELECT event_type,
            round(quantile_cont(value, 0.5), 6) AS p50,
