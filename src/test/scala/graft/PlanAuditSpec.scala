@@ -104,6 +104,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ct.contains("CartesianProduct"), s"contamination cartesian:\n$ct")
     assert(ct.contains("BroadcastHashJoin"),
       s"eval shingle set should broadcast:\n$ct")
+    // z-score / perplexity / funnel: per-type stats and vocab broadcast,
+    // all joins keyed — never a cartesian over the fact stream. (The
+    // perplexity total is a 1-row global broadcast, which Spark plans as
+    // a nested loop BOUNDED BY THAT ONE ROW — the bm25 stats shape.)
+    Seq(
+      graft.events.Temporal.zscores(spark, sf),
+      graft.analysis.TextAnalysis.perplexity(spark, sf),
+      graft.events.Temporal.funnel(spark, sf)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    }
+    Seq(graft.events.Temporal.zscores(spark, sf),
+      graft.events.Temporal.funnel(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    }
   }
 
   test("day-partitioned layout prunes partitions at the scan (100 TB layout)") {

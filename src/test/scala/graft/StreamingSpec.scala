@@ -49,6 +49,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size < Tables.events(spark, sf).count())
   }
 
+  test("streaming sliding rollup (file source, AvailableNow) equals the batch plan") {
+    val stream = Streaming.slidingRollup(Streaming.readEventStream(spark, sf))
+    val qname = "sliding_test"
+    val q = stream.writeStream
+      .format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("st-chk").toString)
+      .start()
+    q.awaitTermination(120000)
+    val got = rollupSet(spark.table(qname))
+    val want = rollupSet(Streaming.slidingRollup(Tables.events(spark, sf)))
+    assert(got == want)
+    // sliding 1h/30min: every event lands in exactly 2 windows
+    val n = Tables.events(spark, sf).count()
+    assert(want.toSeq.map(_._3).sum == 2 * n)
+  }
+
   test("stream-stream interval join (file source, AvailableNow) equals the batch join") {
     val ev = Streaming.readEventStream(spark, sf)
     val stream = Streaming.intervalJoin(ev)
