@@ -230,6 +230,18 @@ object Temporal {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
 
+  /** Fixed-width value histogram per event type (bucket = floor(v/50)):
+    * the distribution profile an ingest pipeline tracks. Both engines
+    * evaluate the same IEEE division on the same doubles, so bucketing
+    * is identical; one partial+final aggregate on (type, bucket).
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") / 50).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Exact interpolated quantiles of `value` per event type, 6-dp rounded
     * (the repo-wide fp-portability contract). `percentile` sorts each
     * group — fine at per-type cardinalities; at 100 TB the drop-in is
@@ -254,6 +266,7 @@ object Temporal {
     "ev_cohort"         -> ((s, d) => cohortRetention(s, d)),
     "ev_distinct_users" -> ((s, d) => distinctUsers(s, d)),
     "ev_zscore"         -> ((s, d) => zscores(s, d)),
+    "ev_histogram"      -> ((s, d) => valueHistogram(s, d)),
     "ev_quantiles"      -> ((s, d) => valueQuantiles(s, d)),
   )
 
@@ -357,6 +370,9 @@ object Temporal {
                       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                         * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS z
          FROM e JOIN st USING (event_type)""",
+    "ev_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+         FROM events GROUP BY event_type, bucket""",
     "ev_quantiles" ->
       """SELECT event_type,
            round(quantile_cont(value, 0.5), 6) AS p50,
