@@ -230,6 +230,19 @@ object Temporal {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
 
+  /** Per-user event-type crosstab through the DataFrame `pivot` surface.
+    * The value list is EXPLICIT (the five fixture types) — at scale an
+    * implicit pivot first runs a distinct scan to discover values and
+    * caps at `spark.sql.pivotMaxValues`; declaring them keeps the plan a
+    * single partial+final aggregate with one output column per type.
+    */
+  def typePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** Fixed-width value histogram per event type (bucket = floor(v/50)):
     * the distribution profile an ingest pipeline tracks. Both engines
     * evaluate the same IEEE division on the same doubles, so bucketing
@@ -267,6 +280,7 @@ object Temporal {
     "ev_distinct_users" -> ((s, d) => distinctUsers(s, d)),
     "ev_zscore"         -> ((s, d) => zscores(s, d)),
     "ev_histogram"      -> ((s, d) => valueHistogram(s, d)),
+    "ev_type_pivot"     -> ((s, d) => typePivot(s, d)),
     "ev_quantiles"      -> ((s, d) => valueQuantiles(s, d)),
   )
 
@@ -373,6 +387,14 @@ object Temporal {
     "ev_histogram" ->
       """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
          FROM events GROUP BY event_type, bucket""",
+    "ev_type_pivot" ->
+      """SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY user_id""",
     "ev_quantiles" ->
       """SELECT event_type,
            round(quantile_cont(value, 0.5), 6) AS p50,
