@@ -93,6 +93,44 @@ class TemporalSpec extends AnyFunSuite {
     assert(leafRows.map(_.getAs[Long]("n")).sum == grand.head.getAs[Long]("n"))
   }
 
+  test("funnel stages are ordered and complete") {
+    val rows = Temporal.funnel(spark, sf).collect()
+    val signups = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(rows.length == signups)
+    rows.foreach { r =>
+      val stage = r.getAs[Long]("stage")
+      assert(stage >= 1 && stage <= 3)
+      assert((stage >= 2) == !r.isNullAt(2)) // c_ms present iff stage >= 2
+      assert((stage == 3) == !r.isNullAt(3))
+      if (stage >= 2) assert(r.getAs[Long]("c_ms") >= r.getAs[Long]("s_ms"))
+      if (stage == 3) assert(r.getAs[Long]("p_ms") >= r.getAs[Long]("c_ms"))
+    }
+  }
+
+  test("cohort matrix: every user is active on their cohort day") {
+    val rows = Temporal.cohortRetention(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("active_day"),
+        r.getAs[Long]("n_users")))
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    val diagonal = rows.filter(t => t._1 == t._2).map(_._3).sum
+    assert(diagonal == users) // first-event day is an active day by definition
+    rows.foreach(t => assert(t._2 >= t._1, "active before cohort entry"))
+  }
+
+  test("unpivoting the type pivot recovers the per-(user, type) counts") {
+    val p = Temporal.typePivot(spark, sf)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val un = p.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+      .where(col("n") > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type")).count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(un == direct)
+  }
+
   test("approx_count_distinct tracks the exact distinct counts (HLL drop-in)") {
     val exact = Temporal.distinctUsers(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
