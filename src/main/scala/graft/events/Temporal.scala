@@ -187,7 +187,10 @@ object Temporal {
     */
   def cubeWeekday(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(col("event_type"), date_format(col("ts"), "EEEE").as("dow"),
+      // integer 1=Sunday..7=Saturday — day NAMES (date_format "EEEE")
+      // depend on the JVM default locale, which the driver host may not
+      // share; the number is locale-proof in both engines
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"),
         col("value").cast("decimal(12,2)").as("v"))
       .cube(col("event_type"), col("dow"))
       .agg(
@@ -365,7 +368,7 @@ object Temporal {
            count(*) AS n,
            CAST(sum(v) AS DOUBLE) AS sum_value
          FROM (SELECT event_type,
-                 strftime(CAST(ts AS TIMESTAMP), '%A') AS dow,
+                 CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
                  CAST(value AS DECIMAL(12,2)) AS v
                FROM events)
          GROUP BY CUBE(event_type, dow)""",
