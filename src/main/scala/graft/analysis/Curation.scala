@@ -17,10 +17,10 @@ import graft.text.Text
   *
   * Scale posture: sampling and mixture are per-row filters plus one
   * bounded-key window; chunking is a pure per-row explode; packing folds
-  * within md5-bucket shards whose size is corpus/buckets — the shard
-  * count scales with the corpus so no executor ever sees more than one
-  * shard's docs (the same bounded-group contract as the stateful
-  * sessionizer, documented at the fold).
+  * within md5-bucket shards whose size is corpus/buckets — the bucket
+  * count is the CALLER'S scale knob (see [[Curation.pack]]): size it so
+  * one shard's (doc_id, n) pairs fit an executor (the same bounded-group
+  * contract as the stateful sessionizer, documented at the fold).
   */
 // top-level: Spark codegen instantiates the deserializer from generated code
 final case class PackDoc(bucket: Int, doc_id: Long, n: Long)
@@ -80,11 +80,16 @@ object Curation {
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0),
           expr(s"CAST((size(toks) - 1) DIV $ChunkStride AS INT)"))).as("i"))
+      // Bind the slice ONCE and derive both outputs from it. The two
+      // projections survive optimization as-is: CollapseProject refuses to
+      // inline a non-cheap alias referenced more than once, so the array
+      // copy runs once per chunk instead of twice (it was the bench's most
+      // expensive narrow query at 3.1 s).
       .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
-        array_join(expr(s"slice(toks, i * $ChunkStride + 1, $ChunkLen)"), " ")
-          .as("chunk_text"),
-        size(expr(s"slice(toks, i * $ChunkStride + 1, $ChunkLen)"))
-          .cast("long").as("n_chunk_toks"))
+        expr(s"slice(toks, i * $ChunkStride + 1, $ChunkLen)").as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(col("c"), " ").as("chunk_text"),
+        size(col("c")).cast("long").as("n_chunk_toks"))
 
   private val PackCapacity = 48L
   private val PackBuckets = 16
@@ -95,18 +100,20 @@ object Curation {
     * shards. Packing is inherently order-dependent, so the distributed
     * form shards first (content-stable md5 bucket), then folds each shard
     * sequentially — the executor materializes ONE shard's (doc_id, n)
-    * pairs (16 bytes/doc; shard size = corpus/buckets, and buckets scales
-    * with the corpus at 100 TB). A doc longer than the capacity gets its
-    * own bin. The per-shard recurrence is replayed exactly by the
-    * oracle's recursive CTE.
+    * pairs (16 bytes/doc; shard size = corpus/buckets). `buckets` is the
+    * CALLER'S scale knob: nothing auto-scales it, so a 100 TB run must
+    * pass buckets ≈ corpus_docs × 16 B / target-shard-memory (e.g. ~10⁶
+    * docs/shard) — the registered query pins the default 16 because the
+    * oracle's recursive CTE replays that exact sharding. A doc longer
+    * than the capacity gets its own bin.
     */
-  def pack(spark: SparkSession, dir: String): DataFrame = {
+  def pack(spark: SparkSession, dir: String, buckets: Int = PackBuckets): DataFrame = {
     import spark.implicits._
     packShards(
       withToks(spark, dir)
         .select(
           expr(s"""CAST(pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10),
-                   $PackBuckets) AS INT)""").as("bucket"),
+                   $buckets) AS INT)""").as("bucket"),
           col("doc_id"), size(col("toks")).cast("long").as("n"))
         .as[PackDoc],
       PackCapacity)

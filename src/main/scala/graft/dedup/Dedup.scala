@@ -216,7 +216,17 @@ object Dedup {
   def minhashPairsShared(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame =
     memoized(spark, dir, s"minhash_pairs_$minJaccard")(minhashPairs(spark, dir, minJaccard))
 
-  def dupGroups(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+  /** Converged labels behind the cross-query memo: dedup_groups AND
+    * pipeline_curate both consume the component labels, so the
+    * label-propagation loop (actions included) runs ONCE
+    * per (session, dir) registry run — without this, each caller re-ran
+    * the whole convergence loop and the bench charged it to whichever
+    * query arrived first.
+    */
+  def dupGroups(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame =
+    memoized(spark, dir, s"groups_$minJaccard")(dupGroupsUncached(spark, dir, minJaccard))
+
+  private def dupGroupsUncached(spark: SparkSession, dir: String, minJaccard: Double): DataFrame = {
     val pairs = minhashPairsShared(spark, dir, minJaccard).select(col("d1"), col("d2"))
     val edges = graft.Caches.register(
       pairs.union(pairs.select(col("d2"), col("d1"))).toDF("a", "b").persist())

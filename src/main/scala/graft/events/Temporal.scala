@@ -244,7 +244,9 @@ object Temporal {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill ONLY the pivoted columns: a blanket fill(0) would also
+      // rewrite a NULL user_id group to user 0, colliding with a real key
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
 
   /** Fixed-width value histogram per event type (bucket = floor(v/50)):
     * the distribution profile an ingest pipeline tracks. Both engines

@@ -128,6 +128,9 @@ object Spam {
     */
   val SeqDocs = 40L
 
+  /** Seed for the oracle-backed O4 shuffled-order fold (spam_train_seq_shuffled). */
+  val ShuffleSeed = 42L
+
   /** The order-dependent sequential SGD fold itself, UNDER A HARD SQL
     * ORACLE: the same per-instance recurrence as [[trainOn]]
     * (`TrainSpamClassifier.scala:68-85`), bounded to docid < [[SeqDocs]]
@@ -150,7 +153,7 @@ object Spam {
     * is what puts the ORDER-DEPENDENT fold under the DuckDB hash gate.
     */
   def trainSeq(spark: SparkSession, dir: String, maxDocid: Long = SeqDocs,
-               shardMod: Int = -1): DataFrame = {
+               shardMod: Int = -1, shuffleSeed: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val shardFilter =
       if (shardMod < 0) lit(true) else pmod(col("docid"), lit(3)) === shardMod
@@ -158,7 +161,20 @@ object Spam {
       .filter(col("docid") < maxDocid && shardFilter)
       .groupBy(col("docid"), col("label"), col("feature"))
       .agg(count(lit(1)).as("cnt"))
-    occ.repartition(1).sortWithinPartitions(col("docid"), col("feature"))
+    // O4 seeded shuffle, oracle-replayable: the full-corpus [[trainOn]]
+    // keys its shuffle on xxhash64 (fast, but Spark-only); here the order
+    // key is the repo's cross-engine md5 convention so the chained-CTE
+    // oracle reorders by the IDENTICAL hash (reference
+    // `TrainSpamClassifier.scala:51-61` — unseeded Math.random there,
+    // deterministic seed per SURVEY §5).
+    val ordKey = shuffleSeed match {
+      case Some(s) => expr(
+        s"conv(substring(md5(concat('$s:', CAST(docid AS STRING))), 1, 8), 16, 10)")
+        .cast("long")
+      case None => col("docid")
+    }
+    occ.withColumn("k", ordKey)
+      .repartition(1).sortWithinPartitions(col("k"), col("docid"), col("feature"))
       .mapPartitions { rows =>
         val Half = BigDecimal.RoundingMode.HALF_UP
         val Delta = BigDecimal("0.002")
@@ -273,11 +289,19 @@ object Spam {
     * no-ops via the coalesce guards.
     */
   private def trainSeqCtes(steps: Int, numFeatures: Int,
-                           sfx: String = "", shardMod: Int = -1): String = {
+                           sfx: String = "", shardMod: Int = -1,
+                           shuffleSeed: Option[Long] = None): String = {
     val shard = if (shardMod < 0) "TRUE" else s"doc_id % 3 = $shardMod"
+    // Replays [[trainSeq]]'s seeded order bit-for-bit: same md5 prefix,
+    // same radix conversion, doc_id tiebreak.
+    val ord = shuffleSeed match {
+      case Some(s) =>
+        s"('0x' || substr(md5('$s:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id"
+      case None => "doc_id"
+    }
     val sb = new StringBuilder(
       s"""inst$sfx AS MATERIALIZED (
-            SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id AS docid,
+            SELECT row_number() OVER (ORDER BY $ord) AS rn, doc_id AS docid,
                    CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS label
             FROM (SELECT doc_id, $tokSql AS toks FROM documents
                   WHERE doc_id < $steps AND $shard)),
@@ -311,8 +335,9 @@ object Spam {
     sb.toString
   }
 
-  private def trainSeqOracle(steps: Int, numFeatures: Int): String =
-    "WITH " + trainSeqCtes(steps, numFeatures) + s"""
+  private def trainSeqOracle(steps: Int, numFeatures: Int,
+                             shuffleSeed: Option[Long] = None): String =
+    "WITH " + trainSeqCtes(steps, numFeatures, shuffleSeed = shuffleSeed) + s"""
           SELECT feature, CAST(w AS DOUBLE) AS weight FROM w$steps"""
 
   /** DuckDB replay of [[applySeq]]: the [[trainSeqCtes]] chain, a
@@ -383,6 +408,10 @@ object Spam {
     "spam_train"     -> ((s, d) => train(s, d)
       .select(col("feature"), round(col("weight"), 6).as("weight"))),
     "spam_train_seq" -> ((s, d) => trainSeq(s, d)),
+    // O4 under the hash gate: identical fold, seeded-shuffle training
+    // order — a different weight table than spam_train_seq whenever the
+    // hash order differs from docid order (it does for seed 42).
+    "spam_train_seq_shuffled" -> ((s, d) => trainSeq(s, d, shuffleSeed = Some(ShuffleSeed))),
     "spam_apply_seq" -> ((s, d) => applySeq(s, d)),
     "spam_ensemble_seq" -> ((s, d) => ensembleSeq(s, d)),
     "spam_apply"     -> ((s, d) => applyModel(instances(s, d), train(s, d))
@@ -393,13 +422,20 @@ object Spam {
   /** spam_train/apply/ensemble stay oracle-less BY NECESSITY: the
     * full-corpus sequential SGD fold (each instance's gradient step
     * depends on all prior steps, reference protocol) cannot unroll into
-    * SQL at corpus size; correctness is the exact scalar-fold match in
-    * SpamSpec plus the AUC quality bar. The fold SEMANTICS are still
-    * hash-gated: spam_train_seq runs the same per-instance recurrence
-    * over a bounded docid prefix with a full chained-CTE DuckDB oracle.
+    * SQL at corpus size. Their correctness is still HARD-pinned in-repo:
+    * SpamSpec proves the distributed train equals the scalar reference
+    * fold exactly, and then proves spam_apply / spam_ensemble outputs
+    * equal scoring/combining with that spec-verified fold model (exact
+    * equality on the 6-dp outputs, not just the AUC bar). The fold
+    * SEMANTICS are additionally hash-gated: spam_train_seq (docid order)
+    * and spam_train_seq_shuffled (seeded md5-hash order — the O4
+    * operator) run the same per-instance recurrence over a bounded docid
+    * prefix with full chained-CTE DuckDB oracles.
     */
   val oracles: Map[String, String] = Map(
     "spam_train_seq" -> trainSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
+    "spam_train_seq_shuffled" ->
+      trainSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures, Some(ShuffleSeed)),
     "spam_apply_seq" -> applySeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
     "spam_ensemble_seq" -> ensembleSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
   )

@@ -60,19 +60,26 @@ object Skew {
           .otherwise("test").as("split"))
 
   /** Salted equi-join for a skewed build side: the probe side gets a
-    * random-but-deterministic salt in [0, salts), the build side is
-    * REPLICATED once per salt value, and the join keys on (key, salt) —
-    * a hot key's probe rows spread over `salts` reducers instead of
-    * funneling through one. Result identical to the unsalted join for
-    * any salt width (each probe row meets each build row exactly once,
-    * at its own salt). AQE's skew-join split covers sort-merge joins
-    * automatically; explicit salting remains the tool when AQE can't
-    * split (e.g. a skewed aggregate-after-join keyed on the hot key).
+    * CONTENT-DETERMINISTIC salt in [0, salts) — xxhash64 over the whole
+    * probe row, the repo's stable-bucketing convention — the build side
+    * is REPLICATED once per salt value, and the join keys on
+    * (key, salt): a hot key's probe rows spread over `salts` reducers
+    * instead of funneling through one (rows of a hot key differ in their
+    * non-key columns, which is what the hash spreads on; exact duplicate
+    * rows co-locate, which only matters if duplicates themselves are the
+    * skew). Hashing row content, not spark_partition_id/mono_id, keeps
+    * the salt stable under recomputation and keeps the projection
+    * deterministic, so it cannot block predicate pushdown. Result
+    * identical to the unsalted join for any salt width (each probe row
+    * meets each build row exactly once, at its own salt). AQE's
+    * skew-join split covers sort-merge joins automatically; explicit
+    * salting remains the tool when AQE can't split (e.g. a skewed
+    * aggregate-after-join keyed on the hot key).
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     val salted = probe.withColumn("salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      pmod(xxhash64(probe.columns.map(col): _*), lit(salts)))
     val replicated = build.withColumn("salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
     salted.join(replicated, Seq(key, "salt")).drop("salt")

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Memo-lifecycle contract: [[Caches]] frames persist for the whole
+  * Verify/Bench run, and [[Caches.releaseAll]] must actually unpersist
+  * every one of them and clear the memo map — a leak here grows silently
+  * with the registry (90+ queries share the shingle scan, pair graph,
+  * dup-group labels and IR index through this object).
+  */
+class CachesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("releaseAll unpersists every registered frame and clears the memo") {
+    import spark.implicits._
+    var builds = 0
+    def build() = { builds += 1; Seq(1, 2, 3).toDF("x") }
+
+    val a = Caches.memoized(spark, "caches-spec", "a")(build())
+    val b = Caches.register(Seq(4, 5).toDF("y").persist())
+    a.count(); b.count()
+    assert(a.storageLevel != StorageLevel.NONE, "memoized frame not persisted")
+    assert(b.storageLevel != StorageLevel.NONE, "registered frame not persisted")
+
+    // memo hit: same (session, dir, key) returns the cached frame, no rebuild
+    val a2 = Caches.memoized(spark, "caches-spec", "a")(build())
+    assert(builds == 1)
+    assert(a2 eq a)
+
+    Caches.releaseAll()
+    assert(a.storageLevel == StorageLevel.NONE, "memoized frame leaked past releaseAll")
+    assert(b.storageLevel == StorageLevel.NONE, "registered frame leaked past releaseAll")
+
+    // memo cleared: the next request rebuilds (and re-registers) cleanly
+    val a3 = Caches.memoized(spark, "caches-spec", "a")(build())
+    assert(builds == 2)
+    a3.count()
+    assert(a3.storageLevel != StorageLevel.NONE)
+    Caches.releaseAll()
+    assert(a3.storageLevel == StorageLevel.NONE)
+  }
+}

@@ -11,7 +11,13 @@ class DocCoverageSpec extends AnyFunSuite {
   test("every registered query is documented in SURVEY.md") {
     val survey = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")))
-    val missing = SparkEntry.queries.keys.filterNot(survey.contains)
+    // Word-boundary match, not raw containment: query names are \w+, so
+    // a name that is a prefix of another documented name (ir_boolean vs
+    // ir_boolean_not) must still have its OWN occurrence.
+    val missing = SparkEntry.queries.keys.filterNot { name =>
+      ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+        .findFirstIn(survey).isDefined
+    }
     assert(missing.isEmpty, s"undocumented queries: ${missing.mkString(", ")}")
   }
 

@@ -255,6 +255,57 @@ class SpamSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  /** Pins the no-oracle full-corpus rows: spam_apply's output must equal
+    * applying the SpamSpec-verified scalar fold model (the one proven
+    * exact against the distributed train above) — a hard in-repo equality
+    * guarantee, not just the AUC bar. Tolerance 1e-9 on the 6-dp-rounded
+    * score absorbs partial-agg double-merge-order ulps without ever
+    * letting a wrong weight (δ = 2e-3 scale) through.
+    */
+  test("spam_apply equals scoring with the spec-verified scalar fold model") {
+    val w = referenceTrain(collectedInstances)
+    val want = collectedInstances.map { case (d, l, feats) =>
+      (d, l) -> feats.map(f => w.getOrElse(f, 0.0)).sum
+    }.toMap
+    val got = Spam.queries("spam_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getString(3))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (score, pred)) =>
+      val ws = want(k)
+      val r6 = BigDecimal(ws).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(score - r6) < 1e-9, s"doc $k: $score vs $r6")
+      assert(pred == (if (ws > 0) "spam" else "ham"), s"doc $k predicted")
+    }
+  }
+
+  /** Same pin for spam_ensemble: three scalar shard folds, scored and
+    * combined exactly as [[Spam.ensemble]] declares.
+    */
+  test("spam_ensemble equals combining the three spec-verified shard folds") {
+    val inst = collectedInstances
+    val shardScores = (0 until 3).map { m =>
+      val w = referenceTrain(inst.filter { case (d, _, _) =>
+        java.lang.Math.floorMod(d, 3L) == m })
+      inst.map { case (d, l, feats) =>
+        (d, l) -> feats.map(f => w.getOrElse(f, 0.0)).sum
+      }.toMap
+    }
+    val got = Spam.queries("spam_ensemble")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getString(3), r.getString(4))).toMap
+    assert(got.keySet == shardScores.head.keySet)
+    got.foreach { case (k, (avg, pAvg, pVote)) =>
+      val ss = shardScores.map(_(k))
+      val wantAvg = BigDecimal(ss.sum / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(avg - wantAvg) < 1e-9, s"doc $k avg: $avg vs $wantAvg")
+      assert(pAvg == (if (wantAvg > 0) "spam" else "ham"), s"doc $k predicted_avg")
+      val votes = ss.map(math.signum).sum
+      assert(pVote == (if (votes > 0) "spam" else "ham"), s"doc $k predicted_vote")
+    }
+  }
+
   test("applyModel separates the training classes (trained-on-data sanity)") {
     val inst = Spam.instances(spark, sf)
     val scored = Spam.applyModel(inst, Spam.train(spark, sf)).collect()
