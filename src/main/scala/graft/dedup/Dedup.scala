@@ -170,9 +170,14 @@ object Dedup {
     * Tie (bit-sum 0) ⇒ bit 0.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.ArrayExprs.simhash60(Text.tokenize(col("text"))).as("simhash"))
+    // memoized like the shingle scan: the sketch (one md5 per token) feeds
+    // dedup_simhash AND both sides of the pair self-join — without the
+    // memo the tokenize+md5 pass ran twice per pairs query
+    memoized(spark, dir, "simhash") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.ArrayExprs.simhash60(Text.tokenize(col("text"))).as("simhash"))
+    }
 
   private val HamBands = 10 // maxHamming 9 ⇒ 10 disjoint 6-bit blocks
 

@@ -233,6 +233,33 @@ object Temporal {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
 
+  /** Rolling 7-day distinct active users per day — the DAU/WAU retention
+    * surface. Exact, in the scalable shape: each (day, user) pair is
+    * fanned out to the `window` report-days it contributes to (a fixed
+    * 7× multiplier on the ALREADY-deduplicated day-user pairs, not raw
+    * events), then one count-DISTINCT aggregate per report day — never a
+    * per-day self-join over the history. Report days are restricted to
+    * days that actually have events (inner join against the observed day
+    * set), so the output has no trailing ghost days. At 100 TB the
+    * drop-in is approx_count_distinct (HLL) over the same fan-out — same
+    * plan shape, bounded sketch instead of the exact expand.
+    */
+  def activeUsers(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day").as("rday")).distinct()
+    du.select(col("day"), col("user_id"),
+        explode(sequence(lit(0), lit(window - 1))).as("i"))
+      .select(date_add(col("day"), col("i")).as("rday"), col("user_id"), col("i"))
+      .join(broadcast(days), "rday")
+      .groupBy(col("rday"))
+      .agg(
+        countDistinct(col("user_id")).as("n_active_7d"),
+        countDistinct(when(col("i") === 0, col("user_id"))).as("n_active_1d"))
+      .select(date_format(col("rday"), "yyyy-MM-dd").as("day"),
+        col("n_active_7d"), col("n_active_1d"))
+  }
+
   /** Per-user event-type crosstab through the DataFrame `pivot` surface.
     * The value list is EXPLICIT (the five fixture types) — at scale an
     * implicit pivot first runs a distinct scan to discover values and
@@ -283,6 +310,7 @@ object Temporal {
     "ev_funnel"         -> ((s, d) => funnel(s, d)),
     "ev_cohort"         -> ((s, d) => cohortRetention(s, d)),
     "ev_distinct_users" -> ((s, d) => distinctUsers(s, d)),
+    "ev_active_users"   -> ((s, d) => activeUsers(s, d)),
     "ev_zscore"         -> ((s, d) => zscores(s, d)),
     "ev_histogram"      -> ((s, d) => valueHistogram(s, d)),
     "ev_type_pivot"     -> ((s, d) => typePivot(s, d)),
@@ -377,6 +405,17 @@ object Temporal {
     "ev_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
          FROM events GROUP BY event_type""",
+    "ev_active_users" ->
+      """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+                     FROM events),
+         days AS (SELECT DISTINCT day FROM du),
+         contrib AS (SELECT du.day + CAST(t.i AS INTEGER) AS rday, du.user_id, t.i
+                     FROM du, (SELECT unnest(generate_series(0, 6)) AS i) t)
+         SELECT strftime(rday, '%Y-%m-%d') AS day,
+                count(DISTINCT user_id) AS n_active_7d,
+                count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS n_active_1d
+         FROM contrib JOIN days ON contrib.rday = days.day
+         GROUP BY rday""",
     "ev_zscore" ->
       """WITH e AS (SELECT event_id, event_type,
                CAST(value AS DECIMAL(12,2)) AS v FROM events),

@@ -186,9 +186,35 @@ object InvertedIndex {
         array_min(col("starts")).as("first_pos"))
   }
 
+  /** Proximity query (NEAR/w) over the positional index: docs where term
+    * `a` and term `b` co-occur within `window` token positions, with the
+    * qualifying pair count and the closest distance. Two `term = t`
+    * lookups against the persisted relation joined on doc_id; the pair
+    * enumeration is a per-row array lambda bounded by tf(a)·tf(b) — never
+    * a corpus-level position join. The standard retrieval step between
+    * bag-of-words AND and exact phrase.
+    */
+  def proximityQuery(spark: SparkSession, dir: String, a: String, b: String,
+                     window: Long): DataFrame = {
+    require(a != b, "proximity terms must differ (self-pairs would count dist 0)")
+    val pos = positionsRelation(spark, dir)
+    val pa = pos.filter(col("term") === a).select(col("doc_id"), col("positions").as("pa"))
+    val pb = pos.filter(col("term") === b).select(col("doc_id"), col("positions").as("pb"))
+    pa.join(pb, "doc_id")
+      .select(col("doc_id"),
+        flatten(transform(col("pa"),
+          x => filter(transform(col("pb"), y => abs(y - x)),
+            d => d <= window))).as("dists"))
+      .where(size(col("dists")) > 0)
+      .select(col("doc_id"),
+        size(col("dists")).cast("long").as("n_pairs"),
+        array_min(col("dists")).as("min_dist"))
+  }
+
   // Fixed query over the fixture vocabulary: (spark AND table) OR merge.
   private val demoQuery = "spark table AND merge OR"
   private val demoPhrase = Seq("table", "hash")
+  private val demoNear = ("spark", "merge", 5L)
 
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
@@ -206,6 +232,7 @@ object InvertedIndex {
     "ir_retrieve" -> ((s, d) => retrieve(s, d, demoQuery)),
     "ir_bm25" -> ((s, d) => bm25(s, d)),
     "ir_phrase" -> ((s, d) => phraseQuery(s, d, demoPhrase)),
+    "ir_proximity" -> ((s, d) => proximityQuery(s, d, demoNear._1, demoNear._2, demoNear._3)),
     // E-family difference (EXCEPT was "Not present" in the reference —
     // SURVEY §2.7): docs containing spark but not merge
     "ir_boolean_not" -> ((s, d) => booleanQuery(s, d, "spark merge NOT")),
@@ -285,5 +312,20 @@ object InvertedIndex {
           SELECT doc_id FROM dw WHERE term = 'spark'
           EXCEPT
           SELECT doc_id FROM dw WHERE term = 'merge'""",
+    // replay in position space: every (a-pos, b-pos) pair within the
+    // window, counted and min'd per doc — identical to the array lambda
+    "ir_proximity" ->
+      s"""WITH tp AS (
+            SELECT doc_id, pos, toks[pos] AS term
+            FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks))) AS pos
+                  FROM (SELECT doc_id, $tokSql AS toks FROM documents))),
+          pa AS (SELECT doc_id, pos FROM tp WHERE term = 'spark'),
+          pb AS (SELECT doc_id, pos FROM tp WHERE term = 'merge'),
+          pr AS (SELECT pa.doc_id, abs(pb.pos - pa.pos) AS dist
+                 FROM pa JOIN pb USING (doc_id)
+                 WHERE abs(pb.pos - pa.pos) <= 5)
+          SELECT doc_id, count(*) AS n_pairs, CAST(min(dist) AS BIGINT) AS min_dist
+          FROM pr GROUP BY doc_id""",
   )
 }

@@ -112,6 +112,25 @@ class InvertedIndexSpec extends AnyFunSuite {
       assert(got == expect, s"phrase $phrase mismatch")
     }
   }
+
+  test("proximity query matches a brute-force position-pair scan") {
+    import org.apache.spark.sql.functions._
+    val docToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.text.Text.tokenize(col("text")).as("toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    for ((a, b, w) <- Seq(("spark", "merge", 5L), ("table", "key", 3L))) {
+      val expect = docToks.flatMap { case (id, toks) =>
+        val pa = toks.zipWithIndex.collect { case (t, i) if t == a => i + 1L }
+        val pb = toks.zipWithIndex.collect { case (t, i) if t == b => i + 1L }
+        val dists = for (x <- pa; y <- pb; d = math.abs(y - x) if d <= w) yield d
+        if (dists.nonEmpty) Some(id -> (dists.length.toLong, dists.min)) else None
+      }
+      val got = InvertedIndex.proximityQuery(spark, sf, a, b, w).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_pairs"), r.getAs[Long]("min_dist"))).toMap
+      assert(got == expect, s"NEAR($a, $b, $w) mismatch")
+    }
+  }
 }
 
 /** S6: the index persisted as a Parquet table with point lookups served

@@ -131,6 +131,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(un == direct)
   }
 
+  test("rolling 7-day actives match a driver-side window replay") {
+    val du = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = du.map(_._1).distinct
+    val expect = days.map { d =>
+      val active = du.collect {
+        case (dd, u) if !dd.isAfter(d) && dd.isAfter(d.minusDays(7)) => u
+      }.distinct.length.toLong
+      val today = du.collect { case (dd, u) if dd == d => u }.distinct.length.toLong
+      d.toString -> (active, today)
+    }.toMap
+    val got = Temporal.activeUsers(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_active_7d"), r.getAs[Long]("n_active_1d"))).toMap
+    assert(got == expect)
+  }
+
   test("approx_count_distinct tracks the exact distinct counts (HLL drop-in)") {
     val exact = Temporal.distinctUsers(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
