@@ -138,15 +138,21 @@ object Dedup {
     * recall at j≥0.9 is 1−4e-8 — the declared oracle (all exact-Jaccard
     * pairs) is safe for the fixture corpus, whose planted dups are ≥0.9.
     */
-  def minhashPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
-    val sh = docShingles(spark, dir)
-    val bands = sh
-      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+  /** (doc_id, band, key) LSH bucket rows for a shingle frame — the
+    * banded-signature derivation shared by [[minhashPairs]] (self-join)
+    * and [[incremental]] (batch⋈corpus join).
+    */
+  private def bandBuckets(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
       .select(col("doc_id"), explode(transform(sequence(lit(0), lit(Bands - 1)),
         b => struct(b.as("band"),
           xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))).as("key"))))
         .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  def minhashPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val bands = bandBuckets(sh)
     val cand = bands.toDF("d1", "band", "key")
       .join(bands.toDF("d2", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
@@ -292,6 +298,59 @@ object Dedup {
           col("n_sh").cast("double"), 6).as("dirty_frac"))
   }
 
+  /** Incremental dedup — the production ingestion shape: a NEW batch of
+    * documents (the md5-bucket ≥ 90 split, content-stable like
+    * [[contamination]]'s eval set) deduplicated against the EXISTING
+    * corpus (bucket < 90) without ever re-deduplicating the corpus
+    * against itself. A batch doc is dropped when its content fingerprint
+    * already exists in the corpus (exact) or a corpus doc verifies at
+    * Jaccard ≥ minJaccard among its LSH band-bucket candidates (near).
+    *
+    * Scale posture: this is the shape that makes 100 TB ingestion
+    * tractable — per increment the corpus side contributes only its
+    * (fp) and (band, key) index rows (both persistable artifacts of the
+    * previous run), every join is an equi-join keyed on fp / band
+    * bucket / doc id, and the exact-verify join touches candidates
+    * only. Cost scales with batch × collision rate, not corpus².
+    */
+  def incremental(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+    val bucket = expr(
+      "pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10), 100)")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+    val corpusIds = docs.where(col("bucket") < 90).select(col("doc_id"))
+    val batch = docs.where(col("bucket") >= 90)
+
+    val fps = Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+    val corpusFps = fps.join(corpusIds, "doc_id").select(col("fp")).distinct()
+    val exactDup = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(corpusFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+
+    val sh = docShingles(spark, dir)
+    val batchBands = bandBuckets(sh.join(batch.select(col("doc_id")), "doc_id"))
+    val corpusBands = bandBuckets(sh.join(corpusIds, "doc_id"))
+    val cand = batchBands.toDF("doc_id", "band", "key")
+      .join(corpusBands.toDF("cid", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2"))
+      .select(col("doc_id"), col("cid")).distinct()
+    val nearDup = cand
+      .join(sh.toDF("doc_id", "sh1"), "doc_id")
+      .join(sh.toDF("cid", "sh2"), "cid")
+      .where(round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))).cast("double"), 6) >= minJaccard)
+      .select(col("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+
+    batch.select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"))
+      .withColumn("keep", !col("exact_dup") && !col("near_dup"))
+  }
+
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
@@ -322,6 +381,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_groups"        -> ((s, d) => dupGroups(s, d)),
     "dedup_contamination" -> ((s, d) => contamination(s, d)),
+    "dedup_incremental"   -> ((s, d) => incremental(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -392,5 +452,32 @@ object Dedup {
             coalesce(n_dirty, 0) AS n_dirty,
             round(coalesce(n_dirty, 0)::DOUBLE / n_sh, 6) AS dirty_frac
           FROM base LEFT JOIN d ON base.doc_id = d.doc_id""",
+    // near replayed as ALL batch×corpus exact-Jaccard pairs (same declared
+    // LSH-recall contract as dedup_minhash); exact as fp membership
+    "dedup_incremental" ->
+      s"""WITH $shSql,
+          b AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                    AS bucket
+                FROM documents),
+          batch AS (SELECT doc_id FROM b WHERE bucket >= 90),
+          corpus AS (SELECT doc_id FROM b WHERE bucket < 90),
+          fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+          ex AS (SELECT DISTINCT f1.doc_id FROM fp f1
+                 JOIN batch USING (doc_id)
+                 JOIN fp f2 ON f1.fp = f2.fp
+                 JOIN corpus c ON f2.doc_id = c.doc_id),
+          nr AS (SELECT DISTINCT a.doc_id
+                 FROM sh a
+                 JOIN batch USING (doc_id)
+                 JOIN sh c ON round(len(list_intersect(a.s, c.s))::DOUBLE /
+                                    len(list_distinct(a.s || c.s)), 6) >= 0.5
+                 JOIN corpus co ON c.doc_id = co.doc_id)
+          SELECT batch.doc_id,
+                 ex.doc_id IS NOT NULL AS exact_dup,
+                 nr.doc_id IS NOT NULL AS near_dup,
+                 ex.doc_id IS NULL AND nr.doc_id IS NULL AS keep
+          FROM batch LEFT JOIN ex ON batch.doc_id = ex.doc_id
+                     LEFT JOIN nr ON batch.doc_id = nr.doc_id""",
   )
 }

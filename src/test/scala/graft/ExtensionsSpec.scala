@@ -67,6 +67,38 @@ class DedupSpec extends AnyFunSuite {
     assert(tightPairs.nonEmpty, "aggressive cap killed all planted dups")
   }
 
+  test("incremental dedup equals a replay from the verified fp/pair sets") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+    }
+    val ids = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val batch = ids.filter(bucket(_) >= 90).toSet
+    val corpus = ids.filter(bucket(_) < 90).toSet
+    // expected flags derived from the ALREADY-verified ops: exact() fp
+    // groups and the exact-Jaccard pair set (LSH recall is covered by the
+    // fixture-guard test above)
+    val fpGroups = Dedup.exact(spark, sf).collect()
+      .map(r => r.getAs[String]("fp") -> r.getAs[Long]("doc_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactDup = batch.filter(d =>
+      fpGroups.exists { case (_, g) => g(d) && (g intersect corpus).nonEmpty })
+    val np = Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nearDup = batch.filter(d => np.exists { case (a, b) =>
+      (a == d && corpus(b)) || (b == d && corpus(a)) })
+    val got = Dedup.incremental(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got.keySet == batch)
+    got.foreach { case (d, (ex, nr, keep)) =>
+      assert(ex == exactDup(d), s"doc $d exact_dup")
+      assert(nr == nearDup(d), s"doc $d near_dup")
+      assert(keep == (!ex && !nr), s"doc $d keep")
+    }
+  }
+
   test("simhash pairs catch most planted near-dups") {
     // simhash is a lossy sketch — assert coverage, not exact equality
     val planted = pairs(Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5))
