@@ -253,6 +253,43 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Per-label centroid cosine — the embedding-based semantic quality
+    * filter: each vector scored by cosine to ITS OWN label's mean
+    * embedding (vectors far from their cluster centroid are the semantic
+    * outliers a curation pipeline drops). fp-portability protocol: every
+    * component is 6-dp-rounded onto the decimal grid, the centroid mean
+    * and all dot/norm sums accumulate as exact DECIMAL (order-free — the
+    * row order inside a groupBy sum is nondeterministic), and only the
+    * final cosine divides in double on bit-identical inputs, so the
+    * oracle replays scores exactly (the ml_batch_gd / bm25 technique).
+    *
+    * Scale shape: one explode (embedding width × rows), one (label, pos)
+    * aggregate producing a K×dim centroid table that BROADCASTS back,
+    * one per-vector aggregate keyed on vec_id. No n² anything.
+    */
+  def centroidCos(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("pos"),
+        round(col("col").cast("double"), 6).cast("decimal(12,6)").as("v6"))
+    val cent = dims.groupBy(col("label"), col("pos"))
+      .agg((sum(col("v6")).cast("double") / count(lit(1))).as("c"))
+    val cnorm = cent.groupBy(col("label"))
+      .agg(sum(round(col("c") * col("c"), 9).cast("decimal(18,9)"))
+        .cast("double").as("nc"))
+    val vs = dims.join(broadcast(cent), Seq("label", "pos"))
+      .select(col("vec_id"), col("label"),
+        round(col("v6").cast("double") * col("c"), 9).cast("decimal(18,9)").as("dc"),
+        round(col("v6").cast("double") * col("v6").cast("double"), 9)
+          .cast("decimal(18,9)").as("vv"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("dc")).cast("double").as("dot"),
+        sum(col("vv")).cast("double").as("nv"))
+    vs.join(broadcast(cnorm), "label")
+      .select(col("vec_id"), col("label"),
+        round(col("dot") / sqrt(col("nv") * col("nc")), 6).as("cos_centroid"))
+  }
+
   private val cosSql =
     """round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
          p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
@@ -269,9 +306,34 @@ object Similarity {
     "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
     "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
+    "sim_centroid_cos" -> ((s, d) => centroidCos(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_centroid_cos" ->
+      """WITH dims AS (
+           SELECT vec_id, label, pos,
+                  CAST(round(CAST(embedding[pos] AS DOUBLE), 6) AS DECIMAL(12,6)) AS v6
+           FROM (SELECT vec_id, label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS pos
+                 FROM embeddings)),
+         cent AS MATERIALIZED (
+           SELECT label, pos, CAST(sum(v6) AS DOUBLE) / count(*) AS c
+           FROM dims GROUP BY label, pos),
+         cnorm AS (
+           SELECT label,
+                  CAST(sum(CAST(round(c * c, 9) AS DECIMAL(18,9))) AS DOUBLE) AS nc
+           FROM cent GROUP BY label),
+         vs AS (
+           SELECT d.vec_id, d.label,
+                  CAST(sum(CAST(round(CAST(d.v6 AS DOUBLE) * c.c, 9)
+                                AS DECIMAL(18,9))) AS DOUBLE) AS dot,
+                  CAST(sum(CAST(round(CAST(d.v6 AS DOUBLE) * CAST(d.v6 AS DOUBLE), 9)
+                                AS DECIMAL(18,9))) AS DOUBLE) AS nv
+           FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+           GROUP BY d.vec_id, d.label)
+         SELECT vec_id, label, round(dot / sqrt(nv * nc), 6) AS cos_centroid
+         FROM vs JOIN cnorm USING (label)""",
     "sim_cosine_pairs" ->
       s"""SELECT v1, v2, cos FROM (
             SELECT a.vec_id AS v1, b.vec_id AS v2, $cosSql AS cos

