@@ -141,6 +141,20 @@ object Curation {
       .toDF("doc_id", "bucket", "bin_id", "n_tokens")
   }
 
+  /** Shard/bin manifest over [[pack]]'s output — the export accounting a
+    * training dataloader consumes (how many docs and tokens each packed
+    * bin holds, and its doc-id range). One aggregate keyed on the
+    * already-computed (bucket, bin) — the natural last step of the
+    * packing pipeline.
+    */
+  def packManifest(spark: SparkSession, dir: String): DataFrame =
+    pack(spark, dir)
+      .groupBy(col("bucket"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
   /** End-to-end corpus curation — the composed training-data pipeline:
     * keep a document iff it
     *  1. passes the heuristic quality gate (ta_quality `pass`),
@@ -178,6 +192,7 @@ object Curation {
     "ta_mixture_sample"    -> ((s, d) => mixtureSample(s, d)),
     "ta_chunk"             -> ((s, d) => chunk(s, d)),
     "ta_pack"              -> ((s, d) => pack(s, d)),
+    "ta_pack_manifest"     -> ((s, d) => packManifest(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -264,8 +279,17 @@ object Curation {
                   unnest(generate_series(0, (len(toks) - 1) // $ChunkStride)) AS i
                 FROM (SELECT doc_id, $tokSql AS toks FROM documents)
                 WHERE len(toks) > 0)""",
-    "ta_pack" ->
-      s"""WITH RECURSIVE seq AS (
+    "ta_pack" -> packOracle,
+    "ta_pack_manifest" ->
+      s"""SELECT bucket, bin_id, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+            min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM ($packOracle)
+          GROUP BY bucket, bin_id""",
+  )
+
+  private lazy val packOracle: String =
+    s"""WITH RECURSIVE seq AS (
             SELECT bucket, doc_id, n,
               row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
             FROM (SELECT
@@ -283,6 +307,5 @@ object Curation {
               CASE WHEN p.fill > 0 AND p.fill + s.n > $PackCapacity
                    THEN s.n ELSE p.fill + s.n END
             FROM packed p JOIN seq s ON s.bucket = p.bucket AND s.rn = p.rn + 1)
-          SELECT doc_id, bucket, bin AS bin_id, n AS n_tokens FROM packed""",
-  )
+          SELECT doc_id, bucket, bin AS bin_id, n AS n_tokens FROM packed"""
 }

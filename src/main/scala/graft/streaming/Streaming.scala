@@ -201,7 +201,29 @@ object Streaming {
         (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("ms_before"))
   }
 
+  /** Stream-static enrichment join — the remaining Structured Streaming
+    * join mode next to the stream-stream interval join: each event joins
+    * a STATIC reference dimension (here the per-type weight config). A
+    * stream-static join is STATELESS — no watermark, no state store; the
+    * static side is simply (re)read and broadcast per microbatch — which
+    * is why it is the standard pattern for enriching an event stream
+    * with reference data at any scale. Weighted value = 2-dp decimal
+    * grid value × exact config literal, per-row (engine-identical), so
+    * the batch plan shares the oracle.
+    */
+  def staticEnrich(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val weights = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+      ("signup", 3.0), ("error", 0.0)).toDF("event_type", "weight")
+    events.join(broadcast(weights), "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value").cast("decimal(12,2)").cast("double") * col("weight"), 6)
+          .as("weighted_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_static_enrich" -> ((s, d) => staticEnrich(Tables.events(s, d))),
     // batch execution of the streaming plans — same code, same oracle
     "st_windowed_rollup" -> ((s, d) => windowedRollup(Tables.events(s, d))),
     "st_sessions_stateful" -> ((s, d) => sessionizeStateful(Tables.events(s, d)).toDF()),
@@ -211,6 +233,15 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // all five fixture types are present in the dim, so the inner join
+    // keeps every row — exactly the CASE replay
+    "st_static_enrich" ->
+      """SELECT event_id, user_id, event_type,
+              round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) *
+                    CASE event_type WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                         WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
+                         ELSE 0.0 END, 6) AS weighted_value
+         FROM events""",
     "st_windowed_rollup" -> graft.events.Events.oracles("ev_hourly_rollup"),
     "st_sessions_stateful" -> graft.events.Events.oracles("ev_sessionize"),
     "st_dedup" ->

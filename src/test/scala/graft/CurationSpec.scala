@@ -80,4 +80,19 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(rows.length == Tables.documents(spark, sf).count())
   }
+
+  test("pack manifest reconciles with the packing it summarizes") {
+    val packed = Curation.pack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("doc_id")))
+    val man = Curation.packManifest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("bin_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toMap
+    val want = packed.groupBy(t => (t._1, t._2)).view.mapValues { docs =>
+      (docs.length.toLong, docs.map(_._3).sum, docs.map(_._4).min, docs.map(_._4).max)
+    }.toMap
+    assert(man == want)
+    assert(man.values.map(_._1).sum == packed.length)
+  }
 }

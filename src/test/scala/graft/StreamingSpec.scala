@@ -92,6 +92,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static enrichment (file source, AvailableNow) equals the batch join") {
+    val stream = Streaming.staticEnrich(Streaming.readEventStream(spark, sf))
+    val qname = "enrich_test"
+    val q = stream.writeStream
+      .format("memory").queryName(qname)
+      .outputMode("append") // stateless: every joined row emits once
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("st-chk").toString)
+      .start()
+    q.awaitTermination(120000)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val got = rows(spark.table(qname))
+    val want = rows(Streaming.staticEnrich(Tables.events(spark, sf)))
+    assert(got == want)
+    // the join keeps every event (all five types exist in the static dim)
+    assert(want.size == Tables.events(spark, sf).count())
+  }
+
   test("stateful sessionization on batch reproduces the window-based sessionize") {
     val stateful = Streaming.sessionizeStateful(Tables.events(spark, sf)).toDF()
       .collect()
