@@ -50,9 +50,15 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
 
     // Warm the session (codegen infra, vectorized parquet reader, JIT)
-    // so the first measured query isn't charged for JVM startup.
+    // so the first measured query isn't charged for JVM startup. The
+    // warm-up materializes the FIRST sorted query, which also absorbs
+    // whatever cross-query memo builds it triggers — timed and reported
+    // as "warmup_sec" so that shared-infrastructure cost stays visible
+    // in the artifact instead of silently vanishing from every row.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val warm0 = System.nanoTime()
     materialize(names.head)
+    val warmupSec = (System.nanoTime() - warm0) / 1e9
 
     val results = names.map { name =>
       val runs = (1 to reps).map { _ =>
@@ -77,7 +83,7 @@ object Bench {
     val errs = results.collect { case (k, _, _, _, Some(e)) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // Also land the line in a file: the BENCH_r03 artifact was truncated
     // mid-JSON upstream of the driver, so stdout alone isn't durable.

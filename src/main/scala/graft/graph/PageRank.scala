@@ -252,7 +252,10 @@ object PageRank {
     // nodes is not a tractable oracle; the 100-node tier hash-gates the
     // identical loop): ~10k nodes, shuffles sized to the working set.
     // No driver-side data transfer beyond the per-source mass scalars —
-    // the same plan-side loop as pr_toprank.
+    // the same plan-side loop as pr_toprank. Width measured at sf0.1
+    // (local[32], cold caches, 2 reps): p=4 → 8.3 s, p=8 → 6.4 s,
+    // p=16 → 9.0 s, p=32 → 10.3 s — 8 partitions balances per-iteration
+    // scheduling overhead against parallelism for this working set.
     "pr_toprank_10k"  -> ((s, d) => topK(s, d, mod = 10000, partitions = 8)),
     "pr_triangles"    -> ((s, d) => triangles(s, d)),
   )
