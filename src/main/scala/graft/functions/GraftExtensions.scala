@@ -28,7 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions.ArrayExprs", null, name, usage, "")
+    // the 11-arg constructor is the non-deprecated way to carry usage
+    // text (the 5-arg form is deprecated since 3.0)
+    new ExpressionInfo("graft.functions.ArrayExprs", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private val entries: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("float_dot",

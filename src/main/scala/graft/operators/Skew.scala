@@ -79,7 +79,7 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     val salted = probe.withColumn("salt",
-      pmod(xxhash64(probe.columns.map(col): _*), lit(salts)))
+      pmod(xxhash64(probe.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val replicated = build.withColumn("salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
     salted.join(replicated, Seq(key, "salt")).drop("salt")
