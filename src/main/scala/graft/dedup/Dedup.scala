@@ -298,6 +298,29 @@ object Dedup {
           col("n_sh").cast("double"), 6).as("dirty_frac"))
   }
 
+  /** Passage-level exact dedup: word 8-gram passages appearing in two or
+    * more DISTINCT documents — the substring-granularity counterpart of
+    * document-level dedup (repeated boilerplate/quotation passages are
+    * exactly what suffix-array corpus dedup removes; fixed-length n-gram
+    * fingerprints are its standard scalable approximation). Per doc the
+    * passage set is DISTINCT (one native shingle pass), so the aggregate
+    * counts documents directly; one shuffle keyed on the passage.
+    *
+    * At 100 TB the same plan keys the aggregate on (xxhash64(passage),
+    * length) — the Jaccard-index trick — and joins one example string
+    * back for reporting; boilerplate-hot passages get the stop-shingle
+    * df cap. Fixture scale ships the direct string key so the oracle
+    * replays verbatim.
+    */
+  def dupPassages(spark: SparkSession, dir: String, n: Int = 8, minDocs: Int = 2): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.ArrayExprs.wordShingles(Text.tokenize(col("text")), n))
+          .as("passage"))
+      .groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+
   /** Incremental dedup — the production ingestion shape: a NEW batch of
     * documents (the md5-bucket ≥ 90 split, content-stable like
     * [[contamination]]'s eval set) deduplicated against the EXISTING
@@ -382,6 +405,7 @@ object Dedup {
     "dedup_groups"        -> ((s, d) => dupGroups(s, d)),
     "dedup_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental"   -> ((s, d) => incremental(s, d)),
+    "dedup_passages"      -> ((s, d) => dupPassages(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -479,5 +503,14 @@ object Dedup {
                  ex.doc_id IS NULL AND nr.doc_id IS NULL AS keep
           FROM batch LEFT JOIN ex ON batch.doc_id = ex.doc_id
                      LEFT JOIN nr ON batch.doc_id = nr.doc_id""",
+    "dedup_passages" ->
+      s"""WITH sh8 AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                          for i in generate_series(1, len(toks) - 7)])) AS passage
+            FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+            WHERE len(toks) >= 8)
+          SELECT passage, count(*) AS n_docs, min(doc_id) AS first_doc
+          FROM sh8 GROUP BY passage HAVING count(*) >= 2""",
   )
 }

@@ -67,6 +67,24 @@ class DedupSpec extends AnyFunSuite {
     assert(tightPairs.nonEmpty, "aggressive cap killed all planted dups")
   }
 
+  test("duplicated passages match a brute-force sliding-window replay") {
+    import org.apache.spark.sql.functions._
+    val docToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.text.Text.tokenize(col("text")).as("toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    val want = docToks.toSeq
+      .flatMap { case (id, toks) =>
+        toks.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSeq.distinct
+          .map(p => p -> id)
+      }
+      .groupBy(_._1).view.mapValues(ds => (ds.length.toLong, ds.map(_._2).min))
+      .filter(_._2._1 >= 2).toMap
+    val got = Dedup.dupPassages(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should contain duplicated passages (planted dups)")
+  }
+
   test("incremental dedup equals a replay from the verified fp/pair sets") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
