@@ -163,6 +163,28 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx rolling actives track the exact window (the 100 TB drop-in)") {
+    // the documented drop-in: approx_count_distinct over the SAME
+    // day-fan-out plan shape, bounded sketch instead of the exact expand
+    val du = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day").as("rday")).distinct()
+    val approx = du.select(col("day"), col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .select(date_add(col("day"), col("i")).as("rday"), col("user_id"))
+      .join(broadcast(days), "rday")
+      .groupBy(col("rday"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = Temporal.activeUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_active_7d")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (d, e) =>
+      assert(math.abs(approx(d) - e) <= math.max(3.0, e * 0.05),
+        s"HLL drifted on $d: exact=$e approx=${approx(d)}")
+    }
+  }
+
   test("percentile_approx tracks the exact quantiles (the 100 TB drop-in)") {
     val exact = Temporal.valueQuantiles(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
