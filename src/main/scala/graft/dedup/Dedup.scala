@@ -350,9 +350,14 @@ object Dedup {
       .join(corpusFps, Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_dup"))
 
+    // split membership is a pure function of doc_id, so the band index
+    // splits with a NARROW filter on the memoized shingle scan — no join
+    // needed to route rows to their side
     val sh = docShingles(spark, dir)
-    val batchBands = bandBuckets(sh.join(batch.select(col("doc_id")), "doc_id"))
-    val corpusBands = bandBuckets(sh.join(corpusIds, "doc_id"))
+    val shBucketed = sh.withColumn("bucket", expr(
+      "pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10), 100)"))
+    val batchBands = bandBuckets(shBucketed.where(col("bucket") >= 90).drop("bucket"))
+    val corpusBands = bandBuckets(shBucketed.where(col("bucket") < 90).drop("bucket"))
     val cand = batchBands.toDF("doc_id", "band", "key")
       .join(corpusBands.toDF("cid", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
