@@ -211,10 +211,24 @@ object InvertedIndex {
         array_min(col("dists")).as("min_dist"))
   }
 
+  /** Prefix (wildcard `p*`) term search: per-term df and total tf for
+    * every index term starting with `prefix`. Served from the persisted
+    * term-clustered relation, where the StartsWith predicate prunes to
+    * the few cached batches whose term min/max straddle the prefix range
+    * — the dictionary-range scan a MapFile/term-dictionary engine does
+    * for wildcard queries.
+    */
+  def prefixSearch(spark: SparkSession, dir: String, prefix: String): DataFrame =
+    postingsRelation(spark, dir)
+      .where(col("term").startsWith(prefix))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("total_tf"))
+
   // Fixed query over the fixture vocabulary: (spark AND table) OR merge.
   private val demoQuery = "spark table AND merge OR"
   private val demoPhrase = Seq("table", "hash")
   private val demoNear = ("spark", "merge", 5L)
+  private val demoPrefix = "me"
 
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
@@ -233,6 +247,7 @@ object InvertedIndex {
     "ir_bm25" -> ((s, d) => bm25(s, d)),
     "ir_phrase" -> ((s, d) => phraseQuery(s, d, demoPhrase)),
     "ir_proximity" -> ((s, d) => proximityQuery(s, d, demoNear._1, demoNear._2, demoNear._3)),
+    "ir_prefix" -> ((s, d) => prefixSearch(s, d, demoPrefix)),
     // E-family difference (EXCEPT was "Not present" in the reference —
     // SURVEY §2.7): docs containing spark but not merge
     "ir_boolean_not" -> ((s, d) => booleanQuery(s, d, "spark merge NOT")),
@@ -312,6 +327,13 @@ object InvertedIndex {
           SELECT doc_id FROM dw WHERE term = 'spark'
           EXCEPT
           SELECT doc_id FROM dw WHERE term = 'merge'""",
+    "ir_prefix" ->
+      s"""SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+          FROM (SELECT term, doc_id, count(*) AS tf
+                FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+                GROUP BY term, doc_id)
+          WHERE term LIKE 'me%'
+          GROUP BY term""",
     // replay in position space: every (a-pos, b-pos) pair within the
     // window, counted and min'd per doc — identical to the array lambda
     "ir_proximity" ->

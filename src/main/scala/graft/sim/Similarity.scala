@@ -253,6 +253,35 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** kNN label probe — the standard embedding-space quality eval: each
+    * query vector's label predicted by majority vote of its k nearest
+    * (exact cosine) neighbors, ties broken deterministically (higher
+    * vote count, then smaller label; neighbor ranking ties on vec_id).
+    * Exactness baseline bounded like [[topK]]; at scale the neighbor
+    * stage swaps for the LSH/IVF candidate join — identical vote logic.
+    */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 50): DataFrame = {
+    val e = Tables.embeddings(spark, dir).where(col("vec_id") < MaxExactVectors)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val q = e.where(col("vec_id") < nQueries)
+      .toDF("query_id", "true_label", "qe", "qn")
+    val top = q.join(e.toDF("vec_id", "nlabel", "ce", "cn"),
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("true_label"), col("nlabel"), col("vec_id"),
+        cosinePre(col("qe"), col("qn"), col("ce"), col("cn")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+    top.groupBy(col("query_id"), col("true_label"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("nlabel"))))
+      .where(col("r") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("nlabel").as("predicted_label"), col("votes"))
+  }
+
   /** Per-label centroid cosine — the embedding-based semantic quality
     * filter: each vector scored by cosine to ITS OWN label's mean
     * embedding (vectors far from their cluster centroid are the semantic
@@ -307,9 +336,30 @@ object Similarity {
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
     "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
     "sim_centroid_cos" -> ((s, d) => centroidCos(s, d)),
+    "sim_knn_classify" -> ((s, d) => knnClassify(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_classify" ->
+      s"""WITH sc AS MATERIALIZED (
+            SELECT a.vec_id AS query_id, a.label AS true_label,
+                   b.vec_id AS vec_id, b.label AS nlabel, $cosSql AS cos
+            FROM (SELECT * FROM embeddings WHERE vec_id < 50) a
+            JOIN (SELECT * FROM embeddings WHERE vec_id < 4096) b
+              ON b.vec_id <> a.vec_id),
+          top AS (
+            SELECT query_id, true_label, nlabel FROM (
+              SELECT query_id, true_label, nlabel,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM sc) WHERE rank <= 5),
+          v AS (SELECT query_id, true_label, nlabel, count(*) AS votes
+                FROM top GROUP BY query_id, true_label, nlabel)
+          SELECT query_id, true_label, nlabel AS predicted_label, votes FROM (
+            SELECT query_id, true_label, nlabel, votes,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY votes DESC, nlabel) AS r
+            FROM v) WHERE r = 1""",
     "sim_centroid_cos" ->
       """WITH dims AS (
            SELECT vec_id, label, pos,

@@ -241,6 +241,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(own > 0.0, s"mean centroid cosine $own not positive")
   }
 
+  test("kNN classify matches a brute-force neighbor-vote replay") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val norms = vecs.map { case (id, _, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val byId = vecs.map(t => t._1 -> t).toMap
+    val want = vecs.filter(_._1 < 50).map { case (qid, tl, qv) =>
+      val top = vecs.filter(_._1 != qid)
+        .map { case (id, l, v) => (id, l, r6(dot(qv, v) / (norms(qid) * norms(id)))) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+      val votes = top.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val (pl, pv) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      qid -> (tl, pl, pv)
+    }.toMap
+    val got = Similarity.knnClassify(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("prefix search returns exactly the matching index terms") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ir.InvertedIndex.prefixSearch(spark, sf, "me").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.keys.foreach(t => assert(t.startsWith("me")))
+    val want = graft.ir.InvertedIndex.termDocTf(spark, sf)
+      .where(col("term").startsWith("me")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(ts => (ts.length.toLong, ts.map(_._2).sum)).toMap
+    assert(got == want)
+    assert(got.contains("merge"))
+  }
+
   test("salted count equals direct groupBy count for every key") {
     import org.apache.spark.sql.functions._
     val direct = graft.text.Text.wordCount(spark, sf).collect()
