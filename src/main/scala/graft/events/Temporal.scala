@@ -275,6 +275,30 @@ object Temporal {
       // rewrite a NULL user_id group to user 0, colliding with a real key
       .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
 
+  /** Robust (median/MAD) anomaly score per event — the outlier-resistant
+    * twin of [[zscores]]: rz = 0.6745 · (v − median) / MAD, with MAD =
+    * median(|v − median|). Median and MAD are 6-dp-rounded onto the
+    * shared grid before any downstream arithmetic (exact interpolated
+    * percentile agrees across engines only after rounding — the
+    * ev_quantiles contract), so every per-row score is computed on
+    * bit-identical doubles. Two per-type aggregates broadcast back;
+    * per-row work is one projection. At 100 TB percentile_approx is the
+    * documented drop-in, as for ev_quantiles.
+    */
+  def madZscores(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value").cast("double").as("v"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(percentile(col("v"), lit(0.5)), 6).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(percentile(abs(col("v") - col("med")), lit(0.5)), 6).as("mad"),
+        first(col("med")).as("med"))
+    ev.join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(lit(0.6745) * (col("v") - col("med")) / col("mad"), 6).as("rz"))
+  }
+
   /** Fixed-width value histogram per event type (bucket = floor(v/50)):
     * the distribution profile an ingest pipeline tracks. Both engines
     * evaluate the same IEEE division on the same doubles, so bucketing
@@ -311,6 +335,7 @@ object Temporal {
     "ev_cohort"         -> ((s, d) => cohortRetention(s, d)),
     "ev_distinct_users" -> ((s, d) => distinctUsers(s, d)),
     "ev_active_users"   -> ((s, d) => activeUsers(s, d)),
+    "ev_mad_zscore"     -> ((s, d) => madZscores(s, d)),
     "ev_zscore"         -> ((s, d) => zscores(s, d)),
     "ev_histogram"      -> ((s, d) => valueHistogram(s, d)),
     "ev_type_pivot"     -> ((s, d) => typePivot(s, d)),
@@ -416,6 +441,17 @@ object Temporal {
                 count(DISTINCT CASE WHEN i = 0 THEN user_id END) AS n_active_1d
          FROM contrib JOIN days ON contrib.rday = days.day
          GROUP BY rday""",
+    "ev_mad_zscore" ->
+      """WITH ev AS (SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events),
+         med AS (SELECT event_type, round(quantile_cont(v, 0.5), 6) AS med
+                 FROM ev GROUP BY event_type),
+         mad AS (SELECT ev.event_type,
+                        round(quantile_cont(abs(ev.v - med.med), 0.5), 6) AS mad,
+                        any_value(med.med) AS med
+                 FROM ev JOIN med USING (event_type) GROUP BY ev.event_type)
+         SELECT event_id, ev.event_type,
+                round(0.6745 * (ev.v - mad.med) / mad.mad, 6) AS rz
+         FROM ev JOIN mad USING (event_type)""",
     "ev_zscore" ->
       """WITH e AS (SELECT event_id, event_type,
                CAST(value AS DECIMAL(12,2)) AS v FROM events),

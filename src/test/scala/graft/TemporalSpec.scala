@@ -150,6 +150,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("MAD z-scores match a driver-side median replay") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (frac == 0) s(lo) else s(lo) + (s(lo + 1) - s(lo)) * frac
+    }
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = ev.groupBy(_._2)
+    val want: Map[Long, Double] = byType.toSeq.flatMap { case (_, rows) =>
+      val vs = rows.map(_._3).toSeq
+      val med = r6(median(vs))
+      val mad = r6(median(vs.map(v => math.abs(v - med))))
+      rows.toSeq.map { case (id, _, v) => id -> r6(0.6745 * (v - med) / mad) }
+    }.toMap
+    val got = Temporal.madZscores(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rz")).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) => assert(got(id) == w, s"event $id: ${got(id)} vs $w") }
+  }
+
   test("approx_count_distinct tracks the exact distinct counts (HLL drop-in)") {
     val exact = Temporal.distinctUsers(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
