@@ -100,6 +100,22 @@ class PageRankSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - want.values.sum) < 1e-12)
   }
 
+  test("10k measurement tier keeps the topK invariants of the oracle tier") {
+    // the 100-node tier is hash-gated; this guards the mod/partitions
+    // parameterization itself at the measurement scale (sf0.001 keeps it
+    // a sub-second check: ~hundreds of distinct nodes at this sf)
+    val rows = PageRank.topK(spark, sf, mod = 10000, partitions = 8).collect()
+    val bySource = rows.groupBy(_.getLong(0))
+    assert(bySource.keySet == Set(3L, 57L))
+    bySource.foreach { case (s, rs) =>
+      assert(rs.length == 10)
+      val ranks = rs.map(_.getAs[Double]("rank"))
+      assert(ranks.sorted.reverse.sameElements(ranks), s"source $s not desc-sorted")
+      val selfRank = rs.find(_.getLong(1) == s).map(_.getAs[Double]("rank"))
+      assert(selfRank.exists(_ >= PageRank.Alpha - 1e-6), s"source $s lost its jump floor")
+    }
+  }
+
   test("partitionGraph: hash and range partitionings cover all nodes, range is ordered") {
     val n = PageRank.nodes(spark, sf)
     val e = PageRank.edges(spark, sf)
