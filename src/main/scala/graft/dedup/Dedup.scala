@@ -60,13 +60,16 @@ object Dedup {
     * fingerprint. Output keeps every doc so the query is non-empty even on
     * a dup-free corpus.
     */
-  def exact(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("fp"))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
-  }
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    // shared by dedup_exact and pipeline_curate: one fp-window shuffle
+    // per run (the ≥2-consumer memo rule)
+    memoized(spark, dir, "exact") {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+    }
 
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     * explode distinct shingles, self-join on shingle, count shared, then
@@ -277,7 +280,12 @@ object Dedup {
     * join on (xxhash64, length) like the Jaccard index (smaller rows,
     * negligible collision odds); the oracle replays in string space.
     */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    // shared by dedup_contamination and pipeline_curate: the eval-key
+    // broadcast + per-doc overlap aggregate run once per registry run
+    memoized(spark, dir, "contamination")(contaminationUncached(spark, dir))
+
+  private def contaminationUncached(spark: SparkSession, dir: String): DataFrame = {
     val bucket = expr(
       "pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10), 100)")
     val tagged = docShingles(spark, dir).withColumn("bucket", bucket)
