@@ -218,11 +218,10 @@ object Dedup {
 
   /** Near-dup group resolution: connected components over the
     * MinHash-pair graph, labels = min doc_id of the component (canonical
-    * doc). Iterative min-label propagation — per round one equi-join +
-    * aggregation, converging in component-diameter rounds (near-dup
-    * components are tiny, so 2–3); convergence detected by the monotone
-    * label sum. The 100 TB shape: all shuffles key on doc id; no driver
-    * state beyond the one convergence scalar per round.
+    * doc), via the shared [[graft.graph.Components]] alternating
+    * large-star/small-star module — O(log n) rounds independent of
+    * component diameter (the 100 TB fix for chained-duplicate paths),
+    * one driver scalar per round. All shuffles key on doc id.
     */
   /** [[minhashPairs]] behind the cross-query memo: dedup_minhash and
     * dedup_groups both consume the pair graph, one LSH join per run.
@@ -240,32 +239,11 @@ object Dedup {
   def dupGroups(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame =
     memoized(spark, dir, s"groups_$minJaccard")(dupGroupsUncached(spark, dir, minJaccard))
 
-  private def dupGroupsUncached(spark: SparkSession, dir: String, minJaccard: Double): DataFrame = {
-    val pairs = minhashPairsShared(spark, dir, minJaccard).select(col("d1"), col("d2"))
-    val edges = graft.Caches.register(
-      pairs.union(pairs.select(col("d2"), col("d1"))).toDF("a", "b").persist())
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("label"))
-    var prevSum = Long.MaxValue
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
-    while (sum < prevSum) {
-      val nbrMin = edges.join(labels, col("b") === col("doc_id"))
-        .groupBy(col("a")).agg(min(col("label")).as("nl"))
-      // persist, not localCheckpoint: an evicted persisted block is
-      // recomputed from lineage (slow-but-correct), while a lost
-      // checkpoint block ABORTS the job. The loop converges in component
-      // diameter (2–3 rounds) and the cache substitution bounds each
-      // round's plan, so checkpoint-style lineage truncation isn't needed.
-      labels = graft.Caches.register(
-        labels.join(nbrMin, col("doc_id") === col("a"), "left_outer")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .persist())
-      prevSum = sum
-      sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
-    }
-    labels.select(col("doc_id"), col("label").as("canonical_id"))
-  }
+  private def dupGroupsUncached(spark: SparkSession, dir: String, minJaccard: Double): DataFrame =
+    graft.graph.Components.labels(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      minhashPairsShared(spark, dir, minJaccard).select(col("d1"), col("d2")))
+      .select(col("doc_id"), col("label").as("canonical_id"))
 
   /** Benchmark-contamination check — the training-data hygiene operator:
     * for every training document, the fraction of its word-3-gram

@@ -148,9 +148,10 @@ object Similarity {
     * pipeline mandate, at its 100 TB shape: candidates come from the LSH
     * band-bucket equi-join (never the n² cross join — [[cosinePairs]] is
     * the bounded exactness baseline for this), the exact cosine runs on
-    * candidates only, and duplicate groups resolve by min-label
-    * propagation (the dedup_groups pattern: per-round equi-join +
-    * one monotone convergence scalar to the driver).
+    * candidates only, and duplicate groups resolve through the shared
+    * [[graft.graph.Components]] large-star/small-star module (the
+    * dedup_groups pattern: O(log n) rounds of equi-joins, one
+    * convergence scalar per round).
     *
     * LSH-approximate BY DESIGN relative to all-pairs (a near-dup pair
     * sharing no band is missed — recall asserted against the exact
@@ -179,26 +180,9 @@ object Similarity {
         cosinePre(col("e1"), col("n1"), col("e2"), col("n2")).as("cos"))
       .where(col("cos") >= minCos)
       .select(col("v1"), col("v2"))
-    val edges = graft.Caches.memoized(spark, dir, s"sim:dedup_edges_$minCos")(
-      pairs.union(pairs.select(col("v2"), col("v1"))).toDF("a", "b"))
-    var labels = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("vec_id").as("label"))
-    var prevSum = Long.MaxValue
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
-    while (sum < prevSum) {
-      val nbrMin = edges.join(labels, col("b") === col("vec_id"))
-        .groupBy(col("a")).agg(min(col("label")).as("nl"))
-      // persist-not-checkpoint: see dedup.Dedup.dupGroups — converges in
-      // component diameter, cache substitution bounds each round's plan
-      labels = graft.Caches.register(
-        labels.join(nbrMin, col("vec_id") === col("a"), "left_outer")
-          .select(col("vec_id"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .persist())
-      prevSum = sum
-      sum = labels.agg(org.apache.spark.sql.functions.sum("label")).head().getLong(0)
-    }
-    labels.select(col("vec_id"), col("label").as("canonical_id"))
+    graft.graph.Components.labels(
+      Tables.embeddings(spark, dir).select(col("vec_id")), pairs)
+      .select(col("vec_id"), col("label").as("canonical_id"))
   }
 
   private val IvfCells = 16

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.Components
+
+/** Exact oracle for the shared large-star/small-star connected-components
+  * module: every case is checked against an in-test union-find, including
+  * the long-chain shape (diameter = n) that motivated replacing the
+  * O(diameter) min-label loops.
+  */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def run(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.labels(nodes.toDF("id"), pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def unionFind(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are min ids because unions always attach the larger root
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("long chain labels to the minimum (the O(diameter) killer case)") {
+    val nodes = (1L to 64L)
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val got = run(nodes, chain)
+    assert(got == nodes.map(_ -> 1L).toMap)
+  }
+
+  test("isolated nodes, self-pairs, duplicate and reversed edges") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L)
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 2L), (4L, 5L), (5L, 4L), (4L, 5L))
+    assert(run(nodes, pairs) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("matches union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val nodes = (0L until 80L)
+    val pairs = Seq.fill(70)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    assert(run(nodes, pairs) == unionFind(nodes, pairs))
+  }
+
+  test("star and merged-star shapes converge to one root") {
+    // two stars joined by a bridge between their leaves
+    val pairs = Seq((10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (20L, 22L), (13L, 22L))
+    val nodes = Seq(10L, 11L, 12L, 13L, 20L, 21L, 22L)
+    assert(run(nodes, pairs) == nodes.map(_ -> 10L).toMap)
+  }
+}
