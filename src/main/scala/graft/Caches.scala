@@ -10,12 +10,23 @@ import org.apache.spark.sql.DataFrame
   * host with a long-lived session calls [[releaseAll]] when the batch of
   * queries is done (the driver mains do). Registered release hooks let
   * modules also drop their memo tables so a later call rebuilds cleanly.
+  *
+  * Thread contract: every mutation runs under the object monitor,
+  * INCLUDING the whole memoized build-and-insert — a concurrent
+  * [[releaseAll]] can therefore never observe (and drop) a frame that is
+  * registered but not yet in the memo map, which previously left an
+  * unreleasable entry behind. The monitor is reentrant, so builders that
+  * recursively memoize sub-frames (dedup_groups → minhash pairs →
+  * shingles) nest fine; cross-thread callers serialize, which is the
+  * intended behavior for a shared cache. (Under `Test / fork := true`
+  * without `testForkedParallel`, sbt runs suites sequentially anyway —
+  * the lock makes the contract hold regardless of harness config.)
   */
 object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val hooks  = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String, String), DataFrame]()
+  private val memo = scala.collection.mutable.HashMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String), DataFrame]
 
   def register(df: DataFrame): DataFrame = synchronized { frames += df; df }
   def onRelease(hook: () => Unit): Unit = synchronized { hooks += hook }
@@ -28,24 +39,19 @@ object Caches {
     * bound to a dead session. The strong key reference adds no lifetime:
     * the memoized DataFrames themselves pin their session until
     * [[releaseAll]] clears both.
-    *
-    * NOT computeIfAbsent: builders recursively memoize sub-frames on the
-    * same map, and a nested computeIfAbsent throws "Recursive update"
-    * whenever two keys share a hash bin (surfaced as a FLAKY
-    * dedup_groups failure). Plain get + putIfAbsent allows the nesting;
-    * a lost race (impossible in the single-threaded registry runs,
-    * harmless otherwise) just persists a duplicate frame that
-    * [[releaseAll]] cleans up.
     */
   def memoized(spark: org.apache.spark.sql.SparkSession, dir: String, key: String)
-              (build: => DataFrame): DataFrame = {
+              (build: => DataFrame): DataFrame = synchronized {
+    // explicit get/update, not getOrElseUpdate: builders recursively
+    // memoize sub-frames on this same map mid-build, which
+    // getOrElseUpdate's cached-slot optimization does not allow
     val k = (spark, dir, key)
-    val cached = memo.get(k)
-    if (cached != null) cached
-    else {
-      val df = register(build.persist())
-      val prev = memo.putIfAbsent(k, df)
-      if (prev != null) prev else df
+    memo.get(k) match {
+      case Some(df) => df
+      case None =>
+        val df = register(build.persist())
+        memo.update(k, df)
+        df
     }
   }
 
@@ -55,4 +61,10 @@ object Caches {
     memo.clear()
     hooks.foreach(_.apply())
   }
+
+  /** Test introspection (CachesSpec lifecycle assertions): the currently
+    * registered frames and memo entries, snapshotted under the lock.
+    */
+  private[graft] def snapshot: (Seq[DataFrame], Int) =
+    synchronized { (frames.toSeq, memo.size) }
 }

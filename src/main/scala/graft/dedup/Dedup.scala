@@ -82,8 +82,11 @@ object Dedup {
     *   through one hot key). Capped shingles still count toward each
     *   doc's |A| via n_sh, so Jaccard becomes a conservative UNDER-count
     *   for pairs whose overlap was mostly boilerplate — exactly the
-    *   near-dup definition a training-data pipeline wants. Off (None) at
-    *   fixture scale so the exact-Jaccard oracle holds.
+    *   near-dup definition a training-data pipeline wants. Off (None)
+    *   for dedup_ngram_jaccard (exact-Jaccard oracle); ON and
+    *   hash-gated as dedup_ngram_capped (cap = [[StopShingleDf]], the
+    *   oracle replays the capped index), with the undercount property
+    *   additionally asserted pairwise in DedupSpec.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.2,
                         maxShingleDf: Option[Long] = None): DataFrame = {
@@ -153,8 +156,14 @@ object Dedup {
         .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-  def minhashPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
-    val sh = docShingles(spark, dir)
+  def minhashPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame =
+    minhashPairsOn(docShingles(spark, dir), minJaccard)
+
+  /** The LSH pipeline over an arbitrary (doc_id, sh) frame — shared by
+    * the fixture-tier [[minhashPairs]] (hash-gated) and the measurement
+    * tier [[minhashBig]].
+    */
+  private def minhashPairsOn(sh: DataFrame, minJaccard: Double): DataFrame = {
     val bands = bandBuckets(sh)
     val cand = bands.toDF("d1", "band", "key")
       .join(bands.toDF("d2", "band2", "key2"),
@@ -168,6 +177,50 @@ object Dedup {
         round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))).cast("double"), 6).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Measurement tier for the MinHash+LSH pipeline (the pr_toprank_10k
+    * pattern): the documents corpus inflated ×`replicas` with perturbed
+    * copies (replica r > 0 appends one distinct token, so each group of
+    * 10 forms a genuine near-dup cluster), pushed through the identical
+    * band → candidate → exact-verify pipeline as dedup_minhash, at 10×
+    * the docs and ~45× the true pair count of the fixture tier. Output
+    * is the one-row measurement summary — corpus size, LSH candidate
+    * count (the quantity the banding exists to bound), verified pair
+    * count — not the pair set, so the bench measures the join, not a
+    * giant result write. Rows-only by necessity: the ×10 corpus squares
+    * the DuckDB exact-Jaccard oracle (the logic itself is hash-gated at
+    * fixture scale through dedup_minhash).
+    */
+  def minhashBig(spark: SparkSession, dir: String, replicas: Int = 10,
+                 minJaccard: Double = 0.5): DataFrame = {
+    val inflated = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zz"), expr("repeat('x', r)")))
+          .as("text"))
+    val sh = inflated
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bands = bandBuckets(sh)
+    val cand = bands.toDF("d1", "band", "key")
+      .join(bands.toDF("d2", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    // candidate count and verified-pair count in ONE pass over the
+    // verify join (count + conditional count), so the measurement adds
+    // no second traversal of the candidate set
+    val verified = cand
+      .join(sh.toDF("d1", "sh1"), "d1")
+      .join(sh.toDF("d2", "sh2"), "d2")
+      .select((size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))).cast("double")).as("j"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("j") >= minJaccard, 1)).as("n_pairs"))
+    sh.agg(count(lit(1)).as("n_docs")).crossJoin(verified)
   }
 
   private val SimBits = 60 // 15 hex chars of md5 → fits a signed long
@@ -387,10 +440,46 @@ object Dedup {
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         WHERE jaccard >= $minJ"""
 
+  /** Replay of [[ngramJaccardPairs]] WITH the stop-shingle df cap: the
+    * inverted index drops shingles with df > cap before the self-join
+    * (intersections undercount), while denominators keep the full
+    * per-doc shingle counts — the conservative-undercount semantics the
+    * cap promises.
+    */
+  private def cappedJaccardOracle(minJ: Double, cap: Long): String =
+    s"""WITH $shSql,
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        keep AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
+                 WHERE df <= $cap),
+        exk AS (SELECT doc_id, g FROM ex JOIN keep USING (g)),
+        i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_int
+              FROM exk a JOIN exk b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        n AS (SELECT doc_id, len(s) AS n_sh FROM sh)
+        SELECT d1, d2, jaccard FROM (
+          SELECT d1, d2,
+                 round(n_int::DOUBLE / (n1.n_sh + n2.n_sh - n_int), 6) AS jaccard
+          FROM i JOIN n n1 ON i.d1 = n1.doc_id JOIN n n2 ON i.d2 = n2.doc_id)
+        WHERE jaccard >= $minJ"""
+
+  /** The registered cap for dedup_ngram_capped: at sf0.01 the corpus has
+    * 615 shingles with df > 3 (max df 7), so the cap genuinely prunes
+    * the hot end of the index while the planted near-dup pairs (which
+    * share mostly df-2 shingles) survive.
+    */
+  val StopShingleDf = 3L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> ((s, d) => exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
+    // the 100 TB skew guard ON and oracle-gated: stop shingles with
+    // df > StopShingleDf leave the inverted index before the self-join
+    "dedup_ngram_capped"  -> ((s, d) =>
+      ngramJaccardPairs(s, d, maxShingleDf = Some(StopShingleDf))),
     "dedup_minhash"       -> ((s, d) => minhashPairsShared(s, d)),
+    // measurement tier, rows-only (see scaladoc): LSH join + verify at
+    // 10× corpus; one summary row (n_docs, n_candidates, n_pairs)
+    "dedup_minhash_big"   -> ((s, d) => minhashBig(s, d)),
     "dedup_simhash"       -> ((s, d) => simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_groups"        -> ((s, d) => dupGroups(s, d)),
@@ -406,6 +495,7 @@ object Dedup {
                 count(*) OVER (PARTITION BY md5(text)) AS group_size
          FROM documents""",
     "dedup_ngram_jaccard" -> jaccardOracle(0.2),
+    "dedup_ngram_capped"  -> cappedJaccardOracle(0.2, StopShingleDf),
     "dedup_minhash"       -> jaccardOracle(0.5),
     // connected components over the ≥0.5-jaccard pair graph via a
     // recursive CTE; canonical = min reachable doc_id
@@ -468,7 +558,13 @@ object Dedup {
             round(coalesce(n_dirty, 0)::DOUBLE / n_sh, 6) AS dirty_frac
           FROM base LEFT JOIN d ON base.doc_id = d.doc_id""",
     // near replayed as ALL batch×corpus exact-Jaccard pairs (same declared
-    // LSH-recall contract as dedup_minhash); exact as fp membership
+    // LSH-recall contract as dedup_minhash); exact as fp membership.
+    // FIXTURE CONSTRAINT (as for dedup_minhash): the query verifies only
+    // LSH band-collision candidates while this oracle enumerates every
+    // pair at J ≥ 0.5 — the 1−4e-8 recall bound of the 16×4 banding holds
+    // at j ≥ 0.9, so the hash gate relies on the fixture's planted dups
+    // being ≥ 0.9 (they are); a future planted pair with J in [0.5, 0.9)
+    // would flip this row red without any code change.
     "dedup_incremental" ->
       s"""WITH $shSql,
           b AS (SELECT doc_id,

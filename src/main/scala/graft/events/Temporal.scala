@@ -296,7 +296,12 @@ object Temporal {
         first(col("med")).as("med"))
     ev.join(broadcast(mad), "event_type")
       .select(col("event_id"), col("event_type"),
-        round(lit(0.6745) * (col("v") - col("med")) / col("mad"), 6).as("rz"))
+        // MAD=0 contract (a type whose majority value is one constant):
+        // emit NULL, guarded in BOTH engines — unguarded, Spark's
+        // non-ANSI x/0 is NULL while DuckDB's IEEE division is ±inf, so
+        // the gate would diverge on any constant-heavy fixture type
+        when(col("mad") =!= 0,
+          round(lit(0.6745) * (col("v") - col("med")) / col("mad"), 6)).as("rz"))
   }
 
   /** Fixed-width value histogram per event type (bucket = floor(v/50)):
@@ -450,7 +455,7 @@ object Temporal {
                         any_value(med.med) AS med
                  FROM ev JOIN med USING (event_type) GROUP BY ev.event_type)
          SELECT event_id, ev.event_type,
-                round(0.6745 * (ev.v - mad.med) / mad.mad, 6) AS rz
+                round(0.6745 * (ev.v - mad.med) / nullif(mad.mad, 0), 6) AS rz
          FROM ev JOIN mad USING (event_type)""",
     "ev_zscore" ->
       """WITH e AS (SELECT event_id, event_type,

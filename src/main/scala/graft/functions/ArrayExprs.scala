@@ -68,6 +68,48 @@ object ArrayExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Σ a(i)·b(i) with a: array<float>, b: array<double> — the
+    * trained-centroid variant of [[FloatDot]] (IVF centroids live on the
+    * round6 DOUBLE grid; narrowing them to float would leave the grid
+    * and break the oracle replay). Same strict left-to-right double
+    * accumulation; codegen'd for the n×K assignment map.
+    */
+  case class FloatDoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "float_double_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getDouble(i)
+        i += 1
+      }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double ${ev.value}_acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value}_acc += (double) $a.getFloat($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = ${ev.value}_acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** MinHash signature over an array<string>: sig(i) = min over elements
     * of xxhash64(seed=i, element), one native pass (numHashes × elements)
     * instead of numHashes interpreted `transform`+`array_min` passes.
@@ -318,6 +360,9 @@ object ArrayExprs {
 
   def floatDot(a: Column, b: Column): Column =
     GraftExpr.column(FloatDot(GraftExpr.expression(a), GraftExpr.expression(b)))
+
+  def floatDoubleDot(a: Column, b: Column): Column =
+    GraftExpr.column(FloatDoubleDot(GraftExpr.expression(a), GraftExpr.expression(b)))
 
   def wordShingles(tokens: Column, n: Int): Column =
     GraftExpr.column(WordShingles(GraftExpr.expression(tokens), n))

@@ -220,19 +220,33 @@ object PageRank {
   }
 
   /** Per-node triangle participation (graph-extension beyond the
-    * reference's PageRank-only surface). Ordered-wedge enumeration:
-    * canonicalize to undirected a<b edges, join (a,b)⋈(b,c) wedges back
-    * against (a,c) — every triangle materializes exactly once as
-    * a<b<c, so no post-hoc division. All three joins are equi-joins on
-    * node ids (shuffle keys, broadcastable small sides at dimension
-    * scale); production systems order by degree instead of id to tame
-    * hub skew — same plan shape, different canonical order.
+    * reference's PageRank-only surface). DEGREE-ORDERED wedge
+    * enumeration: canonicalize each undirected edge low≺high under the
+    * total order (degree, id) and join (a,b)⋈(b,c) wedges back against
+    * (a,c) — every triangle materializes exactly once, no post-hoc
+    * division. Ordering by degree (ties on id) is the hub-skew guard:
+    * a node's wedge count is C(out-degree, 2), and under degree order a
+    * hub's out-edges go only to HIGHER-degree nodes, bounding out-degree
+    * at O(√|E|) — id order instead lets one hub with degree d put O(d²)
+    * wedges through a single join key. The per-node triangle count is
+    * canonical-order-invariant, so the oracle is unchanged. All joins
+    * stay equi-joins on node ids.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val und = edges(spark, dir)
+    val und0 = edges(spark, dir)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+    val deg = und0.select(col("a").as("id")).union(und0.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val aFirst = und0
+      .join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
+      .select(col("a"), col("b"),
+        (col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+          .as("af"))
+    val und = aFirst.select(
+      when(col("af"), col("a")).otherwise(col("b")).as("a"),
+      when(col("af"), col("b")).otherwise(col("a")).as("b"))
     val tri = und.toDF("a", "b")
       .join(und.toDF("b2", "c"), col("b") === col("b2"))
       .join(und.toDF("a3", "c3"),

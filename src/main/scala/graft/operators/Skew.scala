@@ -75,11 +75,26 @@ object Skew {
     * skew-join split covers sort-merge joins automatically; explicit
     * salting remains the tool when AQE can't split (e.g. a skewed
     * aggregate-after-join keyed on the hot key).
+    *
+    * LIMITATION of the content salt: EXACT-DUPLICATE probe rows hash to
+    * the same salt, so a hot key made of verbatim repeats (a common skew
+    * shape in log data) still funnels through one reducer. For those
+    * probes set `spreadDuplicates = true`: the salt then also mixes
+    * spark_partition_id + a per-partition counter, spreading identical
+    * rows round-robin. That opt-in trades the content salt's
+    * determinism-under-recomputation (a recomputed partition may re-salt
+    * rows differently — harmless for the JOIN RESULT, which is identical
+    * for any salt assignment, but the intermediate partitioning is no
+    * longer stable).
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-                 salts: Int = 16): DataFrame = {
-    val salted = probe.withColumn("salt",
-      pmod(xxhash64(probe.columns.toIndexedSeq.map(col): _*), lit(salts)))
+                 salts: Int = 16, spreadDuplicates: Boolean = false): DataFrame = {
+    val contentSalt = xxhash64(probe.columns.toIndexedSeq.map(col): _*)
+    val salt =
+      if (spreadDuplicates)
+        pmod(contentSalt + spark_partition_id() + monotonically_increasing_id(), lit(salts))
+      else pmod(contentSalt, lit(salts))
+    val salted = probe.withColumn("salt", salt)
     val replicated = build.withColumn("salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
     salted.join(replicated, Seq(key, "salt")).drop("salt")

@@ -187,20 +187,45 @@ object Similarity {
 
   private val IvfCells = 16
   private val IvfProbes = 4
+  private[sim] val IvfIters = 5
 
-  /** IVF coarse quantizer: the first `IvfCells` vectors act as centroids
-    * (deterministic — no runtime k-means; at scale you'd train centroids
-    * offline and broadcast them the same way). Assignment = argmax cosine
-    * against the broadcast centroid set: a narrow n×K map, no shuffle.
+  /** Trained IVF coarse-quantizer centroids: the [[KMeans]] Lloyd's loop
+    * (k = IvfCells, IvfIters iterations — the offline training step the
+    * IVF index presumes, wired in rather than seeded from "first 16
+    * vectors"). Memoized per (session, dir): training runs once per
+    * registry run, and the resulting K×dim table broadcasts to every
+    * consumer. Centroid coordinates sit on the round6 decimal grid and
+    * the norm is the sequential left-to-right square-sum (driver fold ≡
+    * DuckDB list_sum), so the chained-CTE oracle replays assignment from
+    * the identical centroid table.
+    */
+  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "sim:ivf_centroids") {
+      import spark.implicits._
+      val (cents, _) = KMeans.train(spark, dir, k = IvfCells, iterations = IvfIters)
+      cents.zipWithIndex.toSeq.map { case (c, cell) =>
+        (cell, c, math.sqrt(c.map(x => x * x).sum))
+      }.toDF("cell", "ce", "cn")
+    }
+
+  /** Cosine of a float vector (with precomputed norm) against a trained
+    * double-grid centroid — [[graft.functions.ArrayExprs.FloatDoubleDot]]
+    * keeps the centroid on its decimal grid (narrowing to float would
+    * leave it and break the oracle).
+    */
+  private def centCos(v: Column, nv: Column, ce: Column, cn: Column): Column =
+    round(graft.functions.ArrayExprs.floatDoubleDot(v, ce) / (nv * cn), 6)
+
+  /** Assignment = argmax cosine against the broadcast trained centroid
+    * set: a narrow n×K map, no shuffle of the vector table.
     */
   private def ivfAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = withNorm(Tables.embeddings(spark, dir))
-    val cents = e.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("ce"), col("norm").as("cn"))
+    val cents = ivfCentroids(spark, dir)
     val assigned = e.toDF("vec_id", "embedding", "norm")
       .join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
-        cosinePre(col("embedding"), col("norm"), col("ce"), col("cn")).as("ccos"))
+        centCos(col("embedding"), col("norm"), col("ce"), col("cn")).as("ccos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
       .where(col("rk") === 1)
@@ -211,8 +236,10 @@ object Similarity {
   /** IVF approximate top-k: probe the query's `IvfProbes` nearest cells,
     * exact cosine re-rank on their members only. The candidate join is an
     * equi-join on the cell id — the 100 TB path: cell population ≈ n/K per
-    * bucket instead of the n² cross join. Approximate ⇒ rows-only oracle;
-    * recall vs exact topK asserted in SimilaritySpec.
+    * bucket instead of the n² cross join. Approximate relative to exact
+    * top-k but deterministic given the trained centroids, so the oracle
+    * replays training + assignment + probe + re-rank end to end; recall
+    * vs exact topK additionally asserted in SimilaritySpec.
     */
   def topKIvf(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
     val (assigned, cents) = ivfAssign(spark, dir)
@@ -220,7 +247,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
     val probes = queries.join(broadcast(cents))
       .select(col("query_id"), col("qe"), col("qn"), col("cell"),
-        cosinePre(col("qe"), col("qn"), col("ce"), col("cn")).as("ccos"))
+        centCos(col("qe"), col("qn"), col("ce"), col("cn")).as("ccos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
       .where(col("rk") <= IvfProbes)
@@ -464,25 +491,31 @@ object Similarity {
             UNION
             SELECT reach.v, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a)
           SELECT v AS vec_id, min(r) AS canonical_id FROM reach GROUP BY v""",
-    // Full replay of the IVF pipeline: assignment (argmax cosine to the
-    // 16 seed centroids, ties to the lowest cell), probe the query's 4
-    // nearest cells, exact re-rank over probed members. Cosines rounded
-    // to 6 dp exactly like the plan.
+    // Full replay of the IVF pipeline FROM TRAINING: the KMeans Lloyd's
+    // chain (k=16, 5 iterations — KMeans.kmeansCtes, whose `e` CTE this
+    // query extends with norms), then assignment (argmax round6 cosine
+    // to the TRAINED centroids, ties to the lowest cell), probe the
+    // query's 4 nearest cells, exact re-rank over probed members.
+    // Centroid coords are round6-grid DOUBLEs in both engines.
     "sim_topk_ivf" ->
-      s"""WITH e AS MATERIALIZED (
+      ("WITH " + KMeans.kmeansCtes(k = 16, iterations = IvfIters) +
+      s""",
+          en AS MATERIALIZED (
             SELECT vec_id, embedding,
                    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-            FROM embeddings),
+            FROM e),
           c AS MATERIALIZED (
-            SELECT vec_id AS cell, embedding AS ce, nrm AS cn FROM e WHERE vec_id < 16),
+            SELECT cell, cent AS ce,
+                   sqrt(list_sum(list_transform(cent, x -> x * x))) AS cn
+            FROM c$IvfIters),
           asn AS MATERIALIZED (
             SELECT vec_id, embedding, nrm, cell FROM (
-              SELECT e.vec_id, e.embedding, e.nrm, c.cell,
-                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                       round(list_sum(list_transform(list_zip(e.embedding, c.ce),
-                               z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (e.nrm * c.cn), 6) DESC,
+              SELECT en.vec_id, en.embedding, en.nrm, c.cell,
+                     row_number() OVER (PARTITION BY en.vec_id ORDER BY
+                       round(list_sum(list_transform(list_zip(en.embedding, c.ce),
+                               z -> z[1]::DOUBLE * z[2])) / (en.nrm * c.cn), 6) DESC,
                        c.cell) AS rk
-              FROM e CROSS JOIN c) WHERE rk = 1),
+              FROM en CROSS JOIN c) WHERE rk = 1),
           q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
                 FROM asn WHERE vec_id < 10),
           p AS MATERIALIZED (
@@ -490,7 +523,7 @@ object Similarity {
               SELECT q.query_id, q.qe, q.qn, c.cell,
                      row_number() OVER (PARTITION BY q.query_id ORDER BY
                        round(list_sum(list_transform(list_zip(q.qe, c.ce),
-                               z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (q.qn * c.cn), 6) DESC,
+                               z -> z[1]::DOUBLE * z[2])) / (q.qn * c.cn), 6) DESC,
                        c.cell) AS rk
               FROM q CROSS JOIN c) WHERE rk <= 4)
           SELECT query_id, vec_id, cos, rank FROM (
@@ -501,6 +534,6 @@ object Similarity {
                          round(list_sum(list_transform(list_zip(p.qe, a.embedding),
                                  z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.qn * a.nrm), 6) AS cos
                   FROM p JOIN asn a ON p.cell = a.cell AND p.query_id <> a.vec_id))
-          WHERE rank <= 3""",
+          WHERE rank <= 3"""),
   )
 }

@@ -40,4 +40,39 @@ class CachesSpec extends AnyFunSuite {
     Caches.releaseAll()
     assert(a3.storageLevel == StorageLevel.NONE)
   }
+
+  test("nested memoized builds (builder memoizes sub-frames) register cleanly") {
+    import spark.implicits._
+    val outer = Caches.memoized(spark, "caches-spec", "outer") {
+      val inner = Caches.memoized(spark, "caches-spec", "inner")(Seq(1, 2).toDF("x"))
+      inner.select(org.apache.spark.sql.functions.col("x") * 2)
+    }
+    outer.count()
+    val (frames, memoSize) = Caches.snapshot
+    assert(memoSize >= 2, "both nesting levels should be memoized")
+    Caches.releaseAll()
+    assert(frames.forall(_.storageLevel == StorageLevel.NONE))
+    assert(Caches.snapshot._2 == 0)
+  }
+
+  /** The registry-wide leak guard: materialize EVERY registered query at
+    * the smoke tier (a full Verify-shaped pass — this is also the one
+    * place all 100+ queries execute under `sbt test`), then prove
+    * releaseAll unpersists every frame the pass registered and empties
+    * the memo. A leak here grows with the registry, which is exactly
+    * when it would start to hurt.
+    */
+  test("a full registry pass releases every memoized frame") {
+    val sf = TestSpark.sf
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, sf).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => fail(s"$name failed at smoke tier: ${e.getMessage}") }
+    }
+    val (frames, memoSize) = Caches.snapshot
+    assert(frames.nonEmpty && memoSize > 0, "pass should have populated the memo")
+    Caches.releaseAll()
+    val leaked = frames.filter(_.storageLevel != StorageLevel.NONE)
+    assert(leaked.isEmpty, s"${leaked.size} frames leaked past releaseAll")
+    assert(Caches.snapshot._2 == 0, "memo not emptied")
+  }
 }

@@ -65,6 +65,41 @@ class DedupSpec extends AnyFunSuite {
     val tightPairs = pairs(tight)
     assert(tightPairs.subsetOf(base))
     assert(tightPairs.nonEmpty, "aggressive cap killed all planted dups")
+    // value-level undercount: with the threshold lifted, every pair's
+    // capped jaccard is <= its uncapped jaccard, never above
+    def jmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val baseJ = jmap(Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.01))
+    val cappedJ = jmap(Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.01,
+      maxShingleDf = Some(2L)))
+    assert(cappedJ.keySet.subsetOf(baseJ.keySet))
+    cappedJ.foreach { case (k, j) =>
+      assert(j <= baseJ(k) + 1e-9, s"cap INCREASED jaccard for $k: $j > ${baseJ(k)}")
+    }
+    // cap=2 must genuinely drop shingles at this tier (df>2 exists)
+    val changed = cappedJ.size < baseJ.size ||
+      cappedJ.exists { case (k, j) => j < baseJ(k) - 1e-12 }
+    assert(changed, "cap=2 was a no-op; pick a smaller cap")
+  }
+
+  test("minhash measurement tier: replica clusters surface, counts coherent") {
+    val row = Dedup.minhashBig(spark, sf).head()
+    val (nDocs, nCand, nPairs) =
+      (row.getAs[Long]("n_docs"), row.getAs[Long]("n_candidates"), row.getAs[Long]("n_pairs"))
+    import org.apache.spark.sql.functions._
+    // exact survivor count: replica 0 shingles iff >= 3 tokens, replicas
+    // 1..9 append one token so they shingle iff >= 2 tokens originally
+    val tokCounts = Tables.documents(spark, sf)
+      .select(size(graft.text.Text.tokenize(col("text"))).as("t"))
+      .collect().map(_.getInt(0))
+    val expected = tokCounts.map(t => (if (t >= 3) 1 else 0) + (if (t >= 2) 9 else 0)).sum
+    assert(nDocs == expected, s"expected $expected inflated docs, got $nDocs")
+    val base = tokCounts.count(_ >= 3)
+    assert(nPairs <= nCand, "verified pairs exceed candidates")
+    // each original doc's 10-replica cluster should verify as near-dups
+    // almost completely (45 pairs per cluster at J~0.9+); demand at least
+    // half to keep the bound robust to short docs
+    assert(nPairs >= base * 45 / 2, s"replica clusters under-recovered: $nPairs")
   }
 
   test("duplicated passages match a brute-force sliding-window replay") {

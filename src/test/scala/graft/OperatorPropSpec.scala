@@ -30,6 +30,12 @@ class OperatorPropSpec extends AnyFunSuite {
         .groupBy(col("k"), col("tag")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
         s"salted($salts) != plain")
+      // the duplicate-spreading opt-in re-salts rows but must leave the
+      // join result untouched (any salt assignment is result-equivalent)
+      val spread = Skew.saltedJoin(probe, build, "k", salts, spreadDuplicates = true)
+        .groupBy(col("k"), col("tag")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      assert(spread.exceptAll(plain).isEmpty && plain.exceptAll(spread).isEmpty,
+        s"spread-salted($salts) != plain")
     }
   }
 
