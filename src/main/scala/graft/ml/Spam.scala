@@ -62,6 +62,12 @@ object Spam {
   def train(spark: SparkSession, dir: String, shuffleSeed: Option[Long] = None): DataFrame =
     trainOn(instances(spark, dir), shuffleSeed)
 
+  /** [[instances]] behind the cross-query memo — shared by spam_apply's
+    * scoring side and [[ensemble]] (same key).
+    */
+  def instancesShared(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "ml:spam_instances")(instances(spark, dir))
+
   /** [[train]] behind the cross-query memo: spam_train, spam_apply and
     * SpamSpec all consume the full-corpus fold, which is a single-thread
     * sequential pass by construction — without the memo it re-ran once
@@ -125,7 +131,7 @@ object Spam {
     * and by sign vote.
     */
   def ensemble(spark: SparkSession, dir: String): DataFrame = {
-    val inst = graft.Caches.memoized(spark, dir, "ml:spam_instances")(instances(spark, dir))
+    val inst = instancesShared(spark, dir)
     val scores = (0 until 3).map { m =>
       val shard = inst.filter(pmod(col("docid"), lit(3)) === m)
       applyModel(inst, trainOn(shard))
@@ -434,7 +440,7 @@ object Spam {
     "spam_train_seq_shuffled" -> ((s, d) => trainSeqShared(s, d, shuffleSeed = Some(ShuffleSeed))),
     "spam_apply_seq" -> ((s, d) => applySeq(s, d)),
     "spam_ensemble_seq" -> ((s, d) => ensembleSeq(s, d)),
-    "spam_apply"     -> ((s, d) => applyModel(instances(s, d), trainShared(s, d))
+    "spam_apply"     -> ((s, d) => applyModel(instancesShared(s, d), trainShared(s, d))
       .select(col("docid"), col("label"), round(col("score"), 6).as("score"), col("predicted"))),
     "spam_ensemble"  -> ((s, d) => ensemble(s, d)),
   )
