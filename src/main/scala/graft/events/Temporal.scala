@@ -285,9 +285,14 @@ object Temporal {
     * per-row work is one projection. At 100 TB percentile_approx is the
     * documented drop-in, as for ev_quantiles.
     */
-  def madZscores(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("value").cast("double").as("v"))
+  def madZscores(spark: SparkSession, dir: String): DataFrame =
+    madZscoresOn(Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value").cast("double").as("v")))
+
+  /** Core over an explicit (event_id, event_type, v) frame — split out so
+    * the MAD=0 NULL contract is unit-testable on a constant-valued type.
+    */
+  def madZscoresOn(ev: DataFrame): DataFrame = {
     val med = ev.groupBy(col("event_type"))
       .agg(round(percentile(col("v"), lit(0.5)), 6).as("med"))
     val mad = ev.join(broadcast(med), "event_type")

@@ -90,6 +90,12 @@ object Components {
       .distinct()
   }
 
+  /** One full large-star + small-star round over an oriented edge frame —
+    * exposed for the physical-plan audit (PlanAuditSpec asserts the round
+    * is equi-join/aggregate-shaped, never a cross product).
+    */
+  private[graft] def auditRound(e: DataFrame): DataFrame = smallStar(largeStar(e))
+
   /** Input already oriented large→small, so Γ(v) here is exactly the
     * smaller-neighbor set; m ≤ u for every emitted (u, m) and the u = m
     * self-loop is dropped.

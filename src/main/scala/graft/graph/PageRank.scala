@@ -259,9 +259,37 @@ object PageRank {
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Connected components of the fixture graph through the shared
+    * [[Components]] large-star/small-star module — the module registered
+    * as a first-class graph operator, not only as dedup plumbing.
+    * mod=100 is the oracle tier (recursive-CTE reachability replay, the
+    * dedup_groups technique); [[componentsSummary]] is the measurement
+    * tier.
+    */
+  def components(spark: SparkSession, dir: String, mod: Long = 100): DataFrame =
+    Components.labels(nodes(spark, dir, mod),
+      edges(spark, dir, mod).select(col("src"), col("dst")))
+      .select(col("id"), col("label").as("component_id"))
+
+  /** Measurement tier (pr_toprank_10k pattern): the O(log n) star loop
+    * over the mod-10000 graph (~10k nodes, dense edge set at sf0.1),
+    * reduced to a one-row structural summary so the bench measures the
+    * loop, not a result write. Rows-only by necessity: recursive
+    * reachability over the dense 10k graph is intractable in DuckDB
+    * (reach ≈ nodes × component size); the identical loop is hash-gated
+    * at mod=100 through pr_components.
+    */
+  def componentsSummary(spark: SparkSession, dir: String, mod: Long = 10000): DataFrame =
+    components(spark, dir, mod)
+      .groupBy(col("component_id")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_components"), max(col("sz")).as("max_size"),
+        sum(col("sz")).as("n_nodes"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr_edges_outdeg" -> ((s, d) => outDegrees(s, d)),
     "pr_toprank"      -> ((s, d) => topK(s, d)),
+    "pr_components"     -> ((s, d) => components(s, d)),
+    "pr_components_10k" -> ((s, d) => componentsSummary(s, d)),
     // Measurement tier (rows-only: the 10-iteration CTE unroll at 10k
     // nodes is not a tractable oracle; the 100-node tier hash-gates the
     // identical loop): ~10k nodes, shuffles sized to the working set.
@@ -337,6 +365,21 @@ object PageRank {
            FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100)
          GROUP BY src""",
     "pr_toprank" -> topKOracle(Seq(3, 57), iterations = 10, k = 10),
+    // recursive min-label reachability over the symmetrized edge set —
+    // component id = min reachable node (the dedup_groups technique)
+    "pr_components" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
+           FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100),
+         ed AS (SELECT src AS a, dst AS b FROM e
+                UNION SELECT dst, src FROM e),
+         n AS (SELECT DISTINCT id FROM
+                 (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+         reach(v, r) AS (
+           SELECT id, id FROM n
+           UNION
+           SELECT reach.v, ed.b FROM reach JOIN ed ON reach.r = ed.a)
+         SELECT v AS id, min(r) AS component_id FROM reach GROUP BY v""",
     "pr_triangles" ->
       """WITH e AS (
            SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst

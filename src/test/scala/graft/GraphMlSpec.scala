@@ -116,6 +116,41 @@ class PageRankSpec extends AnyFunSuite {
     }
   }
 
+  test("graph connected components match union-find; summary is consistent") {
+    val edges = PageRank.edges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = PageRank.nodes(spark, sf).collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = nodes.map(n => n -> find(n)).toMap
+    val got = PageRank.components(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val s = PageRank.componentsSummary(spark, sf).head()
+    val sizes = want.groupBy(_._2).map(_._2.size)
+    // the summary tier uses mod=10000: recompute the expectation on it
+    val e10k = PageRank.edges(spark, sf, 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n10k = PageRank.nodes(spark, sf, 10000).collect().map(_.getLong(0))
+    val p2 = scala.collection.mutable.Map(n10k.map(n => n -> n): _*)
+    def find2(x: Long): Long =
+      if (p2(x) == x) x else { val r = find2(p2(x)); p2(x) = r; r }
+    e10k.foreach { case (a, b) =>
+      val (ra, rb) = (find2(a), find2(b))
+      if (ra != rb) p2(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = n10k.map(find2).groupBy(identity).map(_._2.length)
+    assert(s.getAs[Long]("n_components") == comps.size)
+    assert(s.getAs[Long]("max_size") == comps.max.toLong)
+    assert(s.getAs[Long]("n_nodes") == n10k.length.toLong)
+    assert(sizes.sum == nodes.length)
+  }
+
   test("partitionGraph: hash and range partitionings cover all nodes, range is ordered") {
     val n = PageRank.nodes(spark, sf)
     val e = PageRank.edges(spark, sf)

@@ -145,6 +145,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cc.contains("BroadcastHashJoin"), s"centroid table should broadcast:\n$cc")
   }
 
+  test("round-5 operators keep their scale shapes") {
+    // the minhash measurement tier: band equi-join candidates, exact
+    // verify keyed on doc ids; the only nested loop is the final
+    // 1-row × 1-row summary crossJoin (bounded by construction)
+    val mb = plan(graft.dedup.Dedup.minhashBig(spark, sf))
+    assert(!mb.contains("CartesianProduct"), s"minhash_big cartesian:\n$mb")
+    // capped jaccard: the df cap is a semi-join on the already-shuffled
+    // shingle key — keyed end to end
+    val cp = plan(graft.dedup.Dedup.ngramJaccardPairs(spark, sf,
+      maxShingleDf = Some(3L)))
+    assert(!cp.contains("CartesianProduct"), s"capped jaccard cartesian:\n$cp")
+    assert(!cp.contains("BroadcastNestedLoopJoin"), s"capped jaccard BNLJ:\n$cp")
+    // degree-ordered triangles: degree attach + wedge + closing joins are
+    // all equi-joins on node ids
+    val tr = plan(graft.graph.PageRank.triangles(spark, sf))
+    assert(!tr.contains("CartesianProduct"), s"triangles cartesian:\n$tr")
+    assert(!tr.contains("BroadcastNestedLoopJoin"), s"triangles BNLJ:\n$tr")
+    // IVF assignment joins the BROADCAST trained centroid table (K rows,
+    // by-design bounded nested loop); the member re-rank join is keyed
+    val ivf = plan({
+      Caches.releaseAll()
+      graft.sim.Similarity.topKIvf(spark, sf)
+    })
+    assert(!ivf.contains("CartesianProduct"), s"ivf cartesian:\n$ivf")
+    assert(ivf.contains("BroadcastExchange"), s"centroids should broadcast:\n$ivf")
+    // one large-star/small-star round: equi-joins + aggregates only
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val e0 = Seq((2L, 1L), (3L, 1L), (4L, 2L)).toDF("src", "dst")
+    val round = graft.graph.Components.auditRound(e0)
+    val rp = plan(round)
+    assert(!rp.contains("CartesianProduct") && !rp.contains("BroadcastNestedLoopJoin"),
+      s"components round not join-shaped:\n$rp")
+  }
+
   test("day-partitioned layout prunes partitions at the scan (100 TB layout)") {
     import org.apache.spark.sql.functions._
     val path = "target/events_by_day"

@@ -222,4 +222,17 @@ class TemporalSpec extends AnyFunSuite {
         s"approx p50 drifted for $t: exact=$e approx=${approx(t)}")
     }
   }
+
+  test("MAD z-score: a constant-valued type (MAD=0) yields NULL, not inf") {
+    import spark.implicits._
+    // type "const": every value 5.0 -> MAD 0; type "vary": real spread
+    val ev = Seq(
+      (1L, "const", 5.0), (2L, "const", 5.0), (3L, "const", 5.0),
+      (4L, "vary", 1.0), (5L, "vary", 2.0), (6L, "vary", 9.0))
+      .toDF("event_id", "event_type", "v")
+    val rz = Temporal.madZscoresOn(ev).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("rz"))).toMap
+    assert(Seq(1L, 2L, 3L).forall(rz(_).isEmpty), "MAD=0 must yield NULL rz")
+    assert(Seq(4L, 5L, 6L).forall(id => rz(id).exists(d => !d.isNaN && !d.isInfinite)))
+  }
 }
