@@ -305,7 +305,11 @@ object Dedup {
   private def dupGroupsUncached(spark: SparkSession, dir: String, minJaccard: Double): DataFrame =
     graft.graph.Components.labels(
       Tables.documents(spark, dir).select(col("doc_id")),
-      minhashPairsShared(spark, dir, minJaccard).select(col("d1"), col("d2")))
+      minhashPairsShared(spark, dir, minJaccard).select(col("d1"), col("d2")),
+      // near-dup pair graphs are tiny relative to the corpus (planted
+      // dups only); per-round exchanges at session width are pure
+      // scheduling overhead — at a 100 TB pair graph pass None
+      partitions = Some(8))
       .select(col("doc_id"), col("label").as("canonical_id"))
 
   /** Benchmark-contamination check — the training-data hygiene operator:

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared connected-components module: the alternating large-star /
@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * chain costs d shuffles). The alternating star algorithm contracts
   * whole trees per round and converges in O(log n) rounds regardless of
   * diameter, with the same per-round join shape (equi-joins keyed on
-  * node id). One driver scalar per round (the convergence count).
+  * node id). One driver scalar per round (the convergence aggregate).
   *
   * Round semantics over an edge set E kept oriented large→small
-  * (src > dst after the first large-star):
+  * (src > dst throughout):
   *  - large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
   *    v > u — every node's strictly-larger neighbors re-attach to its
   *    minimum, halving tree heights;
@@ -28,44 +28,68 @@ import org.apache.spark.sql.functions._
   *    node itself collapse onto the local minimum.
   * Both preserve connectivity (paper, Lemmas 1–2); the unique fixpoint
   * per component is the star rooted at its minimum id, so stop when a
-  * round leaves the edge set unchanged (the paper's own criterion; the
-  * symmetric-difference count is the one driver action per round).
+  * round leaves the edge set unchanged (the paper's own criterion).
+  * Set equality is certified in ONE aggregate:
+  * |E| + |E'| = 2·|E ∪ E'| ⟺ E = E' (both sides are distinct sets, and
+  * |E ∪ E'| ≥ max(|E|,|E'|) ≥ (|E|+|E'|)/2 with equality only when
+  * E = E').
   */
 object Components {
+
+  /** Width-pinning hook: repartition on the downstream grouping columns
+    * so the groupBy / join / distinct that follows reuses the
+    * partitioning instead of adding an exchange at session width.
+    */
+  private type Pin = (DataFrame, Seq[Column]) => DataFrame
 
   /** For every row of `nodes` (single id column), the minimum node id
     * reachable through the undirected `pairs` graph (columns taken
     * positionally; self-pairs ignored; ids absent from `pairs` label
     * themselves). Output columns: (id, label), id column named after
     * `nodes`' first column.
+    *
+    * `partitions`: explicit shuffle width for every per-round exchange
+    * (the pr_toprank technique — an iterative loop re-shuffles a small
+    * fixed working set every round, so the width must track the EDGE
+    * SET, not the session default; 32-wide exchanges over a 100-edge
+    * graph are pure scheduling overhead × stages × rounds). Default:
+    * session width.
     */
-  def labels(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  def labels(nodes: DataFrame, pairs: DataFrame,
+             partitions: Option[Int] = None): DataFrame = {
     val idCol = nodes.columns.head
+    val pw: Pin = (df, cols) =>
+      partitions.fold(df)(n => df.repartition(n, cols: _*))
     var e = graft.Caches.register(
-      pairs.toDF("x", "y")
+      pw(pairs.toDF("x", "y")
         .where(col("x") =!= col("y"))
         // large→small orientation from the start: the round invariant
         .select(greatest(col("x"), col("y")).as("src"),
-          least(col("x"), col("y")).as("dst"))
+          least(col("x"), col("y")).as("dst")),
+        Seq(col("src"), col("dst")))
         .distinct().persist())
     val spark = nodes.sparkSession
-    var changed = 1L
-    while (changed > 0) {
-      val next = smallStar(largeStar(e))
+    var done = false
+    while (!done) {
+      val next = smallStar(largeStar(e, pw), pw)
       // PLAN truncation, not just caching: each round references the
-      // previous round's frame ~6× (union + join in large-star, twice in
-      // small-star, 4× in the convergence diff), so carrying analyzed
-      // plans forward grows them 6^rounds — the analyzer, not the data,
-      // becomes the bottleneck by round ~7. Re-wrapping the RDD resets
-      // the logical plan to a LogicalRDD of bounded size while keeping
+      // previous round's frame several times (union + join in
+      // large-star, twice in small-star, again in the convergence
+      // union), so carrying analyzed plans forward grows them
+      // exponentially — the analyzer, not the data, becomes the
+      // bottleneck by round ~7. Re-wrapping the RDD resets the logical
+      // plan to a LogicalRDD of bounded size while keeping
       // recompute-on-eviction lineage (the repo's persist-not-checkpoint
       // rule) — the RDD chain grows linearly in rounds, which is fine.
       val e2 = graft.Caches.register(
         spark.createDataFrame(next.rdd, next.schema).persist())
-      // one scalar action per round; materializes e2's cache as a side
-      // effect. Set equality (both sides are distinct) certifies the
-      // fixpoint — the star forest — per the paper's stopping rule.
-      changed = e2.exceptAll(e).union(e.exceptAll(e2)).count()
+      // the ONE scalar action per round (materializes e2's cache as a
+      // side effect): set-equality certificate per the identity above
+      val row = e2.union(e)
+        .agg(count(lit(1)).as("t"),
+          count_distinct(col("src"), col("dst")).as("d"))
+        .head()
+      done = row.getLong(0) == 2 * row.getLong(1)
       // the superseded round's cache is dead weight once e2 is
       // materialized; drop it eagerly so O(log n) rounds hold O(1)
       // cached edge sets, not a growing chain
@@ -77,35 +101,42 @@ object Components {
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("label"))
   }
 
-  /** Emitted edges keep dst < src (m ≤ u < v), so the orientation
-    * invariant holds without re-normalizing.
-    */
-  private def largeStar(e: DataFrame): DataFrame = {
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val mn = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-      .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
-    sym.join(mn, col("src") === col("u"))
-      .where(col("dst") > col("src"))
-      .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
-  }
-
   /** One full large-star + small-star round over an oriented edge frame —
     * exposed for the physical-plan audit (PlanAuditSpec asserts the round
     * is equi-join/aggregate-shaped, never a cross product).
     */
-  private[graft] def auditRound(e: DataFrame): DataFrame = smallStar(largeStar(e))
+  private[graft] def auditRound(e: DataFrame): DataFrame = {
+    val id: Pin = (df, _) => df
+    smallStar(largeStar(e, id), id)
+  }
+
+  /** Emitted edges keep dst < src (m ≤ u < v), so the orientation
+    * invariant holds without re-normalizing.
+    */
+  private def largeStar(e: DataFrame, pw: Pin): DataFrame = {
+    val sym = pw(e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
+      Seq(col("src")))
+    val mn = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+    pw(sym.join(mn, col("src") === col("u"))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst")),
+      Seq(col("src"), col("dst")))
+      .distinct()
+  }
 
   /** Input already oriented large→small, so Γ(v) here is exactly the
     * smaller-neighbor set; m ≤ u for every emitted (u, m) and the u = m
     * self-loop is dropped.
     */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val mn = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
-    e.join(mn, "src")
+  private def smallStar(e: DataFrame, pw: Pin): DataFrame = {
+    val eP = pw(e, Seq(col("src")))
+    val mn = eP.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    pw(eP.join(mn, "src")
       .select(col("dst").as("src"), col("m").as("dst"))
       .union(mn.select(col("src"), col("m")))
-      .where(col("src") =!= col("dst"))
+      .where(col("src") =!= col("dst")),
+      Seq(col("src"), col("dst")))
       .distinct()
   }
 }

@@ -268,7 +268,10 @@ object PageRank {
     */
   def components(spark: SparkSession, dir: String, mod: Long = 100): DataFrame =
     Components.labels(nodes(spark, dir, mod),
-      edges(spark, dir, mod).select(col("src"), col("dst")))
+      edges(spark, dir, mod).select(col("src"), col("dst")),
+      // width tracks the edge working set, pr_toprank protocol: 4 for
+      // the 100-node oracle tier, 8 for the dense 10k tier
+      partitions = Some(if (mod <= 1000) 4 else 8))
       .select(col("id"), col("label").as("component_id"))
 
   /** Measurement tier (pr_toprank_10k pattern): the O(log n) star loop

@@ -181,7 +181,9 @@ object Similarity {
       .where(col("cos") >= minCos)
       .select(col("v1"), col("v2"))
     graft.graph.Components.labels(
-      Tables.embeddings(spark, dir).select(col("vec_id")), pairs)
+      Tables.embeddings(spark, dir).select(col("vec_id")), pairs,
+      // tiny pair graph (see dedup.Dedup.dupGroupsUncached)
+      partitions = Some(8))
       .select(col("vec_id"), col("label").as("canonical_id"))
   }
 

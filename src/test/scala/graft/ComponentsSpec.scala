@@ -11,9 +11,10 @@ import graft.graph.Components
 class ComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def run(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def run(nodes: Seq[Long], pairs: Seq[(Long, Long)],
+                  partitions: Option[Int] = None): Map[Long, Long] = {
     import spark.implicits._
-    Components.labels(nodes.toDF("id"), pairs.toDF("a", "b"))
+    Components.labels(nodes.toDF("id"), pairs.toDF("a", "b"), partitions)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -48,6 +49,8 @@ class ComponentsSpec extends AnyFunSuite {
     val pairs = Seq.fill(70)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
       .filter { case (a, b) => a != b }
     assert(run(nodes, pairs) == unionFind(nodes, pairs))
+    // the width-pinned variant is result-identical
+    assert(run(nodes, pairs, partitions = Some(3)) == unionFind(nodes, pairs))
   }
 
   test("star and merged-star shapes converge to one root") {
