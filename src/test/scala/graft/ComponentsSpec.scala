@@ -53,6 +53,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(run(nodes, pairs, partitions = Some(3)) == unionFind(nodes, pairs))
   }
 
+  test("matches union-find on sparse and dense seeded graphs") {
+    for ((seed, n, m) <- Seq((7, 40, 15), (11, 30, 200), (13, 120, 90))) {
+      val rnd = new scala.util.Random(seed)
+      val nodes = (0L until n.toLong)
+      val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(run(nodes, pairs, partitions = Some(4)) == unionFind(nodes, pairs),
+        s"seed=$seed n=$n m=$m")
+    }
+  }
+
+  test("two parallel chains bridged at the far end (deep diameter, two roots merge)") {
+    // chain A: 1..30 (min 1), chain B: 100..129 (min 100), bridge 30-129:
+    // one component labeled 1; a second isolated chain 200..209 labels 200
+    val a = (1L until 30L).map(i => (i, i + 1))
+    val b = (100L until 129L).map(i => (i, i + 1))
+    val c = (200L until 209L).map(i => (i, i + 1))
+    val nodes = (1L to 30L) ++ (100L to 129L) ++ (200L to 209L)
+    val got = run(nodes, a ++ b ++ c :+ (30L, 129L), partitions = Some(2))
+    assert(got == unionFind(nodes, a ++ b ++ c :+ (30L, 129L)))
+    assert(got(129L) == 1L && got(209L) == 200L)
+  }
+
   test("star and merged-star shapes converge to one root") {
     // two stars joined by a bridge between their leaves
     val pairs = Seq((10L, 11L), (10L, 12L), (10L, 13L),
