@@ -181,13 +181,55 @@ object Curation {
     q.join(exactCanon, "doc_id").join(nearCanon, "doc_id").join(clean, "doc_id")
   }
 
+  /** Per-source corpus health report — the dashboard a curation pipeline
+    * watches per ingest source: document count, mean quality score and
+    * pass rate (ta_quality), exact-duplicate rate (non-canonical docs of
+    * the md5 fingerprint window), and mean eval-contamination fraction
+    * over the source's train-split docs (dedup_contamination; NULL when
+    * a source has no train docs). Composes the memoized dedup frames, so
+    * at steady state the report is one aggregate keyed on `source` over
+    * already-cached per-doc columns — no new corpus scan.
+    *
+    * fp portability: score and dirty_frac sit on the 1e-6 decimal grid
+    * (quality's decimal blend / contamination's round6), so the means
+    * accumulate as exact DECIMAL sums (order-free) and divide in double
+    * on bit-identical inputs; rate numerators are integer counts.
+    */
+  def sourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("score"), col("pass"))
+    val ex = graft.dedup.Dedup.exact(spark, dir)
+      .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+    val ct = graft.dedup.Dedup.contamination(spark, dir)
+      .select(col("doc_id"), col("dirty_frac"))
+    src.join(q, "doc_id").join(ex, "doc_id").join(ct, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("score").cast("decimal(12,6)")).as("score_d"),
+        sum(when(col("pass"), 1).otherwise(0)).as("n_pass"),
+        sum(when(col("is_dup"), 1).otherwise(0)).as("n_dup"),
+        count(col("dirty_frac")).as("n_train"),
+        sum(col("dirty_frac").cast("decimal(12,6)")).as("dirty_d"))
+      .select(col("source"), col("n_docs"),
+        round(col("score_d").cast("double") / col("n_docs"), 6).as("mean_score"),
+        round(col("n_pass").cast("double") / col("n_docs"), 6).as("pass_rate"),
+        round(col("n_dup").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        col("n_train"),
+        when(col("n_train") > 0,
+          round(col("dirty_d").cast("double") / col("n_train"), 6))
+          .as("mean_dirty_frac"))
+  }
+
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
        w -> w <> '')"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate"      -> ((s, d) => curate(s, d)),
+    "pipeline_curate"        -> ((s, d) => curate(s, d)),
+    "pipeline_source_report" -> ((s, d) => sourceReport(s, d)),
     "ta_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "ta_mixture_sample"    -> ((s, d) => mixtureSample(s, d)),
     "ta_chunk"             -> ((s, d) => chunk(s, d)),
@@ -196,6 +238,46 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // quality score CTE verbatim from the pipeline_curate oracle (pass
+    // flag kept instead of filtered), exact-dup via the fingerprint
+    // window, contamination spliced in as a nested-WITH subquery from
+    // the already-green dedup_contamination oracle
+    "pipeline_source_report" ->
+      s"""WITH tk AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+          qs AS (
+            SELECT doc_id, score, (score >= 0.8 AND n_tokens >= 10) AS pass FROM (
+              SELECT doc_id, n_tokens,
+                CAST(CAST(1.0 AS DECIMAL(8,6))
+                     - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
+                     - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
+                     AS DOUBLE) AS score
+              FROM (SELECT doc_id, len(toks) AS n_tokens,
+                      round(len(list_filter(toks, w -> list_contains(['the', 'a', 'and', 'of', 'to', 'in'], w)))::DOUBLE
+                            / len(toks), 6) AS stop_ratio,
+                      round(len(list_filter(toks, w -> length(w) <= 2))::DOUBLE
+                            / len(toks), 6) AS short_ratio
+                    FROM tk))),
+          ex AS (
+            SELECT doc_id,
+                   doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+            FROM documents),
+          ct AS (${graft.dedup.Dedup.oracles("dedup_contamination")})
+          SELECT d.source,
+                 count(*) AS n_docs,
+                 round(CAST(sum(CAST(q.score AS DECIMAL(12,6))) AS DOUBLE)
+                       / count(*), 6) AS mean_score,
+                 round(sum(CASE WHEN q.pass THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*), 6) AS pass_rate,
+                 round(sum(CASE WHEN ex.is_dup THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*), 6) AS dup_rate,
+                 count(ct.doc_id) AS n_train,
+                 round(CAST(sum(CAST(ct.dirty_frac AS DECIMAL(12,6))) AS DOUBLE)
+                       / nullif(count(ct.doc_id), 0), 6) AS mean_dirty_frac
+          FROM documents d
+          JOIN qs q USING (doc_id)
+          JOIN ex USING (doc_id)
+          LEFT JOIN ct ON d.doc_id = ct.doc_id
+          GROUP BY d.source""",
     "pipeline_curate" ->
       s"""WITH RECURSIVE
           tk AS (SELECT doc_id, text, $tokSql AS toks FROM documents),

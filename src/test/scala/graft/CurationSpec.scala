@@ -8,6 +8,29 @@ class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("source report: partitions the corpus, rates bounded, dup math checks out") {
+    val rows = Curation.sourceReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val corpus = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus,
+      "per-source doc counts must partition the corpus")
+    rows.foreach { r =>
+      Seq("pass_rate", "dup_rate").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+      assert(r.getAs[Long]("n_train") <= r.getAs[Long]("n_docs"))
+    }
+    // total dup count re-derived from the report equals the corpus-level
+    // non-canonical count of the (already-verified) exact-dedup window
+    val dupTotal = rows.map(r =>
+      math.round(r.getAs[Double]("dup_rate") * r.getAs[Long]("n_docs"))).sum
+    val expect = graft.dedup.Dedup.exact(spark, sf)
+      .where(col("doc_id") =!= col("canonical_id")).count()
+    assert(math.abs(dupTotal - expect) <= rows.length,
+      s"dup accounting drifted: $dupTotal vs $expect (rounding tolerance ${rows.length})")
+  }
+
   test("stratified sample: at most k per language, ranks contiguous from 1") {
     val rows = Curation.stratifiedSample(spark, sf, perStratum = 50).collect()
     val byLang = rows.groupBy(_.getAs[String]("lang"))
