@@ -168,7 +168,28 @@ object TextAnalysis {
       size(expr("""regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"""))
         .as("n_bpe"))
 
+  /** Corpus-level rollup — the one-row summary a pipeline logs per
+    * snapshot: doc count, total token count, vocabulary size (distinct
+    * tokens corpus-wide), mean doc length. Two aggregates (one global,
+    * one distinct over the exploded token stream — at 100 TB the vocab
+    * count swaps to approx_count_distinct, the ev_distinct_users HLL
+    * pattern) joined as 1-row broadcasts. Integer sums are exact, so the
+    * mean divides identically in both engines.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = withToks(spark, dir).select(col("doc_id"), col("toks"))
+    val basic = t.select(size(col("toks")).as("n"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+    val vocab = t.select(explode(col("toks")).as("w"))
+      .agg(count_distinct(col("w")).as("vocab_size"))
+    basic.crossJoin(vocab)
+      .select(col("n_docs"), col("total_tokens"), col("vocab_size"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_doc_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_corpus_stats" -> ((s, d) => corpusStats(s, d)),
     "ta_token_stats" -> ((s, d) => tokenStats(s, d)),
     "ta_bpe_tokens"  -> ((s, d) => bpeTokenCount(s, d)),
     "ta_quality"     -> ((s, d) => qualityScore(s, d)),
@@ -179,6 +200,16 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_corpus_stats" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          b AS (SELECT count(*) AS n_docs,
+                       CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+                FROM tk),
+          v AS (SELECT count(DISTINCT w) AS vocab_size
+                FROM (SELECT unnest(toks) AS w FROM tk))
+          SELECT n_docs, total_tokens, vocab_size,
+                 round(total_tokens::DOUBLE / n_docs, 6) AS mean_doc_len
+          FROM b, v""",
     "ta_bpe_tokens" ->
       """SELECT doc_id,
                 len(string_split_regex(text, '\s+')) AS n_ws,

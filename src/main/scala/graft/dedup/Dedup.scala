@@ -317,6 +317,17 @@ object Dedup {
       partitions = Some(8))
       .select(col("doc_id"), col("label").as("canonical_id"))
 
+  /** Duplicate-cluster size histogram — the dedup-quality metric a
+    * pipeline tracks over time (how much of the corpus sits in clusters
+    * of size 2, 3, …; size 1 = unique docs). Two keyed aggregates over
+    * the memoized component labels; the oracle nests the dedup_groups
+    * recursive-reachability replay and histograms it.
+    */
+  def groupSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    dupGroups(spark, dir)
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+
   /** Benchmark-contamination check — the training-data hygiene operator:
     * for every training document, the fraction of its word-3-gram
     * shingles that appear anywhere in the held-out eval set (here: the
@@ -450,6 +461,27 @@ object Dedup {
           FROM (SELECT doc_id, $tokSql AS w FROM documents)
           WHERE len(w) >= 3)"""
 
+  /** The dedup_groups replay (recursive min-label reachability over the
+    * ≥0.5-jaccard pair graph) — shared verbatim by the dedup_groups row
+    * and the group-size histogram's nested subquery.
+    */
+  private val groupsOracle: String =
+    s"""WITH RECURSIVE ${shSql},
+        pairs AS (
+          SELECT d1, d2 FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.5),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION ALL SELECT d2, d1 FROM pairs),
+        reach(doc, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        SELECT doc AS doc_id, min(r) AS canonical_id FROM reach GROUP BY doc"""
+
   private def jaccardOracle(minJ: Double): String =
     s"""WITH $shSql
         SELECT d1, d2, jaccard FROM (
@@ -502,6 +534,7 @@ object Dedup {
     "dedup_simhash"       -> ((s, d) => simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_groups"        -> ((s, d) => dupGroups(s, d)),
+    "dedup_group_sizes"   -> ((s, d) => groupSizeHistogram(s, d)),
     "dedup_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental"   -> ((s, d) => incremental(s, d)),
     "dedup_passages"      -> ((s, d) => dupPassages(s, d)),
@@ -518,22 +551,13 @@ object Dedup {
     "dedup_minhash"       -> jaccardOracle(0.5),
     // connected components over the ≥0.5-jaccard pair graph via a
     // recursive CTE; canonical = min reachable doc_id
-    "dedup_groups" ->
-      s"""WITH RECURSIVE ${shSql},
-          pairs AS (
-            SELECT d1, d2 FROM (
-              SELECT a.doc_id AS d1, b.doc_id AS d2,
-                     round(len(list_intersect(a.s, b.s))::DOUBLE /
-                           len(list_distinct(a.s || b.s)), 6) AS jaccard
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-            WHERE jaccard >= 0.5),
-          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                    UNION ALL SELECT d2, d1 FROM pairs),
-          reach(doc, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)
-          SELECT doc AS doc_id, min(r) AS canonical_id FROM reach GROUP BY doc""",
+    "dedup_groups" -> groupsOracle,
+    "dedup_group_sizes" ->
+      s"""WITH lab AS ($groupsOracle)
+          SELECT group_size, count(*) AS n_groups FROM (
+            SELECT canonical_id, count(*) AS group_size
+            FROM lab GROUP BY canonical_id)
+          GROUP BY group_size""",
     "dedup_simhash" ->
       s"""WITH hs AS (
             SELECT doc_id, list_transform($tokSql,
