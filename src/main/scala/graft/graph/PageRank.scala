@@ -270,8 +270,9 @@ object PageRank {
     Components.labels(nodes(spark, dir, mod),
       edges(spark, dir, mod).select(col("src"), col("dst")),
       // width tracks the edge working set, pr_toprank protocol: 4 for
-      // the 100-node oracle tier, 8 for the dense 10k tier
-      partitions = Some(if (mod <= 1000) 4 else 8))
+      // the 100-node oracle tier; 16 for the dense 10k tier (~600k
+      // edges — swept 8/16/32 at sf0.1: 8.4 / 7.1 / 11.2 s)
+      partitions = Some(if (mod <= 1000) 4 else 16))
       .select(col("id"), col("label").as("component_id"))
 
   /** Measurement tier (pr_toprank_10k pattern): the O(log n) star loop
