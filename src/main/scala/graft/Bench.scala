@@ -101,26 +101,51 @@ object Bench {
     // as many per-query medians as fit in the window (slowest first —
     // the ones a perf reader needs), the rest summarized. Budget 1800 =
     // 2000 minus sbt's "[success] Total time..." epilogue with margin.
-    val mapBudget = 1800 - 220 // envelope reserve
-    val sortedBySec = results.sortBy(-_._2)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    var kept = 0
-    var full = false
-    sortedBySec.foreach { case (k, med, _, _, _) =>
-      val ent = s"${q(k)}:${math.rint(med * 1000) / 1000}"
-      // strict prefix cut, no best-fit backfill: "omitted_fastest" must
-      // mean exactly the N fastest queries
-      if (!full && used + ent.length + 1 <= mapBudget) {
-        entries += ent; used += ent.length + 1; kept += 1
-      } else full = true
+    // the FULL per-query map still travels inside the window, compressed:
+    // gzip+base64 of the flat 2-dp {"name":sec} JSON is ~1.4 KB for 108
+    // queries (names compress well; 10 ms resolution — target/bench.json
+    // keeps full precision), decodable with `base64 -d | gunzip` /
+    // python gzip+b64decode
+    val qs2 = results.map { case (k, med, _, _, _) =>
+      s"${q(k)}:${math.rint(med * 100) / 100}"
+    }.mkString("{", ",", "}")
+    val gzFull = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(qs2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gz.close()
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     }
-    val omitted = results.length - kept
-    val omittedSec = math.rint(sortedBySec.drop(kept).map(_._2).sum * 1000) / 1000
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""sf":"$sfDir","n_queries":${results.length},"n_errors":${results.count(_._5.isDefined)},""" +
-      s""""queries":${entries.mkString("{", ",", "}")},""" +
-      s""""omitted_fastest":$omitted,"omitted_sec":$omittedSec,"full":"target/bench.json"}"""
+    val sortedBySec = results.sortBy(-_._2)
+    // assemble at a given plain-map budget, optionally carrying the
+    // compressed full map; pick the richest variant that stays under
+    // the window (gz + a small readable top-N, else top-N alone)
+    def assemble(mapBudget: Int, withGz: Boolean): String = {
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 0
+      var kept = 0
+      var cut = false
+      sortedBySec.foreach { case (k, med, _, _, _) =>
+        val ent = s"${q(k)}:${math.rint(med * 1000) / 1000}"
+        // strict prefix cut, no best-fit backfill: "omitted_fastest"
+        // must mean exactly the N fastest queries
+        if (!cut && used + ent.length + 1 <= mapBudget) {
+          entries += ent; used += ent.length + 1; kept += 1
+        } else cut = true
+      }
+      val omitted = results.length - kept
+      val omittedSec = math.rint(sortedBySec.drop(kept).map(_._2).sum * 1000) / 1000
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+        s""""sf":"$sfDir","n_queries":${results.length},"n_errors":${results.count(_._5.isDefined)},""" +
+        s""""queries":${entries.mkString("{", ",", "}")},""" +
+        s""""omitted_fastest":$omitted,"omitted_sec":$omittedSec,""" +
+        (if (withGz) s""""queries_gz_b64":"$gzFull",""" else "") +
+        s""""full":"target/bench.json"}"""
+    }
+    val withGz = assemble(1800 - 300 - gzFull.length, withGz = true)
+    val compact =
+      if (gzFull.length <= 1500 && withGz.length <= 1800) withGz
+      else assemble(1800 - 300, withGz = false)
     println(compact)
     Caches.releaseAll()
     spark.stop()
