@@ -47,7 +47,13 @@ object Bench {
     // numbers swing by 10× run-over-run on identical code. Sorted keys
     // keep the warm order — and therefore every BENCH_r* row — stable
     // across runs and registry growth.
+    // SPARK_GRAFT_ONLY=a,b,c runs a subset (perf isolation during
+    // development); the driver never sets it, so driver runs are always
+    // the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     // Warm the session (codegen infra, vectorized parquet reader, JIT)
     // so the first measured query isn't charged for JVM startup. The
