@@ -220,6 +220,16 @@ object Dedup {
     // verify), which is also what dominates at 100 TB where signatures
     // are computed once at ingest and stored
     val bands = memoized(spark, dir, s"big_bands_$replicas")(bandBuckets(sh))
+    // exact-verify on HASHED shingles (one xxhash64 long per shingle) —
+    // the at-scale verify form this repo already uses for the
+    // ngram-Jaccard index: set Jaccard is hash-invariant (modulo 64-bit
+    // collisions), long-array intersect/union compares 8-byte values
+    // instead of shingle strings, and the two verify-side joins shuffle
+    // ~8× fewer bytes. Memoized as corpus prep like the raw shingles.
+    val sh64 = memoized(spark, dir, s"big_shingles64_$replicas") {
+      sh.select(col("doc_id"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
+    }
     val cand = bands.toDF("d1", "band", "key")
       .join(bands.toDF("d2", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
@@ -229,8 +239,8 @@ object Dedup {
     // verify join (count + conditional count), so the measurement adds
     // no second traversal of the candidate set
     val verified = cand
-      .join(sh.toDF("d1", "sh1"), "d1")
-      .join(sh.toDF("d2", "sh2"), "d2")
+      .join(sh64.toDF("d1", "sh1"), "d1")
+      .join(sh64.toDF("d2", "sh2"), "d2")
       .select((size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
         size(array_union(col("sh1"), col("sh2"))).cast("double")).as("j"))
       .agg(count(lit(1)).as("n_candidates"),
