@@ -25,6 +25,7 @@ object SparkEntry {
       (sim.KMeans.queries, sim.KMeans.oracles),
       (analysis.TextAnalysis.queries, analysis.TextAnalysis.oracles),
       (analysis.Curation.queries, analysis.Curation.oracles),
+      (analysis.Pii.queries, analysis.Pii.oracles),
       (events.Events.queries, events.Events.oracles),
       (events.Temporal.queries, events.Temporal.oracles),
       (graph.PageRank.queries, graph.PageRank.oracles),

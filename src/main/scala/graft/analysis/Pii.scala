@@ -1,0 +1,160 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** PII detection and redaction (driver-extension mandate): the corpus
+  * hygiene step a training-data pipeline runs before anything else —
+  * find personal identifiers (emails, phone numbers, IP addresses),
+  * count them per document, and rewrite the text with each span replaced
+  * by a typed placeholder.
+  *
+  * Both operators are single-pass narrow maps (regex scan per row, no
+  * shuffle except the final aggregate-free projection), so the plan is
+  * embarrassingly parallel at any corpus size. The patterns live in the
+  * Java-regex ∩ RE2 portable subset — no lookarounds, no backreferences —
+  * so the DuckDB oracle replays the identical matches and the rows are
+  * hash-gated, not rows-only.
+  *
+  * The fixture corpus carries no PII, so the demonstration tier INJECTS
+  * deterministic doc_id-keyed spans first (the minhashBig perturbation
+  * pattern): every doc_id divisible by 5 / 7 / 11 gains an email / phone
+  * / IP derived arithmetically from the id, and the oracle rebuilds the
+  * same corpus in SQL. Detection and redaction are therefore exercised
+  * on real positive AND negative rows — zero-match rows prove the
+  * patterns do not over-fire on clean text.
+  */
+object Pii {
+
+  /** Portable pattern subset (Java regex ∩ RE2). Kept anchored on word
+    * boundaries so clean-token text cannot partially match.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val IpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  private def idStr: Column = col("doc_id").cast("string")
+
+  /** The injected demonstration corpus: (doc_id, text) with
+    * deterministic PII spans appended for doc_ids divisible by 5 (email),
+    * 7 (phone), 11 (IP) — overlaps give multi-kind documents, everything
+    * else stays clean. Pure per-row projection; replayed verbatim by
+    * [[injectSql]].
+    */
+  def injected(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" contact user"), idStr, lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" call 555-"),
+          lpad(pmod(col("doc_id") * 7, lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id") * 13, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(250)).cast("string"),
+          lit("."), pmod(col("doc_id"), lit(100)).cast("string"), lit(".9")))
+        .otherwise(lit(""))).as("text"))
+
+  /** Per-document PII scan: match counts per kind plus the has_pii flag a
+    * filter step keys on. Narrow single-pass regex scan.
+    */
+  def scan(spark: SparkSession, dir: String): DataFrame =
+    scanOn(injected(spark, dir))
+
+  /** The scan over an arbitrary (doc_id, text) frame — the production
+    * entry point (no injection).
+    */
+  def scanOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ips"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") > 0)
+
+  /** Redaction: every matched span replaced by its typed placeholder,
+    * email → phone → IP in a fixed order (the patterns are mutually
+    * non-overlapping — phone needs dashes, IP needs dotted digits, email
+    * needs '@' — so the order is documentation, not semantics). Output
+    * carries md5(redacted) rather than the full rewritten corpus so the
+    * hash gate checks every byte of the rewrite without the result set
+    * being the corpus itself.
+    */
+  def redact(spark: SparkSession, dir: String): DataFrame =
+    redactOn(injected(spark, dir))
+
+  def redactOn(docs: DataFrame): DataFrame = {
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(IpRe), lit("<IP>"))
+    docs.select(col("doc_id"), md5(red).as("fp"),
+      (regexp_count(col("text"), lit(EmailRe)) +
+        regexp_count(col("text"), lit(PhoneRe)) +
+        regexp_count(col("text"), lit(IpRe))).cast("long").as("n_redacted"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** The injection replayed in DuckDB — identical arithmetic, identical
+    * concatenation order.
+    */
+  private val injectSql =
+    """SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' call 555-' ||
+                   lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') ||
+                   '-' ||
+                   lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR) ||
+                   '.' || CAST(doc_id % 100 AS VARCHAR) || '.9'
+              ELSE '' END AS text
+       FROM documents"""
+
+  // the same pattern strings serve both engines: DuckDB single-quoted
+  // literals pass backslashes through verbatim, and the patterns stay in
+  // the Java-regex ∩ RE2 subset
+  private val emailSql = EmailRe
+  private val phoneSql = PhoneRe
+  private val ipSql    = IpRe
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scan"   -> ((s, d) => scan(s, d)),
+    "pii_redact" -> ((s, d) => redact(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pii_scan" ->
+      s"""WITH inj AS ($injectSql)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$emailSql')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '$phoneSql')) AS BIGINT) AS n_phones,
+                 CAST(len(regexp_extract_all(text, '$ipSql')) AS BIGINT) AS n_ips,
+                 len(regexp_extract_all(text, '$emailSql')) +
+                 len(regexp_extract_all(text, '$phoneSql')) +
+                 len(regexp_extract_all(text, '$ipSql')) > 0 AS has_pii
+          FROM inj""",
+    "pii_redact" ->
+      s"""WITH inj AS ($injectSql)
+          SELECT doc_id,
+                 md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '$emailSql', '<EMAIL>', 'g'),
+                   '$phoneSql', '<PHONE>', 'g'),
+                   '$ipSql', '<IP>', 'g')) AS fp,
+                 CAST(len(regexp_extract_all(text, '$emailSql')) +
+                      len(regexp_extract_all(text, '$phoneSql')) +
+                      len(regexp_extract_all(text, '$ipSql')) AS BIGINT) AS n_redacted
+          FROM inj""",
+  )
+}
