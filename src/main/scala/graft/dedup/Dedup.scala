@@ -392,13 +392,42 @@ object Dedup {
     * replays verbatim.
     */
   def dupPassages(spark: SparkSession, dir: String, n: Int = 8, minDocs: Int = 2): DataFrame =
+    docPassages(spark, dir, n)
+      .groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+
+  private def docPassages(spark: SparkSession, dir: String, n: Int): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(graft.functions.ArrayExprs.wordShingles(Text.tokenize(col("text")), n))
           .as("passage"))
-      .groupBy(col("passage"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
-      .where(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate fraction — the quality-filter signal the
+    * passage aggregate exists to feed: of a document's distinct word
+    * 8-gram passages, the share that also appears in ≥ `minDocs` distinct
+    * documents (templated headers/footers/quotations score high; original
+    * prose scores 0). Docs with fewer than n tokens have no passages and
+    * are absent, matching [[dupPassages]].
+    *
+    * Plan shape: ONE passage-keyed shuffle feeds both the hot-passage
+    * aggregate and the membership probe (the join keys on the same
+    * column, so the exchange is reused), then a doc_id-keyed count pair.
+    * The 6-dp ratio uses the [[contamination]] rounding form (proven
+    * fp-portable under the hash gate). At 100 TB the passage column keys
+    * on (xxhash64, length) exactly as documented on [[dupPassages]].
+    */
+  def boilerplate(spark: SparkSession, dir: String, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val pass = docPassages(spark, dir, n)
+    val hot = pass.groupBy(col("passage")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+    pass.join(hot, Seq("passage"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"), count(col("nd")).as("n_boiler"))
+      .select(col("doc_id"), col("n_passages"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_passages").cast("double"), 6)
+          .as("boiler_frac"))
+  }
 
   /** Incremental dedup — the production ingestion shape: a NEW batch of
     * documents (the md5-bucket ≥ 90 split, content-stable like
@@ -548,6 +577,7 @@ object Dedup {
     "dedup_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental"   -> ((s, d) => incremental(s, d)),
     "dedup_passages"      -> ((s, d) => dupPassages(s, d)),
+    "dedup_boilerplate"   -> ((s, d) => boilerplate(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -652,5 +682,21 @@ object Dedup {
             WHERE len(toks) >= 8)
           SELECT passage, count(*) AS n_docs, min(doc_id) AS first_doc
           FROM sh8 GROUP BY passage HAVING count(*) >= 2""",
+    "dedup_boilerplate" ->
+      s"""WITH sh8 AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                          for i in generate_series(1, len(toks) - 7)])) AS passage
+            FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+            WHERE len(toks) >= 8),
+          hot AS (
+            SELECT passage FROM sh8 GROUP BY passage HAVING count(*) >= 2)
+          SELECT sh8.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_passages,
+                 CAST(count(hot.passage) AS BIGINT) AS n_boiler,
+                 round(CAST(count(hot.passage) AS DOUBLE) / count(*), 6)
+                   AS boiler_frac
+          FROM sh8 LEFT JOIN hot ON sh8.passage = hot.passage
+          GROUP BY sh8.doc_id""",
   )
 }

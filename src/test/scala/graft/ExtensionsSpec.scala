@@ -120,6 +120,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should contain duplicated passages (planted dups)")
   }
 
+  test("boilerplate fraction accounting ties out against dupPassages") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.boilerplate(spark, sf).collect()
+    rows.foreach { r =>
+      val (np, nb, bf) = (r.getAs[Long]("n_passages"), r.getAs[Long]("n_boiler"),
+        r.getAs[Double]("boiler_frac"))
+      assert(nb <= np && bf >= 0.0 && bf <= 1.0, s"doc ${r.getLong(0)}: $nb/$np frac $bf")
+      assert(math.abs(bf - math.rint(nb.toDouble / np * 1e6) / 1e6) < 1e-9)
+    }
+    // Σ n_boiler over docs = Σ n_docs over hot passages (each hot passage
+    // is counted once by each of its documents)
+    val sumBoiler = rows.map(_.getAs[Long]("n_boiler")).sum
+    val sumHot = Dedup.dupPassages(spark, sf).agg(sum(col("n_docs")))
+      .head.getLong(0)
+    assert(sumBoiler == sumHot, s"boiler accounting: $sumBoiler vs $sumHot")
+    assert(rows.exists(_.getAs[Long]("n_boiler") > 0), "planted dups must score > 0")
+    assert(rows.exists(r => r.getAs[Long]("n_boiler") < r.getAs[Long]("n_passages")),
+      "some original prose must stay below 1.0")
+  }
+
   test("incremental dedup equals a replay from the verified fp/pair sets") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

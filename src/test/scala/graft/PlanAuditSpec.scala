@@ -178,6 +178,19 @@ class PlanAuditSpec extends AnyFunSuite {
     val rp = plan(round)
     assert(!rp.contains("CartesianProduct") && !rp.contains("BroadcastNestedLoopJoin"),
       s"components round not join-shaped:\n$rp")
+    // PII scan/redact are narrow per-row regex maps: scan → project,
+    // zero exchanges (the embarrassingly-parallel contract the scaladoc
+    // claims)
+    Seq(graft.analysis.Pii.scan(spark, sf), graft.analysis.Pii.redact(spark, sf))
+      .foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("Exchange"), s"PII op should be shuffle-free:\n$p")
+      }
+    // boilerplate fraction: hot-set aggregate and membership probe share
+    // the passage-keyed exchange; everything stays keyed
+    val bf = plan(graft.dedup.Dedup.boilerplate(spark, sf))
+    assert(!bf.contains("CartesianProduct") && !bf.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate not join-shaped:\n$bf")
   }
 
   test("day-partitioned layout prunes partitions at the scan (100 TB layout)") {
