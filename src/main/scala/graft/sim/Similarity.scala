@@ -222,16 +222,20 @@ object Similarity {
     * set: a narrow n×K map, no shuffle of the vector table.
     */
   private def ivfAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+    // label rides along from the scan (zero extra cost, no self-join
+    // later) — [[topKFiltered]] keys its candidate restriction on it
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"), col("label"))
     val cents = ivfCentroids(spark, dir)
-    val assigned = e.toDF("vec_id", "embedding", "norm")
+    val assigned = e
       .join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
+      .select(col("vec_id"), col("embedding"), col("norm"), col("label"), col("cell"),
         centCos(col("embedding"), col("norm"), col("ce"), col("cn")).as("ccos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
       .where(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("label"), col("cell"))
     (assigned, cents)
   }
 
@@ -243,20 +247,39 @@ object Similarity {
     * replays training + assignment + probe + re-rank end to end; recall
     * vs exact topK additionally asserted in SimilaritySpec.
     */
-  def topKIvf(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
+  def topKIvf(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame =
+    ivfTopK(spark, dir, k, nQueries, sameLabel = false)
+
+  /** Metadata-FILTERED approximate top-k — the "filtered vector search"
+    * shape (within-language / within-domain retrieval): candidates are
+    * restricted to the query's own label BEFORE the re-rank, as a
+    * pre-filter predicate on the cell equi-join (a post-filter of the
+    * final top-k would return < k rows and lose recall; pushing the
+    * predicate into the candidate join keeps k results per query at the
+    * same probe cost). Same determinism + chained-CTE oracle contract as
+    * [[topKIvf]].
+    */
+  def topKFiltered(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame =
+    ivfTopK(spark, dir, k, nQueries, sameLabel = true)
+
+  private def ivfTopK(spark: SparkSession, dir: String, k: Int, nQueries: Int,
+                      sameLabel: Boolean): DataFrame = {
     val (assigned, cents) = ivfAssign(spark, dir)
     val queries = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("norm").as("qn"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"), col("label").as("ql"))
     val probes = queries.join(broadcast(cents))
-      .select(col("query_id"), col("qe"), col("qn"), col("cell"),
+      .select(col("query_id"), col("qe"), col("qn"), col("ql"), col("cell"),
         centCos(col("qe"), col("qn"), col("ce"), col("cn")).as("ccos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
       .where(col("rk") <= IvfProbes)
-      .select(col("query_id"), col("qe"), col("qn"), col("cell"))
-    probes
-      .join(assigned.toDF("vec_id", "ce", "cn", "cell"), Seq("cell"))
+      .select(col("query_id"), col("qe"), col("qn"), col("ql"), col("cell"))
+    val base = probes
+      .join(assigned.toDF("vec_id", "ce", "cn", "ml", "cell"), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
+    val cand = if (sameLabel) base.where(col("ql") === col("ml")) else base
+    cand
       .select(col("query_id"), col("vec_id"),
         cosinePre(col("qe"), col("qn"), col("ce"), col("cn")).as("cos"))
       .distinct()
@@ -347,6 +370,7 @@ object Similarity {
     // oracle-checked exact topK is additionally asserted in spec.
     "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
+    "sim_topk_filtered" -> ((s, d) => topKFiltered(s, d)),
     "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
     "sim_centroid_cos" -> ((s, d) => centroidCos(s, d)),
     "sim_knn_classify" -> ((s, d) => knnClassify(s, d)),
@@ -536,6 +560,48 @@ object Similarity {
                          round(list_sum(list_transform(list_zip(p.qe, a.embedding),
                                  z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.qn * a.nrm), 6) AS cos
                   FROM p JOIN asn a ON p.cell = a.cell AND p.query_id <> a.vec_id))
+          WHERE rank <= 3"""),
+    // the filtered variant: identical train→assign→probe→re-rank chain,
+    // with the label carried through assignment and the same-label
+    // pre-filter on the candidate join
+    "sim_topk_filtered" ->
+      ("WITH " + KMeans.kmeansCtes(k = 16, iterations = IvfIters) +
+      s""",
+          en AS MATERIALIZED (
+            SELECT vec_id, embedding, label,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings),
+          c AS MATERIALIZED (
+            SELECT cell, cent AS ce,
+                   sqrt(list_sum(list_transform(cent, x -> x * x))) AS cn
+            FROM c$IvfIters),
+          asn AS MATERIALIZED (
+            SELECT vec_id, embedding, label, nrm, cell FROM (
+              SELECT en.vec_id, en.embedding, en.label, en.nrm, c.cell,
+                     row_number() OVER (PARTITION BY en.vec_id ORDER BY
+                       round(list_sum(list_transform(list_zip(en.embedding, c.ce),
+                               z -> z[1]::DOUBLE * z[2])) / (en.nrm * c.cn), 6) DESC,
+                       c.cell) AS rk
+              FROM en CROSS JOIN c) WHERE rk = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, label AS ql
+                FROM asn WHERE vec_id < 10),
+          p AS MATERIALIZED (
+            SELECT query_id, qe, qn, ql, cell FROM (
+              SELECT q.query_id, q.qe, q.qn, q.ql, c.cell,
+                     row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       round(list_sum(list_transform(list_zip(q.qe, c.ce),
+                               z -> z[1]::DOUBLE * z[2])) / (q.qn * c.cn), 6) DESC,
+                       c.cell) AS rk
+              FROM q CROSS JOIN c) WHERE rk <= 4)
+          SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM (SELECT DISTINCT p.query_id, a.vec_id,
+                         round(list_sum(list_transform(list_zip(p.qe, a.embedding),
+                                 z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.qn * a.nrm), 6) AS cos
+                  FROM p JOIN asn a ON p.cell = a.cell AND p.query_id <> a.vec_id
+                       AND p.ql = a.label))
           WHERE rank <= 3"""),
   )
 }

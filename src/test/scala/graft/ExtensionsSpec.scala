@@ -245,6 +245,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.keys.map(_._1).toSeq.distinct.length == 10)
   }
 
+  test("filtered topk: every neighbor shares the query's label, full k per query") {
+    val labels = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = Similarity.topKFiltered(spark, sf).collect()
+    // label homogeneity — the filter's whole contract
+    rows.foreach { r =>
+      val (q, v) = (r.getLong(0), r.getLong(1))
+      assert(labels(q) == labels(v), s"query $q (label ${labels(q)}) got $v (label ${labels(v)})")
+    }
+    // pre-filtering (not post-filtering the unfiltered top-k) keeps k
+    // rows per query with contiguous ranks
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length), s"query $q ranks")
+      assert(rs.length == 3, s"query $q returned ${rs.length} rows")
+    }
+    // the filtered best can never beat the unfiltered best
+    val best = Similarity.topKIvf(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos")).toMap
+    rows.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Double]("cos") <= best(r.getLong(0)) + 1e-12,
+        s"query ${r.getLong(0)}: filtered best beats unfiltered best")
+    }
+  }
+
   test("embedding dedup groups: components valid, recall vs exact pairs") {
     val got = Similarity.embeddingDedupGroups(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
