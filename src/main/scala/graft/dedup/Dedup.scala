@@ -410,12 +410,16 @@ object Dedup {
     * prose scores 0). Docs with fewer than n tokens have no passages and
     * are absent, matching [[dupPassages]].
     *
-    * Plan shape: ONE passage-keyed shuffle feeds both the hot-passage
-    * aggregate and the membership probe (the join keys on the same
-    * column, so the exchange is reused), then a doc_id-keyed count pair.
-    * The 6-dp ratio uses the [[contamination]] rounding form (proven
-    * fp-portable under the hash gate). At 100 TB the passage column keys
-    * on (xxhash64, length) exactly as documented on [[dupPassages]].
+    * Plan shape (audited): the hot-passage set is an aggregate that
+    * BROADCASTS to the membership probe — the corpus side never shuffles
+    * for it (the [[contamination]] shape); the only exchanges are the
+    * hot aggregate's own passage-keyed shuffle and the final doc_id
+    * count pair. If the hot set outgrows broadcast at corpus scale the
+    * join degrades gracefully to a passage-keyed shuffle join — still
+    * keyed, never quadratic. The 6-dp ratio uses the [[contamination]]
+    * rounding form (proven fp-portable under the hash gate). At 100 TB
+    * the passage column keys on (xxhash64, length) exactly as documented
+    * on [[dupPassages]].
     */
   def boilerplate(spark: SparkSession, dir: String, n: Int = 8, minDocs: Int = 2): DataFrame = {
     val pass = docPassages(spark, dir, n)

@@ -253,11 +253,13 @@ object Similarity {
   /** Metadata-FILTERED approximate top-k — the "filtered vector search"
     * shape (within-language / within-domain retrieval): candidates are
     * restricted to the query's own label BEFORE the re-rank, as a
-    * pre-filter predicate on the cell equi-join (a post-filter of the
-    * final top-k would return < k rows and lose recall; pushing the
-    * predicate into the candidate join keeps k results per query at the
-    * same probe cost). Same determinism + chained-CTE oracle contract as
-    * [[topKIvf]].
+    * pre-filter predicate on the cell equi-join: a post-filter of the
+    * unfiltered top-k keeps only neighbors that happened to rank in the
+    * global top-k, while the pre-filter ranks among ALL same-label
+    * candidates in the probed cells — full k whenever the label has k
+    * members there (asserted on the fixture in spec; a rarer label can
+    * still return fewer, the inherent filtered-ANN trade). Same
+    * determinism + chained-CTE oracle contract as [[topKIvf]].
     */
   def topKFiltered(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame =
     ivfTopK(spark, dir, k, nQueries, sameLabel = true)

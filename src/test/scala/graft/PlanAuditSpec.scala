@@ -186,11 +186,13 @@ class PlanAuditSpec extends AnyFunSuite {
         val p = plan(df)
         assert(!p.contains("Exchange"), s"PII op should be shuffle-free:\n$p")
       }
-    // boilerplate fraction: hot-set aggregate and membership probe share
-    // the passage-keyed exchange; everything stays keyed
+    // boilerplate fraction: the hot set broadcasts to the membership
+    // probe (contamination shape — the corpus side never shuffles for
+    // it); everything stays keyed
     val bf = plan(graft.dedup.Dedup.boilerplate(spark, sf))
     assert(!bf.contains("CartesianProduct") && !bf.contains("BroadcastNestedLoopJoin"),
       s"boilerplate not join-shaped:\n$bf")
+    assert(bf.contains("BroadcastHashJoin"), s"hot set should broadcast:\n$bf")
   }
 
   test("day-partitioned layout prunes partitions at the scan (100 TB layout)") {
