@@ -178,7 +178,19 @@ object Curation {
       .where(col("doc_id") === col("canonical_id")).select(col("doc_id"))
     val clean = graft.dedup.Dedup.contamination(spark, dir)
       .where(col("dirty_frac") < 0.5).select(col("doc_id"), col("dirty_frac"))
+    // de-boilerplate: survivors must be mostly original prose (quality's
+    // n_tokens >= 10 gate guarantees every survivor has passages, so the
+    // inner join drops nobody for being short)
+    val lowBp = graft.dedup.Dedup.boilerplate(spark, dir)
+      .where(col("boiler_frac") < 0.5).select(col("doc_id"), col("boiler_frac"))
+    // PII gate over the RAW corpus (no injection — that's the hash-gated
+    // demonstration tier): the fixture is PII-free so the stage passes
+    // everything here, but the stage is the real pipeline step and the
+    // oracle replays the scan, keeping the no-PII claim checked
+    val piiFree = Pii.scanOn(Tables.documents(spark, dir))
+      .where(!col("has_pii")).select(col("doc_id"))
     q.join(exactCanon, "doc_id").join(nearCanon, "doc_id").join(clean, "doc_id")
+      .join(lowBp, "doc_id").join(piiFree, "doc_id")
   }
 
   /** Per-source corpus health report — the dashboard a curation pipeline
@@ -335,9 +347,29 @@ object Curation {
                 round(coalesce(n_dirty, 0)::DOUBLE / n_sh, 6) AS dirty_frac
               FROM (SELECT doc_id, len(s) AS n_sh FROM bkt WHERE bucket < 90) base
               LEFT JOIN dc ON base.doc_id = dc.doc_id)
-            WHERE dirty_frac < 0.5)
-          SELECT q.doc_id, q.score, ct.dirty_frac
-          FROM q JOIN ec USING (doc_id) JOIN nc USING (doc_id) JOIN ct USING (doc_id)""",
+            WHERE dirty_frac < 0.5),
+          p8 AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                          for i in generate_series(1, len(toks) - 7)])) AS passage
+            FROM tk WHERE len(toks) >= 8),
+          hot AS (SELECT passage FROM p8 GROUP BY passage HAVING count(*) >= 2),
+          bp AS (
+            SELECT doc_id, boiler_frac FROM (
+              SELECT p8.doc_id,
+                     round(CAST(count(hot.passage) AS DOUBLE) / count(*), 6)
+                       AS boiler_frac
+              FROM p8 LEFT JOIN hot ON p8.passage = hot.passage
+              GROUP BY p8.doc_id)
+            WHERE boiler_frac < 0.5),
+          pii AS (
+            SELECT doc_id FROM documents
+            WHERE len(regexp_extract_all(text, '${Pii.EmailRe}'))
+                + len(regexp_extract_all(text, '${Pii.PhoneRe}'))
+                + len(regexp_extract_all(text, '${Pii.IpRe}')) = 0)
+          SELECT q.doc_id, q.score, ct.dirty_frac, bp.boiler_frac
+          FROM q JOIN ec USING (doc_id) JOIN nc USING (doc_id) JOIN ct USING (doc_id)
+               JOIN bp USING (doc_id) JOIN pii USING (doc_id)""",
     "ta_stratified_sample" ->
       """SELECT doc_id, lang, rk FROM (
            SELECT doc_id, lang,
