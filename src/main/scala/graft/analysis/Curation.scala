@@ -196,9 +196,11 @@ object Curation {
   /** Per-source corpus health report — the dashboard a curation pipeline
     * watches per ingest source: document count, mean quality score and
     * pass rate (ta_quality), exact-duplicate rate (non-canonical docs of
-    * the md5 fingerprint window), and mean eval-contamination fraction
+    * the md5 fingerprint window), mean eval-contamination fraction
     * over the source's train-split docs (dedup_contamination; NULL when
-    * a source has no train docs). Composes the memoized dedup frames, so
+    * a source has no train docs), mean boilerplate fraction
+    * (dedup_boilerplate; NULL when no doc is long enough to score), and
+    * PII incidence. Composes the memoized dedup frames, so
     * at steady state the report is one aggregate keyed on `source` over
     * already-cached per-doc columns — no new corpus scan.
     *
@@ -215,7 +217,15 @@ object Curation {
       .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("is_dup"))
     val ct = graft.dedup.Dedup.contamination(spark, dir)
       .select(col("doc_id"), col("dirty_frac"))
+    // round-5 health signals: mean boilerplate fraction (over docs long
+    // enough to have passages — LEFT join, NULL-safe mean like dirty)
+    // and PII incidence over the raw corpus
+    val bp = graft.dedup.Dedup.boilerplate(spark, dir)
+      .select(col("doc_id"), col("boiler_frac"))
+    val pi = Pii.scanOn(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("has_pii"))
     src.join(q, "doc_id").join(ex, "doc_id").join(ct, Seq("doc_id"), "left")
+      .join(bp, Seq("doc_id"), "left").join(pi, "doc_id")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -223,7 +233,10 @@ object Curation {
         sum(when(col("pass"), 1).otherwise(0)).as("n_pass"),
         sum(when(col("is_dup"), 1).otherwise(0)).as("n_dup"),
         count(col("dirty_frac")).as("n_train"),
-        sum(col("dirty_frac").cast("decimal(12,6)")).as("dirty_d"))
+        sum(col("dirty_frac").cast("decimal(12,6)")).as("dirty_d"),
+        count(col("boiler_frac")).as("n_scored"),
+        sum(col("boiler_frac").cast("decimal(12,6)")).as("boiler_d"),
+        sum(when(col("has_pii"), 1).otherwise(0)).as("n_pii"))
       .select(col("source"), col("n_docs"),
         round(col("score_d").cast("double") / col("n_docs"), 6).as("mean_score"),
         round(col("n_pass").cast("double") / col("n_docs"), 6).as("pass_rate"),
@@ -231,7 +244,11 @@ object Curation {
         col("n_train"),
         when(col("n_train") > 0,
           round(col("dirty_d").cast("double") / col("n_train"), 6))
-          .as("mean_dirty_frac"))
+          .as("mean_dirty_frac"),
+        when(col("n_scored") > 0,
+          round(col("boiler_d").cast("double") / col("n_scored"), 6))
+          .as("mean_boiler_frac"),
+        round(col("n_pii").cast("double") / col("n_docs"), 6).as("pii_rate"))
   }
 
   private val tokSql =
@@ -273,7 +290,25 @@ object Curation {
             SELECT doc_id,
                    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
             FROM documents),
-          ct AS (${graft.dedup.Dedup.oracles("dedup_contamination")})
+          ct AS (${graft.dedup.Dedup.oracles("dedup_contamination")}),
+          p8 AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                          for i in generate_series(1, len(toks) - 7)])) AS passage
+            FROM tk WHERE len(toks) >= 8),
+          hot AS (SELECT passage FROM p8 GROUP BY passage HAVING count(*) >= 2),
+          bp AS (
+            SELECT p8.doc_id,
+                   round(CAST(count(hot.passage) AS DOUBLE) / count(*), 6)
+                     AS boiler_frac
+            FROM p8 LEFT JOIN hot ON p8.passage = hot.passage
+            GROUP BY p8.doc_id),
+          pi AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '${Pii.EmailRe}'))
+                 + len(regexp_extract_all(text, '${Pii.PhoneRe}'))
+                 + len(regexp_extract_all(text, '${Pii.IpRe}')) > 0 AS has_pii
+            FROM documents)
           SELECT d.source,
                  count(*) AS n_docs,
                  round(CAST(sum(CAST(q.score AS DECIMAL(12,6))) AS DOUBLE)
@@ -284,11 +319,17 @@ object Curation {
                        / count(*), 6) AS dup_rate,
                  count(ct.doc_id) AS n_train,
                  round(CAST(sum(CAST(ct.dirty_frac AS DECIMAL(12,6))) AS DOUBLE)
-                       / nullif(count(ct.doc_id), 0), 6) AS mean_dirty_frac
+                       / nullif(count(ct.doc_id), 0), 6) AS mean_dirty_frac,
+                 round(CAST(sum(CAST(bp.boiler_frac AS DECIMAL(12,6))) AS DOUBLE)
+                       / nullif(count(bp.doc_id), 0), 6) AS mean_boiler_frac,
+                 round(sum(CASE WHEN pi.has_pii THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*), 6) AS pii_rate
           FROM documents d
           JOIN qs q USING (doc_id)
           JOIN ex USING (doc_id)
           LEFT JOIN ct ON d.doc_id = ct.doc_id
+          LEFT JOIN bp ON d.doc_id = bp.doc_id
+          JOIN pi ON d.doc_id = pi.doc_id
           GROUP BY d.source""",
     "pipeline_curate" ->
       s"""WITH RECURSIVE

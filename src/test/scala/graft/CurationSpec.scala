@@ -15,11 +15,13 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus,
       "per-source doc counts must partition the corpus")
     rows.foreach { r =>
-      Seq("pass_rate", "dup_rate").foreach { c =>
+      Seq("pass_rate", "dup_rate", "pii_rate").foreach { c =>
         val v = r.getAs[Double](c)
         assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
       }
       assert(r.getAs[Long]("n_train") <= r.getAs[Long]("n_docs"))
+      Option(r.getAs[java.lang.Double]("mean_boiler_frac")).foreach(v =>
+        assert(v >= 0.0 && v <= 1.0, s"mean_boiler_frac out of range: $v"))
     }
     // total dup count re-derived from the report equals the corpus-level
     // non-canonical count of the (already-verified) exact-dedup window
