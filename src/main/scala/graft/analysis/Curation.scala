@@ -187,7 +187,7 @@ object Curation {
     // demonstration tier): the fixture is PII-free so the stage passes
     // everything here, but the stage is the real pipeline step and the
     // oracle replays the scan, keeping the no-PII claim checked
-    val piiFree = Pii.scanOn(Tables.documents(spark, dir))
+    val piiFree = Pii.scanRaw(spark, dir)
       .where(!col("has_pii")).select(col("doc_id"))
     q.join(exactCanon, "doc_id").join(nearCanon, "doc_id").join(clean, "doc_id")
       .join(lowBp, "doc_id").join(piiFree, "doc_id")
@@ -222,7 +222,7 @@ object Curation {
     // and PII incidence over the raw corpus
     val bp = graft.dedup.Dedup.boilerplate(spark, dir)
       .select(col("doc_id"), col("boiler_frac"))
-    val pi = Pii.scanOn(Tables.documents(spark, dir))
+    val pi = Pii.scanRaw(spark, dir)
       .select(col("doc_id"), col("has_pii"))
     src.join(q, "doc_id").join(ex, "doc_id").join(ct, Seq("doc_id"), "left")
       .join(bp, Seq("doc_id"), "left").join(pi, "doc_id")

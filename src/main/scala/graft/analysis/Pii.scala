@@ -65,6 +65,13 @@ object Pii {
   def scan(spark: SparkSession, dir: String): DataFrame =
     scanOn(injected(spark, dir))
 
+  /** The raw-corpus scan, memoized: consumed by pipeline_curate and
+    * pipeline_source_report in one registry run.
+    */
+  def scanRaw(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "pii:scan_raw")(
+      scanOn(Tables.documents(spark, dir)))
+
   /** The scan over an arbitrary (doc_id, text) frame — the production
     * entry point (no injection).
     */

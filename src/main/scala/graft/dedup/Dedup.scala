@@ -421,7 +421,14 @@ object Dedup {
     * the passage column keys on (xxhash64, length) exactly as documented
     * on [[dupPassages]].
     */
-  def boilerplate(spark: SparkSession, dir: String, n: Int = 8, minDocs: Int = 2): DataFrame = {
+  def boilerplate(spark: SparkSession, dir: String, n: Int = 8, minDocs: Int = 2): DataFrame =
+    // memoized like contamination: consumed by dedup_boilerplate,
+    // pipeline_curate AND pipeline_source_report in one registry run
+    memoized(spark, dir, s"boilerplate_${n}_$minDocs")(
+      boilerplateUncached(spark, dir, n, minDocs))
+
+  private def boilerplateUncached(spark: SparkSession, dir: String,
+                                  n: Int, minDocs: Int): DataFrame = {
     val pass = docPassages(spark, dir, n)
     val hot = pass.groupBy(col("passage")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= minDocs)
