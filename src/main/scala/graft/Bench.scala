@@ -152,8 +152,14 @@ object Bench {
     val compact =
       if (gzFull.length <= 1500 && withGz.length <= 1800) withGz
       else assemble(1800 - 300, withGz = false)
-    println(compact)
+    // teardown BEFORE the final print: releaseAll/stop emit shutdown log
+    // lines, and a harness that merges stdout+stderr would land them
+    // after the compact line, pushing its head out of a tail-limited
+    // capture — the artifact this line exists for. Printing last keeps
+    // the compact twin the final bytes of the process under either
+    // capture mode.
     Caches.releaseAll()
     spark.stop()
+    println(compact)
   }
 }
