@@ -54,6 +54,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_ONLY matched no registered query: ${only.getOrElse(Set.empty).mkString(",")}")
 
     // Warm the session (codegen infra, vectorized parquet reader, JIT)
     // so the first measured query isn't charged for JVM startup. The
@@ -90,28 +92,29 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
-    // The full-fidelity line: printed FIRST (it is this process's first
-    // stdout output — Spark logs go to stderr) and landed in a file.
-    println(json)
+    // The full-fidelity record goes ONLY to target/bench.json — NOT to
+    // stdout. The driver's BENCH artifact keeps the LAST ~2000 chars of
+    // stdout (BENCH_r01..r05 all carry a 2000-char "tail", parsed:null):
+    // when this ~9 KB line was printed, the tail window OPENED mid-line,
+    // so the first "{"-candidate the driver saw was a truncated fragment.
+    // This process therefore prints exactly ONE stdout line — the compact
+    // twin below — which is simultaneously the first and last program
+    // output, short enough that the whole line (plus sbt's "[success]"
+    // epilogue) sits inside the window.
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    // The driver's BENCH artifact keeps only the LAST ~2000 chars of
-    // stdout (measured: BENCH_r01..r04 all have a 2000-char "tail" and
-    // parsed:null because the full line above is ~9 KB — its head,
-    // including {"metric", falls outside the window; a flat 100+-entry
-    // map can never fit, the names alone sum past the window). So the
-    // LAST line printed is a parseable compact twin: true totals, plus
-    // as many per-query medians as fit in the window (slowest first —
-    // the ones a perf reader needs), the rest summarized. Budget 1800 =
-    // 2000 minus sbt's "[success] Total time..." epilogue with margin.
-    // the FULL per-query map still travels inside the window, compressed:
-    // gzip+base64 of the flat 2-dp {"name":sec} JSON is ~1.4 KB for 108
-    // queries (names compress well; 10 ms resolution — target/bench.json
-    // keeps full precision), decodable with `base64 -d | gunzip` /
-    // python gzip+b64decode
+    // The compact line: true totals, as many per-query medians as fit
+    // (slowest first — the ones a perf reader needs), the rest
+    // summarized. Budget 1800 = 2000 minus sbt's "[success] Total
+    // time..." epilogue with margin. The FULL per-query map still
+    // travels inside the window, compressed: gzip+base64 of the flat
+    // 2-dp {"name":sec} JSON is ~1.4 KB for ~115 queries (names compress
+    // well; 10 ms resolution — target/bench.json keeps full precision),
+    // decodable with `base64 -d | gunzip` / python gzip+b64decode, and
+    // each round's decoded map is committed under bench_history/.
     val qs2 = results.map { case (k, med, _, _, _) =>
       s"${q(k)}:${math.rint(med * 100) / 100}"
     }.mkString("{", ",", "}")
@@ -155,11 +158,11 @@ object Bench {
     // teardown BEFORE the final print: releaseAll/stop emit shutdown log
     // lines, and a harness that merges stdout+stderr would land them
     // after the compact line, pushing its head out of a tail-limited
-    // capture — the artifact this line exists for. Printing last keeps
-    // the compact twin the final bytes of the process under either
-    // capture mode.
-    Caches.releaseAll()
-    spark.stop()
+    // capture — the artifact this line exists for. Teardown is guarded:
+    // a shutdown exception must never eat the one line this process
+    // exists to print.
+    try { Caches.releaseAll(); spark.stop() }
+    catch { case e: Throwable => System.err.println(s"teardown: ${e.getMessage}") }
     println(compact)
   }
 }

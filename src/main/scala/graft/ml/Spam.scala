@@ -260,6 +260,60 @@ object Spam {
         when(col("score_d") > 0, "spam").otherwise("ham").as("predicted"))
   }
 
+  /** Classifier QUALITY metric — the reference's grading currency: a6 is
+    * scored on 1-ROCA% (area above the ROC curve, in percent;
+    * `assignment6.md:3-29` grades x/y/britney/fusion on exactly this).
+    * Every other spam row pins fold/score ARITHMETIC; this one measures
+    * whether the classifier actually discriminates.
+    *
+    * Protocol: the [[trainSeq]] model (docid < [[SeqDocs]], the hash-gated
+    * fold) scores the HELD-OUT docs — md5-bucket "test" split of
+    * [[graft.operators.Skew.hashSplit]] (bucket ≥ 90), restricted to
+    * docid ≥ [[SeqDocs]] so no training doc leaks into evaluation — in
+    * the [[applySeq]] exact-decimal shape. AUC then comes from the
+    * Mann-Whitney rank identity computed entirely in INTEGER arithmetic
+    * (fp-portable by construction):
+    *
+    *   AUC = Σ_s n_pos(s) · (2·cum_neg_below(s) + n_neg(s)) / (2·P·N)
+    *
+    * where s ranges over DISTINCT decimal scores ascending — ties get the
+    * standard half credit via the `+ n_neg(s)` term. One grouped count per
+    * score, one running sum over the (tiny) per-score frame, one global
+    * fold; the only doubles are the final two divisions, on bit-identical
+    * integer inputs in both engines. 1-ROCA% = (1 − AUC)·100.
+    */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val w = trainSeqShared(spark, dir)
+      .select(col("feature"), col("weight").cast("decimal(18,9)").as("w"))
+    val holdout = BatchLogit.occurrences(spark, dir)
+      .filter(col("docid") >= SeqDocs &&
+        expr("pmod(conv(substring(md5(CAST(docid AS STRING)), 1, 8), 16, 10), 100)") >= 90)
+      .groupBy(col("docid"), col("label"), col("feature"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = holdout
+      .join(broadcast(w), Seq("feature"), "left_outer")
+      .groupBy(col("docid"), col("label"))
+      .agg(sum(col("cnt").cast("decimal(6,0)") * coalesce(col("w"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,9)"))).as("score_d"))
+    val perScore = scored.groupBy(col("score_d"))
+      .agg(sum(col("label")).cast("long").as("np"),
+        sum(lit(1) - col("label")).cast("long").as("nn"))
+    // unpartitioned window over the per-score frame: cardinality is
+    // bounded by the holdout size (distinct decimal scores), so the
+    // single-task sort is a few hundred rows even at sf0.1
+    val below = org.apache.spark.sql.expressions.Window.orderBy(col("score_d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .agg(sum(col("np")).cast("long").as("n_pos"),
+        sum(col("nn")).cast("long").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cum_nn") + col("nn"))).cast("long").as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+      .withColumn("roca_pct", round((lit(1.0) - col("auc")) * 100, 4))
+  }
+
   /** A14 ensemble combine, hash-gated: three [[trainSeq]] models on the
     * DISJOINT docid%3 shards of the bounded prefix
     * (`ApplyEnsembleSpamClassifier.scala:76-108` protocol), each scoring
@@ -425,6 +479,46 @@ object Spam {
           FROM sc0 JOIN sc1 USING (docid, label) JOIN sc2 USING (docid, label)"""
   }
 
+  /** DuckDB replay of [[rocAuc]]: the [[trainSeqCtes]] chain, the
+    * held-out occurrence table (same md5-bucket filter), the exact-decimal
+    * scoring aggregate, and the integer Mann-Whitney fold.
+    */
+  private def rocAucOracle(steps: Int, numFeatures: Int): String =
+    "WITH " + trainSeqCtes(steps, numFeatures) + s""",
+          wd AS (SELECT feature, CAST(CAST(w AS DOUBLE) AS DECIMAL(18,9)) AS w
+                 FROM w$steps),
+          occh AS MATERIALIZED (
+            SELECT docid, label, feature, CAST(count(*) AS DECIMAL(6,0)) AS cnt
+            FROM (SELECT doc_id AS docid,
+                         CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS label,
+                         unnest(list_transform(toks,
+                           w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % $numFeatures)) AS feature
+                  FROM (SELECT doc_id, $tokSql AS toks FROM documents
+                        WHERE doc_id >= $steps
+                          AND ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                              % 100 >= 90))
+            GROUP BY docid, label, feature),
+          sc AS (SELECT o.docid, o.label,
+                        sum(o.cnt * coalesce(w.w, CAST(0 AS DECIMAL(18,9)))) AS score_d
+                 FROM occh o LEFT JOIN wd w USING (feature)
+                 GROUP BY o.docid, o.label),
+          ps AS (SELECT score_d, CAST(sum(label) AS BIGINT) AS np,
+                        CAST(sum(1 - label) AS BIGINT) AS nn
+                 FROM sc GROUP BY score_d),
+          cm AS (SELECT np, nn,
+                        coalesce(sum(nn) OVER (ORDER BY score_d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+                 FROM ps),
+          ag AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                        CAST(sum(nn) AS BIGINT) AS n_neg,
+                        CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS num2
+                 FROM cm)
+          SELECT n_pos, n_neg, auc, round((1.0 - auc) * 100, 4) AS roca_pct
+          FROM (SELECT n_pos, n_neg,
+                       round(CAST(num2 AS DOUBLE) /
+                             CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+                FROM ag)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full-corpus sequential folds / model-dependent outputs: no SQL
     // oracle at corpus size (rows-only driver check); the exact-match
@@ -440,6 +534,9 @@ object Spam {
     "spam_train_seq_shuffled" -> ((s, d) => trainSeqShared(s, d, shuffleSeed = Some(ShuffleSeed))),
     "spam_apply_seq" -> ((s, d) => applySeq(s, d)),
     "spam_ensemble_seq" -> ((s, d) => ensembleSeq(s, d)),
+    // classifier quality (the reference's 1-ROCA% grading metric) on the
+    // held-out hash-split bucket — integer rank arithmetic, hash-gated
+    "ml_roc_auc"     -> ((s, d) => rocAuc(s, d)),
     "spam_apply"     -> ((s, d) => applyModel(instancesShared(s, d), trainShared(s, d))
       .select(col("docid"), col("label"), round(col("score"), 6).as("score"), col("predicted"))),
     "spam_ensemble"  -> ((s, d) => ensemble(s, d)),
@@ -464,5 +561,6 @@ object Spam {
       trainSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures, Some(ShuffleSeed)),
     "spam_apply_seq" -> applySeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
     "spam_ensemble_seq" -> ensembleSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
+    "ml_roc_auc" -> rocAucOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
   )
 }

@@ -400,4 +400,43 @@ class SpamQualitySpec extends AnyFunSuite {
     val auc = wins / (pos.length.toLong * neg.length)
     assert(auc > 0.75, s"training-set AUC $auc")
   }
+
+  /** Pins ml_roc_auc (the registered 1-ROCA% analog): the grouped
+    * rank-identity fold must equal the brute-force O(P·N) Mann-Whitney
+    * definition on the same held-out scores, and the trainSeq model must
+    * genuinely discriminate on docs it never saw (AUC > 0.5).
+    */
+  test("ml_roc_auc equals brute-force pairwise AUC on the holdout") {
+    import org.apache.spark.sql.functions._
+    val row = Spam.queries("ml_roc_auc")(spark, sf).collect().head
+    val (nPos, nNeg) = (row.getAs[Long]("n_pos"), row.getAs[Long]("n_neg"))
+    val auc = row.getAs[Double]("auc")
+    // same holdout scoring as the query, brute-forced: every (pos, neg)
+    // pair wins 1 / ties 0.5 / loses 0
+    val w = Spam.trainSeqShared(spark, sf)
+      .select(col("feature"), col("weight").cast("decimal(18,9)").as("w"))
+    val scored = graft.ml.BatchLogit.occurrences(spark, sf)
+      .filter(col("docid") >= Spam.SeqDocs &&
+        expr("pmod(conv(substring(md5(CAST(docid AS STRING)), 1, 8), 16, 10), 100)") >= 90)
+      .groupBy(col("docid"), col("label"), col("feature"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(w, Seq("feature"), "left_outer")
+      .groupBy(col("docid"), col("label"))
+      .agg(sum(col("cnt").cast("decimal(6,0)") * coalesce(col("w"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,9)"))).as("s"))
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[java.math.BigDecimal]("s")))
+    val pos = scored.filter(_._1 == 1).map(_._2)
+    val neg = scored.filter(_._1 == 0).map(_._2)
+    assert(pos.length.toLong == nPos && neg.length.toLong == nNeg)
+    val wins = (for (p <- pos; n <- neg) yield {
+      val c = p.compareTo(n); if (c > 0) 1.0 else if (c == 0) 0.5 else 0.0
+    }).sum
+    val brute = BigDecimal(wins / (pos.length.toLong * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(auc - brute) < 1e-9, s"rank-identity $auc vs brute $brute")
+    assert(auc > 0.5, s"holdout AUC $auc not above chance")
+    assert(math.abs(row.getAs[Double]("roca_pct") -
+      BigDecimal((1.0 - auc) * 100).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      < 1e-9)
+  }
 }
