@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Decode a round's BENCH_r{N}.json into bench_history/bench_r{N}.json.
+
+The driver's BENCH artifact keeps only the last ~2000 stdout chars
+("tail"). Since round 5 the compact bench line carries the FULL per-query
+median map as gzip+base64 (`queries_gz_b64`); this script extracts and
+decodes it so round-over-round regressions are diffable over the whole
+registry, not just the tail-visible queries.
+
+Usage: python3 scripts/bench_history.py BENCH_r05.json [BENCH_r06.json ...]
+Writes bench_history/bench_r{N}.json: {"total": sec|null, "queries":
+{name: median_sec}} sorted by name. For a local run, point it at a file
+containing the compact line (e.g. target/bench.json works too — it has a
+plain "queries" map).
+"""
+import base64
+import gzip
+import json
+import re
+import sys
+
+
+def decode(path):
+    raw = open(path).read()
+    try:
+        tail = json.loads(raw).get("tail", raw)
+    except json.JSONDecodeError:
+        tail = raw
+    m = re.search(r'"queries_gz_b64":"([A-Za-z0-9+/=]+)"', tail)
+    if not m:
+        raise SystemExit(f"{path}: no queries_gz_b64 payload in tail")
+    queries = json.loads(gzip.decompress(base64.b64decode(m.group(1))))
+    t = re.search(r'"metric":"total","value":([0-9.]+)', tail)
+    return {"total": float(t.group(1)) if t else None,
+            "queries": dict(sorted(queries.items()))}
+
+
+def main():
+    import os
+    os.makedirs("bench_history", exist_ok=True)
+    for path in sys.argv[1:]:
+        n = re.search(r"r(\d+)", os.path.basename(path))
+        out = f"bench_history/bench_r{n.group(1)}.json" if n \
+            else "bench_history/bench_local.json"
+        rec = decode(path)
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"{out}: {len(rec['queries'])} queries, total={rec['total']}")
+
+
+if __name__ == "__main__":
+    main()
