@@ -33,9 +33,15 @@ import graft.text.Text
   * occurrence-count compression (see [[compressed]]) — the per-iteration
   * score/gradient aggregations then run over the cached deduplicated
   * (docid, feature, cnt) table, smaller than the raw occurrence stream
-  * by the token-duplication factor; the weight table is bounded by
-  * [[NumFeatures]] and rides a broadcast join — the driver holds only
-  * that map between iterations, the same split as [[graft.sim.KMeans]].
+  * by the token-duplication factor. The weight table never touches the
+  * driver: it stays a (feature, w) DataFrame across iterations — seeded
+  * distributively, updated by a feature-keyed join with the gradient —
+  * so an open-vocabulary feature space only has to fit an EXECUTOR
+  * partition, not driver heap. The one place the model is collected is
+  * the `broadcast()` at the scoring join, where any model small enough
+  * to broadcast must fit by definition; at a feature dimension past
+  * broadcast range that hint is the single line to drop (the join
+  * degrades to a shuffle join, the rest of the loop is unchanged).
   */
 object BatchLogit {
   val Eta = BigDecimal("0.5")
@@ -81,15 +87,15 @@ object BatchLogit {
     * small shuffles instead.
     */
   def train(spark: SparkSession, dir: String, iterations: Int = Iterations): DataFrame = {
-    import spark.implicits._
     val ex = graft.Caches.memoized(spark, dir, "ml:gd_compressed")(compressed(spark, dir))
-    var w: Map[Long, BigDecimal] =
-      ex.select(col("feature")).distinct().as[Long].collect()
-        .map(_ -> BigDecimal(0).setScale(6)).toMap
+    // w0 = 0 for every feature that occurs — derived distributively; the
+    // feature dimension is never collect()ed (r5 verdict ask 4)
+    var w = ex.select(col("feature")).distinct()
+      .withColumn("w",
+        lit(new java.math.BigDecimal("0.000000")).cast("decimal(18,6)"))
+      .persist()
     for (_ <- 1 to iterations) {
-      val wDf = w.toSeq.map { case (f, wd) => (f, wd.bigDecimal) }.toDF("feature", "w")
-        .withColumn("w", col("w").cast("decimal(18,6)"))
-      val scored = ex.join(broadcast(wDf), "feature")
+      val scored = ex.join(broadcast(w), "feature")
         .groupBy(col("docid"), col("label"))
         .agg(sum(col("cnt") * col("w")).as("score")) // exact decimal sum, order-free
         .withColumn("prob",
@@ -98,13 +104,32 @@ object BatchLogit {
       val grad = ex.join(scored.select(col("docid"), col("prob")), "docid")
         .groupBy(col("feature"))
         .agg(sum(col("cnt") * (col("label") - col("prob"))).as("g")) // exact decimal sum
-        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
-      w = w.map { case (f, wt) =>
-        f -> (wt + Eta * grad.getOrElse(f, BigDecimal(0)))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      }
+        // narrow BEFORE the Eta product: the wide sum type (38,6) times
+        // 0.5 would trip Spark's precision-loss scale reduction; at
+        // (18,6) the product keeps its exact scale-7 value, and
+        // pre-rounding x to 6 dp commutes with round(w + x, 6) because w
+        // already sits on the 6-dp grid and both engines round HALF_UP
+        .select(col("feature"), col("g").cast("decimal(18,6)").as("g"))
+      // every w-feature occurs in ex, so the gradient join is inner —
+      // exactly the oracle's `w JOIN g USING (feature)`
+      val next = w.join(grad, Seq("feature"))
+        .select(col("feature"),
+          round(col("w") + lit(Eta.bigDecimal) * col("g"), 6)
+            .cast("decimal(18,6)").as("w"))
+      // plan truncation per round (the repo's iterative-loop rule): the
+      // weight frame is referenced twice per iteration, so carrying the
+      // analyzed plan forward would grow it 2^iterations; re-wrapping the
+      // RDD pins it to a bounded LogicalRDD while keeping lineage
+      val t = graft.Caches.register(
+        spark.createDataFrame(next.rdd, next.schema).persist())
+      t.count() // the one action per iteration: materializes the K-row model
+      w.unpersist()
+      w = t
     }
-    w.toSeq.map { case (f, wd) => (f, wd.toDouble) }.toDF("feature", "weight")
+    // the final round's persisted model backs the returned plan; it is
+    // release-tracked, never collected — the model leaves the cluster
+    // only if the CALLER broadcasts or writes it
+    w.select(col("feature"), col("w").cast("double").as("weight"))
   }
 
   // ---------------------------------------------------------------- oracle
