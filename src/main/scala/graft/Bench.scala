@@ -25,8 +25,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet is TIMESTAMP(NANOS); session-build opt-in (no
-      // per-read option exists) so the library never mutates confs mid-run
+      // NANOS-generation events fixtures need this at session build (no
+      // per-read option exists); a no-op for micros fixtures
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

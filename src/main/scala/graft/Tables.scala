@@ -24,16 +24,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
-  /** The events fixture stores ts as Parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos
-    * as raw longs and rebuild a microsecond timestamp (integer div — the
-    * values exceed 2^53, so double math would corrupt them).
+  /** The events fixture's `ts` physical type has varied across driver
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects outright — PARQUET_TYPE_ILLEGAL — so it must be read as raw
+    * longs under `nanosAsLong`) and TIMESTAMP_NTZ micros. [[normalizeTs]]
+    * dispatches on the type the scan actually surfaced, so the loader
+    * works against either fixture generation and always hands downstream
+    * code session-zone `TimestampType` with identical wall-clock values
+    * (the session zone is pinned UTC by every host).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     requireNanosAsLong(spark)
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("CAST(ts div 1000 AS BIGINT)")))
+    normalizeTs(table(spark, dir, "events"))
   }
+
+  /** Normalize an events frame's `ts` to session-zone TimestampType:
+    * raw nanos longs (NANOS fixture read under `nanosAsLong`) are
+    * integer-divided to micros — the values exceed 2^53, so double math
+    * would corrupt them; TIMESTAMP_NTZ (micros fixture) is cast, a pure
+    * wall-clock reinterpretation under the pinned-UTC session.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("CAST(ts div 1000 AS BIGINT)")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Reading NANOS parquet needs `spark.sql.legacy.parquet.nanosAsLong`,
     * which Spark exposes only as a SESSION conf (no per-read option as of

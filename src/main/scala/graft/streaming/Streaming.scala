@@ -28,8 +28,8 @@ object Streaming {
   final case class Session(user_id: Long, session_id: Long, n_events: Long,
                            session_start: String, session_end: String, sum_value: Double)
 
-  /** Streaming read of the events fixture (same nanos→micros rebuild as
-    * the batch loader; file-stream source with the batch-inferred schema).
+  /** Streaming read of the events fixture (same ts normalization as the
+    * batch loader; file-stream source with the batch-inferred schema).
     * The file source needs a directory basePath; the fixture is a single
     * parquet file, so link it into a temp dir (read-only fixtures stay
     * untouched).
@@ -44,8 +44,8 @@ object Streaming {
     java.nio.file.Files.createSymbolicLink(streamDir.resolve("events.parquet"), src)
     streamDir.resolve("events.parquet").toFile.deleteOnExit()
     val schema = spark.read.parquet(src.toString).schema
-    spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("CAST(ts div 1000 AS BIGINT)")))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
   }
 
   /** Tumbling 1-hour rollup with a watermark — identical aggregation to
