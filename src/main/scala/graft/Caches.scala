@@ -11,16 +11,18 @@ import org.apache.spark.sql.DataFrame
   * queries is done (the driver mains do). Registered release hooks let
   * modules also drop their memo tables so a later call rebuilds cleanly.
   *
-  * Thread contract: every mutation runs under the object monitor,
-  * INCLUDING the whole memoized build-and-insert — a concurrent
-  * [[releaseAll]] can therefore never observe (and drop) a frame that is
-  * registered but not yet in the memo map, which previously left an
-  * unreleasable entry behind. The monitor is reentrant, so builders that
-  * recursively memoize sub-frames (dedup_groups → minhash pairs →
-  * shingles) nest fine; cross-thread callers serialize, which is the
-  * intended behavior for a shared cache. (Under `Test / fork := true`
-  * without `testForkedParallel`, sbt runs suites sequentially anyway —
-  * the lock makes the contract hold regardless of harness config.)
+  * Thread contract: map/buffer access runs under the object monitor, but
+  * a memoized BUILD runs outside it — a build can span multiple Spark
+  * jobs (the Components iterative loop, KMeans training), and holding the
+  * global monitor for its whole duration would block every concurrent
+  * register/memoized/releaseAll caller for seconds. Instead the insert is
+  * epoch-guarded: [[releaseAll]] bumps an epoch under the lock, and a
+  * build that raced a release (its pre-build epoch is stale) hands back
+  * its frame UNPERSISTED and uncached rather than resurrecting a released
+  * entry; a build that raced another builder of the same key defers to
+  * the winner already in the map. Builders that recursively memoize
+  * sub-frames (dedup_groups → minhash pairs → shingles) nest fine — no
+  * lock is held across the recursion.
   */
 object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -40,22 +42,34 @@ object Caches {
     * the memoized DataFrames themselves pin their session until
     * [[releaseAll]] clears both.
     */
+  private var epoch = 0L
+
   def memoized(spark: org.apache.spark.sql.SparkSession, dir: String, key: String)
-              (build: => DataFrame): DataFrame = synchronized {
-    // explicit get/update, not getOrElseUpdate: builders recursively
-    // memoize sub-frames on this same map mid-build, which
-    // getOrElseUpdate's cached-slot optimization does not allow
+              (build: => DataFrame): DataFrame = {
     val k = (spark, dir, key)
-    memo.get(k) match {
-      case Some(df) => df
-      case None =>
-        val df = register(build.persist())
-        memo.update(k, df)
-        df
+    val before = synchronized {
+      memo.get(k).toRight(epoch) // Right = hit; Left = miss at this epoch
+    }
+    before match {
+      case Right(df) => df
+      case Left(e0) =>
+        val df = build.persist() // outside the lock — may recurse here
+        synchronized {
+          if (epoch != e0) {
+            // a releaseAll ran mid-build: don't resurrect a released
+            // entry — return the frame unpersisted and uncached (still a
+            // valid lazy plan, just not shared)
+            df.unpersist(); df
+          } else memo.get(k) match {
+            case Some(winner) => df.unpersist(); winner
+            case None => frames += df; memo.update(k, df); df
+          }
+        }
     }
   }
 
   def releaseAll(): Unit = synchronized {
+    epoch += 1
     frames.foreach(_.unpersist())
     frames.clear()
     memo.clear()

@@ -29,10 +29,25 @@ object Pii {
 
   /** Portable pattern subset (Java regex ∩ RE2). Kept anchored on word
     * boundaries so clean-token text cannot partially match.
+    *
+    * These are the FIXTURE-TIER patterns: the injected corpus and its
+    * DuckDB replay are lowercase and in-range by construction, so the
+    * hash gate pins these exact strings. Raw production text needs the
+    * strict tier below.
     */
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   val IpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Production-tier patterns, still in the Java ∩ RE2 portable subset
+    * (no lookarounds/backrefs, so a SQL engine replays them too):
+    * case-insensitive email (`(?i)` — User@Example.COM matches) and an
+    * IP pattern with per-octet range bounds (999.999.999.999 and
+    * version-like dotted numbers such as 1.2.3.4000 no longer match).
+    */
+  val EmailReStrict = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val IpReStrict    = s"\\b$Octet\\.$Octet\\.$Octet\\.$Octet\\b"
 
   private def idStr: Column = col("doc_id").cast("string")
 
@@ -72,16 +87,21 @@ object Pii {
     graft.Caches.memoized(spark, dir, "pii:scan_raw")(
       scanOn(Tables.documents(spark, dir)))
 
-  /** The scan over an arbitrary (doc_id, text) frame — the production
-    * entry point (no injection).
+  /** The scan over an arbitrary (doc_id, text) frame. `strict = true`
+    * (the production entry point for RAW text) swaps in the
+    * case-insensitive email and octet-bounded IP patterns; the default
+    * keeps the fixture-tier patterns the hash gate pins. Same plan either
+    * way: a single-pass narrow regex projection.
     */
-  def scanOn(docs: DataFrame): DataFrame =
+  def scanOn(docs: DataFrame, strict: Boolean = false): DataFrame = {
+    val (em, ip) = if (strict) (EmailReStrict, IpReStrict) else (EmailRe, IpRe)
     docs.select(col("doc_id"),
-      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(em)).cast("long").as("n_emails"),
       regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
-      regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ips"))
+      regexp_count(col("text"), lit(ip)).cast("long").as("n_ips"))
       .withColumn("has_pii",
         col("n_emails") + col("n_phones") + col("n_ips") > 0)
+  }
 
   /** Redaction: every matched span replaced by its typed placeholder,
     * email → phone → IP in a fixed order (the patterns are mutually
@@ -94,16 +114,17 @@ object Pii {
   def redact(spark: SparkSession, dir: String): DataFrame =
     redactOn(injected(spark, dir))
 
-  def redactOn(docs: DataFrame): DataFrame = {
+  def redactOn(docs: DataFrame, strict: Boolean = false): DataFrame = {
+    val (em, ip) = if (strict) (EmailReStrict, IpReStrict) else (EmailRe, IpRe)
     val red = regexp_replace(
       regexp_replace(
-        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        regexp_replace(col("text"), lit(em), lit("<EMAIL>")),
         lit(PhoneRe), lit("<PHONE>")),
-      lit(IpRe), lit("<IP>"))
+      lit(ip), lit("<IP>"))
     docs.select(col("doc_id"), md5(red).as("fp"),
-      (regexp_count(col("text"), lit(EmailRe)) +
+      (regexp_count(col("text"), lit(em)) +
         regexp_count(col("text"), lit(PhoneRe)) +
-        regexp_count(col("text"), lit(IpRe))).cast("long").as("n_redacted"))
+        regexp_count(col("text"), lit(ip))).cast("long").as("n_redacted"))
   }
 
   // ---------------------------------------------------------------- oracle

@@ -89,10 +89,17 @@ object Dedup {
     *   additionally asserted pairwise in DedupSpec.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.2,
-                        maxShingleDf: Option[Long] = None): DataFrame = {
-    // referenced 4× below (both self-join sides + both count sides);
-    // docShingles is memo-persisted so each reference hits the cache
-    val sh = docShingles(spark, dir)
+                        maxShingleDf: Option[Long] = None): DataFrame =
+    indexJaccardPairs(docShingles(spark, dir), minJaccard, maxShingleDf)
+
+  /** The inverted-index Jaccard core over an arbitrary (doc_id, sh) frame
+    * — shared by the fixture-tier [[ngramJaccardPairs]] and the skewed
+    * measurement tier [[ngramSkew]]. Callers pass a persisted/memoized
+    * frame: it is referenced 4× (both self-join sides + both count
+    * sides).
+    */
+  private def indexJaccardPairs(sh: DataFrame, minJaccard: Double,
+                                maxShingleDf: Option[Long]): DataFrame = {
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     // join on (xxhash64, length) of the shingle, not the string: smaller
     // shuffle rows and cheaper key compares. A spurious intersection would
@@ -247,6 +254,90 @@ object Dedup {
         count(when(col("j") >= minJaccard, 1)).as("n_pairs"))
     sh.agg(count(lit(1)).as("n_docs")).crossJoin(verified)
   }
+
+  /** Boilerplate-skewed measurement tier for the stop-shingle cap: real
+    * corpora are not uniformly perturbed — a few shared templates (site
+    * footers, license banners, sponsor tags) put identical shingles into
+    * thousands of documents, and an UNCAPPED inverted-index self-join
+    * puts C(df, 2) candidate rows through each such key. This tier
+    * inflates the corpus ×`replicas` (near-dup families, the minhashBig
+    * pattern) and then appends: template A to every even source doc,
+    * template B to every fifth, and one of 200 sponsor-tag variants to
+    * all of them — giving a df spectrum with a hot head (df in the
+    * thousands at sf0.1, far above `cap`), a mid tail (sponsor groups,
+    * df ≈ 3·n_docs/200, below `cap`), and the content base (df ≈
+    * replicas).
+    *
+    * Output is ONE summary row that shows the cap doing its job:
+    *  - cand_uncapped — Σ C(df,2) over ALL shingle keys: the exact row
+    *    count the uncapped self-join WOULD produce, computed analytically
+    *    from the df table (running that join is precisely the mistake
+    *    the cap exists to avoid — at sf0.1 it is ~450M rows vs ~3M
+    *    capped, and at 100 TB it is the job-killer);
+    *  - cand_capped — the same sum restricted to df ≤ cap, i.e. the rows
+    *    the capped join actually processes;
+    *  - n_hot_keys — how many keys the cap removed;
+    *  - n_pairs — verified ≥ minJaccard pairs from REALLY RUNNING the
+    *    capped pipeline ([[indexJaccardPairs]]), proving the near-dup
+    *    families still surface once boilerplate mass is gone.
+    *
+    * Hash-gated, not rows-only: the whole construction (inflation
+    * arithmetic, templates, df stats, capped join) replays as a chained
+    * CTE in the oracle at the t2 gate's corpus size.
+    */
+  def ngramSkew(spark: SparkSession, dir: String, replicas: Int = 3,
+                cap: Long = SkewCap, minJaccard: Double = 0.2): DataFrame = {
+    val sh = memoized(spark, dir, s"skew_shingles_$replicas") {
+      skewCorpus(spark, dir, replicas)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+    }
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+    val dft = ex.groupBy(col("s"), col("sl")).agg(count(lit(1)).as("df"))
+    val stats = dft.agg(
+      count(lit(1)).as("n_shingle_keys"),
+      count(when(col("df") > cap, 1)).as("n_hot_keys"),
+      sum(expr("df * (df - 1) DIV 2")).as("cand_uncapped"),
+      sum(when(col("df") <= cap, expr("df * (df - 1) DIV 2"))
+        .otherwise(lit(0L))).as("cand_capped"))
+    val pairs = indexJaccardPairs(sh, minJaccard, Some(cap))
+      .agg(count(lit(1)).as("n_pairs"))
+    sh.agg(count(lit(1)).as("n_docs")).crossJoin(stats).crossJoin(pairs)
+  }
+
+  /** The skewed corpus: ×replicas near-dup inflation plus deterministic
+    * boilerplate appends keyed on the SOURCE doc_id (so replicas of one
+    * document share their boilerplate — the realistic shape). All
+    * boilerplate words are lowercase-alphabetic so they survive the
+    * tokenizer unchanged in both engines; the sponsor tag is a two-letter
+    * chr() code (digits would be stripped by the edge-trim).
+    */
+  private def skewCorpus(spark: SparkSession, dir: String, replicas: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        concat(
+          when(col("r") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" zz"), expr("repeat('x', r)"))),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(BoilerA)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(BoilerB)).otherwise(lit("")),
+          lit(" sponsored by partner "),
+          expr("chr(97 + (doc_id % 200) DIV 26) || chr(97 + (doc_id % 200) % 26)"),
+          lit(" network")).as("text"))
+
+  private val BoilerA =
+    " subscribe to our newsletter for weekly updates unsubscribe anytime via the preferences page"
+  private val BoilerB =
+    " all rights reserved contents copyright of the original publisher redistribution prohibited"
+
+  /** dedup_ngram_skew cap: sits ABOVE the mid-tail sponsor groups
+    * (df ≈ 3·n_docs/200 — 75 at sf0.1) and far BELOW the template head
+    * (df ≈ 1.5·n_docs — thousands at sf0.1), so the cap removes exactly
+    * the boilerplate mass and keeps every content/near-dup key.
+    */
+  val SkewCap = 100L
 
   private val SimBits = 60 // 15 hex chars of md5 → fits a signed long
 
@@ -547,6 +638,52 @@ object Dedup {
     * per-doc shingle counts — the conservative-undercount semantics the
     * cap promises.
     */
+  /** Full replay of [[ngramSkew]]: the inflation + boilerplate corpus
+    * rebuilt in SQL (identical arithmetic and word-for-word templates),
+    * shingled, then the df stats computed analytically and the capped
+    * join run for real — every number in the one summary row is
+    * hash-compared. Sums over BIGINT go HUGEINT in DuckDB, hence the
+    * explicit casts; `//` is DuckDB's integer division (Spark `DIV`).
+    */
+  private def skewOracle(minJ: Double, cap: Long, replicas: Int): String =
+    s"""WITH inflated AS (
+          SELECT doc_id * $replicas + r AS doc_id,
+                 (CASE WHEN r = 0 THEN text
+                       ELSE text || ' zz' || repeat('x', r) END) ||
+                 (CASE WHEN doc_id % 2 = 0 THEN '$BoilerA' ELSE '' END) ||
+                 (CASE WHEN doc_id % 5 = 0 THEN '$BoilerB' ELSE '' END) ||
+                 ' sponsored by partner ' ||
+                 chr(CAST(97 + (doc_id % 200) // 26 AS INTEGER)) ||
+                 chr(CAST(97 + (doc_id % 200) % 26 AS INTEGER)) || ' network' AS text
+          FROM documents, generate_series(0, ${replicas - 1}) AS t(r)),
+        sh AS (
+          SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS s
+          FROM (SELECT doc_id, $tokSql AS w FROM inflated)
+          WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        dft AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_shingle_keys,
+                 CAST(count(CASE WHEN df > $cap THEN 1 END) AS BIGINT) AS n_hot_keys,
+                 CAST(sum(df * (df - 1) // 2) AS BIGINT) AS cand_uncapped,
+                 CAST(sum(CASE WHEN df <= $cap THEN df * (df - 1) // 2
+                               ELSE 0 END) AS BIGINT) AS cand_capped
+          FROM dft),
+        keep AS (SELECT g FROM dft WHERE df <= $cap),
+        exk AS (SELECT doc_id, g FROM ex JOIN keep USING (g)),
+        i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_int
+              FROM exk a JOIN exk b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        n AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+        p AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM (
+                SELECT round(n_int::DOUBLE / (n1.n_sh + n2.n_sh - n_int), 6) AS j
+                FROM i JOIN n n1 ON i.d1 = n1.doc_id JOIN n n2 ON i.d2 = n2.doc_id)
+              WHERE j >= $minJ),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sh)
+        SELECT n_docs, n_shingle_keys, n_hot_keys, cand_uncapped, cand_capped, n_pairs
+        FROM d, stats, p"""
+
   private def cappedJaccardOracle(minJ: Double, cap: Long): String =
     s"""WITH $shSql,
         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -578,6 +715,9 @@ object Dedup {
     "dedup_ngram_capped"  -> ((s, d) =>
       ngramJaccardPairs(s, d, maxShingleDf = Some(StopShingleDf))),
     "dedup_minhash"       -> ((s, d) => minhashPairsShared(s, d)),
+    // boilerplate-skew tier: the cap measured doing its job (hash-gated
+    // one-row summary; cand_uncapped is analytic — see ngramSkew)
+    "dedup_ngram_skew"    -> ((s, d) => ngramSkew(s, d)),
     // measurement tier, rows-only (see scaladoc): LSH join + verify at
     // 10× corpus; one summary row (n_docs, n_candidates, n_pairs)
     "dedup_minhash_big"   -> ((s, d) => minhashBig(s, d)),
@@ -599,6 +739,7 @@ object Dedup {
          FROM documents""",
     "dedup_ngram_jaccard" -> jaccardOracle(0.2),
     "dedup_ngram_capped"  -> cappedJaccardOracle(0.2, StopShingleDf),
+    "dedup_ngram_skew"    -> skewOracle(0.2, SkewCap, 3),
     "dedup_minhash"       -> jaccardOracle(0.5),
     // connected components over the ≥0.5-jaccard pair graph via a
     // recursive CTE; canonical = min reachable doc_id

@@ -335,6 +335,48 @@ object Temporal {
         round(percentile(col("value"), lit(0.9)), 6).as("p90"),
         round(percentile(col("value"), lit(0.99)), 6).as("p99"))
 
+  /** The documented 100 TB approx drop-ins EXERCISED THROUGH THE ORACLE
+    * GATE, not only in specs: per event type, the exact distinct-user
+    * count and exact median ride alongside booleans asserting the sketch
+    * versions landed inside their error bounds —
+    *  - `hll_ok`: approx_count_distinct (HLL++, rsd 0.02) within
+    *    max(5, 10%) of the exact count (5× the configured rsd — the HLL
+    *    guarantee is ~3σ at 6%, so the margin is conservative, while a
+    *    broken sketch, wrong column, or bad merge still trips it);
+    *  - `p50_ok`: percentile_approx (positional sketch, accuracy 10⁴ ⇒
+    *    rank error ≤ 10⁻⁴) between the exact 0.495 and 0.505 quantiles —
+    *    a 50× rank-error margin that any rank-correct sketch satisfies
+    *    and any off-by-a-percentile bug does not.
+    * The DuckDB replay computes the exact columns and pins both booleans
+    * TRUE, so the hash gate fails iff a sketch leaves its bound. Exact
+    * twins: ev_distinct_users / ev_quantiles. Tight-tolerance relative
+    * error is additionally measured in TemporalSpec.
+    */
+  def approxBounds(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value"))
+    // TWO aggregates joined on the 5-row key, NOT one: countDistinct next
+    // to the percentile family forces the distinct-Expand plan, which
+    // pushes every expanded row through the percentiles' sort-based
+    // buffers — measured 7.1 s vs ~1 s split (each branch keeps its
+    // natural plan: hash-agg for the distincts, object-hash for the
+    // percentile buffers)
+    val quant = ev.groupBy(col("event_type")).agg(
+      round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("pa"),
+      percentile(col("value"), lit(0.495)).as("lo"),
+      percentile(col("value"), lit(0.505)).as("hi"))
+    val dist = ev.groupBy(col("event_type")).agg(
+      countDistinct(col("user_id")).as("n_users"),
+      approx_count_distinct(col("user_id"), 0.02).as("hll"))
+    dist.join(quant, "event_type")
+      .select(col("event_type"), col("n_users"),
+        (abs(col("hll") - col("n_users")).cast("double") <=
+          greatest(lit(5.0), col("n_users").cast("double") * 0.10)).as("hll_ok"),
+        col("p50"),
+        (col("pa") >= col("lo") && col("pa") <= col("hi")).as("p50_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_user_deltas"    -> ((s, d) => userDeltas(s, d)),
     "ev_asof_join"      -> ((s, d) => asofJoin(s, d)),
@@ -350,6 +392,7 @@ object Temporal {
     "ev_histogram"      -> ((s, d) => valueHistogram(s, d)),
     "ev_type_pivot"     -> ((s, d) => typePivot(s, d)),
     "ev_quantiles"      -> ((s, d) => valueQuantiles(s, d)),
+    "ev_approx_bounds"  -> ((s, d) => approxBounds(s, d)),
   )
 
   // DuckDB oracles. epoch_ms(CAST(ts AS TIMESTAMP)) floors ns → ms exactly
@@ -490,6 +533,15 @@ object Temporal {
            round(quantile_cont(value, 0.5), 6) AS p50,
            round(quantile_cont(value, 0.9), 6) AS p90,
            round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY event_type""",
+    // the exact columns replayed; the sketch bounds pinned TRUE — the
+    // hash gate fails iff Spark's HLL/positional sketch leaves its bound
+    "ev_approx_bounds" ->
+      """SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           TRUE AS hll_ok,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           TRUE AS p50_ok
          FROM events GROUP BY event_type""",
   )
 }

@@ -232,8 +232,8 @@ object PageRank {
     * canonical-order-invariant, so the oracle is unchanged. All joins
     * stay equi-joins on node ids.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val und0 = edges(spark, dir)
+  def triangles(spark: SparkSession, dir: String, mod: Long = 100): DataFrame = {
+    val und0 = edges(spark, dir, mod)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
@@ -255,7 +255,7 @@ object PageRank {
     val perNode = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
-    nodes(spark, dir).join(perNode, Seq("id"), "left")
+    nodes(spark, dir, mod).join(perNode, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
@@ -304,6 +304,15 @@ object PageRank {
     // scheduling overhead against parallelism for this working set.
     "pr_toprank_10k"  -> ((s, d) => topK(s, d, mod = 10000, partitions = 8)),
     "pr_triangles"    -> ((s, d) => triangles(s, d)),
+    // Scale tier for the degree-ordered wedge guard: the dense mod-10000
+    // graph (~10k nodes; ~590k undirected edges at sf0.1, avg degree
+    // ~120). Unlike the iterative tiers this one IS oracle-tractable —
+    // the DuckDB wedge join at the t2 gate's sf0.01 (~55k edges) is
+    // sub-second — so the tier is hash-gated per node, not rows-only.
+    // What it measures at sf0.1: C(deg,2) wedge generation under the
+    // (degree, id) total order, where the hub-skew bound (out-degree
+    // O(√|E|)) is what keeps the wedge set ~18M instead of hot-key n².
+    "pr_triangles_10k" -> ((s, d) => triangles(s, d, mod = 10000)),
   )
 
   /** DuckDB replay of [[topK]]: the 10-iteration protocol unrolled as
@@ -384,24 +393,34 @@ object PageRank {
            UNION
            SELECT reach.v, ed.b FROM reach JOIN ed ON reach.r = ed.a)
          SELECT v AS id, min(r) AS component_id FROM reach GROUP BY v""",
-    "pr_triangles" ->
-      """WITH e AS (
-           SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
-           FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100),
-         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
-         tri AS (
-           SELECT e1.a, e1.b, e2.b AS c
-           FROM und e1 JOIN und e2 ON e1.b = e2.a
-           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
-         pn AS (
-           SELECT id, count(*) AS n_triangles FROM (
-             SELECT a AS id FROM tri
-             UNION ALL SELECT b FROM tri
-             UNION ALL SELECT c FROM tri)
-           GROUP BY id),
-         n AS (SELECT DISTINCT id FROM
-                 (SELECT src AS id FROM e UNION SELECT dst FROM e))
-         SELECT n.id, coalesce(pn.n_triangles, 0) AS n_triangles
-         FROM n LEFT JOIN pn ON n.id = pn.id""",
+    "pr_triangles"     -> trianglesOracle(100),
+    "pr_triangles_10k" -> trianglesOracle(10000),
   )
+
+  /** DuckDB replay of [[triangles]]: id-canonical wedge enumeration
+    * (a<b<c), which yields the identical per-node counts as the Spark
+    * side's degree-ordered canonicalization — the count is
+    * canonical-order-invariant; degree ordering on the Spark side is
+    * purely the hub-skew guard. Tractable at the t2 gate even for
+    * mod=10000 (~55k edges at sf0.01 → ~360k wedges).
+    */
+  private def trianglesOracle(mod: Long): String =
+    s"""WITH e AS (
+          SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+          FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+        tri AS (
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM und e1 JOIN und e2 ON e1.b = e2.a
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        pn AS (
+          SELECT id, count(*) AS n_triangles FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY id),
+        n AS (SELECT DISTINCT id FROM
+                (SELECT src AS id FROM e UNION SELECT dst FROM e))
+        SELECT n.id, coalesce(pn.n_triangles, 0) AS n_triangles
+        FROM n LEFT JOIN pn ON n.id = pn.id"""
 }

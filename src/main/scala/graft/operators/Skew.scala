@@ -82,10 +82,17 @@ object Skew {
     * probes set `spreadDuplicates = true`: the salt then also mixes
     * spark_partition_id + a per-partition counter, spreading identical
     * rows round-robin. That opt-in trades the content salt's
-    * determinism-under-recomputation (a recomputed partition may re-salt
-    * rows differently — harmless for the JOIN RESULT, which is identical
-    * for any salt assignment, but the intermediate partitioning is no
-    * longer stable).
+    * determinism-under-recomputation: a recomputed partition may re-salt
+    * rows differently. The join RESULT is identical for any COMPLETE salt
+    * assignment, but completeness under a mid-shuffle fetch failure —
+    * where only SOME map tasks would naively recompute — rests on Spark's
+    * indeterminate-stage handling (SPARK-23207 rollback: a stage whose
+    * output is flagged nondeterministic, as monotonically_increasing_id's
+    * is, is re-executed whole, never patched partially), so rows are
+    * neither duplicated nor dropped. A fully deterministic alternative —
+    * row_number() over a window keyed on the hot key — would cost an
+    * extra shuffle of the probe side, defeating the point; prefer the
+    * default content salt unless verbatim-duplicate skew is measured.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salts: Int = 16, spreadDuplicates: Boolean = false): DataFrame = {

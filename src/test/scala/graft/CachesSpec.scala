@@ -55,6 +55,22 @@ class CachesSpec extends AnyFunSuite {
     assert(Caches.snapshot._2 == 0)
   }
 
+  test("a release racing a build does not resurrect the entry") {
+    import spark.implicits._
+    // the build itself triggers releaseAll — the single-threaded stand-in
+    // for a concurrent release landing mid-build (builds run OUTSIDE the
+    // monitor, so this no longer deadlocks or serializes releases)
+    val df = Caches.memoized(spark, "caches-spec", "raced") {
+      Caches.releaseAll()
+      Seq(1).toDF("x")
+    }
+    df.count()
+    assert(df.storageLevel == StorageLevel.NONE,
+      "a frame whose build raced a release must come back unpersisted")
+    assert(Caches.snapshot._2 == 0,
+      "a raced build must not re-insert into the released memo")
+  }
+
   /** The registry-wide leak guard: materialize EVERY registered query at
     * the smoke tier (a full Verify-shaped pass — this is also the one
     * place all 100+ queries execute under `sbt test`), then prove

@@ -51,4 +51,48 @@ class PiiSpec extends AnyFunSuite {
       .agg(sum(col("n_emails") + col("n_phones") + col("n_ips"))).head.getLong(0)
     assert(n == m, s"redaction count $n != scan count $m")
   }
+
+  test("strict tier: mixed-case emails match, out-of-range IPs do not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at User@Example.COM today"),      // mixed-case email
+      (2L, "bogus addr 999.999.999.999 here"),         // out-of-range octets
+      (3L, "server at 192.168.1.254 responded"),       // valid IP
+      (4L, "release v1.2.3.4000 shipped"),             // version-like, last octet too big
+      (5L, "plain clean text with no identifiers"),
+      (6L, "edge 255.255.255.255 and 0.0.0.0 both real"))
+      .toDF("doc_id", "text")
+    val strict = Pii.scanOn(docs, strict = true).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"))).toMap
+    assert(strict(1L)._1 == 1L, "case-insensitive email must match")
+    assert(strict(2L)._2 == 0L, "999.999.999.999 must not match strict IP")
+    assert(strict(3L)._2 == 1L, "valid IP must match strict IP")
+    assert(strict(4L)._2 == 0L, "1.2.3.4000 must not match strict IP")
+    assert(strict(5L) == (0L, 0L), "clean text must stay clean")
+    assert(strict(6L)._2 == 2L, "octet extremes 255/0 are in range")
+
+    // the fixture tier misses the mixed-case email — the documented gap
+    // the strict tier exists to close
+    val fixture = Pii.scanOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_emails")).toMap
+    assert(fixture(1L) == 0L, "fixture tier is lowercase-only by contract")
+
+    // strict redaction rewrites the mixed-case span and leaves the bogus
+    // IP untouched; a strict re-scan of the rewrite is clean
+    val red = docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit(Pii.EmailReStrict), lit("<EMAIL>")),
+        lit(Pii.PhoneRe), lit("<PHONE>")),
+        lit(Pii.IpReStrict), lit("<IP>")).as("text"))
+    assert(Pii.scanOn(red, strict = true).where(col("has_pii")).count() == 0L)
+    val marks = red.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(marks(1L).contains("<EMAIL>"))
+    assert(marks(2L).contains("999.999.999.999"), "bogus IP must survive")
+    assert(marks(3L).contains("<IP>"))
+    val n = Pii.redactOn(docs, strict = true)
+      .agg(sum(col("n_redacted"))).head.getLong(0)
+    assert(n == 4L, s"strict redaction count $n != 4 (email + 3 real IPs)")
+  }
 }
