@@ -82,6 +82,27 @@ class DedupSpec extends AnyFunSuite {
     assert(changed, "cap=2 was a no-op; pick a smaller cap")
   }
 
+  test("skew tier: cap removes boilerplate candidate mass, dup families survive") {
+    val r = Dedup.ngramSkew(spark, sf).head()
+    val nDocs = r.getAs[Long]("n_docs")
+    val hot = r.getAs[Long]("n_hot_keys")
+    val uncapped = r.getAs[Long]("cand_uncapped")
+    val capped = r.getAs[Long]("cand_capped")
+    val nPairs = r.getAs[Long]("n_pairs")
+    // the synthetic templates must actually create hot keys at this tier
+    assert(hot > 0, "no shingle exceeded the cap — boilerplate not hot enough")
+    assert(nDocs > 0)
+    // the headline claim: the cap removes at least 90% of the candidate
+    // mass the uncapped self-join would have generated (measured 23x at
+    // this tier, ~150x at sf0.1)
+    assert(capped * 10 <= uncapped,
+      s"cap reduction under 10x: capped=$capped uncapped=$uncapped")
+    // signal survives the cap: every source doc's replica family shares
+    // nearly all content shingles (df = replicas <= cap), so at least
+    // the C(3,2) within-family pairs must clear 0.2 jaccard
+    assert(nPairs >= nDocs, s"pairs $nPairs < replica-family floor $nDocs")
+  }
+
   test("minhash measurement tier: replica clusters surface, counts coherent") {
     val row = Dedup.minhashBig(spark, sf).head()
     val (nDocs, nCand, nPairs) =
