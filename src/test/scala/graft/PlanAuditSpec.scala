@@ -195,6 +195,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bf.contains("BroadcastHashJoin"), s"hot set should broadcast:\n$bf")
   }
 
+  test("round-6 operators keep their scale shapes") {
+    // skew tier: inverted index, df semi-join cap, verify joins — all
+    // keyed; the only nested loops are the 1-row summary crossJoins
+    // (bounded by construction, the minhashBig shape)
+    val sk = plan({
+      Caches.releaseAll()
+      graft.dedup.Dedup.ngramSkew(spark, sf)
+    })
+    assert(!sk.contains("CartesianProduct"), s"skew tier cartesian:\n$sk")
+    // triangle scale tier: identical join shapes at mod=10000 — the
+    // degree-order hub bound is what keeps the wedge key fan-in O(√E)
+    val t10 = plan(graft.graph.PageRank.triangles(spark, sf, mod = 10000))
+    assert(!t10.contains("CartesianProduct"), s"triangles_10k cartesian:\n$t10")
+    assert(!t10.contains("BroadcastNestedLoopJoin"), s"triangles_10k BNLJ:\n$t10")
+    // approx-bounds: two independent hash-family aggregates joined on the
+    // 5-row key — the percentile family must NOT share an aggregate with
+    // the distincts (the fused form plans the distinct-Expand over the
+    // percentile sort buffers: measured 7.1 s vs 0.75 s at sf0.1)
+    val ab = plan(graft.events.Temporal.approxBounds(spark, sf))
+    assert(!ab.contains("CartesianProduct"), s"approx bounds cartesian:\n$ab")
+    val expands = "Expand".r.findAllMatchIn(ab).size
+    assert(expands == 0, s"approx bounds plans an Expand (fused agg?):\n$ab")
+  }
+
   test("day-partitioned layout prunes partitions at the scan (100 TB layout)") {
     import org.apache.spark.sql.functions._
     val path = "target/events_by_day"
