@@ -193,6 +193,29 @@ object Curation {
       .join(lowBp, "doc_id").join(piiFree, "doc_id")
   }
 
+  /** Leakage-free train/val/test split: every document inherits the
+    * split of its NEAR-DUP COMPONENT's canonical (the ml_hash_split md5
+    * bucket computed on `canonical_id` instead of `doc_id`), so a
+    * near-dup family can never straddle train and eval — the PREVENTIVE
+    * twin of dedup_contamination's measurement (which quantifies leakage
+    * a naive per-doc split lets through). Plan: one projection over the
+    * memoized component labels — the expensive part (pair graph →
+    * components) is the already-shared dedup_groups frame, so at steady
+    * state this is a narrow map; at 100 TB the same holds with the
+    * labels read from their materialized store. The fixture's planted
+    * dup families make the guard observable: members whose OWN bucket
+    * disagrees with their canonical's still land together.
+    */
+  def leakFreeSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dupGroups(spark, dir)
+      .select(col("doc_id"), col("canonical_id"),
+        expr("pmod(conv(substring(md5(CAST(canonical_id AS STRING)), 1, 8), 16, 10), 100)")
+          .cast("int").as("bucket"))
+      .select(col("doc_id"), col("canonical_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+
   /** Per-source corpus health report — the dashboard a curation pipeline
     * watches per ingest source: document count, mean quality score and
     * pass rate (ta_quality), exact-duplicate rate (non-canonical docs of
@@ -259,6 +282,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate"        -> ((s, d) => curate(s, d)),
     "pipeline_source_report" -> ((s, d) => sourceReport(s, d)),
+    "ml_split_leakfree"      -> ((s, d) => leakFreeSplit(s, d)),
     "ta_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "ta_mixture_sample"    -> ((s, d) => mixtureSample(s, d)),
     "ta_chunk"             -> ((s, d) => chunk(s, d)),
@@ -267,6 +291,19 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // the dedup_groups reachability replay, bucketed on canonical_id with
+    // the ml_hash_split arithmetic — leakage-freedom is then by
+    // construction: split is a function of the component label
+    "ml_split_leakfree" ->
+      s"""WITH lab AS (${graft.dedup.Dedup.oracles("dedup_groups")})
+          SELECT doc_id, canonical_id,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, canonical_id,
+                  CAST('0x' || substring(md5(CAST(canonical_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                    AS bucket
+                FROM lab)""",
     // quality score CTE verbatim from the pipeline_curate oracle (pass
     // flag kept instead of filtered), exact-dup via the fingerprint
     // window, contamination spliced in as a nested-WITH subquery from

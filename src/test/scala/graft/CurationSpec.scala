@@ -120,4 +120,22 @@ class CurationSpec extends AnyFunSuite {
     assert(man == want)
     assert(man.values.map(_._1).sum == packed.length)
   }
+
+  test("leak-free split: no near-dup component straddles splits; guard is live") {
+    import org.apache.spark.sql.functions._
+    val lf = Curation.leakFreeSplit(spark, sf)
+    // leakage-freedom by construction, asserted anyway: one split per component
+    val mixed = lf.groupBy(col("canonical_id"))
+      .agg(countDistinct(col("split")).as("n")).where(col("n") > 1).count()
+    assert(mixed == 0L, s"$mixed components straddle splits")
+    assert(lf.count() == Tables.documents(spark, sf).count())
+    // the guard must be OBSERVABLE on this fixture: some non-canonical
+    // member's naive per-doc bucket must disagree with its inherited
+    // split (else the test corpus couldn't catch a regression to naive)
+    val naive = graft.operators.Skew.hashSplit(spark, sf)
+      .withColumnRenamed("split", "naive_split")
+    val moved = lf.join(naive, "doc_id")
+      .where(col("split") =!= col("naive_split")).count()
+    assert(moved > 0, "no doc moved splits — planted dups not exercising the guard")
+  }
 }
