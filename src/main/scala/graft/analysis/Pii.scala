@@ -80,6 +80,39 @@ object Pii {
   def scan(spark: SparkSession, dir: String): DataFrame =
     scanOn(injected(spark, dir))
 
+  /** The STRICT tier's demonstration corpus: mixed-case emails
+    * (User…@Example.COM — invisible to the lowercase fixture patterns)
+    * and, next to every valid IP, an out-of-range DECOY
+    * (999.999.999.{id}) that the fixture IpRe would have counted. The
+    * strict scan must count exactly one email / one IP on those rows —
+    * the decoy staying uncounted is what hash-gates the octet bounds,
+    * and the mixed-case email being counted is what hash-gates `(?i)`.
+    */
+  def injectedStrict(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" contact User"), idStr, lit("@Example.COM")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" call 555-"),
+          lpad(pmod(col("doc_id") * 7, lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id") * 13, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(250)).cast("string"),
+          lit("."), pmod(col("doc_id"), lit(100)).cast("string"),
+          lit(".9 decoy 999.999.999."),
+          pmod(col("doc_id"), lit(1000)).cast("string")))
+        .otherwise(lit(""))).as("text"))
+
+  /** Strict-tier scan, hash-gated: production patterns over the
+    * mixed-case/decoy corpus.
+    */
+  def scanStrict(spark: SparkSession, dir: String): DataFrame =
+    scanOn(injectedStrict(spark, dir), strict = true)
+
   /** The raw-corpus scan, memoized: consumed by pipeline_curate and
     * pipeline_source_report in one registry run.
     */
@@ -150,16 +183,38 @@ object Pii {
               ELSE '' END AS text
        FROM documents"""
 
+  /** The strict injection replayed in DuckDB. */
+  private val injectStrictSql =
+    """SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' contact User' || CAST(doc_id AS VARCHAR) || '@Example.COM'
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' call 555-' ||
+                   lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') ||
+                   '-' ||
+                   lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR) ||
+                   '.' || CAST(doc_id % 100 AS VARCHAR) ||
+                   '.9 decoy 999.999.999.' || CAST(doc_id % 1000 AS VARCHAR)
+              ELSE '' END AS text
+       FROM documents"""
+
   // the same pattern strings serve both engines: DuckDB single-quoted
   // literals pass backslashes through verbatim, and the patterns stay in
-  // the Java-regex ∩ RE2 subset
+  // the Java-regex ∩ RE2 subset (inline (?i) and non-capturing groups
+  // included)
   private val emailSql = EmailRe
   private val phoneSql = PhoneRe
   private val ipSql    = IpRe
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pii_scan"   -> ((s, d) => scan(s, d)),
-    "pii_redact" -> ((s, d) => redact(s, d)),
+    "pii_scan"        -> ((s, d) => scan(s, d)),
+    "pii_scan_strict" -> ((s, d) => scanStrict(s, d)),
+    "pii_redact"      -> ((s, d) => redact(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,6 +227,16 @@ object Pii {
                  len(regexp_extract_all(text, '$emailSql')) +
                  len(regexp_extract_all(text, '$phoneSql')) +
                  len(regexp_extract_all(text, '$ipSql')) > 0 AS has_pii
+          FROM inj""",
+    "pii_scan_strict" ->
+      s"""WITH inj AS ($injectStrictSql)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$EmailReStrict')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '$phoneSql')) AS BIGINT) AS n_phones,
+                 CAST(len(regexp_extract_all(text, '$IpReStrict')) AS BIGINT) AS n_ips,
+                 len(regexp_extract_all(text, '$EmailReStrict')) +
+                 len(regexp_extract_all(text, '$phoneSql')) +
+                 len(regexp_extract_all(text, '$IpReStrict')) > 0 AS has_pii
           FROM inj""",
     "pii_redact" ->
       s"""WITH inj AS ($injectSql)

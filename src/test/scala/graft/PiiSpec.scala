@@ -52,6 +52,20 @@ class PiiSpec extends AnyFunSuite {
     assert(n == m, s"redaction count $n != scan count $m")
   }
 
+  test("strict registry tier: mixed-case counted once, decoy IPs not at all") {
+    val rows = Pii.scanStrict(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ips"))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (e, p, ip)) =>
+      assert(e == (if (id % 5 == 0) 1L else 0L), s"doc $id strict email $e")
+      assert(p == (if (id % 7 == 0) 1L else 0L), s"doc $id strict phone $p")
+      // exactly the VALID IP; the 999.999.999.x decoy must stay uncounted
+      assert(ip == (if (id % 11 == 0) 1L else 0L), s"doc $id strict ip $ip")
+    }
+  }
+
   test("strict tier: mixed-case emails match, out-of-range IPs do not") {
     import spark.implicits._
     val docs = Seq(
