@@ -222,8 +222,44 @@ object Streaming {
           .as("weighted_value"))
   }
 
+  /** Windowed approximate distinct users — the distinct aggregate a
+    * stream CAN run: exact countDistinct is unsupported in streaming
+    * aggregations (its state would be every user id seen per window),
+    * while approx_count_distinct keeps ONE bounded HLL sketch per
+    * window-hour, watermark-evicted — the 100 TB/day streaming-DAU
+    * shape. This plan is stream-legal (the spec runs it AvailableNow and
+    * matches the batch execution bit-for-bit — HLL merge is register-max,
+    * order-independent); the registered query wraps it in the
+    * ev_approx_bounds contract below.
+    */
+  def windowedApproxUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("hll"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("hll"))
+
+  /** Registered gate form: the streaming sketch joined against the exact
+    * per-hour distinct, with the in-bound boolean the oracle pins TRUE
+    * (ev_approx_bounds style). The exact side exists only for the gate —
+    * in production the sketch IS the answer.
+    */
+  def approxUsersChecked(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val exact = ev.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_users"))
+    exact.join(windowedApproxUsers(ev), "window_start")
+      .select(col("window_start"), col("n_users"),
+        (abs(col("hll") - col("n_users")).cast("double") <=
+          greatest(lit(5.0), col("n_users").cast("double") * 0.10)).as("hll_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_static_enrich" -> ((s, d) => staticEnrich(Tables.events(s, d))),
+    "st_approx_users" -> ((s, d) => approxUsersChecked(s, d)),
     // batch execution of the streaming plans — same code, same oracle
     "st_windowed_rollup" -> ((s, d) => windowedRollup(Tables.events(s, d))),
     "st_sessions_stateful" -> ((s, d) => sessionizeStateful(Tables.events(s, d)).toDF()),
@@ -244,6 +280,13 @@ object Streaming {
          FROM events""",
     "st_windowed_rollup" -> graft.events.Events.oracles("ev_hourly_rollup"),
     "st_sessions_stateful" -> graft.events.Events.oracles("ev_sessionize"),
+    // exact per-hour distinct replayed; the sketch bound pinned TRUE —
+    // the gate fails iff the streaming HLL leaves its error bound
+    "st_approx_users" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+              count(DISTINCT user_id) AS n_users,
+              TRUE AS hll_ok
+         FROM events GROUP BY 1""",
     "st_dedup" ->
       """SELECT DISTINCT
               strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -28,6 +28,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming windowed HLL (file source, AvailableNow) equals batch; in bound") {
+    val stream = Streaming.windowedApproxUsers(Streaming.readEventStream(spark, sf))
+    val qname = "approx_users_test"
+    val q = stream.writeStream
+      .format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("st-chk").toString)
+      .start()
+    q.awaitTermination(120000)
+    def m(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = m(spark.table(qname))
+    // HLL merge is register-max (order-independent), so the incremental
+    // stream and the one-shot batch produce the SAME sketch values
+    val want = m(Streaming.windowedApproxUsers(Tables.events(spark, sf)))
+    assert(got == want)
+    assert(want.nonEmpty)
+    // and the registered gate form holds: every window's sketch in bound
+    val ok = Streaming.approxUsersChecked(spark, sf)
+    assert(ok.where(!org.apache.spark.sql.functions.col("hll_ok")).count() == 0L)
+    assert(ok.count() == want.size.toLong)
+  }
+
   test("streaming dedup (file source, AvailableNow) equals the batch DISTINCT") {
     val stream = Streaming.streamingDedup(Streaming.readEventStream(spark, sf))
     val qname = "dedup_test"
