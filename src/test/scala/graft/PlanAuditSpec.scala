@@ -219,6 +219,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(expands == 0, s"approx bounds plans an Expand (fused agg?):\n$ab")
   }
 
+  test("column pruning reaches the scan: q6 reads only what it aggregates") {
+    // an 11-column fact table, a 7-column aggregate: the parquet
+    // ReadSchema must exclude the untouched columns (at 100 TB the
+    // difference IS the scan cost)
+    // formatted mode: the plain toString truncates the FileScan line
+    // before ReadSchema on wide scans
+    val p = Relational.q6(spark, sf, "1996").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty, s"no ReadSchema in plan:\n$p")
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber").foreach { c =>
+      assert(!read.contains(c), s"unpruned column $c in scan: $read")
+    }
+    Seq("l_quantity", "l_extendedprice", "l_returnflag").foreach { c =>
+      assert(read.contains(c), s"needed column $c missing from scan: $read")
+    }
+  }
+
   test("day-partitioned layout prunes partitions at the scan (100 TB layout)") {
     import org.apache.spark.sql.functions._
     val path = "target/events_by_day"
