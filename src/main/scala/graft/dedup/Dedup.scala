@@ -109,6 +109,17 @@ object Dedup {
     // keying's ~|shingles|²/2⁶⁴ birthday bound starts to bite.
     val exAll = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+    jaccardFromIndex(exAll, counts, minJaccard, maxShingleDf)
+  }
+
+  /** Pair generation from a PREBUILT hashed inverted index (doc_id, s,
+    * sl) plus per-doc shingle counts — split from [[indexJaccardPairs]]
+    * so the skew tier can feed its memoized index instead of re-deriving
+    * it per branch.
+    */
+  private def jaccardFromIndex(exAll: DataFrame, counts: DataFrame,
+                               minJaccard: Double,
+                               maxShingleDf: Option[Long]): DataFrame = {
     val ex = maxShingleDf.fold(exAll) { cap =>
       // df per shingle key, then semi-join the index against the keepers;
       // both sides shuffle on the key, so the cap costs one extra
@@ -292,8 +303,13 @@ object Dedup {
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
     }
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+    // the exploded hashed index feeds the df stats AND the capped join
+    // (cap semi-join + both self-join sides) — memoized as corpus prep
+    // like the shingles, so one explode+hash pass serves every reference
+    val ex = memoized(spark, dir, s"skew_ex_$replicas") {
+      sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+    }
     val dft = ex.groupBy(col("s"), col("sl")).agg(count(lit(1)).as("df"))
     val stats = dft.agg(
       count(lit(1)).as("n_shingle_keys"),
@@ -301,7 +317,8 @@ object Dedup {
       sum(expr("df * (df - 1) DIV 2")).as("cand_uncapped"),
       sum(when(col("df") <= cap, expr("df * (df - 1) DIV 2"))
         .otherwise(lit(0L))).as("cand_capped"))
-    val pairs = indexJaccardPairs(sh, minJaccard, Some(cap))
+    val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val pairs = jaccardFromIndex(ex, counts, minJaccard, Some(cap))
       .agg(count(lit(1)).as("n_pairs"))
     sh.agg(count(lit(1)).as("n_docs")).crossJoin(stats).crossJoin(pairs)
   }
