@@ -55,6 +55,35 @@ class CachesSpec extends AnyFunSuite {
     assert(Caches.snapshot._2 == 0)
   }
 
+  test("concurrent memoized builds do not serialize behind the monitor") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    // Thread A enters its build and then WAITS for thread B to complete a
+    // memoized build of a different key. Under the old design (whole
+    // build under the object monitor) this deadlocks: B blocks on the
+    // monitor A holds, A waits on B. Under the epoch-guard design builds
+    // run unlocked, so B finishes and A completes.
+    val aStarted = new CountDownLatch(1)
+    val bDone = new CountDownLatch(1)
+    @volatile var aOk = false
+    val tA = new Thread(() => {
+      Caches.memoized(spark, "caches-spec", "slowA") {
+        aStarted.countDown()
+        aOk = bDone.await(30, TimeUnit.SECONDS)
+        Seq(1).toDF("x")
+      }
+    })
+    tA.start()
+    assert(aStarted.await(30, TimeUnit.SECONDS), "builder A never started")
+    Caches.memoized(spark, "caches-spec", "fastB")(Seq(2).toDF("y"))
+    bDone.countDown()
+    tA.join(30000)
+    assert(!tA.isAlive, "builder A deadlocked behind builder B")
+    assert(aOk, "builder A timed out waiting for B — monitor still held across builds")
+    assert(Caches.snapshot._2 >= 2, "both keys should be memoized")
+    Caches.releaseAll()
+  }
+
   test("a release racing a build does not resurrect the entry") {
     import spark.implicits._
     // the build itself triggers releaseAll — the single-threaded stand-in
