@@ -33,6 +33,10 @@ object Caches {
   def register(df: DataFrame): DataFrame = synchronized { frames += df; df }
   def onRelease(hook: () => Unit): Unit = synchronized { hooks += hook }
 
+  // bumped by every releaseAll; a build that started before the bump must
+  // not insert its (now stale) frame afterwards
+  private var epoch = 0L
+
   /** Cross-query memo: build-and-persist a frame once per
     * (session, dir, key) so every registry query consuming it in one
     * Verify/Bench run shares the same cached copy. Keyed on the session
@@ -42,8 +46,6 @@ object Caches {
     * the memoized DataFrames themselves pin their session until
     * [[releaseAll]] clears both.
     */
-  private var epoch = 0L
-
   def memoized(spark: org.apache.spark.sql.SparkSession, dir: String, key: String)
               (build: => DataFrame): DataFrame = {
     val k = (spark, dir, key)
