@@ -363,9 +363,16 @@ object Temporal {
     // percentile buffers)
     val quant = ev.groupBy(col("event_type")).agg(
       round(percentile(col("value"), lit(0.5)), 6).as("p50"),
-      percentile_approx(col("value"), lit(0.5), lit(10000)).as("pa"),
-      percentile(col("value"), lit(0.495)).as("lo"),
-      percentile(col("value"), lit(0.505)).as("hi"))
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("pa50"),
+      percentile(col("value"), lit(0.495)).as("lo50"),
+      percentile(col("value"), lit(0.505)).as("hi50"),
+      // the tail is where positional sketches actually get stressed:
+      // same contract at rank 0.99 ± 0.005 (still 50× the sketch's
+      // guaranteed rank error)
+      round(percentile(col("value"), lit(0.99)), 6).as("p99"),
+      percentile_approx(col("value"), lit(0.99), lit(10000)).as("pa99"),
+      percentile(col("value"), lit(0.985)).as("lo99"),
+      percentile(col("value"), lit(0.995)).as("hi99"))
     val dist = ev.groupBy(col("event_type")).agg(
       countDistinct(col("user_id")).as("n_users"),
       approx_count_distinct(col("user_id"), 0.02).as("hll"))
@@ -374,7 +381,9 @@ object Temporal {
         (abs(col("hll") - col("n_users")).cast("double") <=
           greatest(lit(5.0), col("n_users").cast("double") * 0.10)).as("hll_ok"),
         col("p50"),
-        (col("pa") >= col("lo") && col("pa") <= col("hi")).as("p50_ok"))
+        (col("pa50") >= col("lo50") && col("pa50") <= col("hi50")).as("p50_ok"),
+        col("p99"),
+        (col("pa99") >= col("lo99") && col("pa99") <= col("hi99")).as("p99_ok"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -541,7 +550,9 @@ object Temporal {
            count(DISTINCT user_id) AS n_users,
            TRUE AS hll_ok,
            round(quantile_cont(value, 0.5), 6) AS p50,
-           TRUE AS p50_ok
+           TRUE AS p50_ok,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           TRUE AS p99_ok
          FROM events GROUP BY event_type""",
   )
 }

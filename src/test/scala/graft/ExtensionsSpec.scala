@@ -416,6 +416,21 @@ class AnalysisSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 > 0))
   }
 
+  test("vocab HLL tracks the exact corpus vocabulary (the 100 TB drop-in)") {
+    import org.apache.spark.sql.functions._
+    // the documented swap for corpusStats' count_distinct: same exploded
+    // token stream, bounded sketch instead of the exact distinct
+    val exact = TextAnalysis.corpusStats(spark, sf)
+      .head().getAs[Long]("vocab_size")
+    val approx = Tables.documents(spark, sf)
+      .select(explode(graft.text.Text.tokenize(col("text"))).as("w"))
+      .agg(approx_count_distinct(col("w"), 0.02).as("v"))
+      .head().getAs[Long]("v")
+    assert(exact > 0)
+    assert(math.abs(approx - exact) <= math.max(5.0, exact * 0.05),
+      s"vocab HLL drifted: exact=$exact approx=$approx")
+  }
+
   test("token stats are internally consistent") {
     TextAnalysis.tokenStats(spark, sf).collect().foreach { r =>
       assert(r.getAs[Int]("n_types") <= r.getAs[Int]("n_tokens"))
