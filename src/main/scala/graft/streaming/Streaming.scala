@@ -257,6 +257,32 @@ object Streaming {
           greatest(lit(5.0), col("n_users").cast("double") * 0.10)).as("hll_ok"))
   }
 
+  /** Exactly-once-shaped file sink — the production landing pattern for
+    * a streaming pipeline: `foreachBatch` stamps each micro-batch with
+    * its batchId and writes it as a DYNAMIC partition overwrite of that
+    * batch's own partition. Re-delivery of a batch (checkpoint loss,
+    * failure replay) then REPLACES its partition instead of appending
+    * duplicates — end-to-end idempotence without a transactional store,
+    * on top of the checkpoint's at-least-once offsets. The spec replays
+    * the whole stream from a fresh checkpoint and proves the row count
+    * is unchanged. At 100 TB this is the same shape per batch; dynamic
+    * mode only touches partitions present in the incoming batch.
+    */
+  def exactlyOnceSink(stream: DataFrame, path: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_static_enrich" -> ((s, d) => staticEnrich(Tables.events(s, d))),
     "st_approx_users" -> ((s, d) => approxUsersChecked(s, d)),

@@ -28,6 +28,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("exactly-once sink: a full replay overwrites its partitions, no dups") {
+    val out = java.nio.file.Files.createTempDirectory("st-once-out").toString
+    def runOnce(): Unit = {
+      // FRESH checkpoint each run = a full replay after checkpoint loss,
+      // the worst re-delivery case: every batch re-fires with the same
+      // composition and must land on (overwrite) its own partition
+      val chk = java.nio.file.Files.createTempDirectory("st-once-chk").toString
+      val q = Streaming.exactlyOnceSink(
+        Streaming.readEventStream(spark, sf), out, chk)
+      q.awaitTermination(120000)
+    }
+    val want = Tables.events(spark, sf).count()
+    runOnce()
+    assert(spark.read.parquet(out).count() == want, "first run landed short")
+    runOnce() // replay: same data again from offset zero
+    val after = spark.read.parquet(out)
+    assert(after.count() == want,
+      s"replay duplicated rows: ${after.count()} != $want")
+    // and the payload survived intact (same distinct event ids)
+    assert(after.select("event_id").distinct().count() == want)
+  }
+
   test("streaming windowed HLL (file source, AvailableNow) equals batch; in bound") {
     val stream = Streaming.windowedApproxUsers(Streaming.readEventStream(spark, sf))
     val qname = "approx_users_test"
