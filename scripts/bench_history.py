@@ -27,9 +27,16 @@ def decode(path):
     except json.JSONDecodeError:
         tail = raw
     m = re.search(r'"queries_gz_b64":"([A-Za-z0-9+/=]+)"', tail)
-    if not m:
-        raise SystemExit(f"{path}: no queries_gz_b64 payload in tail")
-    queries = json.loads(gzip.decompress(base64.b64decode(m.group(1))))
+    if m:
+        queries = json.loads(gzip.decompress(base64.b64decode(m.group(1))))
+    else:
+        # full-fidelity record (target/bench.json) or a compact line
+        # without the gz payload: fall back to the plain queries map
+        try:
+            queries = json.loads(raw)["queries"]
+        except (json.JSONDecodeError, KeyError):
+            raise SystemExit(f"{path}: no queries_gz_b64 payload or queries map")
+        queries = {k: round(float(v), 2) for k, v in queries.items()}
     t = re.search(r'"metric":"total","value":([0-9.]+)', tail)
     return {"total": float(t.group(1)) if t else None,
             "queries": dict(sorted(queries.items()))}

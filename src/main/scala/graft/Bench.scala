@@ -130,7 +130,11 @@ object Bench {
     // 2-dp map's gz+b64 is ~1516 chars (over the 1500 in-window cap) while
     // 1 dp is ~1368 — and 100 ms resolution still diffs every heavy query
     // round-over-round (target/bench.json keeps full precision locally)
-    val gzFull = Seq(2, 1, 0).map(gzOf).find(_.length <= 1500).getOrElse(gzOf(0))
+    val gzFull = {
+      val candidates = Seq(2, 1, 0).iterator.map(gzOf)
+      var last = ""
+      candidates.map { g => last = g; g }.find(_.length <= 1500).getOrElse(last)
+    }
     val sortedBySec = results.sortBy(-_._2)
     // assemble at a given plain-map budget, optionally carrying the
     // compressed full map; pick the richest variant that stays under
@@ -167,8 +171,11 @@ object Bench {
     // capture — the artifact this line exists for. Teardown is guarded:
     // a shutdown exception must never eat the one line this process
     // exists to print.
+    // NonFatal only: an OOM/interrupt in teardown must NOT be reduced to
+    // a healthy-looking compact line — let it kill the process visibly
     try { Caches.releaseAll(); spark.stop() }
-    catch { case e: Throwable => System.err.println(s"teardown: ${e.getMessage}") }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"teardown: ${e.getMessage}") }
     println(compact)
   }
 }

@@ -57,13 +57,16 @@ object Caches {
       case Left(e0) =>
         val df = build.persist() // outside the lock — may recurse here
         synchronized {
-          if (epoch != e0) {
-            // a releaseAll ran mid-build: don't resurrect a released
-            // entry — return the frame unpersisted and uncached (still a
-            // valid lazy plan, just not shared)
-            df.unpersist(); df
-          } else memo.get(k) match {
+          memo.get(k) match {
+            // a rebuild (same epoch: racing builder; newer epoch: someone
+            // re-memoized after a releaseAll) won — defer to the cached
+            // winner rather than handing back an uncached duplicate
             case Some(winner) => df.unpersist(); winner
+            case None if epoch != e0 =>
+              // a releaseAll ran mid-build and nobody rebuilt the key:
+              // don't resurrect a released entry — return the frame
+              // unpersisted and uncached (still a valid lazy plan)
+              df.unpersist(); df
             case None => frames += df; memo.update(k, df); df
           }
         }

@@ -209,12 +209,11 @@ object Curation {
   def leakFreeSplit(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.dupGroups(spark, dir)
       .select(col("doc_id"), col("canonical_id"),
-        expr("pmod(conv(substring(md5(CAST(canonical_id AS STRING)), 1, 8), 16, 10), 100)")
-          .cast("int").as("bucket"))
+        // the ONE shared split arithmetic (Skew.hashBucket/splitOf),
+        // applied to the component canonical instead of the doc itself
+        graft.operators.Skew.hashBucket(col("canonical_id")).as("bucket"))
       .select(col("doc_id"), col("canonical_id"),
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test").as("split"))
+        graft.operators.Skew.splitOf(col("bucket")).as("split"))
 
   /** Per-source corpus health report — the dashboard a curation pipeline
     * watches per ingest source: document count, mean quality score and

@@ -90,10 +90,14 @@ object BatchLogit {
     val ex = graft.Caches.memoized(spark, dir, "ml:gd_compressed")(compressed(spark, dir))
     // w0 = 0 for every feature that occurs — derived distributively; the
     // feature dimension is never collect()ed (r5 verdict ask 4)
-    var w = ex.select(col("feature")).distinct()
-      .withColumn("w",
-        lit(new java.math.BigDecimal("0.000000")).cast("decimal(18,6)"))
-      .persist()
+    // register the seed frame too: if training aborts before iteration 1
+    // completes, the loop's own unpersist never runs and an unregistered
+    // persist would leak past releaseAll
+    var w = graft.Caches.register(
+      ex.select(col("feature")).distinct()
+        .withColumn("w",
+          lit(new java.math.BigDecimal("0.000000")).cast("decimal(18,6)"))
+        .persist())
     for (_ <- 1 to iterations) {
       val scored = ex.join(broadcast(w), "feature")
         .groupBy(col("docid"), col("label"))

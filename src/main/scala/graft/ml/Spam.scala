@@ -287,7 +287,7 @@ object Spam {
       .select(col("feature"), col("weight").cast("decimal(18,9)").as("w"))
     val holdout = BatchLogit.occurrences(spark, dir)
       .filter(col("docid") >= SeqDocs &&
-        expr("pmod(conv(substring(md5(CAST(docid AS STRING)), 1, 8), 16, 10), 100)") >= 90)
+        graft.operators.Skew.hashBucket(col("docid")) >= 90)
       .groupBy(col("docid"), col("label"), col("feature"))
       .agg(count(lit(1)).as("cnt"))
     val scored = holdout

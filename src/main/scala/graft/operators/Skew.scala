@@ -44,6 +44,21 @@ object Skew {
       col("word"))
       .select(col("k").as("word"), col("cnt"))
 
+  /** The repo-wide split arithmetic, shared by [[hashSplit]], the
+    * leakage-free split (Curation.leakFreeSplit applies it to the
+    * component canonical) and the spam holdout filter — ONE definition so
+    * the "same bucket arithmetic" guarantees between them cannot
+    * silently diverge. bucket = first-8-hex-of-md5 mod 100,
+    * content-stable and engine-portable (no rand()).
+    */
+  def hashBucket(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L)).cast("int")
+
+  /** The 80/10/10 split ladder over a [[hashBucket]] value. */
+  def splitOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
   /** Deterministic train/val/test split for a training-data pipeline:
     * bucket = md5(key) mod 100 (content-stable, engine-portable — no
     * rand(), so membership survives reruns, repartitioning and backfills;
@@ -51,13 +66,8 @@ object Skew {
     */
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        expr("pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10), 100)")
-          .cast("int").as("bucket"))
-      .select(col("doc_id"),
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), hashBucket(col("doc_id")).as("bucket"))
+      .select(col("doc_id"), splitOf(col("bucket")).as("split"))
 
   /** Salted equi-join for a skewed build side: the probe side gets a
     * CONTENT-DETERMINISTIC salt in [0, salts) — xxhash64 over the whole

@@ -260,12 +260,19 @@ object Streaming {
   /** Exactly-once-shaped file sink — the production landing pattern for
     * a streaming pipeline: `foreachBatch` stamps each micro-batch with
     * its batchId and writes it as a DYNAMIC partition overwrite of that
-    * batch's own partition. Re-delivery of a batch (checkpoint loss,
-    * failure replay) then REPLACES its partition instead of appending
-    * duplicates — end-to-end idempotence without a transactional store,
-    * on top of the checkpoint's at-least-once offsets. The spec replays
-    * the whole stream from a fresh checkpoint and proves the row count
-    * is unchanged. At 100 TB this is the same shape per batch; dynamic
+    * batch's own partition. Re-delivery of a batch (in-checkpoint retry,
+    * or a from-scratch replay that reproduces the original batch
+    * composition, as a deterministic file source does) then REPLACES its
+    * partition instead of appending duplicates. CONTRACT: idempotence
+    * holds exactly when a replayed batch id carries the same rows as the
+    * original — the checkpoint guarantees that for retries; across a
+    * checkpoint LOSS it additionally requires a stable source listing
+    * (same files, same maxFilesPerTrigger). A composition-changing
+    * replay can leave stale higher-numbered partitions behind — the case
+    * that genuinely needs a transactional table format, which is out of
+    * dependency scope here. The spec replays the whole stream from a
+    * fresh checkpoint over the deterministic fixture source and proves
+    * the row count unchanged. At 100 TB the shape is identical; dynamic
     * mode only touches partitions present in the incoming batch.
     */
   def exactlyOnceSink(stream: DataFrame, path: String,
