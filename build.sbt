@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout passes through UNPREFIXED: the default LoggedOutput
+// strategy stamps every line with "[info] ", which is exactly what kept
+// the driver's BENCH parse null through round 6 — the compact JSON line
+// printed by graft.Bench arrived as `[info] {...}` and failed the
+// {-first check. StdoutOutput also keeps the forked process's stderr on
+// sbt's stderr instead of folding it into stdout as "[error] " lines.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,7 +17,22 @@ import org.apache.spark.sql.SparkSession
   * the spread keeps the cold time visible.
   */
 object Bench {
+  /** 1-minute load average from /proc/loadavg (-1.0 off-Linux). Recorded
+    * at run start and end: round-over-round deltas on a shared box have
+    * repeatedly turned out to be ambient load, not code (r6 driver run
+    * 85.8 s vs 77.9–79.3 s quiet on the same commit), and the artifact
+    * could not show that. With load_start/load_end in the line, a delta
+    * that rides a load spike is attributable instead of alarming.
+    */
+  private def loadAvg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
@@ -91,7 +106,8 @@ object Bench {
     val errs = results.collect { case (k, _, _, _, Some(e)) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val loadEnd = loadAvg()
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     // The full-fidelity record goes ONLY to target/bench.json — NOT to
     // stdout. The driver's BENCH artifact keeps the LAST ~2000 chars of
     // stdout (BENCH_r01..r05 all carry a 2000-char "tail", parsed:null):
@@ -156,6 +172,7 @@ object Bench {
       val omittedSec = math.rint(sortedBySec.drop(kept).map(_._2).sum * 1000) / 1000
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""sf":"$sfDir","n_queries":${results.length},"n_errors":${results.count(_._5.isDefined)},""" +
+        s""""load_start":$loadStart,"load_end":$loadEnd,""" +
         s""""queries":${entries.mkString("{", ",", "}")},""" +
         s""""omitted_fastest":$omitted,"omitted_sec":$omittedSec,""" +
         (if (withGz) s""""queries_gz_b64":"$gzFull",""" else "") +
@@ -165,14 +182,17 @@ object Bench {
     val compact =
       if (gzFull.length <= 1500 && withGz.length <= 1800) withGz
       else assemble(1800 - 300, withGz = false)
-    // teardown BEFORE the final print: releaseAll/stop emit shutdown log
-    // lines, and a harness that merges stdout+stderr would land them
-    // after the compact line, pushing its head out of a tail-limited
-    // capture — the artifact this line exists for. Teardown is guarded:
-    // a shutdown exception must never eat the one line this process
-    // exists to print.
-    // NonFatal only: an OOM/interrupt in teardown must NOT be reduced to
-    // a healthy-looking compact line — let it kill the process visibly
+    // Print BOTH before and after teardown. Before: results are final
+    // here, and a FATAL throwable out of releaseAll()/spark.stop() must
+    // not discard the numbers this process exists to emit (it still
+    // kills the process visibly — NonFatal only below — but the line is
+    // already out). After: releaseAll/stop emit shutdown log lines, and
+    // a harness that merges stdout+stderr would land them after the
+    // first print, pushing its head out of a tail-limited capture — the
+    // repeat makes the compact line the LAST stdout line again. A
+    // tail-window parser sees at worst one truncated fragment followed
+    // by one complete line.
+    println(compact)
     try { Caches.releaseAll(); spark.stop() }
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"teardown: ${e.getMessage}") }
