@@ -210,28 +210,33 @@ object Dedup {
     * the DuckDB exact-Jaccard oracle (the logic itself is hash-gated at
     * fixture scale through dedup_minhash).
     */
-  def minhashBig(spark: SparkSession, dir: String, replicas: Int = 10,
-                 minJaccard: Double = 0.5): DataFrame = {
-    val inflated = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), lit(replicas - 1))).as("r"))
-      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
-        when(col("r") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" zz"), expr("repeat('x', r)")))
-          .as("text"))
-    // memoized like the fixture-tier docShingles (same semantics the
-    // bench documents: rep 1 carries the build, the median measures the
-    // steady state): the 50k-doc tokenize+shingle scan is corpus prep,
-    // not LSH machinery, and it is referenced 3× below (banding + both
-    // exact-verify sides) — uncached it re-ran three times per
-    // invocation (measured: 6.9 s of the 14.9 s cold total at sf0.1).
-    // The per-rep measurement keeps the LSH-specific work: signatures,
-    // band join, candidate distinct, exact verify.
-    val sh = memoized(spark, dir, s"big_shingles_$replicas") {
-      inflated
+  /** The big-tier corpus prep, shared by [[minhashBig]] and
+    * [[minhashBigPortable]]: the ×replicas inflated corpus, tokenized
+    * and shingled. Memoized like the fixture-tier docShingles (same
+    * semantics the bench documents: rep 1 carries the build, the median
+    * measures the steady state): the 50k-doc tokenize+shingle scan is
+    * corpus prep, not LSH machinery, and each tier references it 3×
+    * (banding + both exact-verify sides) — uncached it re-ran three
+    * times per invocation (measured: 6.9 s of the 14.9 s cold total at
+    * sf0.1). The per-rep measurement keeps the LSH-specific work:
+    * signatures, band join, candidate distinct, exact verify.
+    */
+  private def bigShingles(spark: SparkSession, dir: String, replicas: Int): DataFrame =
+    memoized(spark, dir, s"big_shingles_$replicas") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+        .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+          when(col("r") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" zz"), expr("repeat('x', r)")))
+            .as("text"))
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
     }
+
+  def minhashBig(spark: SparkSession, dir: String, replicas: Int = 10,
+                 minJaccard: Double = 0.5): DataFrame = {
+    val sh = bigShingles(spark, dir, replicas)
     // the banded signatures are memoized too: per-row corpus prep, like
     // the shingle scan — what this tier MEASURES per rep is the LSH
     // machinery itself (band self-join, candidate distinct, exact
@@ -261,6 +266,80 @@ object Dedup {
       .join(sh64.toDF("d2", "sh2"), "d2")
       .select((size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
         size(array_union(col("sh1"), col("sh2"))).cast("double")).as("j"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("j") >= minJaccard, 1)).as("n_pairs"))
+    sh.agg(count(lit(1)).as("n_docs")).crossJoin(verified)
+  }
+
+  /** Mod-p universal-hash constants for the PORTABLE big-tier MinHash
+    * family ([[graft.functions.ArrayExprs.MinHashPermSig]]): p = 2^31−1
+    * keeps every product below 2^62, so DuckDB's checked BIGINT
+    * arithmetic replays the signature, band keys and all, without
+    * overflow — the property that turns the big tier from rows-only
+    * into oracle-hash-gated.
+    */
+  private val PortP = 2147483647L
+  private val PortM = 1000003L
+
+  /** Fully-parenthesized Horner fold of a band's RowsPerBand signature
+    * values into one mod-p band key — emitted IDENTICALLY (token for
+    * token, modulo list-index syntax) into the Spark lambda and the
+    * DuckDB oracle, so both engines run the same arithmetic.
+    */
+  private def hornerKey(elem: Int => String): String =
+    (2 to RowsPerBand).foldLeft(elem(1)) { (acc, k) =>
+      s"(($acc) * $PortM + ${elem(k)}) % $PortP"
+    }
+
+  /** PORTABLE measurement tier for MinHash+LSH — the registered
+    * `dedup_minhash_big`: the same inflated ×replicas corpus, banding
+    * geometry (16×4 of 64), candidate bucket-join, and exact set-Jaccard
+    * verify as [[minhashBig]], with every hash replaced by an
+    * md5-derived portable form: base shingle hash = 60-bit md5 nibble
+    * slice (the [[simhash]] pattern), signature = mod-p permutation
+    * family over it, band key = mod-p Horner over the band slice.
+    * [[minhashBig]]'s seeded-xxhash64 family remains the documented
+    * production form (better diffusion, one hash per element×seed,
+    * no base-hash collision layer) and stays spec-pinned
+    * (ExtensionsSpec "minhash measurement tier"); this tier exists so
+    * the at-scale LSH JOIN SHAPE itself sits behind the DuckDB hash
+    * gate — the whole pipeline (inflation arithmetic → shingles → md5
+    * base hashes → permutations → bands → bucket join → verify) replays
+    * as a chained CTE, like dedup_ngram_skew.
+    *
+    * Same one-row summary schema as [[minhashBig]]:
+    * (n_docs, n_candidates, n_pairs).
+    */
+  def minhashBigPortable(spark: SparkSession, dir: String, replicas: Int = 10,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val sh = bigShingles(spark, dir, replicas)
+    // distinct 60-bit md5 shingle hashes: feeds the signature AND both
+    // exact-verify sides (set Jaccard is hash-invariant, and any 60-bit
+    // collision is applied identically by the oracle, which computes
+    // the same md5 values — so the gate stays exact, not approximate)
+    val hs = memoized(spark, dir, s"big_h60_$replicas") {
+      sh.select(col("doc_id"),
+        graft.functions.ArrayExprs.md5Long60Array(col("sh")).as("hl"))
+    }
+    val keyExpr = hornerKey(k => s"element_at(sig, b * $RowsPerBand + $k)")
+    val bands = memoized(spark, dir, s"big_permbands_$replicas") {
+      hs.select(col("doc_id"),
+          graft.functions.ArrayExprs.minhashPermSig(col("hl"), NumHashes).as("sig"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, ${Bands - 1}), " +
+            s"b -> struct(b AS band, $keyExpr AS key))")).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val cand = bands.toDF("d1", "band", "key")
+      .join(bands.toDF("d2", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val verified = cand
+      .join(hs.toDF("d1", "h1"), "d1")
+      .join(hs.toDF("d2", "h2"), "d2")
+      .select((size(array_intersect(col("h1"), col("h2"))).cast("double") /
+        size(array_union(col("h1"), col("h2"))).cast("double")).as("j"))
       .agg(count(lit(1)).as("n_candidates"),
         count(when(col("j") >= minJaccard, 1)).as("n_pairs"))
     sh.agg(count(lit(1)).as("n_docs")).crossJoin(verified)
@@ -701,6 +780,54 @@ object Dedup {
         SELECT n_docs, n_shingle_keys, n_hot_keys, cand_uncapped, cand_capped, n_pairs
         FROM d, stats, p"""
 
+  /** Full replay of [[minhashBigPortable]] as a chained CTE: the ×10
+    * inflation arithmetic, tokenize+shingle, 60-bit md5 base hashes,
+    * the 64-permutation mod-p signature, 16×4 Horner band keys, the
+    * band bucket-join with d1 < d2 + DISTINCT, and the exact
+    * set-Jaccard verify — every count in the one summary row is
+    * hash-compared. The Horner key expression is emitted by the SAME
+    * [[hornerKey]] builder the Spark lambda uses.
+    */
+  private def minhashBigOracle(minJ: Double, replicas: Int): String = {
+    val sigExpr =
+      s"""[list_min(list_transform(hl, h ->
+            ((((i+1) * 2654435761) % $PortP) * (h % $PortP)
+              + ((i+1) * 97531) % $PortP) % $PortP))
+          for i in generate_series(0, ${NumHashes - 1})]"""
+    val keyExpr = hornerKey(k => s"sg[b * $RowsPerBand + $k]")
+    s"""WITH inflated AS (
+          SELECT doc_id * $replicas + r AS doc_id,
+                 CASE WHEN r = 0 THEN text
+                      ELSE text || ' zz' || repeat('x', r) END AS text
+          FROM documents, generate_series(0, ${replicas - 1}) AS t(r)),
+        sh AS (
+          SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS s
+          FROM (SELECT doc_id, $tokSql AS w FROM inflated)
+          WHERE len(w) >= 3),
+        hs AS (
+          SELECT doc_id, list_distinct(list_transform(s,
+                   g -> CAST('0x' || substr(md5(g), 2, 15) AS BIGINT))) AS hl
+          FROM sh),
+        sigs AS (SELECT doc_id, $sigExpr AS sg FROM hs),
+        bands AS (
+          SELECT doc_id, b, $keyExpr AS key
+          FROM sigs, generate_series(0, ${Bands - 1}) AS t(b)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+          FROM bands x JOIN bands y
+            ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+        ver AS (
+          SELECT len(list_intersect(h1.hl, h2.hl))::DOUBLE /
+                 len(list_distinct(h1.hl || h2.hl)) AS j
+          FROM cand JOIN hs h1 ON cand.d1 = h1.doc_id
+                    JOIN hs h2 ON cand.d2 = h2.doc_id)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM sh) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(count(CASE WHEN j >= $minJ THEN 1 END) AS BIGINT) AS n_pairs
+        FROM ver"""
+  }
+
   private def cappedJaccardOracle(minJ: Double, cap: Long): String =
     s"""WITH $shSql,
         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -735,9 +862,10 @@ object Dedup {
     // boilerplate-skew tier: the cap measured doing its job (hash-gated
     // one-row summary; cand_uncapped is analytic — see ngramSkew)
     "dedup_ngram_skew"    -> ((s, d) => ngramSkew(s, d)),
-    // measurement tier, rows-only (see scaladoc): LSH join + verify at
-    // 10× corpus; one summary row (n_docs, n_candidates, n_pairs)
-    "dedup_minhash_big"   -> ((s, d) => minhashBig(s, d)),
+    // measurement tier at 10× corpus, HASH-GATED via the portable md5
+    // mod-p family (chained-CTE oracle); the xxhash64 production family
+    // stays spec-pinned in ExtensionsSpec — see minhashBigPortable
+    "dedup_minhash_big"   -> ((s, d) => minhashBigPortable(s, d)),
     "dedup_simhash"       -> ((s, d) => simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_groups"        -> ((s, d) => dupGroups(s, d)),
@@ -758,6 +886,7 @@ object Dedup {
     "dedup_ngram_capped"  -> cappedJaccardOracle(0.2, StopShingleDf),
     "dedup_ngram_skew"    -> skewOracle(0.2, SkewCap, 3),
     "dedup_minhash"       -> jaccardOracle(0.5),
+    "dedup_minhash_big"   -> minhashBigOracle(0.5, 10),
     // connected components over the ≥0.5-jaccard pair graph via a
     // recursive CTE; canonical = min reachable doc_id
     "dedup_groups" -> groupsOracle,

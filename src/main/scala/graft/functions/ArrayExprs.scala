@@ -185,6 +185,88 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Distinct 60-bit md5 hashes of an array<string>: element h =
+    * nibbles 1..15 of the md5 hex digest — the SAME portable per-string
+    * hash [[SimHash60]] uses per token and the SQL form
+    * `CAST('0x' || substr(md5(s), 2, 15) AS BIGINT)` computes — with
+    * duplicates removed (`list_distinct` semantics; output order is
+    * first-occurrence but no consumer depends on it: the values feed
+    * min/intersect/union only). One native md5 per element instead of an
+    * interpreted higher-order `transform` apply per element.
+    */
+  case class Md5Long60Array(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "md5_long60_array"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var j = 0
+      while (j < arr.numElements()) {
+        val d = md.digest(arr.getUTF8String(j).getBytes)
+        var h = (d(0) & 0xFL) << 56
+        var b = 1
+        while (b < 8) { h |= (d(b) & 0xFFL) << ((7 - b) * 8); b += 1 }
+        seen.add(h)
+        j += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** PORTABLE MinHash signature over an array<long> of base hashes:
+    * sig(i) = min over h of `(A_i * (h % p) + B_i) % p` with
+    * p = 2^31−1 (prime), A_i = ((i+1) * 2654435761) % p (Knuth's
+    * multiplicative constant, never ≡ 0 mod p for i < p−1),
+    * B_i = ((i+1) * 97531) % p — the classic universal mod-p
+    * permutation family. Unlike the seeded-xxhash64 [[MinHashSig]]
+    * (the production form — fewer ops per element, better diffusion),
+    * every intermediate here stays below 2^62, so engines with CHECKED
+    * 64-bit arithmetic (DuckDB raises on BIGINT overflow rather than
+    * wrapping like the JVM) replay it bit-for-bit in plain SQL — which
+    * is what lets the big-tier LSH pipeline be oracle-hash-gated
+    * instead of rows-only.
+    */
+  case class MinHashPermSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_perm_sig"
+
+    private val P = 2147483647L
+    private val A = Array.tabulate(numHashes)(i => ((i + 1) * 2654435761L) % P)
+    private val B = Array.tabulate(numHashes)(i => ((i + 1) * 97531L) % P)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val h = arr.getLong(j) % P
+        var i = 0
+        while (i < numHashes) {
+          val v = (A(i) * h + B(i)) % P
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Distinct word n-gram shingles over an array<string> of tokens,
     * space-joined, first-occurrence order — identical set to
     * `array_distinct(transform(sequence(1, size(t)-n+1), i ->
@@ -375,4 +457,10 @@ object ArrayExprs {
 
   def simhash60(tokens: Column): Column =
     GraftExpr.column(SimHash60(GraftExpr.expression(tokens)))
+
+  def md5Long60Array(arr: Column): Column =
+    GraftExpr.column(Md5Long60Array(GraftExpr.expression(arr)))
+
+  def minhashPermSig(hashes: Column, numHashes: Int): Column =
+    GraftExpr.column(MinHashPermSig(GraftExpr.expression(hashes), numHashes))
 }

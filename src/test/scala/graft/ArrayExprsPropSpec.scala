@@ -96,4 +96,35 @@ class ArrayExprsPropSpec extends AnyFunSuite {
       .map(_.getSeq[Long](0))
     got.zip(docs.map(scalar)).foreach { case (g, w) => assert(g == w) }
   }
+
+  test("Md5Long60Array equals the conv(md5) HOF plan, distinct preserved") {
+    import spark.implicits._
+    val word = Gen.chooseNum(1, 10).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+    // duplicate-heavy inputs (small alphabet) so list_distinct semantics
+    // are actually exercised, not vacuous
+    val docs = Gen.listOfN(60, Gen.chooseNum(1, 20).flatMap(Gen.listOfN(_, word))).sample.get
+    val df = docs.toDF("t").select(
+      ArrayExprs.md5Long60Array(col("t")).as("native"),
+      expr("""array_distinct(transform(t,
+              s -> CAST(conv(substring(md5(s), 2, 15), 16, 10) AS BIGINT)))""").as("hof"))
+    df.collect().foreach(r =>
+      assert(r.getSeq[Long](0).sorted == r.getSeq[Long](1).sorted))
+  }
+
+  test("MinHashPermSig equals a scalar mod-p permutation recompute") {
+    import spark.implicits._
+    val P = 2147483647L
+    val hash = Gen.chooseNum(0L, (1L << 60) - 1)
+    val docs = Gen.listOfN(60, Gen.chooseNum(1, 15).flatMap(Gen.listOfN(_, hash))).sample.get
+    def scalar(hs: Seq[Long]): Seq[Long] =
+      (0 until 8).map { i =>
+        val a = ((i + 1) * 2654435761L) % P
+        val b = ((i + 1) * 97531L) % P
+        hs.map(h => (a * (h % P) + b) % P).min
+      }
+    val got = docs.toDF("h")
+      .select(ArrayExprs.minhashPermSig(col("h"), 8).as("sig")).collect()
+      .map(_.getSeq[Long](0))
+    got.zip(docs.map(scalar)).foreach { case (g, w) => assert(g == w) }
+  }
 }

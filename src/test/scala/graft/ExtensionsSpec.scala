@@ -121,6 +121,17 @@ class DedupSpec extends AnyFunSuite {
     // almost completely (45 pairs per cluster at J~0.9+); demand at least
     // half to keep the bound robust to short docs
     assert(nPairs >= base * 45 / 2, s"replica clusters under-recovered: $nPairs")
+
+    // the PORTABLE (md5 mod-p) tier — the registered, oracle-hash-gated
+    // dedup_minhash_big — sees the identical corpus and must recover the
+    // replica clusters just as well; n_candidates may differ (different
+    // band-collision behavior between hash families), the verified-pair
+    // floor and doc count must not
+    val prow = Dedup.minhashBigPortable(spark, sf).head()
+    assert(prow.getAs[Long]("n_docs") == nDocs, "portable tier doc count drifted")
+    assert(prow.getAs[Long]("n_pairs") <= prow.getAs[Long]("n_candidates"))
+    assert(prow.getAs[Long]("n_pairs") >= base * 45 / 2,
+      s"portable tier under-recovered: ${prow.getAs[Long]("n_pairs")}")
   }
 
   test("duplicated passages match a brute-force sliding-window replay") {
