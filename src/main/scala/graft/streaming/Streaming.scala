@@ -222,6 +222,31 @@ object Streaming {
           .as("weighted_value"))
   }
 
+  /** The streaming SCALE tier's corpus: events inflated ×replicas, with
+    * replica r time-shifted by r weeks (so the window-key space — what a
+    * streaming aggregate holds as STATE — grows with the corpus, not
+    * just the per-key counts) and user/event ids offset so replicas are
+    * distinct entities. Same deterministic-arithmetic pattern as the
+    * dedup skew corpus: the DuckDB oracle replays the inflation as a
+    * cross join, and the SAME expressions run on a batch frame (gate)
+    * or a file-stream frame (StreamingSpec's multi-batch AvailableNow
+    * run, where the shifts make event time advance across microbatches
+    * and the watermark actually evicts finalized windows).
+    */
+  def inflateEvents(events: DataFrame, replicas: Int): DataFrame =
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        col("value"), explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+      .select(
+        (col("event_id") * replicas + col("r")).as("event_id"),
+        (col("user_id") * replicas + col("r")).as("user_id"),
+        col("event_type"),
+        expr("timestampadd(DAY, 7 * r, ts)").as("ts"),
+        col("value"))
+
+  def inflatedEvents(spark: SparkSession, dir: String, replicas: Int = 10): DataFrame =
+    inflateEvents(Tables.events(spark, dir), replicas)
+
   /** Windowed approximate distinct users — the distinct aggregate a
     * stream CAN run: exact countDistinct is unsupported in streaming
     * aggregations (its state would be every user id seen per window),
@@ -299,6 +324,10 @@ object Streaming {
     "st_dedup" -> ((s, d) => streamingDedup(Tables.events(s, d))),
     "st_interval_join" -> ((s, d) => intervalJoin(Tables.events(s, d))),
     "st_sliding_rollup" -> ((s, d) => slidingRollup(Tables.events(s, d))),
+    // SCALE tier: ×10 corpus, ×~10 window-key state space — hash-gated
+    // batch execution here; the stream≡batch equivalence plus real
+    // multi-microbatch watermark eviction is pinned in StreamingSpec
+    "st_sliding_rollup_big" -> ((s, d) => slidingRollup(inflatedEvents(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -343,6 +372,18 @@ object Streaming {
          FROM (SELECT event_type, value,
                  (epoch_ms(CAST(ts AS TIMESTAMP)) // 1800000 - j) * 1800000000 AS start_us
                FROM events, unnest(generate_series(0, 1)) AS u(j))
+         GROUP BY 1, 2""",
+    // the ×10 inflation replayed as a cross join (only the time shift
+    // matters to the rollup; id offsets don't reach the aggregate)
+    "st_sliding_rollup_big" ->
+      """SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+              event_type, count(*) AS n,
+              CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+         FROM (SELECT event_type, value,
+                 (epoch_ms(CAST(ts AS TIMESTAMP) + to_days(CAST(r * 7 AS INTEGER)))
+                   // 1800000 - j) * 1800000000 AS start_us
+               FROM events, generate_series(0, 9) AS t(r),
+                            unnest(generate_series(0, 1)) AS u(j))
          GROUP BY 1, 2""",
   )
 }

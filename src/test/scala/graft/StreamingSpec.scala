@@ -21,7 +21,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("st-chk").toString)
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate")
     val got = rollupSet(spark.table(qname))
     val want = rollupSet(Streaming.windowedRollup(Tables.events(spark, sf)))
     assert(got == want)
@@ -37,7 +37,7 @@ class StreamingSpec extends AnyFunSuite {
       val chk = java.nio.file.Files.createTempDirectory("st-once-chk").toString
       val q = Streaming.exactlyOnceSink(
         Streaming.readEventStream(spark, sf), out, chk)
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not terminate")
     }
     val want = Tables.events(spark, sf).count()
     runOnce()
@@ -60,7 +60,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("st-chk").toString)
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate")
     def m(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
       df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val got = m(spark.table(qname))
@@ -85,7 +85,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("st-chk").toString)
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate")
     def keys(df: org.apache.spark.sql.DataFrame): Set[(String, Long, String)] =
       df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     val got = keys(spark.table(qname))
@@ -106,7 +106,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("st-chk").toString)
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate")
     val got = rollupSet(spark.table(qname))
     val want = rollupSet(Streaming.slidingRollup(Tables.events(spark, sf)))
     assert(got == want)
@@ -126,7 +126,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("st-chk").toString)
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val got = pairs(spark.table(qname))
@@ -149,7 +149,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("st-chk").toString)
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate")
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, Double)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
     val got = rows(spark.table(qname))
@@ -201,5 +201,57 @@ class StreamingSpec extends AnyFunSuite {
     val coldSessions = sessions.filter(_.user_id >= 10L)
     assert(coldSessions.length == 50)
     assert(coldSessions.forall(s => s.n_events == 1L && s.sum_value == 2.0))
+  }
+
+  test("x10 sliding-rollup scale tier: multi-batch stream equals batch, watermark evicts") {
+    import org.apache.spark.sql.functions._
+    // the registered st_sliding_rollup_big corpus, materialized into 6
+    // time-ordered files so maxFilesPerTrigger=1 gives 6 microbatches
+    // with genuinely advancing event time — the shape where watermark
+    // state eviction does real work, unlike the single-batch fixture runs
+    val ev = Streaming.inflatedEvents(spark, sf, 10).cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("st-big-src")
+    try {
+      val slices = 6
+      val b = ev.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).head()
+      val (lo, width) = (b.getLong(0), (b.getLong(1) - b.getLong(0)) / slices + 1)
+      (0 until slices).foreach { i =>
+        ev.filter(((unix_millis(col("ts")) - lo) / width).cast("int") === i)
+          .coalesce(1).write.mode("append").parquet(srcDir.toString)
+        Thread.sleep(20) // distinct mtimes: source lists oldest slice first
+      }
+      def run(mode: String, qname: String) = {
+        val q = Streaming.slidingRollup(
+            spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(srcDir.toString))
+          .writeStream.format("memory").queryName(qname).outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("st-big-chk").toString)
+          .start()
+        assert(q.awaitTermination(180000), "stream did not terminate")
+        q
+      }
+      val want = rollupSet(Streaming.slidingRollup(ev))
+      // complete mode: the full rollup, bit-identical to the batch plan
+      // (and to the hash-gated registered query)
+      val qc = run("complete", "big_sliding_complete")
+      assert(rollupSet(spark.table("big_sliding_complete")) == want)
+      assert(qc.recentProgress.count(_.numInputRows > 0) >= slices,
+        "expected one microbatch per time slice")
+      // append mode: only watermark-finalized windows emit, and their
+      // state is DROPPED — exact on the emitted subset, most windows
+      // finalized before stream end, and the final retained state far
+      // below the total window-key count (the eviction proof; without
+      // eviction it would equal every key seen)
+      val qa = run("append", "big_sliding_append")
+      val fin = rollupSet(spark.table("big_sliding_append"))
+      assert(fin.nonEmpty && fin.subsetOf(want), "finalized windows drifted from batch")
+      assert(fin.size * 2 >= want.size, s"too few finalized: ${fin.size}/${want.size}")
+      val lastState = qa.recentProgress.reverse
+        .flatMap(_.stateOperators.headOption.map(_.numRowsTotal)).headOption
+      assert(lastState.exists(_ < want.size / 2),
+        s"state not evicted: $lastState rows retained of ${want.size} keys")
+    } finally ev.unpersist()
   }
 }
