@@ -219,6 +219,55 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(expands == 0, s"approx bounds plans an Expand (fused agg?):\n$ab")
   }
 
+  test("full-registry plan lint: no cartesian product anywhere, every nested loop bounded") {
+    // Every registered query's physical plan — new queries are linted by
+    // construction, not by habit (the audits above cover hand-picked
+    // shapes). CartesianProduct is banned outright. BroadcastNestedLoopJoin
+    // is allowed ONLY with a named bound: Spark plans a BNLJ exactly when
+    // a join has no equi-condition and one side broadcasts, which is fine
+    // iff that side is bounded by construction — each allowlist entry
+    // states its bound. Caveat: memoized subtrees appear as
+    // InMemoryTableScan in later consumers; the FIRST consumer in sorted
+    // order plans the build, so the build shape is linted once per run
+    // (releaseAll below guarantees a cold start).
+    val bnljAllowed: Map[String, String] = Map(
+      "dedup_minhash_big" -> "1-row x 1-row summary crossJoin (n_docs x counts)",
+      "dedup_ngram_skew" -> "1-row x 1-row summary crossJoins (docs x stats x pairs)",
+      "ir_bm25" -> "1-row global corpus stats (N, avgdl) broadcast to every doc",
+      "pr_toprank" -> "1-row dangling-mass scalar broadcast per iteration",
+      "pr_toprank_10k" -> "1-row dangling-mass scalar broadcast per iteration",
+      "sim_cosine_pairs" -> "documented brute-force baseline on the bounded eval slice",
+      "sim_knn_classify" -> "bounded probe set (k rows) x corpus, the kNN contract",
+      "sim_topk" -> "documented brute-force ANN baseline, bounded query set",
+      "sim_topk_filtered" -> "brute-force over the filtered slice, bounded query set",
+      "sim_topk_ivf" -> "K=16 trained-centroid probe, bounded by centroid count",
+      "ta_corpus_stats" -> "1-row corpus rollup joined back for ratios",
+      "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
+      "text_pmi_pairs" -> "1-row global line count broadcast (A5: sentinel replaced)",
+    )
+    Caches.releaseAll()
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = try plan(fn(spark, sf)) catch {
+        case e: Throwable => s"PLANFAIL: ${e.getMessage}"
+      }
+      Seq(
+        Option.when(p.startsWith("PLANFAIL"))(s"$name: $p"),
+        Option.when(p.contains("CartesianProduct"))(s"$name: CartesianProduct"),
+        Option.when(p.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))(
+          s"$name: unallowlisted BroadcastNestedLoopJoin")
+      ).flatten
+    }
+    Caches.releaseAll()
+    assert(failures.isEmpty, s"plan lint failures:\n${failures.mkString("\n")}")
+    // sensitivity control: the probe DOES catch a planted cartesian (two
+    // large no-equi-key sides — too big to broadcast, so Spark must plan
+    // CartesianProduct)
+    val planted = plan(spark.range(10000000L).toDF("a")
+      .join(spark.range(10000000L).toDF("b")))
+    assert(planted.contains("CartesianProduct"),
+      s"lint probe lost sensitivity:\n$planted")
+  }
+
   test("column pruning reaches the scan: q6 reads only what it aggregates") {
     // an 11-column fact table, a 7-column aggregate: the parquet
     // ReadSchema must exclude the untouched columns (at 100 TB the
