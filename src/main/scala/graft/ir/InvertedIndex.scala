@@ -224,6 +224,55 @@ object InvertedIndex {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("total_tf"))
 
+  /** Index-size accounting — the analog of the reference's compression
+    * envelope golden (`assignment3.md:3-20`: a 3.8 MB Shakespeare index /
+    * 433.4 MB enwiki index, gap+VInt coded). SURVEY §2.8 X15 delegates
+    * the VInt/gap coding to Parquet's dictionary/delta encodings over
+    * the doc_id-sorted postings structs; this row MEASURES the result
+    * instead of assuming it: [[index]] is persisted to parquet and its
+    * on-disk footprint compared against the input corpus footprint.
+    *
+    * Gate shape: the two counts (index terms, postings entries) are
+    * oracle-hash-gated exactly; raw byte sizes cannot be replayed by a
+    * SQL oracle, so the gate pins the ENVELOPE boolean instead — the
+    * compressed index must be non-empty and strictly smaller than the
+    * RAW TEXT it indexes (the reference's comparison base: index bytes
+    * vs collection bytes; the fixture's input *parquet* is not a fair
+    * base because its 31-word vocabulary makes the text column
+    * pathologically snappy-compressible). The measured byte numbers
+    * stay visible in IrSpec's info output.
+    */
+  def indexSize(spark: SparkSession, dir: String): DataFrame = {
+    val (indexBytes, rawTextBytes) = indexSizeBytes(spark, dir)
+    postingsRelation(spark, dir)
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"))
+      .select(col("n_terms"), col("n_postings"),
+        lit(indexBytes > 0L && indexBytes < rawTextBytes).as("compressed_in_envelope"))
+  }
+
+  /** The measured (indexBytes, rawTextBytes) pair behind
+    * [[indexSize]]'s boolean — exposed for IrSpec's reporting assert.
+    * The index is written as ONE file so the measurement reads the
+    * encoded postings, not per-file footer overhead (a production write
+    * would keep the term-clustered multi-file layout; at real corpus
+    * scale the footers amortize to noise, at fixture scale 32 of them
+    * would dominate the number being measured).
+    */
+  def indexSizeBytes(spark: SparkSession, dir: String): (Long, Long) = {
+    val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-ir-index-${Integer.toHexString(dir.hashCode)}")
+    index(spark, dir).coalesce(1).write.mode("overwrite").parquet(out.toString)
+    val s = java.nio.file.Files.walk(out)
+    val indexBytes =
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(java.nio.file.Files.size).sum()
+      finally s.close()
+    val rawTextBytes = Tables.documents(spark, dir)
+      .agg(sum(octet_length(col("text")))).head().getLong(0)
+    (indexBytes, rawTextBytes)
+  }
+
   // Fixed query over the fixture vocabulary: (spark AND table) OR merge.
   private val demoQuery = "spark table AND merge OR"
   private val demoPhrase = Seq("table", "hash")
@@ -251,9 +300,17 @@ object InvertedIndex {
     // E-family difference (EXCEPT was "Not present" in the reference —
     // SURVEY §2.7): docs containing spark but not merge
     "ir_boolean_not" -> ((s, d) => booleanQuery(s, d, "spark merge NOT")),
+    // the reference's compression-envelope golden, re-expressed: counts
+    // hash-gated, byte envelope pinned as a boolean (see indexSize)
+    "ir_index_size" -> ((s, d) => indexSize(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "ir_index_size" ->
+      s"""SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                 CAST(count(*) AS BIGINT) AS n_postings,
+                 TRUE AS compressed_in_envelope
+          FROM (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents)""",
     "ir_postings" ->
       s"""SELECT term, doc_id, count(*) AS tf
           FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)

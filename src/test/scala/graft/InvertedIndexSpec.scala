@@ -156,4 +156,20 @@ class IndexPersistenceSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got.map(_.toString).toSet == want.map(_.toString).toSet)
     assert(got.nonEmpty)
   }
+
+  test("index size accounting: compressed index beats its raw text (envelope golden)") {
+    val (indexBytes, rawTextBytes) = ir.InvertedIndex.indexSizeBytes(spark, sf)
+    // the measured numbers, visible in the test log — the repo analog of
+    // the reference's 3.8 MB / 433.4 MB envelope report
+    info(s"index $indexBytes bytes vs raw text $rawTextBytes bytes " +
+      f"(${indexBytes.toDouble / rawTextBytes * 100}%.1f%%)")
+    assert(indexBytes > 0L, "index write produced no parquet bytes")
+    assert(indexBytes < rawTextBytes,
+      s"parquet postings ($indexBytes B) should compress below the raw text ($rawTextBytes B)")
+    // and the registered row agrees with itself
+    val row = ir.InvertedIndex.indexSize(spark, sf).head()
+    assert(row.getAs[Boolean]("compressed_in_envelope"))
+    assert(row.getAs[Long]("n_terms") > 0L &&
+      row.getAs[Long]("n_postings") >= row.getAs[Long]("n_terms"))
+  }
 }
