@@ -15,14 +15,18 @@ import org.apache.spark.sql.DataFrame
   * a memoized BUILD runs outside it — a build can span multiple Spark
   * jobs (the Components iterative loop, KMeans training), and holding the
   * global monitor for its whole duration would block every concurrent
-  * register/memoized/releaseAll caller for seconds. Instead the insert is
-  * epoch-guarded: [[releaseAll]] bumps an epoch under the lock, and a
-  * build that raced a release (its pre-build epoch is stale) hands back
-  * its frame UNPERSISTED and uncached rather than resurrecting a released
-  * entry; a build that raced another builder of the same key defers to
-  * the winner already in the map. Builders that recursively memoize
-  * sub-frames (dedup_groups → minhash pairs → shingles) nest fine — no
-  * lock is held across the recursion.
+  * register/memoized/releaseAll caller for seconds. A build that raced
+  * another builder of the same key defers to the winner already in the
+  * map (the loser's frame is unpersisted on the spot). A build that
+  * raced a [[releaseAll]] re-registers its frame at the post-release
+  * state: the frame was built FRESH and never entered the released map,
+  * so inserting it resurrects nothing — while handing it back uncached
+  * (the previous design) silently re-ran the whole build once per
+  * reference for multi-reference consumers (the triangles edge memo sits
+  * on 3 join sides, ngramSkew's inverted index on 4). The next
+  * releaseAll reclaims it like any other entry. Builders that
+  * recursively memoize sub-frames (dedup_groups → minhash pairs →
+  * shingles) nest fine — no lock is held across the recursion.
   */
 object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -32,10 +36,6 @@ object Caches {
 
   def register(df: DataFrame): DataFrame = synchronized { frames += df; df }
   def onRelease(hook: () => Unit): Unit = synchronized { hooks += hook }
-
-  // bumped by every releaseAll; a build that started before the bump must
-  // not insert its (now stale) frame afterwards
-  private var epoch = 0L
 
   /** Cross-query memo: build-and-persist a frame once per
     * (session, dir, key) so every registry query consuming it in one
@@ -49,24 +49,21 @@ object Caches {
   def memoized(spark: org.apache.spark.sql.SparkSession, dir: String, key: String)
               (build: => DataFrame): DataFrame = {
     val k = (spark, dir, key)
-    val before = synchronized {
-      memo.get(k).toRight(epoch) // Right = hit; Left = miss at this epoch
-    }
-    before match {
-      case Right(df) => df
-      case Left(e0) =>
+    synchronized(memo.get(k)) match {
+      case Some(df) => df
+      case None =>
         val df = build.persist() // outside the lock — may recurse here
         synchronized {
           memo.get(k) match {
-            // a rebuild (same epoch: racing builder; newer epoch: someone
-            // re-memoized after a releaseAll) won — defer to the cached
-            // winner rather than handing back an uncached duplicate
+            // another builder of the same key won (possibly after an
+            // interleaved releaseAll) — defer to the cached winner
+            // rather than handing back an uncached duplicate
             case Some(winner) => df.unpersist(); winner
-            case None if epoch != e0 =>
-              // a releaseAll ran mid-build and nobody rebuilt the key:
-              // don't resurrect a released entry — return the frame
-              // unpersisted and uncached (still a valid lazy plan)
-              df.unpersist(); df
+            // no winner: insert — even if a releaseAll ran mid-build.
+            // This frame never entered the released map and its persist
+            // was never registered, so inserting resurrects nothing;
+            // see the object scaladoc for why returning it uncached
+            // instead amplifies recomputes for multi-reference callers
             case None => frames += df; memo.update(k, df); df
           }
         }
@@ -74,7 +71,6 @@ object Caches {
   }
 
   def releaseAll(): Unit = synchronized {
-    epoch += 1
     frames.foreach(_.unpersist())
     frames.clear()
     memo.clear()

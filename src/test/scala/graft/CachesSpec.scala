@@ -84,20 +84,84 @@ class CachesSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
-  test("a release racing a build does not resurrect the entry") {
+  test("a release racing a build keeps the fresh frame cached and reclaimable") {
     import spark.implicits._
     // the build itself triggers releaseAll — the single-threaded stand-in
     // for a concurrent release landing mid-build (builds run OUTSIDE the
-    // monitor, so this no longer deadlocks or serializes releases)
+    // monitor, so this no longer deadlocks or serializes releases). The
+    // fresh frame never entered the released map, so re-registering it
+    // resurrects nothing — while returning it uncached would re-run the
+    // whole build once per reference for multi-reference consumers
+    // (triangles' edge memo on 3 join sides, ngramSkew's index on 4)
+    var builds = 0
     val df = Caches.memoized(spark, "caches-spec", "raced") {
       Caches.releaseAll()
+      builds += 1
       Seq(1).toDF("x")
     }
     df.count()
-    assert(df.storageLevel == StorageLevel.NONE,
-      "a frame whose build raced a release must come back unpersisted")
-    assert(Caches.snapshot._2 == 0,
-      "a raced build must not re-insert into the released memo")
+    assert(df.storageLevel != StorageLevel.NONE,
+      "a raced build's frame should stay cached — uncached means silent recompute amplification")
+    // and it IS the memo entry: the next consumer reuses it, no rebuild
+    val again = Caches.memoized(spark, "caches-spec", "raced") {
+      builds += 1; Seq(2).toDF("x")
+    }
+    assert((again eq df) && builds == 1, "raced frame not reused by the next consumer")
+    // and the next release reclaims it like any other entry
+    Caches.releaseAll()
+    assert(df.storageLevel == StorageLevel.NONE, "raced frame leaked past the NEXT releaseAll")
+    assert(Caches.snapshot._2 == 0)
+  }
+
+  test("hammer: interleaved builds and releases leave no resurrected or leaked frames") {
+    import spark.implicits._
+    // N threads x M keys x repeated memoized+count with releaseAll
+    // interleaved at random — the property pass over the code that now
+    // underpins every cross-query memo. Invariants: (1) every frame a
+    // consumer gets is usable (count succeeds even if a release lands
+    // mid-use); (2) after quiescing + one final release, the memo is
+    // empty and NOT ONE cached RDD survives beyond those cached before
+    // the hammer — catching both double-persist leaks (loser frames not
+    // unpersisted) and resurrection (entries surviving releaseAll).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val threads = 8
+    val keys = 6
+    val rounds = 25
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (0 until threads).map { t =>
+      new Thread(() => {
+        try {
+          val rnd = new scala.util.Random(t)
+          (0 until rounds).foreach { i =>
+            val df = Caches.memoized(spark, "caches-hammer",
+              s"k${rnd.nextInt(keys)}")(Seq(t, i).toDF("x"))
+            assert(df.count() == 2L)
+            if (rnd.nextInt(8) == 0) Caches.releaseAll()
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.foreach(_.start())
+    pool.foreach(_.join(120000))
+    assert(pool.forall(!_.isAlive), "hammer thread hung")
+    assert(errs.isEmpty, s"hammer error: ${Option(errs.peek()).map(_.toString)}")
+    Caches.releaseAll()
+    assert(Caches.snapshot._2 == 0, "memo not empty after quiesced release")
+    // An action racing an unpersist can re-materialize the cache buffer
+    // RDD after the unpersist removed it (the in-flight count still holds
+    // the InMemoryRelation); such a buffer is ORPHANED, not retained — no
+    // live structure references it once the action completes, so the
+    // ContextCleaner reclaims it on GC. The no-leak invariant is
+    // therefore "nothing SURVIVES gc + cleaner", not "empty immediately":
+    // a frame still strongly referenced by Caches would never drain here
+    // and fails the assert.
+    def leaked() = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (leaked().nonEmpty && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(250)
+    }
+    assert(leaked().isEmpty, s"cached RDDs leaked past releaseAll + cleaner: ${leaked()}")
   }
 
   /** The registry-wide leak guard: materialize EVERY registered query at
