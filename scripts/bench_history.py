@@ -37,8 +37,18 @@ def decode(path):
         except (json.JSONDecodeError, KeyError):
             raise SystemExit(f"{path}: no queries_gz_b64 payload or queries map")
         queries = {k: round(float(v), 2) for k, v in queries.items()}
+    # Record the map's decimal resolution: the gz payload degrades 2 -> 1
+    # -> 0 dp as the registry grows (Bench.scala gzOf), while the
+    # fallback path above is fixed 2 dp — a cross-round diff must
+    # normalize BOTH sides to the coarser precision_dp before reading
+    # sub-resolution deltas as real.
+    def dp(v):
+        s = repr(float(v))
+        return len(s.split(".")[1].rstrip("0")) if "." in s else 0
+    precision = max((dp(v) for v in queries.values()), default=2)
     t = re.search(r'"metric":"total","value":([0-9.]+)', tail)
     return {"total": float(t.group(1)) if t else None,
+            "precision_dp": precision,
             "queries": dict(sorted(queries.items()))}
 
 
