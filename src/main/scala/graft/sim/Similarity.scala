@@ -187,6 +187,70 @@ object Similarity {
       .select(col("vec_id"), col("label").as("canonical_id"))
   }
 
+  /** Symmetric int8 scalar quantization (the SQ8 compression path every
+    * large ANN deployment runs — FAISS SQ8 / ScaNN int8 kernels): each
+    * vector is L2-normalized and every component mapped to
+    * `round(127 · v_i / ‖v‖) ∈ [-127, 127]`. The codes are 4× smaller
+    * than float32 (the difference between an in-memory index and one
+    * that spills at 100 TB), and — the portability win — all downstream
+    * SCORING is integer arithmetic: the quantized dot product is an
+    * exact `Σ q_a·q_b` with no accumulation-order sensitivity at all,
+    * so the oracle replays it with zero fp-protocol machinery. The only
+    * fp step is quantization itself (double divide + one round per
+    * component, bit-identical across engines on the same input).
+    *
+    * Memoized per (session, dir): the code table is corpus prep — built
+    * once at ingest, consumed by every quantized search.
+    */
+  private def sq8Codes(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "sim:sq8_codes") {
+      val e = withNorm(Tables.embeddings(spark, dir))
+      e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("norm") * lit(127.0)).cast("int")).as("q"))
+    }
+
+  /** Exact integer dot over two int8 code arrays — builtin `zip_with` +
+    * `aggregate`, fully codegen'd; widened to long before summing (64
+    * dims × 127² ≈ 1 M per element fits int, but the contract shouldn't
+    * depend on dimensionality).
+    */
+  private def sqDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+
+  /** Approximate top-k over QUANTIZED codes: candidates from the shared
+    * LSH band join (ids only ride the distinct — the lean shape), scored
+    * by the integer dot of int8 codes, ranked (score desc, vec_id).
+    * `qcos` rescales the integer score by 1/127² onto the cosine scale
+    * (both inputs are unit vectors before quantization, so qa·qb/127² ≈
+    * cos; the quantization error bound is asserted against the exact
+    * baseline in spec). 100 TB shape: band equi-join candidates × an
+    * int8 code table 4× smaller than the vectors — the re-rank never
+    * touches a float array. Deterministic end to end (md5 plane family +
+    * integer scoring), so the oracle replays sketch → band → quantize →
+    * integer re-rank verbatim.
+    */
+  def topKSq(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val bands = bandedSketches(spark, dir).select(col("vec_id"), col("band"), col("key"))
+    val cand = bands.toDF("query_id", "band", "key")
+      .where(col("query_id") < nQueries)
+      .join(bands.toDF("vec_id", "band2", "key2"),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val codes = sq8Codes(spark, dir)
+    cand
+      .join(codes.toDF("query_id", "qq"), "query_id")
+      .join(codes.toDF("vec_id", "cq"), "vec_id")
+      .select(col("query_id"), col("vec_id"), sqDot(col("qq"), col("cq")).as("score_q8"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score_q8").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score_q8"),
+        round(col("score_q8").cast("double") / lit(16129.0), 6).as("qcos"), col("rank"))
+  }
+
   private val IvfCells = 16
   private val IvfProbes = 4
   private[sim] val IvfIters = 5
@@ -371,6 +435,7 @@ object Similarity {
     // quantizer), so both carry full SQL oracles; recall vs the
     // oracle-checked exact topK is additionally asserted in spec.
     "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)),
+    "sim_topk_sq"      -> ((s, d) => topKSq(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
     "sim_topk_filtered" -> ((s, d) => topKFiltered(s, d)),
     "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
@@ -477,6 +542,56 @@ object Similarity {
                   FROM bd q JOIN bd c
                     ON q.b = c.b AND q.key = c.key AND q.vec_id <> c.vec_id
                   WHERE q.vec_id < 10))
+          WHERE rank <= 3""",
+    // Full replay of the quantized-search pipeline: the sim_topk_lsh
+    // sketch/band CTEs for candidates, symmetric int8 quantization
+    // (round(127·v/‖v‖) — the only fp step, bit-identical across
+    // engines), then the EXACT integer dot re-rank: no rounding
+    // protocol needed downstream of quantization.
+    "sim_topk_sq" ->
+      s"""WITH w AS MATERIALIZED (
+            SELECT j, list(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || d::VARCHAR), 1, 2))::INT & 1 = 1
+                                THEN 1.0 ELSE -1.0 END ORDER BY d) AS wv
+            FROM generate_series(0, 15) t(j), generate_series(0, 63) s(d)
+            GROUP BY j),
+          e AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings),
+          sk AS MATERIALIZED (
+            SELECT vec_id, list(CASE WHEN round(dotv, 6) > 0 THEN 1 ELSE 0 END ORDER BY j) AS sk
+            FROM (SELECT e.vec_id, w.j,
+                         list_sum(list_transform(list_zip(e.embedding, w.wv),
+                           z -> z[1]::DOUBLE * z[2])) AS dotv
+                  FROM e CROSS JOIN w)
+            GROUP BY vec_id),
+          bd AS MATERIALIZED (
+            SELECT vec_id, b,
+                   sk[b*4+1] + 2*sk[b*4+2] + 4*sk[b*4+3] + 8*sk[b*4+4] AS key
+            FROM sk, generate_series(0, 3) g(b)),
+          qv AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                     x -> CAST(round(x::DOUBLE / nrm * 127.0) AS INT)) AS q
+            FROM e),
+          cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM bd q JOIN bd c
+              ON q.b = c.b AND q.key = c.key AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10),
+          sc AS (
+            SELECT cand.query_id, cand.vec_id,
+                   CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                     z -> CAST(z[1] AS BIGINT) * z[2])) AS BIGINT) AS score_q8
+            FROM cand
+            JOIN qv a ON a.vec_id = cand.query_id
+            JOIN qv b ON b.vec_id = cand.vec_id)
+          SELECT query_id, vec_id, score_q8,
+                 round(score_q8 / 16129.0, 6) AS qcos, rank FROM (
+            SELECT query_id, vec_id, score_q8,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_q8 DESC, vec_id) AS rank
+            FROM sc)
           WHERE rank <= 3""",
     // Full replay of the embedding near-dup pipeline: the sim_topk_lsh
     // sketch/band CTEs, candidate pairs from band-bucket equality, exact

@@ -277,6 +277,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.keys.map(_._1).toSeq.distinct.length == 10)
   }
 
+  test("SQ8 topk: quantized scores track exact cosine, recall non-degenerate") {
+    val exact = Similarity.topK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val sq = Similarity.topKSq(spark, sf).collect()
+    // qcos is the integer score rescaled onto the cosine axis; against
+    // the exact cosine of the SAME pair the int8 quantization error is
+    // bounded (unit vectors, 1/254-grid per component — well inside
+    // 0.05 at 64 dims)
+    sq.foreach { r =>
+      val qcos = r.getAs[Double]("qcos")
+      assert(math.abs(qcos) <= 1.0 + 1e-9, s"qcos out of range: $qcos")
+    }
+    val exactAll = Similarity.cosinePairs(spark, sf, minCos = -2.0).collect()
+      .flatMap { r =>
+        val (a, b, c) = (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"))
+        Seq((a, b) -> c, (b, a) -> c)
+      }.toMap
+    sq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactAll.get(key).foreach { c =>
+        assert(math.abs(r.getAs[Double]("qcos") - c) < 0.05,
+          s"quantization error blew past bound at $key: qcos=${r.getAs[Double]("qcos")} cos=$c")
+      }
+    }
+    // recall vs the exact top-k — same candidates as LSH, so the same
+    // non-degeneracy floor applies
+    val sqKeys = sq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sqKeys intersect exact.keySet).size.toDouble / exact.size
+    assert(recall > 0.2, s"SQ8 recall collapsed: $recall")
+  }
+
   test("filtered topk: every neighbor shares the query's label, full k per query") {
     val labels = Tables.embeddings(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
