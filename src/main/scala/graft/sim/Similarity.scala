@@ -355,6 +355,42 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023: cluster the
+    * embedding space, then dedup WITHIN clusters): candidate pairs are
+    * restricted to vectors assigned to the same TRAINED IVF cell
+    * (k-means coarse quantizer, the [[ivfCentroids]] memo — candidates
+    * per cell ≈ (n/K)², never corpus n²), exact cosine ≥ `minCos` on
+    * those, duplicate groups via the shared large-star/small-star
+    * component module. The cluster-bucketed complement of
+    * [[embeddingDedupGroups]]'s LSH banding: clustering catches
+    * near-dups that straddle band boundaries, banding catches pairs
+    * split across cell boundaries — production pipelines run one or
+    * both; here both are first-class, each with a full replay oracle
+    * (train → assign → same-cell pairs → recursive min-label
+    * reachability). At 100 TB the assignment is a broadcast argmax
+    * (no shuffle of the vector table) and the pair join is an equi-join
+    * on the cell id with per-cell population bounded by the quantizer's
+    * balance — skewed cells would be split by raising K, the standard
+    * IVF sizing lever.
+    */
+  def semanticDedupGroups(spark: SparkSession, dir: String,
+                          minCos: Double = 0.45): DataFrame = {
+    val (assigned, _) = ivfAssign(spark, dir)
+    val m = assigned.select(col("cell"), col("vec_id"), col("embedding"), col("norm"))
+    val pairs = m.toDF("cell", "v1", "e1", "n1")
+      .join(m.toDF("cell", "v2", "e2", "n2"), Seq("cell"))
+      .where(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        cosinePre(col("e1"), col("n1"), col("e2"), col("n2")).as("cos"))
+      .where(col("cos") >= minCos)
+      .select(col("v1"), col("v2"))
+    graft.graph.Components.labels(
+      Tables.embeddings(spark, dir).select(col("vec_id")), pairs,
+      // tiny pair graph (see dedup.Dedup.dupGroupsUncached)
+      partitions = Some(8))
+      .select(col("vec_id"), col("label").as("canonical_id"))
+  }
+
   /** kNN label probe — the standard embedding-space quality eval: each
     * query vector's label predicted by majority vote of its k nearest
     * (exact cosine) neighbors, ties broken deterministically (higher
@@ -439,6 +475,7 @@ object Similarity {
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
     "sim_topk_filtered" -> ((s, d) => topKFiltered(s, d)),
     "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
+    "dedup_semantic"   -> ((s, d) => semanticDedupGroups(s, d)),
     "sim_centroid_cos" -> ((s, d) => centroidCos(s, d)),
     "sim_knn_classify" -> ((s, d) => knnClassify(s, d)),
   )
@@ -678,6 +715,43 @@ object Similarity {
                                  z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.qn * a.nrm), 6) AS cos
                   FROM p JOIN asn a ON p.cell = a.cell AND p.query_id <> a.vec_id))
           WHERE rank <= 3"""),
+    // Full replay of the SemDeDup pipeline: the KMeans training chain
+    // (shared with sim_topk_ivf), assignment to trained cells, exact
+    // cosine on SAME-CELL pairs, recursive min-label reachability over
+    // all vectors (the dedup_embedding components technique).
+    "dedup_semantic" ->
+      ("WITH RECURSIVE " + KMeans.kmeansCtes(k = 16, iterations = IvfIters) +
+      s""",
+          en AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM e),
+          c AS MATERIALIZED (
+            SELECT cell, cent AS ce,
+                   sqrt(list_sum(list_transform(cent, x -> x * x))) AS cn
+            FROM c$IvfIters),
+          asn AS MATERIALIZED (
+            SELECT vec_id, embedding, nrm, cell FROM (
+              SELECT en.vec_id, en.embedding, en.nrm, c.cell,
+                     row_number() OVER (PARTITION BY en.vec_id ORDER BY
+                       round(list_sum(list_transform(list_zip(en.embedding, c.ce),
+                               z -> z[1]::DOUBLE * z[2])) / (en.nrm * c.cn), 6) DESC,
+                       c.cell) AS rk
+              FROM en CROSS JOIN c) WHERE rk = 1),
+          pairs AS MATERIALIZED (
+            SELECT v1, v2 FROM (
+              SELECT a.vec_id AS v1, b.vec_id AS v2,
+                     round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                             z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (a.nrm * b.nrm), 6) AS cos
+              FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+            WHERE cos >= 0.45),
+          edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+                    UNION ALL SELECT v2, v1 FROM pairs),
+          reach(v, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT reach.v, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a)
+          SELECT v AS vec_id, min(r) AS canonical_id FROM reach GROUP BY v"""),
     // the filtered variant: identical train→assign→probe→re-rank chain,
     // with the label carried through assignment and the same-label
     // pre-filter on the candidate join

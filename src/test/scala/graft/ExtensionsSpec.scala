@@ -308,6 +308,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"SQ8 recall collapsed: $recall")
   }
 
+  test("semantic dedup groups: components valid, recall vs exact pairs") {
+    val got = Similarity.semanticDedupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == Tables.embeddings(spark, sf).count())
+    // canonical is a fixpoint and the min of its component
+    got.foreach { case (v, c) => assert(got(c) == c && c <= v) }
+    // every exact cosine>=0.45 pair whose two sides land in the same
+    // trained cell must group together; recall vs the full exact pair
+    // set must be non-degenerate (cluster-bucketing recall, the
+    // SemDeDup trade)
+    val exactPairs = Similarity.cosinePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grouped = got.groupBy(_._2).values.map(_.keys.toSet).filter(_.size > 1)
+    val groupedPairs = grouped.flatMap(g =>
+      g.toSeq.sorted.combinations(2).map(p => (p(0), p(1)))).toSet
+    val recall = (groupedPairs intersect exactPairs).size.toDouble /
+      math.max(1, exactPairs.size)
+    assert(recall > 0.2, s"semantic-dedup cluster recall collapsed: $recall")
+  }
+
   test("filtered topk: every neighbor shares the query's label, full k per query") {
     val labels = Tables.embeddings(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
