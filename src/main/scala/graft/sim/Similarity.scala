@@ -283,23 +283,28 @@ object Similarity {
     round(graft.functions.ArrayExprs.floatDoubleDot(v, ce) / (nv * cn), 6)
 
   /** Assignment = argmax cosine against the broadcast trained centroid
-    * set: a narrow n×K map, no shuffle of the vector table.
+    * set: a narrow n×K map, no shuffle of the vector table. Memoized per
+    * (session, dir) alongside the centroids: the assignment IS the IVF
+    * index (the per-cell inverted lists) — built once at ingest,
+    * consumed by every probe ([[topKIvf]], [[topKFiltered]]) and by the
+    * [[semanticDedupGroups]] cluster-bucketed dedup.
     */
   private def ivfAssign(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // label rides along from the scan (zero extra cost, no self-join
-    // later) — [[topKFiltered]] keys its candidate restriction on it
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("norm"), col("label"))
     val cents = ivfCentroids(spark, dir)
-    val assigned = e
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("label"), col("cell"),
-        centCos(col("embedding"), col("norm"), col("ce"), col("cn")).as("ccos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"), col("label"), col("cell"))
+    val assigned = graft.Caches.memoized(spark, dir, "sim:ivf_assigned") {
+      // label rides along from the scan (zero extra cost, no self-join
+      // later) — [[topKFiltered]] keys its candidate restriction on it
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("norm"), col("label"))
+      e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("label"), col("cell"),
+          centCos(col("embedding"), col("norm"), col("ce"), col("cn")).as("ccos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("label"), col("cell"))
+    }
     (assigned, cents)
   }
 
