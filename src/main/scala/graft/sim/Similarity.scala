@@ -128,8 +128,14 @@ object Similarity {
           col("bk.band").as("band"), col("bk.key").as("key"))
     }
 
-  def topKLsh(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
-    val bands = bandedSketches(spark, dir)
+  def topKLsh(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame =
+    topKLshOn(bandedSketches(spark, dir), k, nQueries)
+
+  /** The LSH probe over an arbitrary banded-sketch table — shared by the
+    * fixture tier ([[topKLsh]]) and the ×replicas measurement tier
+    * ([[topKLshBig]]).
+    */
+  private def topKLshOn(bands: DataFrame, k: Int, nQueries: Int): DataFrame = {
     val q = bands.filter(col("vec_id") < nQueries).toDF("query_id", "qe", "band", "key")
     val cand = q.join(bands.toDF("vec_id", "ce", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2") &&
@@ -142,6 +148,52 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  private val BigReplicas = 10
+  private val BigIdStride = 1000000L
+
+  /** ×[[BigReplicas]] inflated embedding corpus for the similarity
+    * measurement tier (the skewCorpus/minhashBig arithmetic-inflation
+    * contract: derived by REPLAYABLE arithmetic so the oracle regenerates
+    * it): replica `r` of vector `v` gets id `v + r·stride` and its
+    * embedding CIRCULARLY SHIFTED by `r` positions — a deterministic
+    * transform that preserves the norm and the component distribution
+    * but decorrelates the sign sketch, so replicas spread over buckets
+    * like real data instead of piling into their source's bucket.
+    */
+  private def inflatedEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(BigReplicas - 1))).as("r"))
+      .select((col("vec_id") + col("r").cast("long") * lit(BigIdStride)).as("vec_id"),
+        concat(
+          slice(col("embedding"), col("r") + lit(1), size(col("embedding")) - col("r")),
+          slice(col("embedding"), lit(1), col("r"))).as("embedding"))
+
+  /** Measurement tier for ANN search (the graph/dedup/streaming tier
+    * pattern): the same sketch → band → bucket-join → exact re-rank
+    * machinery over a ×10 corpus (~20k vectors at sf0.1), with ~×10
+    * band-bucket populations — what the probe actually costs when
+    * buckets are full. Hash-gated: the inflation is arithmetic, so the
+    * oracle regenerates corpus, planes, sketches, and re-rank end to
+    * end.
+    */
+  def topKLshBig(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val bands = graft.Caches.memoized(spark, dir, "sim:lsh_bands_big") {
+      val e = inflatedEmbeddings(spark, dir)
+      e.select(col("vec_id"), col("embedding"), signSketch(col("embedding")).as("sk"))
+        .select(col("vec_id"), col("embedding"),
+          explode(transform(sequence(lit(0), lit(SketchBands - 1)),
+            b => struct(b.as("band"),
+              (0 until SketchRows).map(i =>
+                element_at(col("sk"), b * SketchRows + lit(i + 1)) * lit(1 << i))
+                .reduce(_ + _).as("key"))))
+            .as("bk"))
+        .select(col("vec_id"), col("embedding"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    topKLshOn(bands, k, nQueries)
   }
 
   /** Embedding-cosine near-dup GROUPS — the fifth dedup detector of the
@@ -477,6 +529,8 @@ object Similarity {
     // oracle-checked exact topK is additionally asserted in spec.
     "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)),
     "sim_topk_sq"      -> ((s, d) => topKSq(s, d)),
+    // measurement tier: the LSH probe over the ×10 inflated corpus
+    "sim_topk_lsh_big" -> ((s, d) => topKLshBig(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
     "sim_topk_filtered" -> ((s, d) => topKFiltered(s, d)),
     "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
@@ -562,6 +616,47 @@ object Similarity {
             SELECT vec_id, embedding,
                    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
             FROM embeddings),
+          sk AS MATERIALIZED (
+            SELECT vec_id, any_value(embedding) AS embedding, any_value(nrm) AS nrm,
+                   list(CASE WHEN round(dotv, 6) > 0 THEN 1 ELSE 0 END ORDER BY j) AS sk
+            FROM (SELECT e.vec_id, e.embedding, e.nrm, w.j,
+                         list_sum(list_transform(list_zip(e.embedding, w.wv),
+                           z -> z[1]::DOUBLE * z[2])) AS dotv
+                  FROM e CROSS JOIN w)
+            GROUP BY vec_id),
+          bd AS MATERIALIZED (
+            SELECT vec_id, embedding, nrm, b,
+                   sk[b*4+1] + 2*sk[b*4+2] + 4*sk[b*4+3] + 8*sk[b*4+4] AS key
+            FROM sk, generate_series(0, 3) g(b))
+          SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM (SELECT DISTINCT q.vec_id AS query_id, c.vec_id,
+                         round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                 z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (q.nrm * c.nrm), 6) AS cos
+                  FROM bd q JOIN bd c
+                    ON q.b = c.b AND q.key = c.key AND q.vec_id <> c.vec_id
+                  WHERE q.vec_id < 10))
+          WHERE rank <= 3""",
+    // The LSH chain over the ×10 arithmetically-inflated corpus:
+    // replica r = (vec_id + r·10⁶, embedding circularly shifted by r),
+    // regenerated by the base CTE; everything after is the sim_topk_lsh
+    // replay verbatim.
+    "sim_topk_lsh_big" ->
+      s"""WITH base AS MATERIALIZED (
+            SELECT vec_id + r * 1000000 AS vec_id,
+                   list_concat(embedding[r+1:len(embedding)], embedding[1:r]) AS embedding
+            FROM embeddings, generate_series(0, 9) t(r)),
+          w AS MATERIALIZED (
+            SELECT j, list(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || d::VARCHAR), 1, 2))::INT & 1 = 1
+                                THEN 1.0 ELSE -1.0 END ORDER BY d) AS wv
+            FROM generate_series(0, 15) t(j), generate_series(0, 63) s(d)
+            GROUP BY j),
+          e AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM base),
           sk AS MATERIALIZED (
             SELECT vec_id, any_value(embedding) AS embedding, any_value(nrm) AS nrm,
                    list(CASE WHEN round(dotv, 6) > 0 THEN 1 ELSE 0 END ORDER BY j) AS sk

@@ -308,6 +308,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"SQ8 recall collapsed: $recall")
   }
 
+  test("LSH big tier: shifted replicas decorrelate buckets, ranks contiguous") {
+    val rows = Similarity.topKLshBig(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cos")) <= 1.0))
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length),
+        s"query $q ranks not contiguous")
+    }
+    // the inflation must actually spread replicas: if every replica of a
+    // vector landed in its source's bucket, each query's candidates
+    // would be dominated by its own replicas — require at least one
+    // NON-replica neighbor in some top list (shift decorrelation)
+    assert(rows.exists(r => r.getLong(1) % 1000000L != r.getLong(0)),
+      "all neighbors are the query's own replicas — shift failed to decorrelate")
+  }
+
   test("semantic dedup groups: components valid, recall vs exact pairs") {
     val got = Similarity.semanticDedupGroups(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
