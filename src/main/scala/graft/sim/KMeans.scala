@@ -96,8 +96,19 @@ object KMeans {
   def train(spark: SparkSession, dir: String,
             k: Int = 8, iterations: Int = 5): (Array[Array[Double]], Array[Long]) = {
     import spark.implicits._
-    val ds = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    trainOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+      k, iterations)
+  }
+
+  /** The same loop over an arbitrary (id, vector) dataset — the
+    * [[Similarity]] PQ sub-quantizers train on SUBVECTOR slices through
+    * this entry; [[train]] is the full-vector special case.
+    */
+  private[sim] def trainOn(ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                           k: Int, iterations: Int): (Array[Array[Double]], Array[Long]) = {
+    val spark = ds.sparkSession
+    import spark.implicits._
     val seeds = ds.filter(_._1 < k).collect().sortBy(_._1)
     // cell ids are array POSITIONS of the sorted seeds while the oracle
     // uses vec_id as the cell id: the two agree only if the seed ids are
@@ -153,16 +164,28 @@ object KMeans {
     * [[kmeansOracle]] and by the sim_topk_ivf oracle, which replays IVF
     * assignment from these trained centroids.
     */
-  private[sim] def kmeansCtes(k: Int, iterations: Int): String = {
+  private[sim] def kmeansCtes(k: Int, iterations: Int): String =
+    kmeansCtesOn("", "embedding", k, iterations)
+
+  /** The chain with every CTE name prefixed and the trained vector an
+    * arbitrary expression over `embeddings` rows (e.g. a list slice) —
+    * lets one oracle splice SEVERAL independent chains (the PQ
+    * per-subspace sub-quantizers) without name collisions. The
+    * unprefixed full-vector call reproduces [[kmeansCtes]]'s chain
+    * (modulo a redundant `e e` self-alias), so existing oracles keep
+    * their CTE names and semantics.
+    */
+  private[sim] def kmeansCtesOn(p: String, vecExpr: String,
+                                k: Int, iterations: Int): String = {
     val sb = new StringBuilder(
-      s"""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
-          c0 AS MATERIALIZED (
+      s"""${p}e AS MATERIALIZED (SELECT vec_id, $vecExpr AS embedding FROM embeddings),
+          ${p}c0 AS MATERIALIZED (
             SELECT vec_id::INT AS cell,
-                   list_transform(embedding, x -> x::DOUBLE) AS cent
+                   list_transform($vecExpr, x -> x::DOUBLE) AS cent
             FROM embeddings WHERE vec_id < $k)""")
     for (i <- 1 to iterations) sb ++=
       s""",
-          a$i AS MATERIALIZED (
+          ${p}a$i AS MATERIALIZED (
             SELECT vec_id, embedding, cell FROM (
               SELECT e.vec_id, e.embedding, c.cell,
                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -171,19 +194,19 @@ object KMeans {
                          / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
                             * sqrt(list_sum(list_transform(c.cent, x -> x * x)))), 6) DESC,
                        c.cell) AS rk
-              FROM e CROSS JOIN c${i - 1} c) WHERE rk = 1),
-          m$i AS MATERIALIZED (
+              FROM ${p}e e CROSS JOIN ${p}c${i - 1} c) WHERE rk = 1),
+          ${p}m$i AS MATERIALIZED (
             SELECT cell, any_value(n) AS n, list(round(s, 6) ORDER BY d) AS cent
             FROM (SELECT cell, d, sum(val) / count(*) AS s,
                          count(*) AS n
                   FROM (SELECT a.cell, unnest(a.embedding)::DOUBLE AS val,
                                generate_subscripts(a.embedding, 1) AS d
-                        FROM a$i a)
+                        FROM ${p}a$i a)
                   GROUP BY cell, d)
             GROUP BY cell),
-          c$i AS MATERIALIZED (
+          ${p}c$i AS MATERIALIZED (
             SELECT p.cell, coalesce(m.cent, p.cent) AS cent
-            FROM c${i - 1} p LEFT JOIN m$i m USING (cell))"""
+            FROM ${p}c${i - 1} p LEFT JOIN ${p}m$i m USING (cell))"""
     sb.toString
   }
 

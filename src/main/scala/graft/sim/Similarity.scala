@@ -303,6 +303,107 @@ object Similarity {
         round(col("score_q8").cast("double") / lit(16129.0), 6).as("qcos"), col("rank"))
   }
 
+  private val PqM = 4     // subspaces
+  private val PqSub = 16  // dims per subspace (fixture width 64 / PqM)
+  private val PqK = 16    // cells per sub-quantizer
+  private[sim] val PqIters = 3
+
+  /** Product-quantization codebooks (Jégou et al. 2011): the embedding
+    * split into [[PqM]] orthogonal subspaces, one [[PqK]]-cell k-means
+    * sub-quantizer TRAINED per subspace ([[KMeans.trainOn]] over the
+    * slice — the same Lloyd's protocol as the IVF coarse quantizer, so
+    * the oracle replays each chain). One small M×K driver-side table
+    * (cell centroid + its squared norm), memoized and broadcast to
+    * every consumer.
+    */
+  private def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "sim:pq_codebooks") {
+      import spark.implicits._
+      val ds = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val rows = (0 until PqM).flatMap { m =>
+        val sliced = ds.map { case (id, v) => (id, v.slice(m * PqSub, (m + 1) * PqSub)) }
+        val (cents, _) = KMeans.trainOn(sliced, PqK, PqIters)
+        cents.zipWithIndex.map { case (c, cell) =>
+          // sequential left-to-right square-sum ≡ DuckDB list_sum
+          (m, cell, c, c.map(x => x * x).sum)
+        }
+      }
+      rows.toDF("m", "cell", "ce", "cn2")
+    }
+
+  /** PQ codes: per vector, per subspace, the argmax-cosine cell against
+    * the broadcast codebook (round6 grid, ties to the lowest cell — the
+    * k-means assignment protocol). M small ints per vector — a 16×
+    * compression of the fixture vectors (4 codes vs 64 floats); at
+    * 100 TB this code table IS the index resident in memory. Memoized:
+    * encoding is ingest-time corpus prep.
+    */
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "sim:pq_codes") {
+      val e = Tables.embeddings(spark, dir)
+        .where(col("vec_id") < MaxExactVectors)
+        .select(col("vec_id"), col("embedding"))
+      val cb = pqCodebooks(spark, dir)
+      e.join(broadcast(cb))
+        .select(col("vec_id"), col("m"), col("cell"),
+          round(graft.functions.ArrayExprs.floatDoubleDot(
+              slice(col("embedding"), col("m") * lit(PqSub) + lit(1), lit(PqSub)),
+              col("ce")) /
+            (sqrt(dot(
+              slice(col("embedding"), col("m") * lit(PqSub) + lit(1), lit(PqSub)),
+              slice(col("embedding"), col("m") * lit(PqSub) + lit(1), lit(PqSub)))) *
+             sqrt(col("cn2"))), 6).as("ccos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("m"))
+            .orderBy(col("ccos").desc, col("cell"))))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("m"), col("cell").as("code"))
+    }
+
+  /** PQ approximate top-k via ASYMMETRIC distance computation, expressed
+    * relationally: the famous ADC lookup table — per (query, subspace,
+    * cell) the dot of the query's subvector against that cell's centroid
+    * — is one small BROADCAST frame (nQueries × M × K rows), and scoring
+    * is a keyed equi-join of the code table against it plus one grouped
+    * sum. No vector is touched at query time — the 100 TB shape (at
+    * scale this composes with IVF cells as IVF-PQ; the code table here
+    * is the compressed exhaustive scan, bounded like [[topK]]).
+    *
+    * `pqcos` = Σ_m dot(q_m, cent[code_m]) / (‖q‖·‖v̂‖) = cos(q, v̂) of
+    * the RECONSTRUCTED vector, since subspaces are orthogonal
+    * (‖v̂‖² = Σ_m ‖cent[code_m]‖², exact from the codebook). fp
+    * protocol: per-subspace terms on the round-9 grid summed as exact
+    * DECIMAL (order-free), one double divide at the end on the round-6
+    * grid — the centroidCos technique, so the oracle replays scores
+    * bit-for-bit.
+    */
+  def topKPq(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val cb = pqCodebooks(spark, dir)
+    val q = Tables.embeddings(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val lut = q.join(broadcast(cb))
+      .select(col("query_id"), col("qn"), col("m"), col("cell"),
+        round(graft.functions.ArrayExprs.floatDoubleDot(
+            slice(col("qe"), col("m") * lit(PqSub) + lit(1), lit(PqSub)), col("ce")), 9)
+          .cast("decimal(18,9)").as("term"),
+        round(col("cn2"), 9).cast("decimal(18,9)").as("vterm"))
+    val codes = pqCodes(spark, dir)
+    codes.join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("cell") &&
+          col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("qn"))
+      .agg(sum(col("term")).cast("double").as("s"),
+        sum(col("vterm")).cast("double").as("vn2"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("s") / (col("qn") * sqrt(col("vn2"))), 6).as("pqcos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("pqcos").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("pqcos"), col("rank"))
+  }
+
   private val IvfCells = 16
   private val IvfProbes = 4
   private[sim] val IvfIters = 5
@@ -531,6 +632,7 @@ object Similarity {
     "sim_topk_sq"      -> ((s, d) => topKSq(s, d)),
     // measurement tier: the LSH probe over the ×10 inflated corpus
     "sim_topk_lsh_big" -> ((s, d) => topKLshBig(s, d)),
+    "sim_topk_pq"      -> ((s, d) => topKPq(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
     "sim_topk_filtered" -> ((s, d) => topKFiltered(s, d)),
     "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
@@ -814,6 +916,60 @@ object Similarity {
                          round(list_sum(list_transform(list_zip(p.qe, a.embedding),
                                  z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (p.qn * a.nrm), 6) AS cos
                   FROM p JOIN asn a ON p.cell = a.cell AND p.query_id <> a.vec_id))
+          WHERE rank <= 3"""),
+    // Full replay of the PQ pipeline: four INDEPENDENT per-subspace
+    // k-means chains (prefixed s0_..s3_ over embedding slices), the
+    // codebook union, code assignment (argmax round6 cosine per
+    // subspace), the ADC lookup table, and the DECIMAL-summed
+    // reconstruction-cosine ranking.
+    "sim_topk_pq" ->
+      ("WITH " + (0 until PqM).map(m =>
+        KMeans.kmeansCtesOn(s"s${m}_",
+          s"embedding[${m * PqSub + 1}:${(m + 1) * PqSub}]", PqK, PqIters))
+        .mkString(", ") +
+      s""",
+          cb AS MATERIALIZED (
+            ${(0 until PqM).map(m =>
+              s"""SELECT $m AS m, cell, cent,
+                         list_sum(list_transform(cent, x -> x * x)) AS cn2
+                  FROM s${m}_c$PqIters""").mkString(" UNION ALL ")}),
+          codes AS MATERIALIZED (
+            SELECT vec_id, m, cell AS code FROM (
+              SELECT e.vec_id, cb.m, cb.cell,
+                     row_number() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+                       round(list_sum(list_transform(
+                               list_zip(e.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub], cb.cent),
+                               z -> z[1]::DOUBLE * z[2]))
+                         / (sqrt(list_sum(list_transform(
+                              e.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub],
+                              x -> x::DOUBLE * x::DOUBLE)))
+                            * sqrt(cb.cn2)), 6) DESC,
+                       cb.cell) AS rk
+              FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $MaxExactVectors) e
+                   CROSS JOIN cb) WHERE rk = 1),
+          q AS MATERIALIZED (
+            SELECT vec_id AS query_id, embedding AS qe,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS qn
+            FROM embeddings WHERE vec_id < 10),
+          lut AS MATERIALIZED (
+            SELECT q.query_id, q.qn, cb.m, cb.cell,
+                   CAST(round(list_sum(list_transform(
+                           list_zip(q.qe[cb.m*$PqSub+1:(cb.m+1)*$PqSub], cb.cent),
+                           z -> z[1]::DOUBLE * z[2])), 9) AS DECIMAL(18,9)) AS term,
+                   CAST(round(cb.cn2, 9) AS DECIMAL(18,9)) AS vterm
+            FROM q CROSS JOIN cb),
+          sc AS (
+            SELECT l.query_id, c.vec_id,
+                   round(CAST(sum(l.term) AS DOUBLE) /
+                         (any_value(l.qn) * sqrt(CAST(sum(l.vterm) AS DOUBLE))), 6) AS pqcos
+            FROM codes c JOIN lut l
+              ON l.m = c.m AND l.cell = c.code AND l.query_id <> c.vec_id
+            GROUP BY l.query_id, c.vec_id)
+          SELECT query_id, vec_id, pqcos, rank FROM (
+            SELECT query_id, vec_id, pqcos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY pqcos DESC, vec_id) AS rank
+            FROM sc)
           WHERE rank <= 3"""),
     // Full replay of the SemDeDup pipeline: the KMeans training chain
     // (shared with sim_topk_ivf), assignment to trained cells, exact

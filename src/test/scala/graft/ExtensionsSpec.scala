@@ -308,6 +308,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"SQ8 recall collapsed: $recall")
   }
 
+  test("PQ topk: reconstruction cosine tracks exact, full k per query") {
+    val pq = Similarity.topKPq(spark, sf).collect()
+    // the code table covers every corpus vector, so PQ scores ALL
+    // candidates — every query must return exactly k rows
+    pq.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length == 3, s"query $q returned ${rs.length} rows")
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 3))
+    }
+    // pqcos = cos(q, reconstructed v) — a true cosine, bounded
+    pq.foreach(r => assert(math.abs(r.getAs[Double]("pqcos")) <= 1.0 + 1e-9))
+    // reconstruction error: against the exact cosine of the same pair,
+    // a 16-cell/16-dim sub-quantizer is coarse but must stay in the
+    // same region (loose bound — the gate checks exactness of the
+    // PROTOCOL, this checks the approximation is meaningful)
+    val exactAll = Similarity.cosinePairs(spark, sf, minCos = -2.0).collect()
+      .flatMap { r =>
+        val (a, b, c) = (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"))
+        Seq((a, b) -> c, (b, a) -> c)
+      }.toMap
+    val errs = pq.flatMap { r =>
+      exactAll.get((r.getLong(0), r.getLong(1)))
+        .map(c => math.abs(r.getAs[Double]("pqcos") - c))
+    }
+    assert(errs.nonEmpty && errs.sum / errs.length < 0.35,
+      s"PQ reconstruction error off the rails: mean=${errs.sum / errs.length}")
+    // recall vs exact top-k non-degenerate
+    val exact = Similarity.topK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq.map(r => (r.getLong(0), r.getLong(1))).toSet intersect exact).size
+      .toDouble / exact.size
+    assert(recall > 0.1, s"PQ recall collapsed: $recall")
+  }
+
   test("LSH big tier: shifted replicas decorrelate buckets, ranks contiguous") {
     val rows = Similarity.topKLshBig(spark, sf).collect()
     assert(rows.nonEmpty)

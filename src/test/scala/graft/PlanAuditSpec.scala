@@ -241,6 +241,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_topk" -> "documented brute-force ANN baseline, bounded query set",
       "sim_topk_filtered" -> "brute-force over the filtered slice, bounded query set",
       "sim_topk_ivf" -> "K=16 trained-centroid probe, bounded by centroid count",
+      "sim_topk_pq" -> "MxK=64-row trained codebook broadcast (encode + ADC table build)",
       "ta_corpus_stats" -> "1-row corpus rollup joined back for ratios",
       "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
       "text_pmi_pairs" -> "1-row global line count broadcast (A5: sentinel replaced)",
