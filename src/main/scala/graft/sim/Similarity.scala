@@ -549,6 +549,66 @@ object Similarity {
       .select(col("vec_id"), col("label").as("canonical_id"))
   }
 
+  /** IVF-PQ — the canonical billion-scale ANN composition (FAISS IVFPQ):
+    * the trained IVF coarse quantizer prunes candidates to the query's
+    * [[IvfProbes]] nearest cells, and the PQ code table scores ONLY
+    * those members through the broadcast ADC lookup table. Every stage
+    * is an equi-join: probes ⋈ assignment on cell (candidates), codes ⋈
+    * lookup on (query, subspace, code) (scoring). At 100 TB the scan
+    * touches M small ints per candidate in ~n/K-member cells — neither
+    * the vectors nor the full code table. Deterministic end to end
+    * (trained centroids + round-grid protocol), so the oracle replays
+    * BOTH quantizer trainings, assignment, probe, encode, and the ADC
+    * ranking.
+    */
+  def topKIvfPq(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val (assigned, cents) = ivfAssign(spark, dir)
+    val cb = pqCodebooks(spark, dir)
+    val codes = pqCodes(spark, dir)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"))
+    val probes = queries.join(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"),
+        centCos(col("qe"), col("qn"), col("ce"), col("cn")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .where(col("rk") <= IvfProbes)
+      .select(col("query_id"), col("cell"))
+    // members of probed cells; each vector sits in exactly one cell and
+    // probe cells are distinct per query, so (query, vec) is unique
+    val cand = probes
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    // lut columns renamed so the join condition names distinct
+    // attributes outright (cand's query_id descends from the same scan,
+    // and leaning on Spark's self-join disambiguation draws a
+    // trivially-true-predicate warning even when it resolves right)
+    val lut = queries.join(broadcast(cb))
+      .select(col("query_id").as("lq"), col("qn"), col("m").as("lm"),
+        col("cell").as("lcode"),
+        round(graft.functions.ArrayExprs.floatDoubleDot(
+            slice(col("qe"), col("m") * lit(PqSub) + lit(1), lit(PqSub)), col("ce")), 9)
+          .cast("decimal(18,9)").as("term"),
+        round(col("cn2"), 9).cast("decimal(18,9)").as("vterm"))
+    cand
+      .join(codes, "vec_id")
+      .join(broadcast(lut),
+        col("query_id") === col("lq") && col("m") === col("lm") &&
+          col("code") === col("lcode"))
+      .drop("lq", "lm", "lcode")
+      .groupBy(col("query_id"), col("vec_id"), col("qn"))
+      .agg(sum(col("term")).cast("double").as("s"),
+        sum(col("vterm")).cast("double").as("vn2"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("s") / (col("qn") * sqrt(col("vn2"))), 6).as("pqcos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("pqcos").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("pqcos"), col("rank"))
+  }
+
   /** kNN label probe — the standard embedding-space quality eval: each
     * query vector's label predicted by majority vote of its k nearest
     * (exact cosine) neighbors, ties broken deterministically (higher
@@ -633,6 +693,7 @@ object Similarity {
     // measurement tier: the LSH probe over the ×10 inflated corpus
     "sim_topk_lsh_big" -> ((s, d) => topKLshBig(s, d)),
     "sim_topk_pq"      -> ((s, d) => topKPq(s, d)),
+    "sim_topk_ivfpq"   -> ((s, d) => topKIvfPq(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
     "sim_topk_filtered" -> ((s, d) => topKFiltered(s, d)),
     "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
@@ -965,6 +1026,86 @@ object Similarity {
             FROM codes c JOIN lut l
               ON l.m = c.m AND l.cell = c.code AND l.query_id <> c.vec_id
             GROUP BY l.query_id, c.vec_id)
+          SELECT query_id, vec_id, pqcos, rank FROM (
+            SELECT query_id, vec_id, pqcos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY pqcos DESC, vec_id) AS rank
+            FROM sc)
+          WHERE rank <= 3"""),
+    // Full replay of the IVF-PQ composition: the IVF training chain
+    // (unprefixed, k=16 × 5 iterations) AND the four prefixed PQ
+    // sub-quantizer chains in one WITH, then assignment → probe →
+    // candidate cells → encode → ADC ranking over candidates only.
+    "sim_topk_ivfpq" ->
+      ("WITH " + KMeans.kmeansCtes(k = 16, iterations = IvfIters) + ", " +
+       (0 until PqM).map(m =>
+         KMeans.kmeansCtesOn(s"s${m}_",
+           s"embedding[${m * PqSub + 1}:${(m + 1) * PqSub}]", PqK, PqIters))
+         .mkString(", ") +
+      s""",
+          en AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM e),
+          c AS MATERIALIZED (
+            SELECT cell, cent AS ce,
+                   sqrt(list_sum(list_transform(cent, x -> x * x))) AS cn
+            FROM c$IvfIters),
+          asn AS MATERIALIZED (
+            SELECT vec_id, embedding, nrm, cell FROM (
+              SELECT en.vec_id, en.embedding, en.nrm, c.cell,
+                     row_number() OVER (PARTITION BY en.vec_id ORDER BY
+                       round(list_sum(list_transform(list_zip(en.embedding, c.ce),
+                               z -> z[1]::DOUBLE * z[2])) / (en.nrm * c.cn), 6) DESC,
+                       c.cell) AS rk
+              FROM en CROSS JOIN c) WHERE rk = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+                FROM asn WHERE vec_id < 10),
+          p AS MATERIALIZED (
+            SELECT query_id, cell FROM (
+              SELECT q.query_id, c.cell,
+                     row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       round(list_sum(list_transform(list_zip(q.qe, c.ce),
+                               z -> z[1]::DOUBLE * z[2])) / (q.qn * c.cn), 6) DESC,
+                       c.cell) AS rk
+              FROM q CROSS JOIN c) WHERE rk <= $IvfProbes),
+          cand AS (
+            SELECT p.query_id, a.vec_id
+            FROM p JOIN asn a ON p.cell = a.cell AND p.query_id <> a.vec_id),
+          cb AS MATERIALIZED (
+            ${(0 until PqM).map(m =>
+              s"""SELECT $m AS m, cell, cent,
+                         list_sum(list_transform(cent, x -> x * x)) AS cn2
+                  FROM s${m}_c$PqIters""").mkString(" UNION ALL ")}),
+          codes AS MATERIALIZED (
+            SELECT vec_id, m, cell AS code FROM (
+              SELECT e2.vec_id, cb.m, cb.cell,
+                     row_number() OVER (PARTITION BY e2.vec_id, cb.m ORDER BY
+                       round(list_sum(list_transform(
+                               list_zip(e2.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub], cb.cent),
+                               z -> z[1]::DOUBLE * z[2]))
+                         / (sqrt(list_sum(list_transform(
+                              e2.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub],
+                              x -> x::DOUBLE * x::DOUBLE)))
+                            * sqrt(cb.cn2)), 6) DESC,
+                       cb.cell) AS rk
+              FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $MaxExactVectors) e2
+                   CROSS JOIN cb) WHERE rk = 1),
+          lut AS MATERIALIZED (
+            SELECT q.query_id, q.qn, cb.m, cb.cell,
+                   CAST(round(list_sum(list_transform(
+                           list_zip(q.qe[cb.m*$PqSub+1:(cb.m+1)*$PqSub], cb.cent),
+                           z -> z[1]::DOUBLE * z[2])), 9) AS DECIMAL(18,9)) AS term,
+                   CAST(round(cb.cn2, 9) AS DECIMAL(18,9)) AS vterm
+            FROM q CROSS JOIN cb),
+          sc AS (
+            SELECT cand.query_id, c2.vec_id,
+                   round(CAST(sum(l.term) AS DOUBLE) /
+                         (any_value(l.qn) * sqrt(CAST(sum(l.vterm) AS DOUBLE))), 6) AS pqcos
+            FROM cand
+            JOIN codes c2 ON c2.vec_id = cand.vec_id
+            JOIN lut l ON l.query_id = cand.query_id AND l.m = c2.m AND l.cell = c2.code
+            GROUP BY cand.query_id, c2.vec_id)
           SELECT query_id, vec_id, pqcos, rank FROM (
             SELECT query_id, vec_id, pqcos,
                    row_number() OVER (PARTITION BY query_id

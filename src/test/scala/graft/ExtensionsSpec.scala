@@ -341,6 +341,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.1, s"PQ recall collapsed: $recall")
   }
 
+  test("IVF-PQ: scores agree with full PQ on surviving pairs, pruning consistent") {
+    val full = Similarity.topKPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("pqcos")).toMap
+    val ivfpq = Similarity.topKIvfPq(spark, sf).collect()
+    assert(ivfpq.nonEmpty)
+    // the ADC score of a (query, candidate) pair is the same whether the
+    // candidate came through IVF pruning or the exhaustive code scan —
+    // IVF only prunes, it never rescores
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      full.get(key).foreach { s =>
+        assert(r.getAs[Double]("pqcos") == s, s"IVF-PQ rescored $key: ${r.getAs[Double]("pqcos")} vs $s")
+      }
+    }
+    // ranks contiguous per query
+    ivfpq.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length),
+        s"query $q ranks not contiguous")
+    }
+  }
+
   test("LSH big tier: shifted replicas decorrelate buckets, ranks contiguous") {
     val rows = Similarity.topKLshBig(spark, sf).collect()
     assert(rows.nonEmpty)
