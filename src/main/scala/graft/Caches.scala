@@ -34,6 +34,14 @@ object Caches {
   private val memo = scala.collection.mutable.HashMap
     .empty[(org.apache.spark.sql.SparkSession, String, String), DataFrame]
 
+  /** Plan-audit escape hatch: truncation makes a memoized frame's plan an
+    * opaque LogicalRDD leaf, which would also blind the plan-lint specs to
+    * whatever shape the BUILD planned (a cartesian inside a build would
+    * become invisible). Audit specs flip this off (with releaseAll around
+    * the probe) to plan the transparent build; production leaves it on.
+    */
+  @volatile private[graft] var truncateLineage: Boolean = true
+
   def register(df: DataFrame): DataFrame = synchronized { frames += df; df }
   def onRelease(hook: () => Unit): Unit = synchronized { hooks += hook }
 
@@ -52,7 +60,30 @@ object Caches {
     synchronized(memo.get(k)) match {
       case Some(df) => df
       case None =>
-        val df = build.persist() // outside the lock — may recurse here
+        // Truncate the build's lineage to a LogicalRDD leaf BEFORE
+        // persisting. A memoized frame is an index by contract — its
+        // consumers reach it only through this accessor, never by
+        // re-deriving the plan — but Spark's CacheManager canonicalizes
+        // EVERY cached plan and compares it against EVERY new query
+        // plan. With a registry of 120+ queries and ~30 memo entries
+        // whose build plans are deep (inflated-corpus shingle scans,
+        // trained-quantizer chains), that per-query scan grew to
+        // SECONDS by mid-run: pipeline_curate measured 8.2 s inside the
+        // full bench vs 1.0 s isolated on identical code, pr_components
+        // 3× as soon as three fat memos existed. A leaf plan makes
+        // canonicalization O(#entries) with tiny constants. The trades
+        // are one internal-row copy pass at materialization (the
+        // localCheckpoint technique — NOT the external-Row round-trip,
+        // which measured ~2× on array-heavy frames) and losing
+        // structural cache-substitution for independently re-derived
+        // plans — which no consumer relies on: every consumer reaches a
+        // memo through this accessor. Cached-batch stat pruning is
+        // unaffected (the persist above still builds an
+        // InMemoryRelation; only its CHILD became a leaf).
+        val built = build // outside the lock — build may recurse here
+        val df =
+          (if (truncateLineage) org.apache.spark.sql.GraftExpr.truncated(built)
+           else built).persist()
         synchronized {
           memo.get(k) match {
             // another builder of the same key won (possibly after an

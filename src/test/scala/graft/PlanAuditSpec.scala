@@ -15,6 +15,23 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Memoized frames truncate their lineage to a LogicalRDD leaf
+    * (Caches.truncateLineage — the CacheManager-canonicalization fix),
+    * which would blind a plan audit to whatever shape the BUILD planned:
+    * a cartesian inside a memoized build becomes an opaque
+    * InMemoryTableScan leaf at every consumer. Audits of memo-backed
+    * queries run under this bracket: truncation off, cold memo map, so
+    * the first consumer plans the transparent build.
+    */
+  private def withTransparentMemos[A](body: => A): A = {
+    Caches.releaseAll()
+    Caches.truncateLineage = false
+    try body finally {
+      Caches.truncateLineage = true
+      Caches.releaseAll()
+    }
+  }
+
   test("q1: the date-prefix predicate is pushed to the parquet scan as a range") {
     val p = plan(Relational.q1(spark, sf, "1996-03"))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
@@ -49,6 +66,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("near-dup and ANN candidate generation is join-shaped, not a cross product") {
+    withTransparentMemos {
     // brute-force baselines (cosinePairs, topK) are *documented* nested
     // loops; the scale-path variants must never plan one
     Seq(
@@ -63,9 +81,11 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     // IVF's centroid probe IS a broadcast nested loop over K=16 rows —
     // bounded by the centroid count, which is the design
+    }
   }
 
   test("round-2 operators keep their scale shapes") {
+    withTransparentMemos {
     // BPE encode is a narrow per-row map: scan → project, zero exchanges
     val bpe = plan(graft.text.Bpe.encode(spark, sf))
     assert(!bpe.contains("Exchange"), s"BPE encode should be shuffle-free:\n$bpe")
@@ -79,9 +99,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // before the serialize boundary)
     val mf = plan(graft.multimodal.Multimodal.extractFeatures(spark, sf).toDF())
     assert(!mf.contains("Exchange"), s"feature extraction should be narrow:\n$mf")
+    }
   }
 
   test("round-3 operators keep their scale shapes") {
+    withTransparentMemos {
     // video decode is narrow: metadata repartition, then generation and
     // demux+decode stay in one mapPartitions pipeline — no payload shuffle
     val vd = plan(graft.multimodal.Multimodal.videoDecode(spark, sf))
@@ -121,9 +143,11 @@ class PlanAuditSpec extends AnyFunSuite {
       val p = plan(df)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
     }
+    }
   }
 
   test("round-4 operators keep their scale shapes") {
+    withTransparentMemos {
     // incremental dedup: every join keyed (fp / band bucket / doc id) —
     // never a cartesian or an unbounded nested loop
     val inc = plan(graft.dedup.Dedup.incremental(spark, sf))
@@ -143,9 +167,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val cc = plan(graft.sim.Similarity.centroidCos(spark, sf))
     assert(!cc.contains("CartesianProduct"), s"centroid cos cartesian:\n$cc")
     assert(cc.contains("BroadcastHashJoin"), s"centroid table should broadcast:\n$cc")
+    }
   }
 
   test("round-5 operators keep their scale shapes") {
+    withTransparentMemos {
     // the minhash measurement tier: band equi-join candidates, exact
     // verify keyed on doc ids; the only nested loop is the final
     // 1-row × 1-row summary crossJoin (bounded by construction)
@@ -193,9 +219,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!bf.contains("CartesianProduct") && !bf.contains("BroadcastNestedLoopJoin"),
       s"boilerplate not join-shaped:\n$bf")
     assert(bf.contains("BroadcastHashJoin"), s"hot set should broadcast:\n$bf")
+    }
   }
 
   test("round-6 operators keep their scale shapes") {
+    withTransparentMemos {
     // skew tier: inverted index, df semi-join cap, verify joins — all
     // keyed; the only nested loops are the 1-row summary crossJoins
     // (bounded by construction, the minhashBig shape)
@@ -217,9 +245,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ab.contains("CartesianProduct"), s"approx bounds cartesian:\n$ab")
     val expands = "Expand".r.findAllMatchIn(ab).size
     assert(expands == 0, s"approx bounds plans an Expand (fused agg?):\n$ab")
+    }
   }
 
   test("full-registry plan lint: no cartesian product anywhere, every nested loop bounded") {
+    withTransparentMemos {
     // Every registered query's physical plan — new queries are linted by
     // construction, not by habit (the audits above cover hand-picked
     // shapes). CartesianProduct is banned outright. BroadcastNestedLoopJoin
@@ -234,6 +264,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "dedup_minhash_big" -> "1-row x 1-row summary crossJoin (n_docs x counts)",
       "dedup_ngram_skew" -> "1-row x 1-row summary crossJoins (docs x stats x pairs)",
       "ir_bm25" -> "1-row global corpus stats (N, avgdl) broadcast to every doc",
+      "ir_hybrid_rrf" -> "1-row query embedding + bm25 stats broadcasts, both bounded",
       "pr_toprank" -> "1-row dangling-mass scalar broadcast per iteration",
       "pr_toprank_10k" -> "1-row dangling-mass scalar broadcast per iteration",
       "sim_cosine_pairs" -> "documented brute-force baseline on the bounded eval slice",
@@ -242,6 +273,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_topk_filtered" -> "brute-force over the filtered slice, bounded query set",
       "sim_topk_ivf" -> "K=16 trained-centroid probe, bounded by centroid count",
       "sim_topk_pq" -> "MxK=64-row trained codebook broadcast (encode + ADC table build)",
+      "sim_topk_ivfpq" -> "K=16 centroid probe + MxK=64-row codebook broadcast, both bounded",
       "ta_corpus_stats" -> "1-row corpus rollup joined back for ratios",
       "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
       "text_pmi_pairs" -> "1-row global line count broadcast (A5: sentinel replaced)",
@@ -267,6 +299,7 @@ class PlanAuditSpec extends AnyFunSuite {
       .join(spark.range(10000000L).toDF("b")))
     assert(planted.contains("CartesianProduct"),
       s"lint probe lost sensitivity:\n$planted")
+    }
   }
 
   test("column pruning reaches the scan: q6 reads only what it aggregates") {
