@@ -20,6 +20,7 @@ object SparkEntry {
       (text.Text.queries, text.Text.oracles),
       (text.Bpe.queries, text.Bpe.oracles),
       (ir.InvertedIndex.queries, ir.InvertedIndex.oracles),
+      (ir.Hybrid.queries, ir.Hybrid.oracles),
       (dedup.Dedup.queries, dedup.Dedup.oracles),
       (sim.Similarity.queries, sim.Similarity.oracles),
       (sim.KMeans.queries, sim.KMeans.oracles),

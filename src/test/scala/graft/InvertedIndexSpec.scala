@@ -172,4 +172,46 @@ class IndexPersistenceSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(row.getAs[Long]("n_terms") > 0L &&
       row.getAs[Long]("n_postings") >= row.getAs[Long]("n_terms"))
   }
+
+  test("hybrid RRF fuses the two legs by the paper's formula") {
+    val sparse = InvertedIndex.bm25(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val fused = graft.ir.Hybrid.rrf(spark, sf).collect()
+    assert(fused.nonEmpty)
+    def leg(rank: Option[Int]): Double =
+      rank.map(r => 1.0 / (graft.ir.Hybrid.RrfK + r)).getOrElse(0.0)
+    fused.foreach { r =>
+      val s = Option(r.get(1)).map(_ => r.getInt(1))
+      val d = Option(r.get(2)).map(_ => r.getInt(2))
+      // at least one leg ranked the doc, the present sparse rank agrees
+      // with the standalone bm25 ranking, and the fused score is exactly
+      // 1/(K+srank) + 1/(K+drank) with absent legs contributing zero
+      assert(s.isDefined || d.isDefined)
+      s.foreach(sr => assert(sparse(r.getLong(0)) == sr))
+      val want = BigDecimal(leg(s) + leg(d))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") == want,
+        s"doc ${r.getLong(0)}: rrf ${r.getAs[Double]("rrf")} != $want")
+    }
+    // fused ranks are contiguous from 1 and ordered by (rrf desc, doc_id)
+    val byRank = fused.sortBy(_.getAs[Int]("rank"))
+    assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to fused.length))
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        val (ra, rb) = (a.getAs[Double]("rrf"), b.getAs[Double]("rrf"))
+        assert(ra > rb || (ra == rb && a.getLong(0) < b.getLong(0)))
+      case _ =>
+    }
+    // a doc ranked by BOTH legs must outscore any doc a single leg ranked
+    // at the same or worse positions (the fusion property RRF exists for)
+    val both = fused.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val single = fused.filter(r => r.isNullAt(1) || r.isNullAt(2))
+    for (b <- both; s <- single) {
+      val bWorst = math.max(b.getInt(1), b.getInt(2))
+      val sBest = (Option(s.get(1)) orElse Option(s.get(2))).get
+        .asInstanceOf[Int]
+      if (sBest >= bWorst)
+        assert(b.getAs[Double]("rrf") > s.getAs[Double]("rrf"))
+    }
+  }
 }
