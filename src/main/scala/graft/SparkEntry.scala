@@ -30,6 +30,7 @@ object SparkEntry {
       (events.Events.queries, events.Events.oracles),
       (events.Temporal.queries, events.Temporal.oracles),
       (graph.PageRank.queries, graph.PageRank.oracles),
+      (graph.KCore.queries, graph.KCore.oracles),
       (ml.Spam.queries, ml.Spam.oracles),
       (ml.BatchLogit.queries, ml.BatchLogit.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
