@@ -37,6 +37,7 @@ object SparkEntry {
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (functions.LogSumExp.queries, functions.LogSumExp.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
+      (operators.RuntimeFilter.queries, operators.RuntimeFilter.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
