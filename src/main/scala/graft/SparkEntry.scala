@@ -36,6 +36,7 @@ object SparkEntry {
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (functions.LogSumExp.queries, functions.LogSumExp.oracles),
+      (functions.MisraGries.queries, functions.MisraGries.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
       (operators.RuntimeFilter.queries, operators.RuntimeFilter.oracles),
     )
