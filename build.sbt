@@ -37,4 +37,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fraction×heap/32 per task): 8g made the heavy pairwise queries spill
   // once the cross-query caches filled — the target box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++
+  // ad-hoc profiling hook (GC logs, JFR, agent flags) without editing the
+  // build: SPARK_GRAFT_JAVA_OPTS="-Xlog:gc" sbt "runMain graft.Bench"
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

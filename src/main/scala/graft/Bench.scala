@@ -89,6 +89,13 @@ object Bench {
         val err = materialize(name)
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      // per-rep chronology on stderr (stdout carries ONLY the compact
+      // line): the [min,max] spread can't distinguish "cold rep 1" from
+      // "a warm rep degraded mid-run", which is exactly the signature
+      // that matters when chasing in-context variance
+      if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+        System.err.println(
+          s"REPS $name: ${runs.map(r => f"${r._1}%.2f").mkString(" ")}")
       val times = runs.map(_._1).sorted
       val median = times(times.length / 2)
       (name, median, times.head, times.last, runs.flatMap(_._2).headOption)
