@@ -273,12 +273,60 @@ object Curation {
         round(col("n_pii").cast("double") / col("n_docs"), 6).as("pii_rate"))
   }
 
+  /** DSIR-style importance-weighted data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * reduced to the deterministic unigram form): score every document by
+    * how much more likely its tokens are under a TARGET distribution
+    * (here the `lang = 'en'` slice) than under the RAW corpus
+    * distribution, and keep the top-k. Per-token importance =
+    * ln p̂_target(w) − ln p̂_raw(w), both Laplace-smoothed over the JOINT
+    * vocabulary so raw-only tokens score finitely.
+    *
+    * fp-portability: both LM totals are exact integer aggregates, each
+    * per-token log-ratio is rounded to 6 dp and DECIMAL-summed per doc
+    * (order-free — the ta_perplexity protocol), and the final mean is a
+    * 6-dp rounded double, so the oracle replays the ranking bit-for-bit.
+    *
+    * Scale shape: one exploded token pass, one vocab aggregate carrying
+    * BOTH counts (target count rides a conditional sum — no second corpus
+    * scan), one-row totals broadcast, a keyed vocab join back to the
+    * token stream (broadcast at fixture vocab; the keyed join IS the
+    * 100 TB form), top-k as TakeOrderedAndProject.
+    */
+  def importanceSample(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(Text.tokenize(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(
+      count(lit(1)).as("cnt_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
+    val stats = vocab.agg(
+      sum(col("cnt_r")).cast("double").as("r_total"),
+      sum(col("cnt_t")).cast("double").as("t_total"),
+      count(lit(1)).cast("double").as("v"))
+    val term = round(
+      log((col("cnt_t").cast("double") + lit(1.0)) / (col("t_total") + col("v"))) -
+        log((col("cnt_r").cast("double") + lit(1.0)) / (col("r_total") + col("v"))), 6)
+    tok
+      .join(broadcast(vocab), "w")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), term.cast("decimal(18,6)").as("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("t")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_logratio"))
+      .orderBy(col("mean_logratio").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("mean_logratio").desc, col("doc_id"))))
+  }
+
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
        w -> w <> '')"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_importance_sample" -> ((s, d) => importanceSample(s, d)),
     "pipeline_curate"        -> ((s, d) => curate(s, d)),
     "pipeline_source_report" -> ((s, d) => sourceReport(s, d)),
     "ml_split_leakfree"      -> ((s, d) => leakFreeSplit(s, d)),
@@ -290,6 +338,30 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // smoothed-LM replay: identical 6-dp log-ratio grid, DECIMAL doc
+    // sums, same (score desc, doc_id) total order
+    "ta_importance_sample" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS w FROM documents),
+          vocab AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS cnt_r,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+            FROM tok GROUP BY w),
+          st AS (SELECT CAST(sum(cnt_r) AS DOUBLE) AS r_total,
+                        CAST(sum(cnt_t) AS DOUBLE) AS t_total,
+                        CAST(count(*) AS DOUBLE) AS v FROM vocab),
+          terms AS (
+            SELECT doc_id,
+                   CAST(round(ln((CAST(cnt_t AS DOUBLE) + 1.0) / (t_total + v))
+                            - ln((CAST(cnt_r AS DOUBLE) + 1.0) / (r_total + v)), 6)
+                        AS DECIMAL(18,6)) AS t
+            FROM tok JOIN vocab USING (w) CROSS JOIN st),
+          sc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(t) AS DOUBLE) / count(*), 6) AS mean_logratio
+            FROM terms GROUP BY doc_id)
+          SELECT doc_id, n_tokens, mean_logratio,
+                 CAST(row_number() OVER (ORDER BY mean_logratio DESC, doc_id) AS INT) AS rank
+          FROM sc ORDER BY mean_logratio DESC, doc_id LIMIT 100""",
     // the dedup_groups reachability replay, bucketed on canonical_id with
     // the ml_hash_split arithmetic — leakage-freedom is then by
     // construction: split is a function of the component label

@@ -43,6 +43,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("importance sampling selects toward the target (en) distribution") {
+    val sel = Curation.importanceSample(spark, sf, topK = 100).collect()
+    assert(sel.length == 100)
+    val ranks = sel.map(_.getAs[Int]("rank")).sorted
+    assert(ranks.sameElements(1 to 100), "ranks not contiguous from 1")
+    // scores must be non-increasing along the rank order
+    val ordered = sel.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("mean_logratio"))
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    // selection quality: the en share among selected docs must beat the
+    // corpus base rate (the entire point of importance weighting)
+    val langOf = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val selEn = sel.count(r => langOf(r.getAs[Long]("doc_id")) == "en").toDouble / sel.length
+    val baseEn = langOf.values.count(_ == "en").toDouble / langOf.size
+    assert(selEn > baseEn,
+      f"selected en-share $selEn%.2f should exceed base rate $baseEn%.2f")
+  }
+
   test("mixture sample keeps higher-rate sources more often") {
     val kept = Curation.mixtureSample(spark, sf)
       .groupBy(col("source")).count().collect()
