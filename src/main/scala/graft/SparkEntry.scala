@@ -39,6 +39,7 @@ object SparkEntry {
       (functions.MisraGries.queries, functions.MisraGries.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
       (operators.RuntimeFilter.queries, operators.RuntimeFilter.oracles),
+      (operators.Layout.queries, operators.Layout.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Layout
+
+/** The Z-order claim, asserted on the measured fixture numbers: the
+  * interleaved layout must sit at-or-below each single-axis layout's
+  * bucket count on that layout's OFF axis (where min/max pruning
+  * degrades to a near-full scan), and must never be the worst layout on
+  * any query. Plus the interleave's bijectivity over the 10-bit domain —
+  * the property that makes the bucket comparison fair (equal-width,
+  * collision-free key spaces).
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("morton interleave is a bijection on the 5+5-bit domain") {
+    import spark.implicits._
+    val n = spark.range(0, 1024).toDF("i")
+      .select(Layout.zInterleave(
+        org.apache.spark.sql.functions.col("i").cast("int").mod(32),
+        (org.apache.spark.sql.functions.col("i") / 32).cast("int")).as("z"))
+      .distinct().count()
+    assert(n == 1024L)
+  }
+
+  test("z-order beats each major layout on its off-axis query") {
+    val r = Layout.zorderPruning(spark, sf).collect().head
+    val (aDay, aHour, aZ) = (r.getAs[Long]("a_day"), r.getAs[Long]("a_hour"), r.getAs[Long]("a_z"))
+    val (bDay, bHour, bZ) = (r.getAs[Long]("b_day"), r.getAs[Long]("b_hour"), r.getAs[Long]("b_z"))
+    // day-range query: hour-major is the off-axis (worst) layout
+    assert(aZ < aHour, s"z ($aZ) must beat hour-major ($aHour) on the day query")
+    // hour-band query: day-major is the off-axis layout
+    assert(bZ < bDay, s"z ($bZ) must beat day-major ($bDay) on the hour query")
+    // z is never the worst layout on either query
+    assert(aZ <= math.max(aDay, aHour) && bZ <= math.max(bDay, bHour))
+    info(s"day-query buckets: day=$aDay hour=$aHour z=$aZ; " +
+      s"hour-query buckets: day=$bDay hour=$bHour z=$bZ")
+  }
+}
