@@ -282,7 +282,11 @@ object Spam {
     * fold; the only doubles are the final two divisions, on bit-identical
     * integer inputs in both engines. 1-ROCA% = (1 − AUC)·100.
     */
-  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+  /** The leakage-free holdout, scored by the [[trainSeqShared]] model in
+    * exact DECIMAL — the shared front half of [[rocAuc]] and
+    * [[calibration]]: (docid, label, score_d).
+    */
+  def holdoutScored(spark: SparkSession, dir: String): DataFrame = {
     val w = trainSeqShared(spark, dir)
       .select(col("feature"), col("weight").cast("decimal(18,9)").as("w"))
     val holdout = BatchLogit.occurrences(spark, dir)
@@ -290,11 +294,15 @@ object Spam {
         graft.operators.Skew.hashBucket(col("docid")) >= 90)
       .groupBy(col("docid"), col("label"), col("feature"))
       .agg(count(lit(1)).as("cnt"))
-    val scored = holdout
+    holdout
       .join(broadcast(w), Seq("feature"), "left_outer")
       .groupBy(col("docid"), col("label"))
       .agg(sum(col("cnt").cast("decimal(6,0)") * coalesce(col("w"),
         lit(java.math.BigDecimal.ZERO).cast("decimal(18,9)"))).as("score_d"))
+  }
+
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val scored = holdoutScored(spark, dir)
     val perScore = scored.groupBy(col("score_d"))
       .agg(sum(col("label")).cast("long").as("np"),
         sum(lit(1) - col("label")).cast("long").as("nn"))
@@ -312,6 +320,26 @@ object Spam {
         round(col("num2").cast("double") /
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
       .withColumn("roca_pct", round((lit(1.0) - col("auc")) * 100, 4))
+  }
+
+  /** Reliability diagram over the same holdout scores — the standard
+    * companion of [[rocAuc]] (AUC ranks; calibration asks whether the
+    * sigmoid of the raw margin is honest as a probability): sigmoid
+    * probs rounded to 6 dp, 10 equal-width bins (prob 1.0 clamped into
+    * bin 9), per bin the count, mean predicted prob (6-dp DECIMAL sum —
+    * order-free) and empirical positive rate. Integer/shared-grid inputs
+    * throughout, so the oracle replays every bin bit-for-bit.
+    */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val prob = round(lit(1.0) / (lit(1.0) + exp(-col("score_d").cast("double"))), 6)
+    holdoutScored(spark, dir)
+      .select(col("label"), prob.as("prob"))
+      .select(col("label"), col("prob").cast("decimal(9,6)").as("prob_d"),
+        least(floor(col("prob") * 10), lit(9)).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("prob_d")).cast("double") / count(lit(1)), 6).as("mean_prob"),
+        round(sum(col("label")).cast("double") / count(lit(1)), 6).as("pos_rate"))
   }
 
   /** A14 ensemble combine, hash-gated: three [[trainSeq]] models on the
@@ -483,7 +511,10 @@ object Spam {
     * held-out occurrence table (same md5-bucket filter), the exact-decimal
     * scoring aggregate, and the integer Mann-Whitney fold.
     */
-  private def rocAucOracle(steps: Int, numFeatures: Int): String =
+  /** Shared oracle front half: train CTEs + holdout scoring, ending at
+    * `sc(docid, label, score_d)` — the [[holdoutScored]] replay.
+    */
+  private def holdoutScoredCtes(steps: Int, numFeatures: Int): String =
     "WITH " + trainSeqCtes(steps, numFeatures) + s""",
           wd AS (SELECT feature, CAST(CAST(w AS DOUBLE) AS DECIMAL(18,9)) AS w
                  FROM w$steps),
@@ -501,7 +532,23 @@ object Spam {
           sc AS (SELECT o.docid, o.label,
                         sum(o.cnt * coalesce(w.w, CAST(0 AS DECIMAL(18,9)))) AS score_d
                  FROM occh o LEFT JOIN wd w USING (feature)
-                 GROUP BY o.docid, o.label),
+                 GROUP BY o.docid, o.label)"""
+
+  private def calibrationOracle(steps: Int, numFeatures: Int): String =
+    holdoutScoredCtes(steps, numFeatures) + s""",
+          pr AS (SELECT label,
+                        round(1.0 / (1.0 + exp(-CAST(score_d AS DOUBLE))), 6) AS prob
+                 FROM sc),
+          bn AS (SELECT label, CAST(prob AS DECIMAL(9,6)) AS prob_d,
+                        CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin
+                 FROM pr)
+          SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 round(CAST(sum(prob_d) AS DOUBLE) / count(*), 6) AS mean_prob,
+                 round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate
+          FROM bn GROUP BY bin"""
+
+  private def rocAucOracle(steps: Int, numFeatures: Int): String =
+    holdoutScoredCtes(steps, numFeatures) + s""",
           ps AS (SELECT score_d, CAST(sum(label) AS BIGINT) AS np,
                         CAST(sum(1 - label) AS BIGINT) AS nn
                  FROM sc GROUP BY score_d),
@@ -537,6 +584,7 @@ object Spam {
     // classifier quality (the reference's 1-ROCA% grading metric) on the
     // held-out hash-split bucket — integer rank arithmetic, hash-gated
     "ml_roc_auc"     -> ((s, d) => rocAuc(s, d)),
+    "ml_calibration" -> ((s, d) => calibration(s, d)),
     "spam_apply"     -> ((s, d) => applyModel(instancesShared(s, d), trainShared(s, d))
       .select(col("docid"), col("label"), round(col("score"), 6).as("score"), col("predicted"))),
     "spam_ensemble"  -> ((s, d) => ensemble(s, d)),
@@ -562,5 +610,6 @@ object Spam {
     "spam_apply_seq" -> applySeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
     "spam_ensemble_seq" -> ensembleSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
     "ml_roc_auc" -> rocAucOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
+    "ml_calibration" -> calibrationOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
   )
 }

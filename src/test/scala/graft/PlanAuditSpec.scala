@@ -248,6 +248,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-7 operators keep their scale shapes") {
+    withTransparentMemos {
+    // bloom runtime filter: the sketch enters as a SCALAR SUBQUERY (no
+    // join node for the pruning stage), the residual exact join stays a
+    // keyed equi-join — never a nested loop over probe rows
+    val bj = plan(graft.operators.RuntimeFilter.bloomJoinRevenue(spark, sf))
+    assert(bj.contains("Subquery"), s"bloom sketch should be a scalar subquery:\n$bj")
+    assert(!bj.contains("CartesianProduct"), s"bloom join cartesian:\n$bj")
+    assert(!bj.contains("BroadcastNestedLoopJoin"), s"bloom join BNLJ:\n$bj")
+    // heavy hitters: the candidate recount is a BROADCAST semi-join (≤ C
+    // candidate keys), never a shuffle of the key space
+    val hh = plan(graft.functions.MisraGries.heavyHitters(spark, sf))
+    assert(hh.contains("LeftSemi"), s"candidate recount should semi-join:\n$hh")
+    assert(!hh.contains("CartesianProduct"), s"heavy hitters cartesian:\n$hh")
+    // k-core: edge-vs-survivor pruning is two semi-joins on endpoint ids
+    val kc = plan({
+      Caches.releaseAll()
+      graft.graph.KCore.kcore(spark, sf)
+    })
+    assert(!kc.contains("CartesianProduct"), s"k-core cartesian:\n$kc")
+    assert(!kc.contains("BroadcastNestedLoopJoin"), s"k-core BNLJ:\n$kc")
+    }
+  }
+
   test("full-registry plan lint: no cartesian product anywhere, every nested loop bounded") {
     withTransparentMemos {
     // Every registered query's physical plan — new queries are linted by
