@@ -386,7 +386,46 @@ object Temporal {
         (col("pa99") >= col("lo99") && col("pa99") <= col("hi99")).as("p99_ok"))
   }
 
+  /** Higher-moment profile per event type — mean, stddev, skewness,
+    * excess kurtosis — from exact DECIMAL power sums (Σv, Σv², Σv³, Σv⁴
+    * over the 2-dp value grid), the mergeable-moments form a distributed
+    * profiler ships instead of Welford chains: power sums are plain
+    * associative aggregates (partial-agg/shuffle-order free, unlike
+    * fp-Welford merges, which are order-sensitive), and every derived
+    * statistic divides the same exact integers in both engines. Each
+    * power is cast to its own exact width (value ≤ 12,2 keeps v⁴ inside
+    * DECIMAL(38,8); a chained product would trip Spark's precision-loss
+    * scale reduction at 4 factors).
+    */
+  def moments(spark: SparkSession, dir: String): DataFrame = {
+    val powered = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"))
+      .select(col("event_type"), col("v"),
+        (col("v") * col("v")).cast("decimal(20,4)").as("v2"))
+      .select(col("event_type"), col("v"), col("v2"),
+        (col("v2") * col("v")).cast("decimal(28,6)").as("v3"),
+        (col("v2") * col("v2")).cast("decimal(38,8)").as("v4"))
+    val agg = powered.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("s1"), sum(col("v2")).as("s2"),
+      sum(col("v3")).as("s3"), sum(col("v4")).as("s4"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mean * mean
+    val m3 = col("s3").cast("double") / nD - lit(3.0) * mean * (col("s2").cast("double") / nD) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4").cast("double") / nD - lit(4.0) * mean * (col("s3").cast("double") / nD) +
+      lit(6.0) * mean * mean * (col("s2").cast("double") / nD) -
+      lit(3.0) * mean * mean * mean * mean
+    agg.select(col("event_type"), col("n"),
+      round(mean, 6).as("mean"),
+      round(sqrt(m2), 6).as("stddev"),
+      round(m3 / pow(m2, 1.5), 6).as("skewness"),
+      round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_moments"        -> ((s, d) => moments(s, d)),
     "ev_user_deltas"    -> ((s, d) => userDeltas(s, d)),
     "ev_asof_join"      -> ((s, d) => asofJoin(s, d)),
     "ev_range_join"     -> ((s, d) => rangeJoin(s, d)),
@@ -409,6 +448,39 @@ object Temporal {
   // fixture has no sub-microsecond components and no duplicate
   // (user_id, ms) pairs, so ordering is identical too).
   val oracles: Map[String, String] = Map(
+    // identical power-sum widths and double expression order — both
+    // engines derive every statistic from the same exact integers
+    "ev_moments" ->
+      """WITH p AS (
+           SELECT event_type, v,
+                  CAST(v * v AS DECIMAL(20,4)) AS v2
+           FROM (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events)),
+         p2 AS (
+           SELECT event_type, v, v2,
+                  CAST(v2 * v AS DECIMAL(28,6)) AS v3,
+                  CAST(v2 * v2 AS DECIMAL(38,8)) AS v4
+           FROM p),
+         ag AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  sum(v) AS s1, sum(v2) AS s2, sum(v3) AS s3, sum(v4) AS s4
+           FROM p2 GROUP BY event_type)
+         SELECT event_type, n,
+                round(mean, 6) AS mean,
+                round(sqrt(m2), 6) AS stddev,
+                round(m3 / pow(m2, 1.5), 6) AS skewness,
+                round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+         FROM (
+           SELECT event_type, n, mean,
+                  CAST(s2 AS DOUBLE) / nd - mean * mean AS m2,
+                  CAST(s3 AS DOUBLE) / nd - 3.0 * mean * (CAST(s2 AS DOUBLE) / nd)
+                    + 2.0 * mean * mean * mean AS m3,
+                  CAST(s4 AS DOUBLE) / nd - 4.0 * mean * (CAST(s3 AS DOUBLE) / nd)
+                    + 6.0 * mean * mean * (CAST(s2 AS DOUBLE) / nd)
+                    - 3.0 * mean * mean * mean * mean AS m4
+           FROM (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+                        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                        s2, s3, s4
+                 FROM ag))""",
     "ev_user_deltas" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
                epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms,
