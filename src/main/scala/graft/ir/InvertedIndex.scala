@@ -211,6 +211,35 @@ object InvertedIndex {
         array_min(col("dists")).as("min_dist"))
   }
 
+  /** Best-snippet window: for every document containing ALL three query
+    * terms, the smallest token window covering one occurrence of each —
+    * the span a result page highlights. Per doc the candidate windows
+    * are the tf(a)·tf(b)·tf(c) position triples, enumerated as a nested
+    * per-row array lambda over the three (bounded) position lists from
+    * the persisted positional relation; the winner is `array_min` over
+    * (len, start) structs — lexicographic struct order gives "shortest,
+    * then earliest" in one reduction. Same scale contract as
+    * [[proximityQuery]]: three `term = t` lookups joined on doc_id, pair
+    * work bounded per row by per-doc term frequencies, never a
+    * corpus-level position join.
+    */
+  def snippetWindow(spark: SparkSession, dir: String,
+                    a: String, b: String, c: String): DataFrame = {
+    val pos = positionsRelation(spark, dir)
+    def look(t: String, as: String) =
+      pos.filter(col("term") === t).select(col("doc_id"), col("positions").as(as))
+    val wins = flatten(transform(col("pa"), x =>
+      flatten(transform(col("pb"), y =>
+        transform(col("pc"), z => {
+          val lo = least(x, y, z); val hi = greatest(x, y, z)
+          struct((hi - lo + 1).as("len"), lo.as("start"))
+        })))))
+    look(a, "pa").join(look(b, "pb"), "doc_id").join(look(c, "pc"), "doc_id")
+      .select(col("doc_id"), array_min(wins).as("w"))
+      .select(col("doc_id"),
+        col("w.len").as("win_len"), col("w.start").as("win_start"))
+  }
+
   /** Prefix (wildcard `p*`) term search: per-term df and total tf for
     * every index term starting with `prefix`. Served from the persisted
     * term-clustered relation, where the StartsWith predicate prunes to
@@ -297,6 +326,7 @@ object InvertedIndex {
     "ir_phrase" -> ((s, d) => phraseQuery(s, d, demoPhrase)),
     "ir_proximity" -> ((s, d) => proximityQuery(s, d, demoNear._1, demoNear._2, demoNear._3)),
     "ir_prefix" -> ((s, d) => prefixSearch(s, d, demoPrefix)),
+    "ir_snippet" -> ((s, d) => snippetWindow(s, d, "spark", "table", "merge")),
     // E-family difference (EXCEPT was "Not present" in the reference —
     // SURVEY §2.7): docs containing spark but not merge
     "ir_boolean_not" -> ((s, d) => booleanQuery(s, d, "spark merge NOT")),
@@ -391,6 +421,29 @@ object InvertedIndex {
                 GROUP BY term, doc_id)
           WHERE term LIKE 'me%'
           GROUP BY term""",
+    // replay in (len, start) space: every position triple's window,
+    // ranked shortest-then-earliest — identical to the struct array_min
+    "ir_snippet" ->
+      s"""WITH tp AS (
+            SELECT doc_id, pos, toks[pos] AS term
+            FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks))) AS pos
+                  FROM (SELECT doc_id, $tokSql AS toks FROM documents))),
+          pa AS (SELECT doc_id, pos FROM tp WHERE term = 'spark'),
+          pb AS (SELECT doc_id, pos FROM tp WHERE term = 'table'),
+          pc AS (SELECT doc_id, pos FROM tp WHERE term = 'merge'),
+          wins AS (
+            SELECT pa.doc_id,
+                   greatest(pa.pos, pb.pos, pc.pos)
+                     - least(pa.pos, pb.pos, pc.pos) + 1 AS win_len,
+                   least(pa.pos, pb.pos, pc.pos) AS win_start,
+                   row_number() OVER (
+                     PARTITION BY pa.doc_id
+                     ORDER BY greatest(pa.pos, pb.pos, pc.pos)
+                                - least(pa.pos, pb.pos, pc.pos),
+                              least(pa.pos, pb.pos, pc.pos)) AS rk
+            FROM pa JOIN pb USING (doc_id) JOIN pc USING (doc_id))
+          SELECT doc_id, win_len, win_start FROM wins WHERE rk = 1""",
     // replay in position space: every (a-pos, b-pos) pair within the
     // window, counted and min'd per doc — identical to the array lambda
     "ir_proximity" ->
