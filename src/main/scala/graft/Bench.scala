@@ -31,8 +31,24 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case scala.util.control.NonFatal(_) => -1.0 }
 
+  /** Cumulative hypervisor STEAL jiffies (/proc/stat "cpu" line, field
+    * 9; -1 off-Linux). Recorded at run start and end: this box measured
+    * ~8% of its used CPU stolen by the host in bursts — identical code
+    * swung 86 → 110 s run-over-run with load_start ≈ 0.5 both times, and
+    * the load fields alone could not tell stolen cycles from a real
+    * regression. steal_end − steal_start is the run's stolen budget in
+    * 10 ms ticks (divide by 100 for seconds · cores).
+    */
+  private def stealJiffies(): Long =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.next().split("\\s+")(8).toLong
+    catch { case scala.util.control.NonFatal(_) => -1L }
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
+    val stealStart = stealJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
@@ -114,7 +130,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = loadAvg()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val stealTicks = // run's stolen CPU in 10 ms ticks (−1 = unreadable)
+      if (stealStart < 0) -1L else stealJiffies() - stealStart
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     // The full-fidelity record goes ONLY to target/bench.json — NOT to
     // stdout. The driver's BENCH artifact keeps the LAST ~2000 chars of
     // stdout (BENCH_r01..r05 all carry a 2000-char "tail", parsed:null):
@@ -179,7 +197,7 @@ object Bench {
       val omittedSec = math.rint(sortedBySec.drop(kept).map(_._2).sum * 1000) / 1000
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""sf":"$sfDir","n_queries":${results.length},"n_errors":${results.count(_._5.isDefined)},""" +
-        s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+        s""""load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,""" +
         s""""queries":${entries.mkString("{", ",", "}")},""" +
         s""""omitted_fastest":$omitted,"omitted_sec":$omittedSec,""" +
         (if (withGz) s""""queries_gz_b64":"$gzFull",""" else "") +
