@@ -89,6 +89,31 @@ object Events {
     "ev_session_window"-> ((s, d) => sessionWindow(s, d)),
   )
 
+  /** The gap-sessionization replay parametrized over its source
+    * relation, so scale tiers can splice an inflated-corpus CTE in front
+    * (streaming/Streaming st_sessions_big) while the fixture query and
+    * the tier share one oracle body.
+    */
+  def sessionizeOracleOn(src: String, prelude: String = ""): String =
+    s"""WITH $prelude g AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, event_id, ts, value,
+                   epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+                   lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+                 FROM $src)),
+         s AS (
+           SELECT user_id, ts, value,
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+                strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, session_id"""
+
   val oracles: Map[String, String] = Map(
     "ev_hourly_rollup" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -102,25 +127,7 @@ object Events {
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
          GROUP BY event_type""",
-    "ev_sessionize" ->
-      """WITH g AS (
-           SELECT user_id, event_id, ts, value,
-                  CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
-           FROM (SELECT user_id, event_id, ts, value,
-                   epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
-                   lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER
-                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
-                 FROM events)),
-         s AS (
-           SELECT user_id, ts, value,
-                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-           FROM g)
-         SELECT user_id, session_id, count(*) AS n_events,
-                strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-                strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-                CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
-         FROM s GROUP BY user_id, session_id""",
+    "ev_sessionize" -> sessionizeOracleOn("events"),
     // session_window semantics: micros-exact, break on gap >= 30 min
     // (exclusive window end), session_end = last event + gap
     "ev_session_window" ->

@@ -328,6 +328,11 @@ object Streaming {
     // batch execution here; the stream≡batch equivalence plus real
     // multi-microbatch watermark eviction is pinned in StreamingSpec
     "st_sliding_rollup_big" -> ((s, d) => slidingRollup(inflatedEvents(s, d))),
+    // STATEFUL scale tier: the flatMapGroupsWithState path at ×10 keys —
+    // the sliding tier stresses windowed-agg state, this one the custom
+    // per-key session state (user remap keeps every group bounded at its
+    // original size while the group COUNT scales ×10)
+    "st_sessions_big" -> ((s, d) => sessionizeStateful(inflatedEvents(s, d)).toDF()),
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,6 +380,16 @@ object Streaming {
          GROUP BY 1, 2""",
     // the ×10 inflation replayed as a cross join (only the time shift
     // matters to the rollup; id offsets don't reach the aggregate)
+    // the sessionize replay body over the spliced ×10 inflation CTE —
+    // same arithmetic as the sliding tier's inflation
+    "st_sessions_big" -> graft.events.Events.sessionizeOracleOn("inflated",
+      """inflated AS (
+           SELECT event_id * 10 + r AS event_id,
+                  user_id * 10 + r AS user_id,
+                  event_type,
+                  CAST(ts AS TIMESTAMP) + to_days(CAST(r * 7 AS INTEGER)) AS ts,
+                  value
+           FROM events, generate_series(0, 9) AS t(r)),"""),
     "st_sliding_rollup_big" ->
       """SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS window_start,
               event_type, count(*) AS n,

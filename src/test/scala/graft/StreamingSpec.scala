@@ -203,6 +203,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(coldSessions.forall(s => s.n_events == 1L && s.sum_value == 2.0))
   }
 
+  test("x10 stateful-session scale tier: AvailableNow stream equals batch at x10 groups") {
+    import org.apache.spark.sql.functions._
+    // the registered st_sessions_big corpus as a REAL stream. One source
+    // file → one microbatch: the fold flushes trailing sessions at group
+    // end, so a single-batch stream is exactly the batch execution (the
+    // documented contract; multi-batch session stitching needs
+    // EventTimeTimeout state, and the windowed ev_sessionize is the
+    // declared scale path for that shape).
+    val ev = Streaming.inflatedEvents(spark, sf, 10).cache()
+    val srcDir = java.nio.file.Files.createTempDirectory("st-sess-src")
+    try {
+      ev.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+      val q = Streaming.sessionizeStateful(
+          spark.readStream.schema(ev.schema).parquet(srcDir.toString))
+        .toDF()
+        .writeStream.format("memory").queryName("big_sessions")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("st-sess-chk").toString)
+        .start()
+      assert(q.awaitTermination(180000), "stream did not terminate")
+      def sess(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getDouble(5))).toSet
+      val want = sess(Streaming.sessionizeStateful(ev).toDF())
+      val got = sess(spark.table("big_sessions"))
+      assert(got == want, s"stream sessions drifted: ${got.size} vs ${want.size}")
+      // the tier does what it claims: x10 the base corpus's group count
+      val baseGroups = Streaming.sessionizeStateful(Tables.events(spark, sf))
+        .toDF().select(col("user_id")).distinct().count()
+      assert(ev.select(col("user_id")).distinct().count() == baseGroups * 10)
+    } finally ev.unpersist()
+  }
+
   test("x10 sliding-rollup scale tier: multi-batch stream equals batch, watermark evicts") {
     import org.apache.spark.sql.functions._
     // the registered st_sliding_rollup_big corpus, materialized into 6
