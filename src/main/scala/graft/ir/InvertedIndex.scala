@@ -253,6 +253,43 @@ object InvertedIndex {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).cast("long").as("total_tf"))
 
+  /** Spelling suggestion over the index vocabulary — the SymSpell
+    * deletion-index shape (Garbe's symmetric-delete algorithm): every
+    * vocab term is indexed under its 1-deletion variants (plus itself),
+    * the query typo explodes the same way, and candidates meet through a
+    * plain EQUI-JOIN on the deletion key — never an all-pairs edit
+    * distance over the vocabulary. The join admits distance ≤ 2
+    * candidates (deletion∩deletion covers substitutions/transposes), so
+    * an exact `levenshtein ≤ 1` post-filter on the (bounded) candidate
+    * set pins the distance contract; suggestions rank by corpus df.
+    * Scale shape: the deletion index is ~(len+1)× the vocab relation,
+    * built once from the persisted postings; the typo side is query-
+    * sized. At web vocab the same index serves every lookup — the
+    * build-once/query-many split again.
+    */
+  def spellSuggest(spark: SparkSession, dir: String,
+                   typos: Seq[String], topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Column
+    def delKeys(c: Column): Column = array_union(
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, lit(999)))),
+      array(c))
+    val vocab = postingsRelation(spark, dir)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val indexed = vocab.select(col("term"), col("df"),
+      explode(delKeys(col("term"))).as("key"))
+    val qs = spark.createDataFrame(typos.map(Tuple1(_))).toDF("typo")
+      .select(col("typo"), explode(delKeys(col("typo"))).as("key"))
+    val cand = indexed.join(broadcast(qs), "key")
+      .select(col("typo"), col("term"), col("df")).distinct()
+      .where(levenshtein(col("typo"), col("term")) <= 1)
+    cand.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("typo"))
+          .orderBy(col("df").desc, col("term"))))
+      .where(col("rank") <= topN)
+      .select(col("typo"), col("rank"), col("term"), col("df"))
+  }
+
   /** Index-size accounting — the analog of the reference's compression
     * envelope golden (`assignment3.md:3-20`: a 3.8 MB Shakespeare index /
     * 433.4 MB enwiki index, gap+VInt coded). SURVEY §2.8 X15 delegates
@@ -327,6 +364,7 @@ object InvertedIndex {
     "ir_proximity" -> ((s, d) => proximityQuery(s, d, demoNear._1, demoNear._2, demoNear._3)),
     "ir_prefix" -> ((s, d) => prefixSearch(s, d, demoPrefix)),
     "ir_snippet" -> ((s, d) => snippetWindow(s, d, "spark", "table", "merge")),
+    "ir_spellfix" -> ((s, d) => spellSuggest(s, d, Seq("merg", "spak", "tble"))),
     // E-family difference (EXCEPT was "Not present" in the reference —
     // SURVEY §2.7): docs containing spark but not merge
     "ir_boolean_not" -> ((s, d) => booleanQuery(s, d, "spark merge NOT")),
@@ -421,6 +459,32 @@ object InvertedIndex {
                 GROUP BY term, doc_id)
           WHERE term LIKE 'me%'
           GROUP BY term""",
+    // deletion-index replay: same 1-deletion key space, same equi-join,
+    // same exact levenshtein post-filter and (df desc, term) ranking
+    "ir_spellfix" ->
+      s"""WITH vocab AS MATERIALIZED (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents)
+            GROUP BY term),
+          idx AS (
+            SELECT term, df,
+                   unnest(list_append(list_transform(generate_series(1, length(term)),
+                     i -> substr(term, 1, i - 1) || substr(term, i + 1, 999)), term)) AS key
+            FROM vocab),
+          q AS (
+            SELECT typo,
+                   unnest(list_append(list_transform(generate_series(1, length(typo)),
+                     i -> substr(typo, 1, i - 1) || substr(typo, i + 1, 999)), typo)) AS key
+            FROM (SELECT unnest(['merg', 'spak', 'tble']) AS typo)),
+          cand AS (
+            SELECT DISTINCT typo, term, df
+            FROM idx JOIN q USING (key)
+            WHERE levenshtein(typo, term) <= 1)
+          SELECT typo,
+                 CAST(row_number() OVER (PARTITION BY typo ORDER BY df DESC, term) AS INT) AS rank,
+                 term, df
+          FROM cand
+          QUALIFY rank <= 3""",
     // replay in (len, start) space: every position triple's window,
     // ranked shortest-then-earliest — identical to the struct array_min
     "ir_snippet" ->
