@@ -642,7 +642,18 @@ object Dedup {
     * bucket / doc id, and the exact-verify join touches candidates
     * only. Cost scales with batch × collision rate, not corpus².
     */
-  def incremental(spark: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
+  /** `bloomExact = true` routes the exact-fingerprint membership check
+    * through a bloom of the corpus fingerprints (the op_bloom_join
+    * runtime-filter composition): at 100 TB the corpus fp relation is
+    * batch-side-dwarfing, and the bloom — a persistable artifact of the
+    * previous run, O(bits) regardless of corpus size — lets the
+    * overwhelmingly-novel batch skip the membership shuffle entirely;
+    * only bloom HITS (true dups + the bounded FP fraction) reach the
+    * exact semi-join, which removes false positives, so the output is
+    * identical to the exact form and shares its oracle.
+    */
+  def incremental(spark: SparkSession, dir: String, minJaccard: Double = 0.5,
+                  bloomExact: Boolean = false): DataFrame = {
     val bucket = expr(
       "pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10), 100)")
     val docs = Tables.documents(spark, dir)
@@ -652,7 +663,13 @@ object Dedup {
 
     val fps = Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("fp"))
     val corpusFps = fps.join(corpusIds, "doc_id").select(col("fp")).distinct()
-    val exactDup = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+    val batchFps = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+    val exactProbe =
+      if (bloomExact)
+        graft.operators.RuntimeFilter.bloomPruned(
+          batchFps, "fp", corpusFps, "fp", estItems = 100000L)
+      else batchFps
+    val exactDup = exactProbe
       .join(corpusFps, Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_dup"))
 
@@ -872,6 +889,10 @@ object Dedup {
     "dedup_group_sizes"   -> ((s, d) => groupSizeHistogram(s, d)),
     "dedup_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental"   -> ((s, d) => incremental(s, d)),
+    // the bloom-runtime-filter composition; output-identical by the
+    // zero-false-negative + exact-verify contract, so it shares the
+    // exact form's oracle below
+    "dedup_incremental_bloom" -> ((s, d) => incremental(s, d, bloomExact = true)),
     "dedup_passages"      -> ((s, d) => dupPassages(s, d)),
     "dedup_boilerplate"   -> ((s, d) => boilerplate(s, d)),
   )
@@ -946,7 +967,13 @@ object Dedup {
     // at j ≥ 0.9, so the hash gate relies on the fixture's planted dups
     // being ≥ 0.9 (they are); a future planted pair with J in [0.5, 0.9)
     // would flip this row red without any code change.
-    "dedup_incremental" ->
+    "dedup_incremental" -> incrementalOracle,
+    // output-identical by construction (bloom admits every true dup, the
+    // exact semi-join removes false positives) — the SAME replay
+    "dedup_incremental_bloom" -> incrementalOracle,
+  ) ++ oraclesTail
+
+  private lazy val incrementalOracle: String =
       s"""WITH $shSql,
           b AS (SELECT doc_id,
                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
@@ -970,7 +997,9 @@ object Dedup {
                  nr.doc_id IS NOT NULL AS near_dup,
                  ex.doc_id IS NULL AND nr.doc_id IS NULL AS keep
           FROM batch LEFT JOIN ex ON batch.doc_id = ex.doc_id
-                     LEFT JOIN nr ON batch.doc_id = nr.doc_id""",
+                     LEFT JOIN nr ON batch.doc_id = nr.doc_id"""
+
+  private lazy val oraclesTail: Map[String, String] = Map(
     "dedup_passages" ->
       s"""WITH sh8 AS (
             SELECT doc_id,
