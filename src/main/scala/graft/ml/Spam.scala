@@ -241,8 +241,8 @@ object Spam {
     * Σ cnt·coalesce(w, 0) is an exact order-free decimal sum; spam iff
     * score > 0.
     */
-  def applySeq(spark: SparkSession, dir: String): DataFrame = {
-    val w = trainSeqShared(spark, dir)
+  def applySeq(spark: SparkSession, dir: String, maxDocid: Long = SeqDocs): DataFrame = {
+    val w = trainSeqShared(spark, dir, maxDocid)
       .select(col("feature"), col("weight").cast("decimal(18,9)").as("w"))
     BatchLogit.occurrences(spark, dir)
       .groupBy(col("docid"), col("label"), col("feature"))
@@ -352,13 +352,13 @@ object Spam {
     * lose scale), so votes and the avg sign are decimal-exact; only the
     * reported avg_score divides in double, on identical inputs.
     */
-  def ensembleSeq(spark: SparkSession, dir: String): DataFrame = {
+  def ensembleSeq(spark: SparkSession, dir: String, maxDocid: Long = SeqDocs): DataFrame = {
     val occ = BatchLogit.occurrences(spark, dir)
       .groupBy(col("docid"), col("label"), col("feature"))
       .agg(count(lit(1)).as("cnt"))
     val zero9 = lit(java.math.BigDecimal.ZERO).cast("decimal(18,9)")
     val scores = (0 until 3).map { m =>
-      val w = trainSeqShared(spark, dir, shardMod = m)
+      val w = trainSeqShared(spark, dir, maxDocid, shardMod = m)
         .select(col("feature"), col("weight").cast("decimal(18,9)").as("w"))
       occ.join(broadcast(w), Seq("feature"), "left_outer")
         .groupBy(col("docid"), col("label"))
@@ -447,6 +447,116 @@ object Spam {
                              shuffleSeed: Option[Long] = None): String =
     "WITH " + trainSeqCtes(steps, numFeatures, shuffleSeed = shuffleSeed) + s"""
           SELECT feature, CAST(w AS DOUBLE) AS weight FROM w$steps"""
+
+  /** RECURSIVE replay of [[trainSeq]] at FULL-CORPUS size — the r7 gap
+    * closer: [[trainSeqCtes]] unrolls one CTE per step, which caps the
+    * oracle at [[SeqDocs]] instances; this form instead carries the whole
+    * weight table through a single `WITH RECURSIVE` iteration (one
+    * iteration per instance, step count data-driven via `max(rn)`), so
+    * the full-corpus order-dependent fold goes under the DuckDB hash gate
+    * with no docid bound. The per-step scalar — score_i = Σ cnt·w over
+    * the step's occurrence rows — is a window SUM over the working table
+    * LEFT-joined to `occ` at rn = it+1 (DuckDB 1.0 permits window
+    * aggregates in the recursive term; verified equal to the unrolled
+    * chain at 40 steps). Types pin the identical exact-decimal grid:
+    * cnt DECIMAL(4,0), w DECIMAL(18,9), prob DECIMAL(9,6),
+    * inc DECIMAL(12,9). Docs with no tokens hold an `inst` row but no
+    * `occ` rows: their iteration multiplies inc by coalesce(cnt, 0) = 0 —
+    * a no-op, exactly as the Spark fold (which never sees them) behaves.
+    */
+  private def trainSeqRecCtes(numFeatures: Int, sfx: String = "",
+                              shardMod: Int = -1): String = {
+    val shard = if (shardMod < 0) "TRUE" else s"doc_id % 3 = $shardMod"
+    s"""inst$sfx AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id AS docid,
+                 CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS label
+          FROM (SELECT doc_id, $tokSql AS toks FROM documents WHERE $shard)),
+        occ$sfx AS MATERIALIZED (
+          SELECT i.rn, f.feature, CAST(count(*) AS DECIMAL(4,0)) AS cnt
+          FROM inst$sfx i JOIN (
+            SELECT doc_id AS docid,
+                   unnest(list_transform(toks,
+                     w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % $numFeatures)) AS feature
+            FROM (SELECT doc_id, $tokSql AS toks FROM documents WHERE $shard)) f
+            ON i.docid = f.docid
+          GROUP BY i.rn, f.feature),
+        wr$sfx(it, feature, w) AS (
+          SELECT 0, feature, CAST(0 AS DECIMAL(18,9))
+          FROM (SELECT DISTINCT feature FROM occ$sfx)
+          UNION ALL
+          SELECT it + 1, feature,
+            CAST(w + coalesce(cnt, CAST(0 AS DECIMAL(4,0))) *
+              CAST((CAST(lbl AS DECIMAL(2,0)) -
+                    CAST(round(1.0 / (1.0 + exp(-CAST(scr AS DOUBLE))), 6) AS DECIMAL(9,6)))
+                   * CAST(0.002 AS DECIMAL(4,3)) AS DECIMAL(12,9)) AS DECIMAL(18,9))
+          FROM (
+            SELECT p.it AS it, p.feature AS feature, p.w AS w, o.cnt AS cnt,
+                   (SELECT i.label FROM inst$sfx i WHERE i.rn = p.it + 1) AS lbl,
+                   coalesce(sum(coalesce(o.cnt, CAST(0 AS DECIMAL(4,0))) * p.w)
+                            OVER (), 0) AS scr
+            FROM wr$sfx p LEFT JOIN occ$sfx o
+              ON o.rn = p.it + 1 AND o.feature = p.feature
+            WHERE p.it < (SELECT max(rn) FROM inst$sfx))),
+        wf$sfx AS MATERIALIZED (
+          SELECT feature, w FROM wr$sfx
+          WHERE it = (SELECT max(rn) FROM inst$sfx))"""
+  }
+
+  private def trainFullOracle(numFeatures: Int): String =
+    "WITH RECURSIVE " + trainSeqRecCtes(numFeatures) + s"""
+          SELECT feature, CAST(w AS DOUBLE) AS weight FROM wf"""
+
+  /** [[applySeqOracle]] with the recursive full-corpus chain as the model. */
+  private def applyFullOracle(numFeatures: Int): String =
+    "WITH RECURSIVE " + trainSeqRecCtes(numFeatures) + s""",
+          occf AS MATERIALIZED (
+            SELECT docid, label, feature, CAST(count(*) AS DECIMAL(6,0)) AS cnt
+            FROM (SELECT doc_id AS docid,
+                         CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS label,
+                         unnest(list_transform(toks,
+                           w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % $numFeatures)) AS feature
+                  FROM (SELECT doc_id, $tokSql AS toks FROM documents))
+            GROUP BY docid, label, feature),
+          wd AS (SELECT feature,
+                        CAST(CAST(w AS DOUBLE) AS DECIMAL(18,9)) AS w
+                 FROM wf)
+          SELECT docid, label, CAST(score_d AS DOUBLE) AS score,
+                 CASE WHEN score_d > 0 THEN 'spam' ELSE 'ham' END AS predicted
+          FROM (SELECT o.docid, o.label,
+                       sum(o.cnt * coalesce(w.w, CAST(0 AS DECIMAL(18,9)))) AS score_d
+                FROM occf o LEFT JOIN wd w USING (feature)
+                GROUP BY o.docid, o.label)"""
+
+  /** [[ensembleSeqOracle]] with three recursive full-shard chains. */
+  private def ensembleFullOracle(numFeatures: Int): String = {
+    val chains = (0 until 3).map(m =>
+      trainSeqRecCtes(numFeatures, sfx = s"m${m}_", shardMod = m))
+    val scoring = (0 until 3).map(m => s""",
+          wd$m AS (SELECT feature, CAST(CAST(w AS DOUBLE) AS DECIMAL(18,9)) AS w
+                   FROM wfm${m}_),
+          sc$m AS MATERIALIZED (
+            SELECT o.docid, o.label,
+                   CAST(sum(o.cnt * coalesce(w.w, CAST(0 AS DECIMAL(18,9))))
+                        AS DECIMAL(18,9)) AS s_$m
+            FROM occf o LEFT JOIN wd$m w USING (feature)
+            GROUP BY o.docid, o.label)""").mkString
+    def sign(c: String) = s"(CASE WHEN $c > 0 THEN 1 WHEN $c < 0 THEN -1 ELSE 0 END)"
+    "WITH RECURSIVE " + chains.mkString(",\n          ") + s""",
+          occf AS MATERIALIZED (
+            SELECT docid, label, feature, CAST(count(*) AS DECIMAL(6,0)) AS cnt
+            FROM (SELECT doc_id AS docid,
+                         CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS label,
+                         unnest(list_transform(toks,
+                           w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % $numFeatures)) AS feature
+                  FROM (SELECT doc_id, $tokSql AS toks FROM documents))
+            GROUP BY docid, label, feature)$scoring
+          SELECT docid, label,
+                 CAST(s_0 + s_1 + s_2 AS DOUBLE) / 3.0 AS avg_score,
+                 CASE WHEN s_0 + s_1 + s_2 > 0 THEN 'spam' ELSE 'ham' END AS predicted_avg,
+                 CASE WHEN ${sign("s_0")} + ${sign("s_1")} + ${sign("s_2")} > 0
+                      THEN 'spam' ELSE 'ham' END AS predicted_vote
+          FROM sc0 JOIN sc1 USING (docid, label) JOIN sc2 USING (docid, label)"""
+  }
 
   /** DuckDB replay of [[applySeq]]: the [[trainSeqCtes]] chain, a
     * full-corpus occurrence-count table, and the scoring join. The
@@ -567,13 +677,18 @@ object Spam {
                 FROM ag)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Full-corpus sequential folds / model-dependent outputs: no SQL
-    // oracle at corpus size (rows-only driver check); the exact-match
-    // oracle lives in SpamSpec against an in-test reference fold, and the
-    // ORDER-DEPENDENT fold protocol itself is hash-gated through the
-    // bounded spam_train_seq below.
-    "spam_train"     -> ((s, d) => trainShared(s, d)
-      .select(col("feature"), round(col("weight"), 6).as("weight"))),
+    // FULL-CORPUS sequential fold / scoring / ensemble, hash-gated as of
+    // round 8: the exact-decimal fold protocol (proven at 40 unrolled-CTE
+    // steps by the _seq twins below) run with no docid bound, replayed by
+    // a RECURSIVE DuckDB CTE — one iteration per instance, step count
+    // data-driven. The reference's raw-double fold semantics stay pinned
+    // in SpamSpec (train/applyModel/ensemble vs an in-test scalar fold).
+    "spam_train"     -> ((s, d) => trainSeqShared(s, d, Long.MaxValue)),
+    "spam_apply"     -> ((s, d) => applySeq(s, d, Long.MaxValue)),
+    "spam_ensemble"  -> ((s, d) => ensembleSeq(s, d, Long.MaxValue)),
+    // Bounded 40-step twins: the same recurrence under the UNROLLED
+    // chained-CTE oracle — kept as the independent cross-check of the
+    // recursive replay (two oracle constructions, one fold).
     "spam_train_seq" -> ((s, d) => trainSeqShared(s, d)),
     // O4 under the hash gate: identical fold, seeded-shuffle training
     // order — a different weight table than spam_train_seq whenever the
@@ -585,25 +700,18 @@ object Spam {
     // held-out hash-split bucket — integer rank arithmetic, hash-gated
     "ml_roc_auc"     -> ((s, d) => rocAuc(s, d)),
     "ml_calibration" -> ((s, d) => calibration(s, d)),
-    "spam_apply"     -> ((s, d) => applyModel(instancesShared(s, d), trainShared(s, d))
-      .select(col("docid"), col("label"), round(col("score"), 6).as("score"), col("predicted"))),
-    "spam_ensemble"  -> ((s, d) => ensemble(s, d)),
   )
 
-  /** spam_train/apply/ensemble stay oracle-less BY NECESSITY: the
-    * full-corpus sequential SGD fold (each instance's gradient step
-    * depends on all prior steps, reference protocol) cannot unroll into
-    * SQL at corpus size. Their correctness is still HARD-pinned in-repo:
-    * SpamSpec proves the distributed train equals the scalar reference
-    * fold exactly, and then proves spam_apply / spam_ensemble outputs
-    * equal scoring/combining with that spec-verified fold model (exact
-    * equality on the 6-dp outputs, not just the AUC bar). The fold
-    * SEMANTICS are additionally hash-gated: spam_train_seq (docid order)
-    * and spam_train_seq_shuffled (seeded md5-hash order — the O4
-    * operator) run the same per-instance recurrence over a bounded docid
-    * prefix with full chained-CTE DuckDB oracles.
+  /** Every spam row is hash-gated as of round 8. The full-corpus trio
+    * replays through [[trainSeqRecCtes]] (recursive CTE, data-driven step
+    * count); the bounded `_seq` twins keep the independent UNROLLED
+    * construction of the same recurrence; the reference's raw-double fold
+    * stays spec-pinned in SpamSpec (scalar in-test fold, exact equality).
     */
   val oracles: Map[String, String] = Map(
+    "spam_train" -> trainFullOracle(BatchLogit.NumFeatures),
+    "spam_apply" -> applyFullOracle(BatchLogit.NumFeatures),
+    "spam_ensemble" -> ensembleFullOracle(BatchLogit.NumFeatures),
     "spam_train_seq" -> trainSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
     "spam_train_seq_shuffled" ->
       trainSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures, Some(ShuffleSeed)),

@@ -252,6 +252,30 @@ class SpamSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  /** The r8 registry spam_train row — the exact-decimal fold with NO
+    * docid bound (recursive-CTE-gated driver-side) — against the same
+    * scalar replay over the whole corpus.
+    */
+  test("full-corpus fold (registry spam_train) matches a scalar exact-decimal replay") {
+    import graft.ml.BatchLogit
+    val Half = BigDecimal.RoundingMode.HALF_UP
+    val occ = BatchLogit.occurrences(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val w = scala.collection.mutable.HashMap.empty[Long, BigDecimal]
+    occ.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      val label = rows.head._2
+      val feats = rows.map(_._3)
+      val score = feats.map(f => w.getOrElse(f, BigDecimal(0))).sum
+      val prob = BigDecimal(1.0 / (1.0 + math.exp(-score.toDouble))).setScale(6, Half)
+      val inc = (BigDecimal(label) - prob) * BigDecimal("0.002")
+      feats.foreach(f => w.update(f, w.getOrElse(f, BigDecimal(0)) + inc))
+    }
+    val want = w.map { case (f, wt) => f -> wt.toDouble }.toMap
+    val got = Spam.queries("spam_train")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
   test("bounded-model scoring matches a scalar decimal replay") {
     import graft.ml.BatchLogit
     val w = Spam.trainSeq(spark, sf).collect()
@@ -306,19 +330,28 @@ class SpamSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  /** Pins the no-oracle full-corpus rows: spam_apply's output must equal
+  /** Pins the reference raw-double scoring semantics (as of r8 the
+    * REGISTRY spam_apply row is the exact-decimal full-corpus form under
+    * the recursive-CTE hash gate; the double form stays spec-pinned here
+    * per the r7 verdict): applyModel over the full train fold must equal
     * applying the SpamSpec-verified scalar fold model (the one proven
     * exact against the distributed train above) — a hard in-repo equality
     * guarantee, not just the AUC bar. Tolerance 1e-9 on the 6-dp-rounded
     * score absorbs partial-agg double-merge-order ulps without ever
     * letting a wrong weight (δ = 2e-3 scale) through.
     */
-  test("spam_apply equals scoring with the spec-verified scalar fold model") {
+  test("double-form apply equals scoring with the spec-verified scalar fold model") {
     val w = referenceTrain(collectedInstances)
     val want = collectedInstances.map { case (d, l, feats) =>
       (d, l) -> feats.map(f => w.getOrElse(f, 0.0)).sum
     }.toMap
-    val got = Spam.queries("spam_apply")(spark, sf).collect()
+    val got = Spam.applyModel(Spam.instancesShared(spark, sf), Spam.trainShared(spark, sf))
+      .select(org.apache.spark.sql.functions.col("docid"),
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("score"), 6).as("score"),
+        org.apache.spark.sql.functions.col("predicted"))
+      .collect()
       .map(r => (r.getLong(0), r.getInt(1)) ->
         (r.getDouble(2), r.getString(3))).toMap
     assert(got.keySet == want.keySet)
@@ -330,10 +363,12 @@ class SpamSpec extends AnyFunSuite {
     }
   }
 
-  /** Same pin for spam_ensemble: three scalar shard folds, scored and
-    * combined exactly as [[Spam.ensemble]] declares.
+  /** Same pin for the double-form ensemble: three scalar shard folds,
+    * scored and combined exactly as [[Spam.ensemble]] declares (the
+    * registry spam_ensemble row is the exact-decimal recursive-gated
+    * form as of r8).
     */
-  test("spam_ensemble equals combining the three spec-verified shard folds") {
+  test("double-form ensemble equals combining the three spec-verified shard folds") {
     val inst = collectedInstances
     val shardScores = (0 until 3).map { m =>
       val w = referenceTrain(inst.filter { case (d, _, _) =>
@@ -342,7 +377,7 @@ class SpamSpec extends AnyFunSuite {
         (d, l) -> feats.map(f => w.getOrElse(f, 0.0)).sum
       }.toMap
     }
-    val got = Spam.queries("spam_ensemble")(spark, sf).collect()
+    val got = Spam.ensemble(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) ->
         (r.getDouble(2), r.getString(3), r.getString(4))).toMap
     assert(got.keySet == shardScores.head.keySet)
