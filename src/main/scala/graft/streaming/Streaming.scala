@@ -106,8 +106,9 @@ object Streaming {
   /** Per-user sessionizer: sort the user's events by (ts, event_id),
     * break sessions on a >gap silence, number them 1..k. Emits every
     * session including the trailing one — correct for batch and for an
-    * AvailableNow stream end; a live stream would hold the open session
-    * in `state` until the event-time timeout fires.
+    * AvailableNow stream end; [[sessionizeStitching]] is the live-stream
+    * form that holds the open session in `state` until the event-time
+    * timeout fires.
     *
     * MEMORY CONTRACT: `rows.toArray` materializes ONE USER's events in
     * the executor task that owns that group — required because session
@@ -170,6 +171,109 @@ object Streaming {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         sessionFold(gapMs))
+  }
+
+  /** The open-session state [[sessionStitchFold]] carries across
+    * microbatches: aggregates only (never the member events), so state
+    * per active user is O(1) regardless of session length — the 100 TB
+    * contract. sum is held in exact integer cents (each event's value
+    * HALF_UP to 2 dp, like the batch plan's DECIMAL(12,2) sum).
+    */
+  final case class OpenSess(session_id: Long, startUs: Long, endUs: Long,
+                            n: Long, sumCents: Long)
+
+  /** Cross-microbatch session stitch (r7 verdict ask 2 — the live-stream
+    * form [[sessionizeStateful]]'s NoTimeout contract excluded): new rows
+    * merge into the per-user OPEN session held in `GroupState`; a session
+    * closes and EMITS either when a later event breaks the gap, or when
+    * the event-time timeout fires — the watermark passing
+    * `session_end + gap` proves no in-order event can extend it. A
+    * session whose events span microbatches is stitched through the
+    * state, emitted once, with the same numbering/bounds/sum as the
+    * batch plan.
+    *
+    * Delivery contract: stitching assumes per-user event-time order
+    * ACROSS batches (time-partitioned ingestion — a file source over
+    * time-sliced files, a Kafka topic with event-time-ordered producers);
+    * within a batch rows are sorted here. An out-of-order event landing
+    * within the open session's span merges correctly (min/max bounds);
+    * one older than `open.start - gap` would belong to an already-closed
+    * session and cannot be re-opened — the same finality every
+    * watermark-based operator declares.
+    */
+  private def sessionStitchFold(gapMs: Long)(
+      userId: Long, rows: Iterator[EvW], state: GroupState[OpenSess]): Iterator[Session] = {
+    def toSession(o: OpenSess): Session =
+      Session(userId, o.session_id, o.n,
+        fmtMicros(o.startUs), fmtMicros(o.endUs), o.sumCents / 100.0)
+    if (state.hasTimedOut) {
+      // watermark passed end + gap: nothing in-order can extend it — final
+      val out = state.getOption.map(toSession).iterator
+      state.remove()
+      out
+    } else {
+      val evs = rows.toArray.sortBy(e => (e.tsMicros, e.event_id))
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var cur = state.getOption
+        evs.foreach { e =>
+          val ms = Math.floorDiv(e.tsMicros, 1000L)
+          val cents = (BigDecimal(e.value)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+          cur = cur match {
+            case Some(o) if ms - Math.floorDiv(o.endUs, 1000L) > gapMs =>
+              out += toSession(o)
+              Some(OpenSess(o.session_id + 1, e.tsMicros, e.tsMicros, 1L, cents))
+            case Some(o) =>
+              Some(OpenSess(o.session_id, math.min(o.startUs, e.tsMicros),
+                math.max(o.endUs, e.tsMicros), o.n + 1, o.sumCents + cents))
+            case None =>
+              Some(OpenSess(1L, e.tsMicros, e.tsMicros, 1L, cents))
+          }
+        }
+        val o = cur.get
+        state.update(o)
+        state.setTimeoutTimestamp(Math.floorDiv(o.endUs, 1000L) + gapMs + 1L)
+        out.iterator
+      }
+    }
+  }
+
+  /** [[Ev]] plus the raw event-time column: EventTimeTimeout requires the
+    * watermarked timestamp to survive into the grouped Dataset.
+    */
+  final case class EvW(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                       tsMicros: Long, value: Double)
+
+  /** LIVE-STREAM sessionization: [[sessionizeStateful]]'s fold emits the
+    * trailing session at group end (exact for batch and for a one-batch
+    * AvailableNow run — the registered gate form); this one runs under
+    * `EventTimeTimeout` and holds each user's open session in O(1) state
+    * until the watermark proves it closed, so sessions SPANNING
+    * microbatch boundaries stitch into one. Sessions still open when the
+    * stream ends are retained in the checkpoint, not emitted — correct
+    * live semantics (a restart resumes them). StreamingSpec drives a
+    * 4-file maxFilesPerTrigger=1 AvailableNow run with sessions crossing
+    * every file boundary and proves the emitted set equals the batch
+    * plan.
+    */
+  def sessionizeStitching(events: DataFrame, gapMinutes: Int = 30,
+                          watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[EvW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionStitchFold(gapMs))
   }
 
   /** Stream-stream interval self-join: each purchase pairs with the same

@@ -208,9 +208,8 @@ class StreamingSpec extends AnyFunSuite {
     // the registered st_sessions_big corpus as a REAL stream. One source
     // file → one microbatch: the fold flushes trailing sessions at group
     // end, so a single-batch stream is exactly the batch execution (the
-    // documented contract; multi-batch session stitching needs
-    // EventTimeTimeout state, and the windowed ev_sessionize is the
-    // declared scale path for that shape).
+    // documented contract; the multi-batch EventTimeTimeout stitch is
+    // sessionizeStitching, pinned by its own spec below).
     val ev = Streaming.inflatedEvents(spark, sf, 10).cache()
     val srcDir = java.nio.file.Files.createTempDirectory("st-sess-src")
     try {
@@ -236,6 +235,62 @@ class StreamingSpec extends AnyFunSuite {
         .toDF().select(col("user_id")).distinct().count()
       assert(ev.select(col("user_id")).distinct().count() == baseGroups * 10)
     } finally ev.unpersist()
+  }
+
+  test("multi-microbatch stitching: sessions spanning file boundaries equal the batch plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 users whose sessions cross EVERY file boundary (gap 30 min):
+    //   u1: t0,t10 | t35        | t80   → s1=[t0..t35] n=3 (spans f1-f2), s2=[t80]
+    //   u2: t5     | t50        | t70   → s1=[t5],  s2=[t50..t70] n=2 (spans f2-f3)
+    //   u3: t0     | t40        | t65   → s1=[t0],  s2=[t40..t65] n=2 (spans f2-f3)
+    // plus file 4: a far-future flusher event (user 999) that advances
+    // the watermark past every real session's end+gap, so EventTimeTimeout
+    // emits them all; the flusher's own session stays open (never emitted)
+    val base = 1700000000000000L // µs
+    def evs(rows: Seq[(Long, Long, Long, Double)]) = // (user, id, minute, value)
+      rows.toDF("user_id", "event_id", "m", "value")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(lit(base) + col("m") * 60L * 1000000L).as("ts"), col("value"))
+    val f1 = evs(Seq((1L, 1L, 0L, 1.25), (1L, 2L, 10L, 2.0), (2L, 3L, 5L, 0.5),
+      (3L, 4L, 0L, 3.0)))
+    val f2 = evs(Seq((1L, 5L, 35L, 1.0), (2L, 6L, 50L, 2.5), (3L, 7L, 40L, 0.75)))
+    val f3 = evs(Seq((1L, 8L, 80L, 4.0), (2L, 9L, 70L, 1.5), (3L, 10L, 65L, 2.25)))
+    val f4 = evs(Seq((999L, 11L, 60L * 24 * 10, 0.0))) // +10 days
+    val srcDir = java.nio.file.Files.createTempDirectory("st-stitch-src")
+    Seq(f1, f2, f3, f4).foreach { f =>
+      f.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      Thread.sleep(20) // distinct mtimes: source lists files in arrival order
+    }
+    val q = Streaming.sessionizeStitching(
+        spark.readStream.schema(f1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString))
+      .toDF()
+      .writeStream.format("memory").queryName("stitch_sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("st-stitch-chk").toString)
+      .start()
+    assert(q.awaitTermination(180000), "stream did not terminate")
+    // one microbatch per file: the boundary-spanning sessions really did
+    // arrive split across batches
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4,
+      "expected exactly one microbatch per source file")
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getDouble(5))).toSet
+    val got = sess(spark.table("stitch_sessions"))
+    // batch truth over the real users (flusher excluded: its trailing
+    // session is OPEN at stream end — correct live semantics)
+    val want = sess(Streaming.sessionizeStateful(
+      f1.union(f2).union(f3)).toDF())
+    assert(got == want, s"stitched sessions drifted: $got vs $want")
+    assert(want.size == 6)
+    // and the stitch genuinely crossed batches: u1 session 1 holds events
+    // from files 1 AND 2
+    assert(got.exists { case (u, s, n, _, _, v) => u == 1L && s == 1L && n == 3L &&
+      v == 4.25 })
   }
 
   test("x10 sliding-rollup scale tier: multi-batch stream equals batch, watermark evicts") {
