@@ -563,11 +563,21 @@ object Similarity {
     */
   def topKIvfPq(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
     val (assigned, cents) = ivfAssign(spark, dir)
-    val cb = pqCodebooks(spark, dir)
-    val codes = pqCodes(spark, dir)
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("norm").as("qn"))
+    ivfPqRank(queries, cents, pqCodebooks(spark, dir), pqCodes(spark, dir),
+      assigned.select(col("vec_id"), col("cell")), k)
+  }
+
+  /** The IVF-PQ query plan over EXPLICIT index relations — the shared
+    * core of [[topKIvfPq]] (session-memoized index) and
+    * [[topKIvfPqPersisted]] (index reloaded from Parquet artifacts):
+    * `cents` (cell, ce, cn), `cb` (m, cell, ce, cn2), `codes`
+    * (vec_id, m, code), `cells` (vec_id, cell).
+    */
+  private def ivfPqRank(queries: DataFrame, cents: DataFrame, cb: DataFrame,
+                        codes: DataFrame, cells: DataFrame, k: Int): DataFrame = {
     val probes = queries.join(broadcast(cents))
       .select(col("query_id"), col("qe"), col("qn"), col("cell"),
         centCos(col("qe"), col("qn"), col("ce"), col("cn")).as("ccos"))
@@ -578,7 +588,7 @@ object Similarity {
     // members of probed cells; each vector sits in exactly one cell and
     // probe cells are distinct per query, so (query, vec) is unique
     val cand = probes
-      .join(assigned.select(col("vec_id"), col("cell")), Seq("cell"))
+      .join(cells, Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
     // lut columns renamed so the join condition names distinct
@@ -607,6 +617,59 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("pqcos").desc, col("vec_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("pqcos"), col("rank"))
+  }
+
+  /** ANN index artifact lifecycle (r7 verdict ask 3): at 100 TB the
+    * index BUILD (quantizer training, assignment, encoding) and the
+    * query job are different jobs — the trained index must round-trip
+    * through storage, not live in one session's memo. Each artifact is
+    * written once per (session, dir) to a deterministic Parquet
+    * directory and handed back as a FRESH scan relation (lineage roots
+    * at the files, not the build plan), so every consumer provably runs
+    * off the persisted bytes. Floats/doubles/ints round-trip Parquet
+    * bit-exactly, hence reloaded query results are identical by
+    * construction — proven by the hash-gated sim_index_persist (same
+    * oracle as sim_topk_ivfpq) and by the side-by-side spec.
+    */
+  private def indexArtifact(spark: SparkSession, dir: String, name: String)
+                           (src: => DataFrame): DataFrame =
+    graft.Caches.memoized(spark, dir, s"sim:annidx:$name") {
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-ann-index-" +
+          java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes)
+            .map("%02x".format(_)).mkString)
+      val path = base.resolve(name).toString
+      src.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+  /** Write the full IVF-PQ index (coarse centroids, PQ codebooks, PQ
+    * codes, cell assignment) to `graft-ann-index-*` under the JVM temp
+    * dir and reload each artifact as a Parquet relation. Returns
+    * (cents, cb, codes, cells).
+    */
+  def persistedIvfPqIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = (
+    indexArtifact(spark, dir, "ivf_centroids")(ivfCentroids(spark, dir)),
+    indexArtifact(spark, dir, "pq_codebooks")(pqCodebooks(spark, dir)),
+    indexArtifact(spark, dir, "pq_codes")(pqCodes(spark, dir)),
+    indexArtifact(spark, dir, "ivf_cells")(
+      ivfAssign(spark, dir)._1.select(col("vec_id"), col("cell"))))
+
+  /** [[topKIvfPq]] served from the PERSISTED index: identical plan,
+    * identical numbers, but every index relation scans the Parquet
+    * artifacts written by [[persistedIvfPqIndex]] — the operational
+    * "build once, query from storage" half of the ANN story. Query
+    * vectors come from the corpus at query time (as any ANN serving
+    * path does); only the index round-trips.
+    */
+  def topKIvfPqPersisted(spark: SparkSession, dir: String,
+                         k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val (cents, cb, codes, cells) = persistedIvfPqIndex(spark, dir)
+    val queries = Tables.embeddings(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    ivfPqRank(queries, cents, cb, codes, cells, k)
   }
 
   /** kNN label probe — the standard embedding-space quality eval: each
@@ -694,6 +757,9 @@ object Similarity {
     "sim_topk_lsh_big" -> ((s, d) => topKLshBig(s, d)),
     "sim_topk_pq"      -> ((s, d) => topKPq(s, d)),
     "sim_topk_ivfpq"   -> ((s, d) => topKIvfPq(s, d)),
+    // the SAME ranking served from the Parquet-persisted index (write →
+    // reload → query); hash-gated against the identical oracle
+    "sim_index_persist" -> ((s, d) => topKIvfPqPersisted(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
     "sim_topk_filtered" -> ((s, d) => topKFiltered(s, d)),
     "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
@@ -702,7 +768,7 @@ object Similarity {
     "sim_knn_classify" -> ((s, d) => knnClassify(s, d)),
   )
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "sim_knn_classify" ->
       s"""WITH sc AS MATERIALIZED (
             SELECT a.vec_id AS query_id, a.label AS true_label,
@@ -1192,4 +1258,11 @@ object Similarity {
                        AND p.ql = a.label))
           WHERE rank <= 3"""),
   )
+
+  /** sim_index_persist serves the same IVF-PQ ranking from the reloaded
+    * Parquet index — identical numbers by construction, so it replays
+    * through the identical oracle.
+    */
+  val oracles: Map[String, String] =
+    baseOracles + ("sim_index_persist" -> baseOracles("sim_topk_ivfpq"))
 }

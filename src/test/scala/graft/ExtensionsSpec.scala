@@ -362,6 +362,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted index: reloaded-from-Parquet IVF-PQ equals the in-session index") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("pqcos"),
+        r.getAs[Int]("rank"))).toSet
+    val want = rows(Similarity.topKIvfPq(spark, sf))
+    val got = rows(Similarity.topKIvfPqPersisted(spark, sf))
+    assert(got == want, "persisted-index ranking drifted from the in-session index")
+    assert(got.nonEmpty)
+    // the artifacts genuinely landed on disk: all four index relations
+    // exist as parquet directories under the deterministic tmp location
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-ann-index-" +
+        java.security.MessageDigest.getInstance("MD5").digest(sf.getBytes)
+          .map("%02x".format(_)).mkString)
+    Seq("ivf_centroids", "pq_codebooks", "pq_codes", "ivf_cells").foreach { a =>
+      assert(java.nio.file.Files.isDirectory(base.resolve(a)), s"missing artifact $a")
+    }
+    // and the artifacts are self-contained: a from-scratch scan of the
+    // written files (no session memo, no build lineage) carries the
+    // exact code table the in-session encoder produced
+    val fresh = spark.read.parquet(base.resolve("pq_codes").toString)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val built = Similarity.persistedIvfPqIndex(spark, sf)._3
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(fresh == built && fresh.nonEmpty)
+  }
+
   test("LSH big tier: shifted replicas decorrelate buckets, ranks contiguous") {
     val rows = Similarity.topKLshBig(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -298,6 +298,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_topk_ivf" -> "K=16 trained-centroid probe, bounded by centroid count",
       "sim_topk_pq" -> "MxK=64-row trained codebook broadcast (encode + ADC table build)",
       "sim_topk_ivfpq" -> "K=16 centroid probe + MxK=64-row codebook broadcast, both bounded",
+      "sim_index_persist" -> "same IVF-PQ plan served from the reloaded Parquet index",
       "ta_corpus_stats" -> "1-row corpus rollup joined back for ratios",
       "ta_importance_sample" -> "1-row LM totals (T, R, V) broadcast (bm25 stats shape)",
       "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
