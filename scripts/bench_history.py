@@ -27,8 +27,19 @@ def decode(path):
     except json.JSONDecodeError:
         tail = raw
     m = re.search(r'"queries_gz_b64":"([A-Za-z0-9+/=]+)"', tail)
+    omitted = None
     if m:
         queries = json.loads(gzip.decompress(base64.b64decode(m.group(1))))
+        # r8+ integer-tick encoding: "_scale" ticks/second, entries below
+        # "_thr_cs" centiseconds dropped with their count in
+        # "_omitted_below" (pre-r8 blobs carried plain float seconds)
+        scale = queries.pop("_scale", None)
+        omitted = {"n": queries.pop("_omitted_below", 0),
+                   "below_sec": queries.pop("_thr_cs", 0) / 100.0}
+        if omitted["n"] == 0:
+            omitted = None
+        if scale:
+            queries = {k: v / scale for k, v in queries.items()}
     else:
         # full-fidelity record (target/bench.json) or a compact line
         # without the gz payload: fall back to the plain queries map
@@ -47,9 +58,15 @@ def decode(path):
         return len(s.split(".")[1].rstrip("0")) if "." in s else 0
     precision = max((dp(v) for v in queries.values()), default=2)
     t = re.search(r'"metric":"total","value":([0-9.]+)', tail)
-    return {"total": float(t.group(1)) if t else None,
-            "precision_dp": precision,
-            "queries": dict(sorted(queries.items()))}
+    out = {"total": float(t.group(1)) if t else None,
+           "precision_dp": precision,
+           "queries": dict(sorted(queries.items()))}
+    if omitted:
+        out["omitted"] = omitted
+    b = re.search(r'"build_sec":([0-9.]+)', tail)
+    if b:
+        out["build_sec"] = float(b.group(1))
+    return out
 
 
 def main():

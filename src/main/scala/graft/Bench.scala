@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   * per-query MEDIAN, with the raw [min, max] recorded under `"spread"` —
   * single-shot times on an iterative registry swing by multiple seconds
   * run-over-run, which made round-over-round deltas unreadable. Cross-query
-  * memo caches persist across reps (as across queries), so rep 1 carries
-  * any cache build and the median reflects the shared-cache steady state;
-  * the spread keeps the cold time visible.
+  * memo caches persist across reps (as across queries); a memo BUILD is
+  * forced and timed at build time via `Caches.buildObserver` and charged
+  * to a named `build:*` ledger row (`"builds"`/`"build_sec"`), with that
+  * time subtracted from the consuming query's elapsed — so per-query
+  * medians measure the query plan, not index-construction luck-of-order.
   */
 object Bench {
   /** 1-minute load average from /proc/loadavg (-1.0 off-Linux). Recorded
@@ -63,6 +65,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Build-cost extraction (r7 ask 4): a cross-query memo BUILD is
+    // forced to materialize at build time and its cost recorded under
+    // the memo key, then SUBTRACTED from the consuming query's elapsed
+    // time — so per-query medians measure the query's own plan, not
+    // whichever consumer ran first in sorted order (the r7 attribution
+    // instability: pr_components_10k 6.1 vs 14.2 s on identical code).
+    // Bench runs queries serially, so plain vars suffice.
+    val buildLedger = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var buildAccum = 0.0
+    Caches.buildObserver = Some { (key, sec) =>
+      buildLedger(key) = buildLedger.getOrElse(key, 0.0) + sec
+      buildAccum += sec
+    }
+
     def materialize(name: String): Option[String] =
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -97,13 +113,15 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     val warm0 = System.nanoTime()
     materialize(names.head)
-    val warmupSec = (System.nanoTime() - warm0) / 1e9
+    // builds the warmup triggered are in the ledger, not in warmup_sec
+    val warmupSec = (System.nanoTime() - warm0) / 1e9 - buildAccum
 
     val results = names.map { name =>
       val runs = (1 to reps).map { _ =>
+        buildAccum = 0.0
         val t0 = System.nanoTime()
         val err = materialize(name)
-        ((System.nanoTime() - t0) / 1e9, err)
+        ((System.nanoTime() - t0) / 1e9 - buildAccum, err)
       }
       // per-rep chronology on stderr (stdout carries ONLY the compact
       // line): the [min,max] spread can't distinguish "cold rep 1" from
@@ -132,7 +150,13 @@ object Bench {
     val loadEnd = loadAvg()
     val stealTicks = // run's stolen CPU in 10 ms ticks (−1 = unreadable)
       if (stealStart < 0) -1L else stealJiffies() - stealStart
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    // memo-build ledger: cost charged to named build:* rows, no longer
+    // inside any query's median. value + build_sec ≈ the run's real work.
+    val buildSec = buildLedger.values.sum
+    val builds = buildLedger.toSeq.sortBy(-_._2)
+      .map { case (k, s) => s"${q("build:" + k)}:${math.rint(s * 100) / 100}" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"build_sec":$buildSec,"builds":$builds,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     // The full-fidelity record goes ONLY to target/bench.json — NOT to
     // stdout. The driver's BENCH artifact keeps the LAST ~2000 chars of
     // stdout (BENCH_r01..r05 all carry a 2000-char "tail", parsed:null):
@@ -156,31 +180,35 @@ object Bench {
     // well; 10 ms resolution — target/bench.json keeps full precision),
     // decodable with `base64 -d | gunzip` / python gzip+b64decode, and
     // each round's decoded map is committed under bench_history/.
-    def gzOf(dp: Int): String = {
-      val p = math.pow(10, dp)
-      val m = results.map { case (k, med, _, _, _) =>
-        s"${q(k)}:${math.rint(med * p) / p}"
-      }.mkString("{", ",", "}")
+    // Blob encoding (r7 ask 5 — the r7 blob hit integer-second rounding
+    // and 120/138 queries read 0.0): medians as INTEGER ticks at
+    // `_scale` ticks/second (integers gzip tighter than "0.12" floats),
+    // entries below `thr` dropped — a 30 ms median carries no diffable
+    // signal at any in-window precision; their count rides along as
+    // `_omitted_below` with the threshold recorded as `_thr_cs`
+    // (centiseconds). BEST_COMPRESSION buys ~6% over the default level.
+    // scripts/bench_history.py reverses all of this.
+    def gzOf(scale: Int, thr: Double): String = {
+      val (kept, dropped) = results.partition(_._2 >= thr)
+      val m = (Seq(s""""_scale":$scale""") ++
+        (if (dropped.nonEmpty)
+          Seq(s""""_omitted_below":${dropped.size}""",
+            s""""_thr_cs":${math.rint(thr * 100).toLong}""") else Nil) ++
+        kept.map { case (k, med, _, _, _) =>
+          s"${q(k)}:${math.rint(med * scale).toLong}" })
+        .mkString("{", ",", "}")
       val bos = new java.io.ByteArrayOutputStream()
-      val gz = new java.util.zip.GZIPOutputStream(bos)
+      val gz = new java.util.zip.GZIPOutputStream(bos) {
+        `def`.setLevel(java.util.zip.Deflater.BEST_COMPRESSION)
+      }
       gz.write(m.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       gz.close()
       java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     }
-    // precision degrades before the payload is dropped: at 119 queries the
-    // 2-dp map's gz+b64 is ~1516 chars (over the 1500 in-window cap) while
-    // 1 dp is ~1368 — and 100 ms resolution still diffs every heavy query
-    // round-over-round (target/bench.json keeps full precision locally)
-    val gzFull = {
-      val candidates = Seq(2, 1, 0).iterator.map(gzOf)
-      var last = ""
-      candidates.map { g => last = g; g }.find(_.length <= 1500).getOrElse(last)
-    }
     val sortedBySec = results.sortBy(-_._2)
-    // assemble at a given plain-map budget, optionally carrying the
-    // compressed full map; pick the richest variant that stays under
-    // the window (gz + a small readable top-N, else top-N alone)
-    def assemble(mapBudget: Int, withGz: Boolean): String = {
+    // assemble at a given plain-map budget, optionally carrying a
+    // compressed full-map payload
+    def assemble(mapBudget: Int, gzPayload: String): String = {
       val entries = scala.collection.mutable.ArrayBuffer.empty[String]
       var used = 0
       var kept = 0
@@ -195,18 +223,33 @@ object Bench {
       }
       val omitted = results.length - kept
       val omittedSec = math.rint(sortedBySec.drop(kept).map(_._2).sum * 1000) / 1000
+      // heaviest builds by name (the attribution-relevant ones, r7 ask
+      // 4); the long tail rides in build_sec and the full record's map
+      val topBuilds = buildLedger.toSeq.filter(_._2 >= 0.25).sortBy(-_._2).take(4)
+        .map { case (k, s) => s"${q("build:" + k)}:${math.rint(s * 100) / 100}" }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""sf":"$sfDir","n_queries":${results.length},"n_errors":${results.count(_._5.isDefined)},""" +
         s""""load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,""" +
+        s""""build_sec":${math.rint(buildSec * 100) / 100},"builds":$topBuilds,""" +
         s""""queries":${entries.mkString("{", ",", "}")},""" +
         s""""omitted_fastest":$omitted,"omitted_sec":$omittedSec,""" +
-        (if (withGz) s""""queries_gz_b64":"$gzFull",""" else "") +
+        (if (gzPayload.nonEmpty) s""""queries_gz_b64":"$gzPayload",""" else "") +
         s""""full":"target/bench.json"}"""
     }
-    val withGz = assemble(1800 - 300 - gzFull.length, withGz = true)
+    // degradation ladder: 10 ms ticks with the sub-50 ms tail shed, then
+    // 100 ms ticks (still distinguishes 0.3 s from 0.9 s — the driver-
+    // visibility bar), shedding a little more tail before giving up
+    // precision entirely; each rung is validated against the WHOLE
+    // compact line's window budget, builds included
     val compact =
-      if (gzFull.length <= 1500 && withGz.length <= 1800) withGz
-      else assemble(1800 - 300, withGz = false)
+      Seq((100, 0.05), (10, 0.05), (10, 0.1), (10, 0.25), (1, 0.0)).iterator
+        .map { case (scale, thr) =>
+          val g = gzOf(scale, thr)
+          assemble(1800 - 320 - g.length, g)
+        }
+        .find(_.length <= 1800)
+        .getOrElse(assemble(1800 - 320, ""))
     // Print BOTH before and after teardown. Before: results are final
     // here, and a FATAL throwable out of releaseAll()/spark.stop() must
     // not discard the numbers this process exists to emit (it still

@@ -34,6 +34,30 @@ object Caches {
   private val memo = scala.collection.mutable.HashMap
     .empty[(org.apache.spark.sql.SparkSession, String, String), DataFrame]
 
+  /** Bench instrumentation (r7 verdict ask 4): when set, a freshly built
+    * memo frame is materialized HERE — one action through the persisted
+    * plan, run by the inserting thread right after insertion, outside
+    * the object monitor — and the observer receives the key plus the
+    * build's EXCLUSIVE wall seconds (closure evaluation — which may span
+    * whole training loops or artifact writes — plus cache
+    * materialization, minus any nested memo builds, which report their
+    * own entries), so the build cost lands on a named `build:*` ledger
+    * row instead of whichever registry consumer happened to run first in
+    * sorted order (the r7 attribution instability: medians-of-3
+    * differing 2.3× on identical code). Production hosts leave it None:
+    * builds stay lazy and materialize under their first consumer.
+    */
+  @volatile private[graft] var buildObserver: Option[(String, Double) => Unit] = None
+
+  /** Total seconds of memo builds completed so far within the CURRENT
+    * build's closure on this thread — what the enclosing build subtracts
+    * to report exclusive time (nested ledger rows must not double-count
+    * into their parent, or the bench would over-subtract from consumers).
+    */
+  private val childBuildSec = new ThreadLocal[java.lang.Double] {
+    override def initialValue: java.lang.Double = 0.0
+  }
+
   /** Plan-audit escape hatch: truncation makes a memoized frame's plan an
     * opaque LogicalRDD leaf, which would also blind the plan-lint specs to
     * whatever shape the BUILD planned (a cartesian inside a build would
@@ -80,23 +104,41 @@ object Caches {
         // memo through this accessor. Cached-batch stat pruning is
         // unaffected (the persist above still builds an
         // InMemoryRelation; only its CHILD became a leaf).
-        val built = build // outside the lock — build may recurse here
-        val df =
-          (if (truncateLineage) org.apache.spark.sql.GraftExpr.truncated(built)
-           else built).persist()
-        synchronized {
-          memo.get(k) match {
-            // another builder of the same key won (possibly after an
-            // interleaved releaseAll) — defer to the cached winner
-            // rather than handing back an uncached duplicate
-            case Some(winner) => df.unpersist(); winner
-            // no winner: insert — even if a releaseAll ran mid-build.
-            // This frame never entered the released map and its persist
-            // was never registered, so inserting resurrects nothing;
-            // see the object scaladoc for why returning it uncached
-            // instead amplifies recomputes for multi-reference callers
-            case None => frames += df; memo.update(k, df); df
+        val parentChildSec = childBuildSec.get()
+        childBuildSec.set(0.0)
+        val t0 = System.nanoTime()
+        var totalSec = 0.0
+        try {
+          val built = build // outside the lock — build may recurse here
+          val df =
+            (if (truncateLineage) org.apache.spark.sql.GraftExpr.truncated(built)
+             else built).persist()
+          val (result, inserted) = synchronized {
+            memo.get(k) match {
+              // another builder of the same key won (possibly after an
+              // interleaved releaseAll) — defer to the cached winner
+              // rather than handing back an uncached duplicate
+              case Some(winner) => df.unpersist(); (winner, false)
+              // no winner: insert — even if a releaseAll ran mid-build.
+              // This frame never entered the released map and its persist
+              // was never registered, so inserting resurrects nothing;
+              // see the object scaladoc for why returning it uncached
+              // instead amplifies recomputes for multi-reference callers
+              case None => frames += df; memo.update(k, df); (df, true)
+            }
           }
+          // outside the monitor: materialization is an action spanning
+          // Spark jobs and must never run under the lock
+          if (inserted) buildObserver.foreach { obs =>
+            result.count() // materialize the persisted plan into the cache
+            totalSec = (System.nanoTime() - t0) / 1e9
+            obs(key, totalSec - childBuildSec.get())
+          }
+          if (totalSec == 0.0) totalSec = (System.nanoTime() - t0) / 1e9
+          result
+        } finally {
+          // the parent (if any) sees this build's FULL time as child time
+          childBuildSec.set(parentChildSec + totalSec)
         }
     }
   }
