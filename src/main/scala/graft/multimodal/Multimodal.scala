@@ -257,6 +257,92 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** 60-bit perceptual dHash over the DECODED image (r7 verdict ask 6 —
+    * multimodal near-dup): luma (= r+g+b, integer, no fp weights) is
+    * block-averaged onto a 6-row × 11-col grid (cell of pixel (x,y) is
+    * (y·6/h, x·11/w), integer division — every image ≥16×16 fills every
+    * cell) and bit (r,c) = 1 iff the mean of cell (r,c+1) exceeds the
+    * mean of cell (r,c), compared CROSS-MULTIPLIED (s₂·n₁ > s₁·n₂, exact
+    * integers — block sizes differ when w∤11, so dividing would put fp
+    * between the engines). 6 rows × 10 comparisons = 60 bits, the repo's
+    * SimHash width, so the pigeonhole band machinery carries over
+    * unchanged. Hash of the DECODED pixels: the oracle replays the
+    * generating pixel formula, so a hash match certifies decode +
+    * downsample + packing end to end (the mm_png_decode contract).
+    */
+  object DHashCodec extends Serializable {
+    val Rows = 6
+    val Cols = 11
+    def dhash60(payload: Array[Byte]): Long = {
+      Multimodal.imageIoMemoryStreams
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      val s = Array.ofDim[Long](Rows, Cols)
+      val n = Array.ofDim[Long](Rows, Cols)
+      var y = 0
+      while (y < h) {
+        val r = y * Rows / h
+        var x = 0
+        while (x < w) {
+          val c = x * Cols / w
+          val rgb = img.getRGB(x, y)
+          s(r)(c) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          n(r)(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var r = 0
+      while (r < Rows) {
+        var c = 0
+        while (c < Cols - 1) {
+          if (s(r)(c + 1) * n(r)(c) > s(r)(c) * n(r)(c + 1))
+            bits |= 1L << (r * (Cols - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      bits
+    }
+  }
+
+  /** Per-image dHash table (doc_id, dhash). Memoized: the decode+hash
+    * pass feeds both sides of the pair self-join.
+    */
+  def imageDHash(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "mm:phash") {
+      import spark.implicits._
+      imageTable(spark, dir)
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, png) => (id, DHashCodec.dhash60(png)) })
+        .toDF("doc_id", "dhash")
+    }
+
+  /** Perceptual near-dup image pairs: hamming(dhash) ≤ maxHamming,
+    * EXACT via the pigeonhole band join (maxHamming+1 disjoint 6-bit
+    * blocks — a pair within the bound agrees on ≥1 whole block, so
+    * candidates are an equi-join on (block, value), verified by
+    * bit_count; the Dedup.simhashPairs shape on the image modality).
+    * Never the n² loop — the join survives a 1000× corpus.
+    */
+  def phashPairs(spark: SparkSession, dir: String, maxHamming: Int = 9): DataFrame = {
+    require(maxHamming == 9, "banding fixed at 10x6 bits")
+    val hs = imageDHash(spark, dir)
+    val blocks = hs.select(col("doc_id"), col("dhash"),
+      explode(expr("transform(sequence(0, 9), " +
+        "b -> struct(b AS blk, shiftright(dhash, b*6) & 63 AS bval))")).as("bk"))
+      .select(col("doc_id"), col("dhash"), col("bk.blk").as("blk"), col("bk.bval").as("bval"))
+    blocks.toDF("d1", "h1", "blk", "bval")
+      .join(blocks.toDF("d2", "h2", "blk2", "bval2"),
+        col("blk") === col("blk2") && col("bval") === col("bval2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** MJPEG-style video demuxer: the container is a bare concatenation of
     * per-frame PNG streams, and frames are split by walking the PNG
     * grammar — 8-byte signature, then length-prefixed chunks up to and
@@ -446,6 +532,7 @@ object Multimodal {
     "mm_png_decode"   -> ((s, d) => pngDecode(s, d)),
     "mm_wav_decode"   -> ((s, d) => wavDecode(s, d)),
     "mm_video_decode" -> ((s, d) => videoDecode(s, d)),
+    "mm_phash_pairs"  -> ((s, d) => phashPairs(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -552,5 +639,34 @@ object Multimodal {
                   unnest(generate_series(0, (16 + doc_id % 64)*(16 + doc_id % 48) - 1)) AS p
            FROM documents WHERE doc_id % 3 = 0)
          GROUP BY doc_id, width, height""",
+    // mm_phash_pairs: Spark hashes the DECODED pixels; the oracle replays
+    // the pixel formula → luma block sums → cross-multiplied dHash bits →
+    // brute-force hamming (the oracle may be n² — the REGISTERED plan is
+    // the banded equi-join, asserted pigeonhole-exact in spec). A hash
+    // match certifies decode, downsample, packing, and the pair set.
+    "mm_phash_pairs" ->
+      """WITH px AS (
+           SELECT doc_id, w, h, p % w AS x, p // w AS y
+           FROM (SELECT doc_id, (16 + doc_id % 64)::BIGINT AS w,
+                        (16 + doc_id % 48)::BIGINT AS h,
+                        unnest(generate_series(0, (16 + doc_id % 64)*(16 + doc_id % 48) - 1)) AS p
+                 FROM documents WHERE doc_id % 3 = 0)),
+         blk AS (
+           SELECT doc_id, (y*6)//h AS r, (x*11)//w AS c,
+                  sum((doc_id*31 + x*7 + y*13) % 256 + (doc_id*17 + x*3 + y*5) % 256
+                      + (doc_id*29 + x*11 + y*19) % 256) AS s,
+                  count(*) AS n
+           FROM px GROUP BY doc_id, (y*6)//h, (x*11)//w),
+         hs AS (
+           SELECT l.doc_id,
+                  CAST(sum(CASE WHEN rb.s * l.n > l.s * rb.n
+                           THEN (1::BIGINT << (l.r*10 + l.c)) ELSE 0 END) AS BIGINT) AS dhash
+           FROM blk l JOIN blk rb
+             ON rb.doc_id = l.doc_id AND rb.r = l.r AND rb.c = l.c + 1
+           GROUP BY l.doc_id)
+         SELECT a.doc_id AS d1, b.doc_id AS d2,
+                bit_count(xor(a.dhash, b.dhash)) AS hamming
+         FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 9""",
   )
 }

@@ -155,6 +155,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash matches a scalar formula replay, pairs are pigeonhole-exact") {
+    import graft.multimodal.Multimodal
+    // scalar replay straight from the generating pixel formula (never
+    // touches the codec or the bytes)
+    def refHash(d: Long): Long = {
+      val w = (16 + d % 64).toInt; val h = (16 + d % 48).toInt
+      val s = Array.ofDim[Long](6, 11); val n = Array.ofDim[Long](6, 11)
+      for (y <- 0 until h; x <- 0 until w) {
+        val luma = (d * 31 + x * 7 + y * 13) % 256 +
+          (d * 17 + x * 3 + y * 5) % 256 + (d * 29 + x * 11 + y * 19) % 256
+        s((y * 6 / h).toInt)((x * 11 / w).toInt) += luma
+        n((y * 6 / h).toInt)((x * 11 / w).toInt) += 1
+      }
+      (for (r <- 0 until 6; c <- 0 until 10
+            if s(r)(c + 1) * n(r)(c) > s(r)(c) * n(r)(c + 1))
+        yield 1L << (r * 10 + c)).sum
+    }
+    val hs = Multimodal.imageDHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.nonEmpty)
+    hs.foreach { case (d, got) => assert(got == refHash(d), s"doc $d dhash") }
+    // the banded equi-join returns EXACTLY the brute-force hamming<=9 set
+    val want = (for {
+      (d1, h1) <- hs.toSeq; (d2, h2) <- hs.toSeq if d1 < d2
+      ham = java.lang.Long.bitCount(h1 ^ h2) if ham <= 9
+    } yield (d1, d2, ham)).toSet
+    val got = Multimodal.phashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want, s"pigeonhole drifted: ${got.size} vs ${want.size}")
+    assert(want.nonEmpty, "fixture yields no near-dup image pairs at hamming 9")
+  }
+
   test("resize halves dimensions and hashes the prefix") {
     Multimodal.resize(spark, sf).collect().foreach { r =>
       assert(r.getAs[Int]("width") >= 8 && r.getAs[Int]("width") <= 39)
