@@ -590,6 +590,28 @@ object Dedup {
         explode(graft.functions.ArrayExprs.wordShingles(Text.tokenize(col("text")), n))
           .as("passage"))
 
+  /** Variable-length passage dedup via CONTENT-DEFINED chunking (r7
+    * verdict ask 7): [[dupPassages]] fingerprints every sliding 8-gram —
+    * shift-invariant but |doc| index rows per doc; the fixed-cost
+    * alternative (position-tiled blocks) is |doc|/8 rows but a prefix
+    * shift misaligns every block. CDC is both: chunk boundaries are the
+    * md5-gear of adjacent token PAIRS ([[graft.functions.ArrayExprs.CdcChunks]],
+    * gear ≡ 0 mod `divisor`), so chunks re-align to content after any
+    * offset shift at ~|doc|/divisor index rows. Aggregate shape is
+    * [[dupPassages]] verbatim: per-doc distinct chunks, one shuffle
+    * keyed on the chunk (at 100 TB: keyed on (xxhash64, length), same
+    * note as dupPassages).
+    */
+  def cdcPassages(spark: SparkSession, dir: String,
+                  divisor: Int = 8, minDocs: Int = 2): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.ArrayExprs.cdcChunks(Text.tokenize(col("text")), divisor))
+          .as("passage"))
+      .groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+
   /** Per-document boilerplate fraction — the quality-filter signal the
     * passage aggregate exists to feed: of a document's distinct word
     * 8-gram passages, the share that also appears in ≥ `minDocs` distinct
@@ -894,6 +916,7 @@ object Dedup {
     // exact form's oracle below
     "dedup_incremental_bloom" -> ((s, d) => incremental(s, d, bloomExact = true)),
     "dedup_passages"      -> ((s, d) => dupPassages(s, d)),
+    "dedup_cdc_passages"  -> ((s, d) => cdcPassages(s, d)),
     "dedup_boilerplate"   -> ((s, d) => boilerplate(s, d)),
   )
 
@@ -1000,6 +1023,31 @@ object Dedup {
                      LEFT JOIN nr ON batch.doc_id = nr.doc_id"""
 
   private lazy val oraclesTail: Map[String, String] = Map(
+    // CDC replay: boundary flag per adjacent token pair (same md5-gear
+    // formula as the native expression), chunk id = running sum of cuts
+    // strictly before each position, chunk string = in-order string_agg,
+    // then the dupPassages aggregate over per-doc DISTINCT chunks.
+    "dedup_cdc_passages" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          pos AS (
+            SELECT doc_id, i, toks[i] AS tok,
+                   CASE WHEN i >= 2 AND
+                        ('0x' || substr(md5(toks[i-1] || ' ' || toks[i]), 1, 8))::BIGINT
+                          % 8 = 0
+                        THEN 1 ELSE 0 END AS bnd
+            FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+                  FROM tk)),
+          asn AS (
+            SELECT doc_id, i, tok,
+                   coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+            FROM pos),
+          chunks AS (
+            SELECT DISTINCT doc_id, passage FROM (
+              SELECT doc_id, c, string_agg(tok, ' ' ORDER BY i) AS passage
+              FROM asn GROUP BY doc_id, c))
+          SELECT passage, count(*) AS n_docs, min(doc_id) AS first_doc
+          FROM chunks GROUP BY passage HAVING count(*) >= 2""",
     "dedup_passages" ->
       s"""WITH sh8 AS (
             SELECT doc_id,

@@ -303,6 +303,67 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Content-defined chunking of a token array (r7 verdict ask 7 — the
+    * variable-length complement of [[WordShingles]]'s fixed n-grams):
+    * a chunk boundary falls AFTER token i whenever the md5-gear of the
+    * adjacent pair `tok(i-1) + " " + tok(i)` — the first 8 hex digits
+    * of md5, the repo's portable hash (SQL form
+    * `('0x' || substr(md5(a || ' ' || b), 1, 8))::BIGINT`) — is ≡ 0 mod
+    * `divisor`, so boundaries depend on CONTENT only: a duplicate
+    * passage embedded at any offset re-aligns to identical chunks right
+    * after its first internal boundary, where position-tiled blocks of
+    * the same expected size never re-align. Expected chunk length ≈
+    * divisor tokens at 1/divisor the index rows of sliding n-grams —
+    * the suffix-array-approximation trade at a fraction of the cost.
+    * Output is the distinct chunk strings in first-occurrence order
+    * ([[WordShingles]] semantics); production CDC adds min/max chunk
+    * clamps in this same sequential pass.
+    */
+  case class CdcChunks(child: Expression, divisor: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "cdc_chunks"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val cnt = arr.numElements()
+      if (cnt == 0) new GenericArrayData(Array.empty[Any])
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+        val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+        val cur = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.unsafe.types.UTF8String]
+        def flush(): Unit = if (cur.nonEmpty) {
+          seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, cur.toSeq: _*))
+          cur.clear()
+        }
+        var i = 0
+        while (i < cnt) {
+          val tok = arr.getUTF8String(i)
+          cur += tok
+          if (i > 0) {
+            md.reset()
+            md.update(arr.getUTF8String(i - 1).getBytes)
+            md.update(' '.toByte)
+            md.update(tok.getBytes)
+            val d = md.digest()
+            // first 8 hex digits = first 4 bytes, unsigned
+            val gear = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            if (gear % divisor == 0) flush()
+          }
+          i += 1
+        }
+        flush()
+        new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Raw + distinct word n-gram counts in one pass:
     * struct(n_shingles = max(0, size-n+1), n_distinct), identical to
     * counting `transform(sequence(...), concat_ws(' ', ...))` and its
@@ -448,6 +509,9 @@ object ArrayExprs {
 
   def wordShingles(tokens: Column, n: Int): Column =
     GraftExpr.column(WordShingles(GraftExpr.expression(tokens), n))
+
+  def cdcChunks(tokens: Column, divisor: Int): Column =
+    GraftExpr.column(CdcChunks(GraftExpr.expression(tokens), divisor))
 
   def shingleStats(tokens: Column, n: Int): Column =
     GraftExpr.column(ShingleStats(GraftExpr.expression(tokens), n))

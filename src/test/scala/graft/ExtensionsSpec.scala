@@ -232,6 +232,52 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (_, c) => assert(got(c) == c) }
   }
 
+  test("CDC chunks: scalar replay exact; shift re-aligns where tiled blocks share zero") {
+    import org.apache.spark.sql.functions._
+    def scalarCdc(toks: Seq[String]): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = scala.collection.mutable.LinkedHashSet.empty[String]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (i <- toks.indices) {
+        cur += toks(i)
+        if (i > 0) {
+          val d = md.digest((toks(i - 1) + " " + toks(i)).getBytes("UTF-8"))
+          val gear = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          if (gear % 8 == 0) { out += cur.mkString(" "); cur.clear() }
+        }
+      }
+      if (cur.nonEmpty) out += cur.mkString(" ")
+      out.toSeq
+    }
+    // the native expression equals the scalar fold on real fixture docs
+    val rows = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), graft.text.Text.tokenize(col("text")).as("toks"),
+        graft.functions.ArrayExprs.cdcChunks(
+          graft.text.Text.tokenize(col("text")), 8).as("chunks"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = r.getAs[scala.collection.Seq[String]]("toks").toSeq
+      assert(r.getAs[scala.collection.Seq[String]]("chunks").toSeq == scalarCdc(toks),
+        s"doc ${r.getLong(0)}")
+    }
+    // shift robustness (the reason CDC exists): the same 300-token body
+    // behind a 5-token prefix. Content-defined boundaries re-align right
+    // after the body's first internal cut...
+    val body = (0 until 300).map(i => s"w${i % 90}")
+    val shifted = Seq("aa", "bb", "cc", "dd", "ee") ++ body
+    val a = scalarCdc(body).toSet
+    val b = scalarCdc(shifted).toSet
+    assert((a & b).size * 2 >= a.size,
+      s"CDC failed to re-align after shift: ${(a & b).size}/${a.size} shared")
+    // ...while the equal-index-cost baseline (position-TILED 8-blocks)
+    // shares ZERO chunks across the 5-offset (provably: 8x ≡ 5 mod 90
+    // has no solution, so no tile boundary ever re-aligns on this body)
+    def tiled(t: Seq[String]) = t.grouped(8).map(_.mkString(" ")).toSet
+    assert((tiled(body) & tiled(shifted)).isEmpty)
+  }
+
   test("simhash is a 60-bit value") {
     Dedup.simhash(spark, sf).collect().foreach { r =>
       val h = r.getAs[Long]("simhash")
