@@ -377,18 +377,8 @@ object Dedup {
     */
   def ngramSkew(spark: SparkSession, dir: String, replicas: Int = 3,
                 cap: Long = SkewCap, minJaccard: Double = 0.2): DataFrame = {
-    val sh = memoized(spark, dir, s"skew_shingles_$replicas") {
-      skewCorpus(spark, dir, replicas)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-    }
-    // the exploded hashed index feeds the df stats AND the capped join
-    // (cap semi-join + both self-join sides) — memoized as corpus prep
-    // like the shingles, so one explode+hash pass serves every reference
-    val ex = memoized(spark, dir, s"skew_ex_$replicas") {
-      sh.select(col("doc_id"), explode(col("sh")).as("s"))
-        .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
-    }
+    val sh = skewShingles(spark, dir, replicas)
+    val ex = skewIndex(spark, dir, replicas)
     val dft = ex.groupBy(col("s"), col("sl")).agg(count(lit(1)).as("df"))
     val stats = dft.agg(
       count(lit(1)).as("n_shingle_keys"),
@@ -401,6 +391,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
     sh.agg(count(lit(1)).as("n_docs")).crossJoin(stats).crossJoin(pairs)
   }
+
+  /** The skew corpus's shingle sets — memoized corpus prep shared by
+    * [[ngramSkew]] and the AQE skew-join cross-check spec.
+    */
+  private[graft] def skewShingles(spark: SparkSession, dir: String,
+                                  replicas: Int = 3): DataFrame =
+    memoized(spark, dir, s"skew_shingles_$replicas") {
+      skewCorpus(spark, dir, replicas)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+    }
+
+  /** The skew corpus's exploded hashed shingle index — feeds the df
+    * stats AND the capped join (cap semi-join + both self-join sides);
+    * memoized like the shingles so one explode+hash pass serves every
+    * reference (and the AQE cross-check spec).
+    */
+  private[graft] def skewIndex(spark: SparkSession, dir: String,
+                               replicas: Int = 3): DataFrame =
+    memoized(spark, dir, s"skew_ex_$replicas") {
+      skewShingles(spark, dir, replicas)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+    }
 
   /** The skewed corpus: ×replicas near-dup inflation plus deterministic
     * boilerplate appends keyed on the SOURCE doc_id (so replicas of one

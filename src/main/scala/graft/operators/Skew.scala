@@ -81,10 +81,30 @@ object Skew {
     * the salt stable under recomputation and keeps the projection
     * deterministic, so it cannot block predicate pushdown. Result
     * identical to the unsalted join for any salt width (each probe row
-    * meets each build row exactly once, at its own salt). AQE's
-    * skew-join split covers sort-merge joins automatically; explicit
-    * salting remains the tool when AQE can't split (e.g. a skewed
-    * aggregate-after-join keyed on the hot key).
+    * meets each build row exactly once, at its own salt).
+    *
+    * WHEN IS SALTING UNNECESSARY? AqeSkewSpec runs the skew-corpus join
+    * under `spark.sql.adaptive.skewJoin` and proves the automatic split
+    * produces identical numbers — on modern Spark prefer AQE first. The
+    * spec's findings on when AQE does NOT cover you (each observed
+    * directly while building it):
+    *  1. a broadcastable build side makes skew moot before AQE ever
+    *     looks — the broadcast is always the first fix;
+    *  2. `OptimizeSkewedJoin` matches only SMJ/SHJ whose children are
+    *     Sort-over-Shuffle — an aggregate (or any operator) between the
+    *     build's shuffle and the join defeats it SILENTLY; materialize
+    *     derived dimensions first;
+    *  3. detection is compressed-map-output-bytes-based: a hot key of
+    *     low-entropy rows compresses below the thresholds and hides,
+    *     and output-side skew (C(df,2) self-join blowup on a hot key —
+    *     the dedup inverted-index shape) is entirely invisible to it:
+    *     there the df cap, not AQE and not salting, is the fix;
+    *  4. splits are MAPPER-granular: a skewed partition fed by one map
+    *     task can never be split (small scans / coalesced upstreams) —
+    *     salting has no such floor.
+    * Explicit salting remains the tool for those four cases and for
+    * skewed aggregates ([[saltedCount]]); AQE covers the plain fat-key
+    * shuffle join.
     *
     * LIMITATION of the content salt: EXACT-DUPLICATE probe rows hash to
     * the same salt, so a hot key made of verbatim repeats (a common skew
