@@ -78,7 +78,34 @@ object Caches {
     * the memoized DataFrames themselves pin their session until
     * [[releaseAll]] clears both.
     */
+  /** Mutual exclusion between memo builds and the plan-audit bracket
+    * (PlanAuditSpec.withTransparentMemos): the bracket flips the
+    * process-global [[truncateLineage]] flag and clears the memo map,
+    * so a memoized() call racing it from another suite could build an
+    * untruncated production frame or lose its memo mid-test. Builds
+    * take the READ side (concurrent builds stay concurrent, recursion
+    * re-enters fine); the audit bracket takes the WRITE side for its
+    * whole body (its own memoized() calls re-enter the read lock under
+    * the held write lock — permitted for the owning thread). Today the
+    * build runs suites serially (Test/fork without forkedParallel), so
+    * this is belt over braces — but the flag's safety no longer DEPENDS
+    * on that build setting.
+    */
+  private val auditLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
+  private[graft] def underAuditExclusive[A](body: => A): A = {
+    auditLock.writeLock().lock()
+    try body finally auditLock.writeLock().unlock()
+  }
+
   def memoized(spark: org.apache.spark.sql.SparkSession, dir: String, key: String)
+              (build: => DataFrame): DataFrame = {
+    auditLock.readLock().lock()
+    try memoizedLocked(spark, dir, key)(build)
+    finally auditLock.readLock().unlock()
+  }
+
+  private def memoizedLocked(spark: org.apache.spark.sql.SparkSession, dir: String, key: String)
               (build: => DataFrame): DataFrame = {
     val k = (spark, dir, key)
     synchronized(memo.get(k)) match {

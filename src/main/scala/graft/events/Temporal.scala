@@ -393,13 +393,25 @@ object Temporal {
     * associative aggregates (partial-agg/shuffle-order free, unlike
     * fp-Welford merges, which are order-sensitive), and every derived
     * statistic divides the same exact integers in both engines. Each
-    * power is cast to its own exact width (value ≤ 12,2 keeps v⁴ inside
-    * DECIMAL(38,8); a chained product would trip Spark's precision-loss
-    * scale reduction at 4 factors).
+    * power is cast to its own exact width. WIDTH-SAFE DOMAIN: |v| < 10⁵
+    * — then v⁴ < 10²⁰ (20 integer digits) and the per-group SUM keeps
+    * 10 digits of row-count headroom inside DECIMAL(38,8)'s 30. The
+    * domain is ENFORCED with a raise_error guard, because the two
+    * engines fail differently outside it: DuckDB raises on decimal
+    * overflow while non-ANSI Spark silently NULLs — a corpus with
+    * larger values must fail loudly in both, never silently diverge
+    * from the oracle. (A chained 4-factor product would additionally
+    * trip Spark's precision-loss scale reduction, hence the per-power
+    * casts.)
     */
   def moments(spark: SparkSession, dir: String): DataFrame = {
     val powered = Tables.events(spark, dir)
       .select(col("event_type"), col("value").cast("decimal(12,2)").as("v"))
+      .select(col("event_type"),
+        when(abs(col("v")) < lit(100000), col("v"))
+          .otherwise(raise_error(concat(
+            lit("ev_moments: |value| >= 1e5 exceeds the DECIMAL(38,8) v^4 envelope: "),
+            col("v").cast("string")))).as("v"))
       .select(col("event_type"), col("v"),
         (col("v") * col("v")).cast("decimal(20,4)").as("v2"))
       .select(col("event_type"), col("v"), col("v2"),

@@ -76,7 +76,8 @@ object Layout {
   val oracles: Map[String, String] = Map(
     "op_zorder" ->
       s"""WITH e AS (
-            SELECT dayofmonth(ts) - 1 AS d, hour(ts) AS h FROM events),
+            SELECT dayofmonth(CAST(ts AS TIMESTAMP)) - 1 AS d,
+                   hour(CAST(ts AS TIMESTAMP)) AS h FROM events),
           bk AS (
             SELECT d, h,
                    ((d << $Bits) | h) >> 4 AS b_day,

@@ -23,14 +23,18 @@ class PlanAuditSpec extends AnyFunSuite {
     * queries run under this bracket: truncation off, cold memo map, so
     * the first consumer plans the transparent build.
     */
-  private def withTransparentMemos[A](body: => A): A = {
-    Caches.releaseAll()
-    Caches.truncateLineage = false
-    try body finally {
-      Caches.truncateLineage = true
+  private def withTransparentMemos[A](body: => A): A =
+    // exclusive against every concurrent memoized() build — the flag is
+    // process-global and the memo map is cleared on both edges; see
+    // Caches.underAuditExclusive
+    Caches.underAuditExclusive {
       Caches.releaseAll()
+      Caches.truncateLineage = false
+      try body finally {
+        Caches.truncateLineage = true
+        Caches.releaseAll()
+      }
     }
-  }
 
   test("q1: the date-prefix predicate is pushed to the parquet scan as a range") {
     val p = plan(Relational.q1(spark, sf, "1996-03"))
