@@ -170,6 +170,35 @@ object Caches {
     }
   }
 
+  /** Write-once-per-(session, dir) Parquet ARTIFACT: builds `src`,
+    * writes it under the JVM temp dir keyed on (md5(dir), name), and
+    * hands back a FRESH scan relation over the written files (lineage
+    * roots at the Parquet, not the build plan) behind the memo. The
+    * operational "build once, serve from storage" split: at 100 TB the
+    * index build and the query job are different jobs, so every index
+    * the library trains (ANN quantizers, LSH band tables, dedup corpus
+    * fingerprints) must round-trip through storage and provably serve
+    * queries from the persisted bytes — floats/doubles/ints round-trip
+    * Parquet bit-exactly, so persisted-index queries share their
+    * in-session twins' oracles.
+    */
+  def parquetArtifact(spark: org.apache.spark.sql.SparkSession, dir: String, name: String)
+                     (src: => DataFrame): DataFrame =
+    memoized(spark, dir, s"artifact:$name") {
+      val path = artifactBase(dir).resolve(name).toString
+      src.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+  /** The artifact root for a fixture dir — shared with specs that assert
+    * files really landed.
+    */
+  private[graft] def artifactBase(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-artifacts-" +
+        java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes)
+          .map("%02x".format(_)).mkString)
+
   def releaseAll(): Unit = synchronized {
     frames.foreach(_.unpersist())
     frames.clear()

@@ -689,16 +689,66 @@ object Dedup {
     * identical to the exact form and shares its oracle.
     */
   def incremental(spark: SparkSession, dir: String, minJaccard: Double = 0.5,
-                  bloomExact: Boolean = false): DataFrame = {
-    val bucket = expr(
-      "pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10), 100)")
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), bucket.as("bucket"))
-    val corpusIds = docs.where(col("bucket") < 90).select(col("doc_id"))
-    val batch = docs.where(col("bucket") >= 90)
+                  bloomExact: Boolean = false): DataFrame =
+    incrementalOn(spark, dir, corpusFpsFrame(spark, dir),
+      corpusBandsFrame(spark, dir), corpusShFrame(spark, dir),
+      minJaccard, bloomExact)
 
-    val fps = Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("fp"))
-    val corpusFps = fps.join(corpusIds, "doc_id").select(col("fp")).distinct()
+  /** [[incremental]] with the corpus-side index served from PERSISTED
+    * Parquet artifacts (r8): the fp set, band table, and corpus shingle
+    * sets — the "persistable artifacts of the previous run" the
+    * incremental contract always described — are now genuinely written
+    * once and reloaded as fresh scans, so the ingestion batch provably
+    * runs against stored index bytes, never a live corpus re-scan.
+    * Identical output, same oracle.
+    */
+  def incrementalPersisted(spark: SparkSession, dir: String,
+                           minJaccard: Double = 0.5): DataFrame =
+    incrementalOn(spark, dir,
+      graft.Caches.parquetArtifact(spark, dir, "dedup/corpus_fps")(
+        corpusFpsFrame(spark, dir)),
+      graft.Caches.parquetArtifact(spark, dir, "dedup/corpus_bands")(
+        corpusBandsFrame(spark, dir)),
+      graft.Caches.parquetArtifact(spark, dir, "dedup/corpus_shingles")(
+        corpusShFrame(spark, dir)),
+      minJaccard, bloomExact = false)
+
+  private val bucketExpr =
+    "pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10), 100)"
+
+  /** The corpus-side fp set — split membership is a pure function of
+    * doc_id (content-stable md5 bucket), so the filter is narrow.
+    */
+  private def corpusFpsFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(col("text")).as("fp"), expr(bucketExpr).as("bucket"))
+      .where(col("bucket") < 90).select(col("fp")).distinct()
+
+  /** Corpus shingle sets (doc_id, sh) — narrow filter on the memoized
+    * shingle scan; the candidate-verify side of the corpus index.
+    */
+  private def corpusShFrame(spark: SparkSession, dir: String): DataFrame =
+    docShingles(spark, dir).withColumn("bucket", expr(bucketExpr))
+      .where(col("bucket") < 90).drop("bucket")
+
+  /** The corpus LSH band index (doc_id, band, key). */
+  private def corpusBandsFrame(spark: SparkSession, dir: String): DataFrame =
+    bandBuckets(corpusShFrame(spark, dir))
+
+  /** The ingestion core over EXPLICIT corpus-index relations —
+    * `corpusFps` (fp), `corpusBands` (doc_id, band, key), `corpusSh`
+    * (doc_id, sh) — shared by the in-session forms and the
+    * persisted-artifact form. The batch side always derives from the
+    * live table (it IS the new data).
+    */
+  private def incrementalOn(spark: SparkSession, dir: String,
+                            corpusFps: DataFrame, corpusBands: DataFrame,
+                            corpusSh: DataFrame, minJaccard: Double,
+                            bloomExact: Boolean): DataFrame = {
+    val batch = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), expr(bucketExpr).as("bucket"))
+      .where(col("bucket") >= 90)
+
     val batchFps = batch.select(col("doc_id"), md5(col("text")).as("fp"))
     val exactProbe =
       if (bloomExact)
@@ -709,21 +759,15 @@ object Dedup {
       .join(corpusFps, Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_dup"))
 
-    // split membership is a pure function of doc_id, so the band index
-    // splits with a NARROW filter on the memoized shingle scan — no join
-    // needed to route rows to their side
-    val sh = docShingles(spark, dir)
-    val shBucketed = sh.withColumn("bucket", expr(
-      "pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10), 100)"))
-    val batchBands = bandBuckets(shBucketed.where(col("bucket") >= 90).drop("bucket"))
-    val corpusBands = bandBuckets(shBucketed.where(col("bucket") < 90).drop("bucket"))
-    val cand = batchBands.toDF("doc_id", "band", "key")
+    val batchSh = docShingles(spark, dir).withColumn("bucket", expr(bucketExpr))
+      .where(col("bucket") >= 90).drop("bucket")
+    val cand = bandBuckets(batchSh).toDF("doc_id", "band", "key")
       .join(corpusBands.toDF("cid", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
       .select(col("doc_id"), col("cid")).distinct()
     val nearDup = cand
-      .join(sh.toDF("doc_id", "sh1"), "doc_id")
-      .join(sh.toDF("cid", "sh2"), "cid")
+      .join(batchSh.toDF("doc_id", "sh1"), "doc_id")
+      .join(corpusSh.toDF("cid", "sh2"), "cid")
       .where(round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
         size(array_union(col("sh1"), col("sh2"))).cast("double"), 6) >= minJaccard)
       .select(col("doc_id")).distinct()
@@ -925,6 +969,9 @@ object Dedup {
     "dedup_group_sizes"   -> ((s, d) => groupSizeHistogram(s, d)),
     "dedup_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental"   -> ((s, d) => incremental(s, d)),
+    // the corpus index (fp set, band table, shingle sets) served from
+    // reloaded Parquet artifacts — identical output, same oracle
+    "dedup_incremental_persisted" -> ((s, d) => incrementalPersisted(s, d)),
     // the bloom-runtime-filter composition; output-identical by the
     // zero-false-negative + exact-verify contract, so it shares the
     // exact form's oracle below
@@ -1005,6 +1052,7 @@ object Dedup {
     // being ≥ 0.9 (they are); a future planted pair with J in [0.5, 0.9)
     // would flip this row red without any code change.
     "dedup_incremental" -> incrementalOracle,
+    "dedup_incremental_persisted" -> incrementalOracle,
     // output-identical by construction (bloom admits every true dup, the
     // exact semi-join removes false positives) — the SAME replay
     "dedup_incremental_bloom" -> incrementalOracle,

@@ -131,6 +131,17 @@ object Similarity {
   def topKLsh(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame =
     topKLshOn(bandedSketches(spark, dir), k, nQueries)
 
+  /** [[topKLsh]] served from the PERSISTED band table (the second index
+    * family behind the artifact lifecycle next to [[persistedIvfPqIndex]]):
+    * the banded-sketch relation — vectors + their (band, key) rows, the
+    * whole LSH index — round-trips through a Parquet artifact and the
+    * probe runs off the reloaded scan; identical numbers, same oracle.
+    */
+  def topKLshPersisted(spark: SparkSession, dir: String,
+                       k: Int = 3, nQueries: Int = 10): DataFrame =
+    topKLshOn(indexArtifact(spark, dir, "lsh_bands")(bandedSketches(spark, dir)),
+      k, nQueries)
+
   /** The LSH probe over an arbitrary banded-sketch table — shared by the
     * fixture tier ([[topKLsh]]) and the ×replicas measurement tier
     * ([[topKLshBig]]).
@@ -633,15 +644,7 @@ object Similarity {
     */
   private def indexArtifact(spark: SparkSession, dir: String, name: String)
                            (src: => DataFrame): DataFrame =
-    graft.Caches.memoized(spark, dir, s"sim:annidx:$name") {
-      val base = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-ann-index-" +
-          java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes)
-            .map("%02x".format(_)).mkString)
-      val path = base.resolve(name).toString
-      src.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
-    }
+    graft.Caches.parquetArtifact(spark, dir, s"ann/$name")(src)
 
   /** Write the full IVF-PQ index (coarse centroids, PQ codebooks, PQ
     * codes, cell assignment) to `graft-ann-index-*` under the JVM temp
@@ -757,9 +760,10 @@ object Similarity {
     "sim_topk_lsh_big" -> ((s, d) => topKLshBig(s, d)),
     "sim_topk_pq"      -> ((s, d) => topKPq(s, d)),
     "sim_topk_ivfpq"   -> ((s, d) => topKIvfPq(s, d)),
-    // the SAME ranking served from the Parquet-persisted index (write →
-    // reload → query); hash-gated against the identical oracle
+    // the SAME rankings served from Parquet-persisted indexes (write →
+    // reload → query); hash-gated against the identical oracles
     "sim_index_persist" -> ((s, d) => topKIvfPqPersisted(s, d)),
+    "sim_lsh_persist"   -> ((s, d) => topKLshPersisted(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
     "sim_topk_filtered" -> ((s, d) => topKFiltered(s, d)),
     "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
@@ -1263,6 +1267,7 @@ object Similarity {
     * Parquet index — identical numbers by construction, so it replays
     * through the identical oracle.
     */
-  val oracles: Map[String, String] =
-    baseOracles + ("sim_index_persist" -> baseOracles("sim_topk_ivfpq"))
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "sim_index_persist" -> baseOracles("sim_topk_ivfpq"),
+    "sim_lsh_persist" -> baseOracles("sim_topk_lsh"))
 }

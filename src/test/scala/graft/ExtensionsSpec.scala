@@ -418,10 +418,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty)
     // the artifacts genuinely landed on disk: all four index relations
     // exist as parquet directories under the deterministic tmp location
-    val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-ann-index-" +
-        java.security.MessageDigest.getInstance("MD5").digest(sf.getBytes)
-          .map("%02x".format(_)).mkString)
+    val base = Caches.artifactBase(sf).resolve("ann")
     Seq("ivf_centroids", "pq_codebooks", "pq_codes", "ivf_cells").foreach { a =>
       assert(java.nio.file.Files.isDirectory(base.resolve(a)), s"missing artifact $a")
     }
@@ -433,6 +430,13 @@ class SimilaritySpec extends AnyFunSuite {
     val built = Similarity.persistedIvfPqIndex(spark, sf)._3
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(fresh == built && fresh.nonEmpty)
+    // second index family: the LSH band table round-trips the same way
+    def lsh(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"),
+        r.getAs[Int]("rank"))).toSet
+    assert(lsh(Similarity.topKLshPersisted(spark, sf)) ==
+      lsh(Similarity.topKLsh(spark, sf)))
+    assert(java.nio.file.Files.isDirectory(base.resolve("lsh_bands")))
   }
 
   test("LSH big tier: shifted replicas decorrelate buckets, ranks contiguous") {
