@@ -207,9 +207,17 @@ object Streaming {
       Session(userId, o.session_id, o.n,
         fmtMicros(o.startUs), fmtMicros(o.endUs), o.sumCents / 100.0)
     if (state.hasTimedOut) {
-      // watermark passed end + gap: nothing in-order can extend it — final
-      val out = state.getOption.map(toSession).iterator
-      state.remove()
+      // watermark passed end + gap: nothing in-order can extend it —
+      // final. The state collapses to a TOMBSTONE (n = 0) that keeps
+      // only the session counter: removing it outright would restart a
+      // later-returning user's numbering at 1, silently diverging from
+      // the batch plan. The tombstone is O(1) per user ever seen and
+      // registers no timeout (it can never re-fire); a production
+      // deployment that must bound total user-count state adds a TTL
+      // here and accepts re-based numbering past it.
+      val out = state.getOption.filter(_.n > 0).map(toSession).iterator
+      state.getOption.foreach(o =>
+        state.update(OpenSess(o.session_id, o.endUs, o.endUs, 0L, 0L)))
       out
     } else {
       val evs = rows.toArray.sortBy(e => (e.tsMicros, e.event_id))
@@ -222,6 +230,12 @@ object Streaming {
           val cents = (BigDecimal(e.value)
             .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
           cur = cur match {
+            // tombstone: the previous session is already emitted-final;
+            // ANY new event (even one within gap of the old end — it is
+            // late beyond the watermark by construction) starts session
+            // counter + 1
+            case Some(o) if o.n == 0L =>
+              Some(OpenSess(o.session_id + 1, e.tsMicros, e.tsMicros, 1L, cents))
             case Some(o) if ms - Math.floorDiv(o.endUs, 1000L) > gapMs =>
               out += toSession(o)
               Some(OpenSess(o.session_id + 1, e.tsMicros, e.tsMicros, 1L, cents))

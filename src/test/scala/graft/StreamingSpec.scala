@@ -293,6 +293,71 @@ class StreamingSpec extends AnyFunSuite {
       v == 4.25 })
   }
 
+  test("stitching state survives a checkpoint RESTART: sessions span stopped runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the operational claim behind "still-open sessions stay in the
+    // checkpoint": stop the stream entirely, add more files, restart
+    // from the same checkpoint — the open-session GroupState reloads and
+    // sessions stitch across the RESTART boundary, not just microbatches
+    def evs(rows: Seq[(Long, Long, Long, Double)]) =
+      rows.toDF("user_id", "event_id", "m", "value")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(lit(1700000000000000L) + col("m") * 60L * 1000000L).as("ts"),
+          col("value"))
+    // u3 exercises the numbering TOMBSTONE: its lone session times out
+    // during run A (watermark passes t0+gap inside run A), then a much
+    // later event in run B must continue the counter at 2, not restart
+    val f1 = evs(Seq((1L, 1L, 0L, 1.0), (2L, 2L, 5L, 2.0), (3L, 8L, 0L, 1.0)))
+    val f2 = evs(Seq((1L, 3L, 20L, 0.5), (2L, 4L, 50L, 1.5)))
+    // u1's continuation sits at t45: ABOVE the recovered watermark (f2's
+    // max event t50 − 10 min delay = t40 — an event at/below it is
+    // late-filtered before the fold, the documented finality contract)
+    // yet within gap of t20, so it extends s1 ACROSS the restart
+    val f3 = evs(Seq((1L, 5L, 45L, 2.5), (2L, 6L, 60L, 3.0),
+      (3L, 9L, 300L, 2.0)))
+    val f4 = evs(Seq((999L, 7L, 60L * 24 * 10, 0.0)))          // watermark flusher
+    val srcDir = java.nio.file.Files.createTempDirectory("st-restart-src")
+    val outDir = java.nio.file.Files.createTempDirectory("st-restart-out").toString
+    val chk = java.nio.file.Files.createTempDirectory("st-restart-chk").toString
+    // the memory sink refuses checkpoint recovery; the FILE sink is the
+    // recovery-capable one (its own commit log makes the restart
+    // exactly-once), so the two runs append to one parquet output
+    def run(): Unit = {
+      val q = Streaming.sessionizeStitching(
+          spark.readStream.schema(f1.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir.toString))
+        .toDF()
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("path", outDir)
+        .option("checkpointLocation", chk)
+        .start()
+      assert(q.awaitTermination(180000), "stream did not terminate")
+    }
+    Seq(f1, f2).foreach { f =>
+      f.coalesce(1).write.mode("append").parquet(srcDir.toString); Thread.sleep(20)
+    }
+    run() // consumes f1, f2; open sessions checkpointed
+    Seq(f3, f4).foreach { f =>
+      f.coalesce(1).write.mode("append").parquet(srcDir.toString); Thread.sleep(20)
+    }
+    run() // restart: state reloads, f3 extends, f4 flushes
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getDouble(5))).toSet
+    val batchWant = Streaming.sessionizeStateful(f1.union(f2).union(f3)).toDF()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getDouble(5))).toSet
+    assert(got == batchWant, s"restart-stitched sessions drifted: $got vs $batchWant")
+    // u1's single session [t0..t40] holds events from BOTH runs
+    assert(got.exists { case (u, s, n, _, _, v) => u == 1L && s == 1L && n == 3L && v == 4.0 })
+    // and u3's post-timeout return carried the counter through the
+    // tombstone: second session numbered 2
+    assert(got.exists { case (u, s, n, _, _, _) => u == 3L && s == 2L && n == 1L })
+  }
+
   test("x10 sliding-rollup scale tier: multi-batch stream equals batch, watermark evicts") {
     import org.apache.spark.sql.functions._
     // the registered st_sliding_rollup_big corpus, materialized into 6
