@@ -228,7 +228,7 @@ object Bench {
       val topBuilds = buildLedger.toSeq.filter(_._2 >= 0.25).sortBy(-_._2).take(4)
         .map { case (k, s) => s"${q("build:" + k)}:${math.rint(s * 100) / 100}" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","reps":$reps,""" +
         s""""sf":"$sfDir","n_queries":${results.length},"n_errors":${results.count(_._5.isDefined)},""" +
         s""""load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,""" +
         s""""build_sec":${math.rint(buildSec * 100) / 100},"builds":$topBuilds,""" +
@@ -237,19 +237,26 @@ object Bench {
         (if (gzPayload.nonEmpty) s""""queries_gz_b64":"$gzPayload",""" else "") +
         s""""full":"target/bench.json"}"""
     }
+    // entries budget is MEASURED, not guessed: assemble once with zero
+    // plain entries to get the exact skeleton length (metadata + builds
+    // + gz), then fill the remainder (24-char slack covers the
+    // omitted-count digits shifting as entries are added) — the r8
+    // driver run proved a fixed metadata reserve drifts stale the
+    // moment the builds section or total width changes
+    def fitted(gzPayload: String): String = {
+      val skeleton = assemble(-1, gzPayload)
+      assemble(1800 - skeleton.length - 24, gzPayload)
+    }
     // degradation ladder: 10 ms ticks with the sub-50 ms tail shed, then
     // 100 ms ticks (still distinguishes 0.3 s from 0.9 s — the driver-
-    // visibility bar), shedding a little more tail before giving up
-    // precision entirely; each rung is validated against the WHOLE
-    // compact line's window budget, builds included
+    // visibility bar), shedding more tail before giving up precision
+    // entirely; each rung is validated against the WHOLE compact line's
+    // window budget, builds included
     val compact =
       Seq((100, 0.05), (10, 0.05), (10, 0.1), (10, 0.25), (1, 0.0)).iterator
-        .map { case (scale, thr) =>
-          val g = gzOf(scale, thr)
-          assemble(1800 - 320 - g.length, g)
-        }
+        .map { case (scale, thr) => fitted(gzOf(scale, thr)) }
         .find(_.length <= 1800)
-        .getOrElse(assemble(1800 - 320, ""))
+        .getOrElse(fitted(""))
     // Print BOTH before and after teardown. Before: results are final
     // here, and a FATAL throwable out of releaseAll()/spark.stop() must
     // not discard the numbers this process exists to emit (it still
