@@ -62,6 +62,18 @@ object Bench {
       // per-read option exists); a no-op for micros fixtures
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The status store tracks executions/jobs/stages EVEN WITH THE UI
+      // OFF, retaining 1000 executions' plan graphs by default. A
+      // 143-query × 3-rep run with iterative loops emits thousands of
+      // executions with deep plans; the accumulated store measured as
+      // severe in-run degradation (pr_components 1.9 s isolated vs
+      // 11-23 s mid-run, pipeline_source_report 0.6 → 4.0 s — the r7
+      // "attribution instability" in large part) — capped, the same
+      // mid-run queries match their isolated times.
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

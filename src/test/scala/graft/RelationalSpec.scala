@@ -12,6 +12,13 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // status-store retention capped (see Bench.scala): the 200-test
+    // suite shares this one session and accumulates thousands of
+    // executions' plan graphs otherwise
+    .config("spark.sql.ui.retainedExecutions", "20")
+    .config("spark.ui.retainedJobs", "100")
+    .config("spark.ui.retainedStages", "100")
+    .config("spark.ui.retainedTasks", "1000")
     .getOrCreate()
   val sf = "/root/testdata/sf0.001"
 }
