@@ -48,9 +48,28 @@ object Bench {
       .linesIterator.next().split("\\s+")(8).toLong
     catch { case scala.util.control.NonFatal(_) => -1L }
 
+  /** This JVM's cumulative CPU jiffies (utime+stime, /proc/self/stat
+    * fields 14-15; -1 off-Linux). steal_ticks only sees HYPERVISOR
+    * steal; co-tenant workloads in sibling cgroups show up as our
+    * wall-clock stretching while OUR cpu stays flat — cpu_ticks lets the
+    * artifact separate "the code did more work" from "the box was busy"
+    * (r8 observed back-to-back same-code runs at 126 vs 110 s with
+    * steal ≈ 2 s-core but ambient load 1.3-2.5 at run start).
+    */
+  private def cpuJiffies(): Long =
+    try {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // comm (field 2) may contain spaces: split after the closing paren
+      val rest = stat.substring(stat.lastIndexOf(')') + 2).split("\\s+")
+      rest(11).toLong + rest(12).toLong // utime, stime (1-based fields 14,15)
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
     val stealStart = stealJiffies()
+    val cpuStart = cpuJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
@@ -162,13 +181,15 @@ object Bench {
     val loadEnd = loadAvg()
     val stealTicks = // run's stolen CPU in 10 ms ticks (−1 = unreadable)
       if (stealStart < 0) -1L else stealJiffies() - stealStart
+    val cpuTicks = // run's OWN cpu in 10 ms ticks (−1 = unreadable)
+      if (cpuStart < 0) -1L else cpuJiffies() - cpuStart
     // memo-build ledger: cost charged to named build:* rows, no longer
     // inside any query's median. value + build_sec ≈ the run's real work.
     val buildSec = buildLedger.values.sum
     val builds = buildLedger.toSeq.sortBy(-_._2)
       .map { case (k, s) => s"${q("build:" + k)}:${math.rint(s * 100) / 100}" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"build_sec":$buildSec,"builds":$builds,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"cpu_ticks":$cpuTicks,"build_sec":$buildSec,"builds":$builds,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     // The full-fidelity record goes ONLY to target/bench.json — NOT to
     // stdout. The driver's BENCH artifact keeps the LAST ~2000 chars of
     // stdout (BENCH_r01..r05 all carry a 2000-char "tail", parsed:null):
@@ -243,6 +264,7 @@ object Bench {
       s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","reps":$reps,""" +
         s""""sf":"$sfDir","n_queries":${results.length},"n_errors":${results.count(_._5.isDefined)},""" +
         s""""load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,""" +
+        s""""cpu_ticks":$cpuTicks,""" +
         s""""build_sec":${math.rint(buildSec * 100) / 100},"builds":$topBuilds,""" +
         s""""queries":${entries.mkString("{", ",", "}")},""" +
         s""""omitted_fastest":$omitted,"omitted_sec":$omittedSec,""" +
