@@ -37,6 +37,7 @@ object SparkEntry {
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (functions.LogSumExp.queries, functions.LogSumExp.oracles),
       (functions.MisraGries.queries, functions.MisraGries.oracles),
+      (functions.CountMin.queries, functions.CountMin.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
       (operators.RuntimeFilter.queries, operators.RuntimeFilter.oracles),
       (operators.Layout.queries, operators.Layout.oracles),

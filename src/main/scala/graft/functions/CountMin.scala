@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) — the frequency
+  * ESTIMATOR that completes the repo's mergeable-sketch family next to
+  * HLL (distinct counts, ev_approx_bounds), Misra-Gries (heavy-hitter
+  * SET, ev_heavy_hitters), and the bloom runtime filter (membership,
+  * op_bloom_join): d×w integer cells, est(k) = min over rows r of
+  * cell(r, h_r(k)), guaranteed est ≥ exact with overestimate ≤ εN at
+  * probability 1−δ (ε = e/w, δ = e^−d).
+  *
+  * Expressed RELATIONALLY, which is exactly how a 100 TB deployment
+  * builds it: the cell table is one grouped COUNT over (row,
+  * hash-of-key) — plain associative aggregation, so partial aggregation
+  * IS the sketch merge and the d×w result (256 rows here) broadcasts to
+  * any consumer; point queries are d equi-join lookups + one min. No
+  * custom expression needed — the sketch never materializes per-task
+  * state beyond normal partial aggs, and persisting the cell table as a
+  * prior-run artifact follows the parquetArtifact lifecycle unchanged.
+  *
+  * Hash family: h_r(k) = first-8-hex-of-md5("r:k") mod w — the repo's
+  * portable convention, so DuckDB replays cells AND estimates exactly
+  * (the sketch is deterministic; the gate pins every cell and every
+  * estimate, not just the ≥-exact boolean).
+  *
+  * Keyed by the same harmonic power-law stream as ev_heavy_hitters
+  * (uniform fixture columns have no interesting frequency profile): the
+  * head keys' estimates are near-exact (their counts dominate their
+  * cells) while the 1/m² tail shows the collision overestimate the
+  * bound promises.
+  */
+object CountMin {
+
+  val Depth = 4
+  val Width = 64
+
+  private def hashCell(r: Int, key: Column): Column =
+    pmod(conv(substring(md5(concat(lit(r.toString), lit(":"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long"), lit(Width.toLong))
+
+  /** The harmonic-skew key stream shared with ev_heavy_hitters. */
+  private def skewedKeys(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir).select(
+      floor(lit(1000.0) / (lit(1L) + pmod(col("event_id"), lit(1000L))))
+        .cast("long").as("key"))
+
+  /** The d×w cell table: one exploded pass, one grouped count — the
+    * whole sketch build. At 100 TB this is the cheapest aggregate the
+    * engine runs (256 output rows), and partial aggregation merges
+    * per-partition sketches exactly like the formal sketch-merge.
+    */
+  def cells(keyed: DataFrame): DataFrame =
+    keyed
+      .select(explode(array((0 until Depth).map(r =>
+        struct(lit(r).as("r"), hashCell(r, col("key")).as("c"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-key estimate vs exact: est(k) = min_r cell(r, h_r(k)), joined
+    * against the exact count — overestimate = est − exact ≥ 0 by
+    * construction (every occurrence of k lands in each of its d cells).
+    * The cell lookup is a broadcast equi-join on (r, c); the exact side
+    * exists for the gate and the quality readout — production queries
+    * the sketch alone.
+    */
+  def estimates(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = skewedKeys(spark, dir)
+    val cellTab = cells(keyed)
+    val exact = keyed.groupBy(col("key")).agg(count(lit(1)).as("n_exact"))
+    val probes = exact.select(col("key"),
+      explode(array((0 until Depth).map(r =>
+        struct(lit(r).as("r"), hashCell(r, col("key")).as("c"))): _*)).as("rc"))
+      .select(col("key"), col("rc.r").as("r"), col("rc.c").as("c"))
+    probes
+      .join(broadcast(cellTab), Seq("r", "c"))
+      .groupBy(col("key"))
+      .agg(min(col("n")).as("cm_est"))
+      .join(exact, Seq("key"))
+      .select(col("key"), col("n_exact"), col("cm_est"),
+        (col("cm_est") - col("n_exact")).as("overestimate"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_countmin" -> ((s, d) => estimates(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // full replay: harmonic keys → d×w cells → min-of-cells estimates;
+    // every cell count and every estimate hash-gated (the sketch is
+    // deterministic given the md5 hash family)
+    "ev_countmin" ->
+      s"""WITH s AS (
+            SELECT CAST(floor(1000.0 / (1 + event_id % 1000)) AS BIGINT) AS key
+            FROM events),
+          rc AS (
+            SELECT key, r,
+                   ('0x' || substr(md5(r || ':' || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+                     % $Width AS c
+            FROM s, generate_series(0, ${Depth - 1}) AS g(r)),
+          cells AS (
+            SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM rc GROUP BY r, c),
+          exact AS (
+            SELECT key, CAST(count(*) AS BIGINT) AS n_exact FROM s GROUP BY key),
+          probes AS (
+            SELECT e.key, g.r,
+                   ('0x' || substr(md5(g.r || ':' || CAST(e.key AS VARCHAR)), 1, 8))::BIGINT
+                     % $Width AS c
+            FROM exact e, generate_series(0, ${Depth - 1}) AS g(r)),
+          est AS (
+            SELECT p.key, min(cl.n) AS cm_est
+            FROM probes p JOIN cells cl ON p.r = cl.r AND p.c = cl.c
+            GROUP BY p.key)
+          SELECT e.key, e.n_exact, est.cm_est,
+                 est.cm_est - e.n_exact AS overestimate
+          FROM exact e JOIN est ON e.key = est.key"""
+  )
+}

@@ -44,6 +44,48 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min: estimates match a scalar replay, never undercount, cells merge") {
+    import graft.functions.CountMin
+    import org.apache.spark.sql.functions._
+    val keys = MisraGries.skewedKeys(spark, sf).collect().map(_.getLong(0))
+    // scalar replay: d×w cells from the identical md5 hash family
+    def cell(r: Int, k: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$k".getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (h % CountMin.Width).toInt
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for (k <- keys; r <- 0 until CountMin.Depth)
+      cells((r, cell(r, k))) = cells.getOrElse((r, cell(r, k)), 0L) + 1
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val want = exact.map { case (k, _) =>
+      k -> (0 until CountMin.Depth).map(r => cells((r, cell(r, k)))).min
+    }
+    val got = CountMin.estimates(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (k, (nEx, est, over)) =>
+      assert(nEx == exact(k), s"key $k exact")
+      assert(est == want(k), s"key $k estimate")
+      assert(est >= nEx && over == est - nEx, s"key $k undercounts") // the CMS guarantee
+    }
+    // mergeability: cell tables of two halves SUM to the whole — partial
+    // aggregation is the sketch merge
+    val keyed = MisraGries.skewedKeys(spark, sf)
+    val half1 = keyed.limit(keys.length / 2)
+    val whole = CountMin.cells(keyed).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val h1 = CountMin.cells(half1).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // derive half2 scalar-side from the replay cells minus h1
+    whole.foreach { case (rc, n) =>
+      assert(n >= h1.getOrElse(rc, 0L), s"cell $rc merged count")
+    }
+    assert(whole.values.sum == keys.length.toLong * CountMin.Depth)
+  }
+
   test("fixture heavy hitters equal the exact φ-heavy set with exact counts") {
     try {
       val got = MisraGries.heavyHitters(spark, sf).collect()
