@@ -146,19 +146,47 @@ object Similarity {
     * fixture tier ([[topKLsh]]) and the ×replicas measurement tier
     * ([[topKLshBig]]).
     */
-  private def topKLshOn(bands: DataFrame, k: Int, nQueries: Int): DataFrame = {
-    val q = bands.filter(col("vec_id") < nQueries).toDF("query_id", "qe", "band", "key")
-    val cand = q.join(bands.toDF("vec_id", "ce", "band2", "key2"),
-        col("band") === col("band2") && col("key") === col("key2") &&
-          col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qe"), col("vec_id"), col("ce"))
-      .distinct()
+  private def topKLshOn(bands: DataFrame, k: Int, nQueries: Int): DataFrame =
+    lshRerank(
+      bands.filter(col("vec_id") < nQueries).toDF("query_id", "qe", "band", "key")
+        .join(bands.toDF("vec_id", "ce", "band2", "key2"),
+          col("band") === col("band2") && col("key") === col("key2") &&
+            col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("qe"), col("vec_id"), col("ce"))
+        .distinct(), k)
+
+  private def lshRerank(cand: DataFrame, k: Int): DataFrame =
     cand
       .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+
+  /** MULTI-PROBE LSH (Lv et al., VLDB 2007): each query band probes its
+    * own bucket AND the 4 Hamming-1 neighbor buckets (key ⊕ 2^i) —
+    * near-neighbors that landed one sign-bit away, the dominant LSH
+    * miss mode, become candidates WITHOUT more bands or tables. Probe
+    * cost: ×5 candidate-join fan-out on the query side only (queries ≪
+    * corpus — the corpus-side index is untouched, which is the entire
+    * point of the technique vs adding tables at 100 TB). Candidate set
+    * is a strict superset of [[topKLsh]]'s, so recall vs exact can only
+    * rise; deterministic (same md5 plane family), full oracle.
+    */
+  def topKLshMultiprobe(spark: SparkSession, dir: String,
+                        k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val bands = bandedSketches(spark, dir)
+    val probes = bands.filter(col("vec_id") < nQueries)
+      .toDF("query_id", "qe", "band", "key0")
+      .select(col("query_id"), col("qe"), col("band"),
+        explode(array((Seq(0) ++ (0 until SketchRows).map(1 << _)).map(m =>
+          col("key0").bitwiseXOR(lit(m))): _*)).as("key"))
+    lshRerank(
+      probes.join(bands.toDF("vec_id", "ce", "band2", "key2"),
+          col("band") === col("band2") && col("key") === col("key2") &&
+            col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("qe"), col("vec_id"), col("ce"))
+        .distinct(), k)
   }
 
   private val BigReplicas = 10
@@ -755,6 +783,7 @@ object Similarity {
     // quantizer), so both carry full SQL oracles; recall vs the
     // oracle-checked exact topK is additionally asserted in spec.
     "sim_topk_lsh"     -> ((s, d) => topKLsh(s, d)),
+    "sim_topk_lsh_multiprobe" -> ((s, d) => topKLshMultiprobe(s, d)),
     "sim_topk_sq"      -> ((s, d) => topKSq(s, d)),
     // measurement tier: the LSH probe over the ×10 inflated corpus
     "sim_topk_lsh_big" -> ((s, d) => topKLshBig(s, d)),
@@ -872,6 +901,43 @@ object Similarity {
                     ON q.b = c.b AND q.key = c.key AND q.vec_id <> c.vec_id
                   WHERE q.vec_id < 10))
           WHERE rank <= 3""",
+    "sim_topk_lsh_multiprobe" ->
+      s"""WITH w AS MATERIALIZED (
+            SELECT j, list(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || d::VARCHAR), 1, 2))::INT & 1 = 1
+                                THEN 1.0 ELSE -1.0 END ORDER BY d) AS wv
+            FROM generate_series(0, 15) t(j), generate_series(0, 63) s(d)
+            GROUP BY j),
+          e AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings),
+          sk AS MATERIALIZED (
+            SELECT vec_id, any_value(embedding) AS embedding, any_value(nrm) AS nrm,
+                   list(CASE WHEN round(dotv, 6) > 0 THEN 1 ELSE 0 END ORDER BY j) AS sk
+            FROM (SELECT e.vec_id, e.embedding, e.nrm, w.j,
+                         list_sum(list_transform(list_zip(e.embedding, w.wv),
+                           z -> z[1]::DOUBLE * z[2])) AS dotv
+                  FROM e CROSS JOIN w)
+            GROUP BY vec_id),
+          bd AS MATERIALIZED (
+            SELECT vec_id, embedding, nrm, b,
+                   sk[b*4+1] + 2*sk[b*4+2] + 4*sk[b*4+3] + 8*sk[b*4+4] AS key
+            FROM sk, generate_series(0, 3) g(b))
+          , pq AS (
+            SELECT vec_id, embedding, nrm, b, xor(key, m.m) AS key
+            FROM bd, (VALUES (0), (1), (2), (4), (8)) m(m)
+            WHERE vec_id < 10)
+          SELECT query_id, vec_id, cos, rank FROM (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM (SELECT DISTINCT q.vec_id AS query_id, c.vec_id,
+                         round(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                 z -> z[1]::DOUBLE * z[2]::DOUBLE)) / (q.nrm * c.nrm), 6) AS cos
+                  FROM pq q JOIN bd c
+                    ON q.b = c.b AND q.key = c.key AND q.vec_id <> c.vec_id))
+          WHERE rank <= 3""",
+
     // The LSH chain over the ×10 arithmetically-inflated corpus:
     // replica r = (vec_id + r·10⁶, embedding circularly shifted by r),
     // regenerated by the base CTE; everything after is the sim_topk_lsh

@@ -310,6 +310,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"LSH recall collapsed: $recall")
   }
 
+  test("multi-probe LSH: recall vs exact never below single-probe, scores exact") {
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val exact = m(Similarity.topK(spark, sf))
+    val single = m(Similarity.topKLsh(spark, sf))
+    val multi = m(Similarity.topKLshMultiprobe(spark, sf))
+    // scores of overlapping pairs equal exact cosine (probing changes
+    // CANDIDATES, never the re-rank arithmetic)
+    multi.foreach { case (kpair, c) =>
+      exact.get(kpair).foreach(e => assert(c == e, s"$kpair rescored")) }
+    // Hamming-1 probes expand the candidate set, so per-query recall vs
+    // the exact top-k can only rise
+    def recall(g: Map[(Long, Long), Double]) =
+      exact.keySet.count(g.contains).toDouble / exact.size
+    assert(recall(multi) >= recall(single),
+      s"multi-probe recall ${recall(multi)} below single-probe ${recall(single)}")
+    assert(multi.nonEmpty)
+  }
+
   test("IVF topk candidates score identically to exact where they overlap") {
     val exact = Similarity.topK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
