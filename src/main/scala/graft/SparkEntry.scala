@@ -38,6 +38,7 @@ object SparkEntry {
       (functions.LogSumExp.queries, functions.LogSumExp.oracles),
       (functions.MisraGries.queries, functions.MisraGries.oracles),
       (functions.CountMin.queries, functions.CountMin.oracles),
+      (functions.GroupTopK.queries, functions.GroupTopK.oracles),
       (operators.Skew.queries, operators.Skew.oracles),
       (operators.RuntimeFilter.queries, operators.RuntimeFilter.oracles),
       (operators.Layout.queries, operators.Layout.oracles),

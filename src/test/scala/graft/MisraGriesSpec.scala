@@ -44,6 +44,45 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped top-k aggregator: equals the window form, merge-tree invariant, no sort") {
+    import graft.functions.GroupTopK
+    import org.apache.spark.sql.functions._
+    // fixture equality against the window idiom
+    val got = GroupTopK.topKPerUser(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value").cast("double").as("v"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("v").desc, col("event_id"))))
+      .where(col("rank") <= GroupTopK.K)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("rank")) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the aggregate plan carries no window sort: no WindowExec at all
+    val plan = GroupTopK.topKPerUser(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked into the aggregate plan:\n$plan")
+    // merge-tree invariance: any split of the stream, any merge order,
+    // same top-k (associativity the partial-agg contract relies on)
+    val agg = new GroupTopK.TopKAgg(3)
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val xs = Seq.fill(rnd.nextInt(40) + 1)(
+        (rnd.nextLong(100), rnd.nextInt(8).toDouble))
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      val cut = rnd.nextInt(xs.length)
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(whole.vs.toSeq == merged.vs.toSeq && whole.ids.toSeq == merged.ids.toSeq,
+        s"merge drift on $xs cut $cut")
+      val ref = xs.map { case (id, v) => (v, id) }
+        .sortBy { case (v, id) => (-v, id) }.take(3)
+      assert(whole.vs.toSeq == ref.map(_._1) && whole.ids.toSeq == ref.map(_._2))
+    }
+  }
+
   test("count-min: estimates match a scalar replay, never undercount, cells merge") {
     import graft.functions.CountMin
     import org.apache.spark.sql.functions._
