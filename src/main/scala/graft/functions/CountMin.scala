@@ -82,8 +82,30 @@ object CountMin {
         (col("cm_est") - col("n_exact")).as("overestimate"))
   }
 
+  /** WINDOWED cell table — the per-hour frequency sketch a streaming
+    * pipeline keeps instead of per-key counts: state is d×w cells PER
+    * WINDOW (256 rows/hour here, watermark-evicted) regardless of key
+    * cardinality — the sketch-in-a-window pattern that makes per-hour
+    * frequency queries stream-legal at any key space. The SAME plan runs
+    * batch (the gate/oracle) and as an AvailableNow stream
+    * (StreamingSpec: counts are associative, so stream ≡ batch exactly).
+    */
+  def windowedCells(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(window(col("ts"), "1 hour").as("w"),
+        floor(lit(1000.0) / (lit(1L) + pmod(col("event_id"), lit(1000L))))
+          .cast("long").as("key"))
+      .select(col("w"), explode(array((0 until Depth).map(r =>
+        struct(lit(r).as("r"), hashCell(r, col("key")).as("c"))): _*)).as("rc"))
+      .groupBy(col("w"), col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("r"), col("c"), col("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ev_countmin" -> ((s, d) => estimates(s, d))
+    "ev_countmin" -> ((s, d) => estimates(s, d)),
+    "st_countmin" -> ((s, d) => windowedCells(graft.Tables.events(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -114,6 +136,16 @@ object CountMin {
             GROUP BY p.key)
           SELECT e.key, e.n_exact, est.cm_est,
                  est.cm_est - e.n_exact AS overestimate
-          FROM exact e JOIN est ON e.key = est.key"""
+          FROM exact e JOIN est ON e.key = est.key""",
+    "st_countmin" ->
+      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+                r,
+                ('0x' || substr(md5(r || ':' ||
+                   CAST(CAST(floor(1000.0 / (1 + event_id % 1000)) AS BIGINT) AS VARCHAR)),
+                 1, 8))::BIGINT % $Width AS c,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events, generate_series(0, ${Depth - 1}) AS g(r)
+         GROUP BY 1, 2, 3"""
   )
 }

@@ -159,6 +159,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size == Tables.events(spark, sf).count())
   }
 
+  test("windowed count-min cells (file source, AvailableNow) equal the batch sketch") {
+    val stream = graft.functions.CountMin.windowedCells(
+      Streaming.readEventStream(spark, sf))
+    val q = stream.writeStream
+      .format("memory").queryName("cm_cells_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("st-chk").toString)
+      .start()
+    assert(q.awaitTermination(120000), "stream did not terminate")
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val got = cells(spark.table("cm_cells_test"))
+    // counts are associative: the incremental stream builds the exact
+    // same per-window sketch as the one-shot batch
+    val want = cells(graft.functions.CountMin.windowedCells(Tables.events(spark, sf)))
+    assert(got == want)
+    assert(want.nonEmpty)
+    // state is d×w per window, not per key: every window holds ≤ 256 cells
+    got.keySet.groupBy(_._1).foreach { case (w, ks) =>
+      assert(ks.size <= graft.functions.CountMin.Depth * graft.functions.CountMin.Width,
+        s"window $w cell blowup") }
+  }
+
   test("stateful sessionization on batch reproduces the window-based sessionize") {
     val stateful = Streaming.sessionizeStateful(Tables.events(spark, sf)).toDF()
       .collect()
