@@ -60,6 +60,42 @@ object Curation {
       .where(col("bucket") < col("rate_pct"))
       .select(col("doc_id"), col("source"), col("bucket"), col("rate_pct"))
 
+  /** Temperature-flattened source mixture (the multilingual-training
+    * rebalancing of Arivazhagan et al. 2019: sample sources ∝ n_s^T,
+    * T < 1 boosting small sources): target share q_s = √n_s / Σ√n_t at
+    * T = 1/2 — chosen because IEEE sqrt is CORRECTLY ROUNDED, so the
+    * per-source weight is bit-identical in every engine (an arbitrary
+    * pow(x, T) is not), making the whole quota computation
+    * oracle-replayable: √n_s rounds onto the 6-dp decimal grid, the
+    * normalizer is an exact DECIMAL sum (order-free), and
+    * k_s = floor(budget · q_s) divides identical doubles. Selection
+    * WITHIN a source is the content-stable md5 rank (the
+    * stratifiedSample convention — survives reruns and repartitioning),
+    * doc_id tiebreak. One aggregate + one broadcast of the ≤ #sources
+    * quota table + one per-source window; at 100 TB the window sorts
+    * only within sources and only to depth k_s (TakeOrdered per group
+    * via the ev_topk_per_user Aggregator is the drop-in if source
+    * cardinality explodes).
+    */
+  def temperatureSample(spark: SparkSession, dir: String, budget: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("s6", round(sqrt(col("n_s").cast("double")), 6).cast("decimal(18,6)"))
+    val tot = counts.agg(sum(col("s6")).as("tot"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        floor(lit(budget) * (col("s6").cast("double") / col("tot").cast("double")))
+          .cast("long").as("k_s"))
+    val ranked = docs.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(md5(col("text")), col("doc_id"))))
+    ranked.join(broadcast(quota), Seq("source"))
+      .where(col("rk") <= col("k_s"))
+      .select(col("doc_id"), col("source"),
+        col("rk").cast("long").as("rank_in_source"), col("n_s"), col("k_s"))
+  }
+
   private val ChunkLen = 8
   private val ChunkStride = 6
 
@@ -332,6 +368,7 @@ object Curation {
     "ml_split_leakfree"      -> ((s, d) => leakFreeSplit(s, d)),
     "ta_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "ta_mixture_sample"    -> ((s, d) => mixtureSample(s, d)),
+    "ta_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
     "ta_chunk"             -> ((s, d) => chunk(s, d)),
     "ta_pack"              -> ((s, d) => pack(s, d)),
     "ta_pack_manifest"     -> ((s, d) => packManifest(s, d)),
@@ -525,6 +562,23 @@ object Curation {
              row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
            FROM documents)
          WHERE rk <= 50""",
+    "ta_temperature_sample" ->
+      """WITH c AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+                   CAST(round(sqrt(count(*)::DOUBLE), 6) AS DECIMAL(18,6)) AS s6
+            FROM documents GROUP BY source),
+          t AS (SELECT sum(s6) AS tot FROM c),
+          q AS (SELECT source, n_s,
+                       CAST(floor(200 * (CAST(s6 AS DOUBLE) / CAST(tot AS DOUBLE)))
+                            AS BIGINT) AS k_s
+                FROM c, t),
+          r AS (SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY md5(text), doc_id) AS rk
+                FROM documents)
+          SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rank_in_source,
+                 q.n_s, q.k_s
+          FROM r JOIN q USING (source) WHERE r.rk <= q.k_s""",
     "ta_mixture_sample" ->
       """SELECT doc_id, source, bucket, rate_pct FROM (
            SELECT doc_id, source,

@@ -78,6 +78,32 @@ class CurationSpec extends AnyFunSuite {
     assert(hi >= lo)
   }
 
+  test("temperature sample: quotas flatten the source distribution, ranks valid") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analysis.Curation.temperatureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per source: ranks contiguous 1..k_s, k_s consistent
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      val ks = rs.head._5
+      assert(rs.map(_._3).sorted.sameElements(1L to ks), s"$s ranks")
+      assert(rs.forall(_._5 == ks))
+    }
+    // T = 1/2 flattens: every source's SAMPLE share is closer to uniform
+    // than its corpus share — small sources gain, large sources shed
+    val nBySrc = rows.groupBy(_._2).map { case (s, rs) => s -> rs.head._4 }
+    val kBySrc = rows.groupBy(_._2).map { case (s, rs) => s -> rs.head._5 }
+    val nTot = nBySrc.values.sum.toDouble
+    val kTot = kBySrc.values.sum.toDouble
+    val uni = 1.0 / nBySrc.size
+    nBySrc.keys.foreach { s =>
+      val corpusShare = nBySrc(s) / nTot
+      val sampleShare = kBySrc(s) / kTot
+      assert(math.abs(sampleShare - uni) <= math.abs(corpusShare - uni) + 1e-9,
+        s"$s: sample share $sampleShare not flatter than corpus $corpusShare")
+    }
+  }
+
   test("chunks cover every token and respect the stride geometry") {
     val docToks = Tables.documents(spark, sf)
       .select(col("doc_id"), graft.text.Text.tokenize(col("text")).as("toks"))
