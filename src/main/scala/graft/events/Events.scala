@@ -72,7 +72,15 @@ object Events {
     * therefore last-event-ts + gap, not last-event-ts.
     */
   def sessionWindow(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
-    Tables.events(spark, dir)
+    sessionWindowOn(Tables.events(spark, dir), gapMinutes)
+
+  /** The same merging-window aggregate over an arbitrary (possibly
+    * watermarked, possibly streaming) events frame — StreamingSpec runs
+    * it AvailableNow to pin that the NATIVE session operator, not just
+    * the hand-rolled folds, is stream-real here.
+    */
+  def sessionWindowOn(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),

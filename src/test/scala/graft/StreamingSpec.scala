@@ -159,6 +159,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size == Tables.events(spark, sf).count())
   }
 
+  test("native session_window aggregate (file source, AvailableNow) equals batch") {
+    import org.apache.spark.sql.functions._
+    val stream = graft.events.Events.sessionWindowOn(
+      Streaming.readEventStream(spark, sf).withWatermark("ts", "2 hours"))
+    val q = stream.writeStream
+      .format("memory").queryName("sesswin_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("st-chk").toString)
+      .start()
+    assert(q.awaitTermination(120000), "stream did not terminate")
+    def sess(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val got = sess(spark.table("sesswin_test"))
+    val want = sess(graft.events.Events.sessionWindow(spark, sf))
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("windowed count-min cells (file source, AvailableNow) equal the batch sketch") {
     val stream = graft.functions.CountMin.windowedCells(
       Streaming.readEventStream(spark, sf))
