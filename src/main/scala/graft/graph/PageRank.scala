@@ -266,6 +266,51 @@ object PageRank {
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Common-neighbors LINK PREDICTION (the classic friend-of-friend
+    * recommender, Liben-Nowell & Kleinberg 2003): for every NON-adjacent
+    * pair, score = |Γ(u) ∩ Γ(w)|, computed by wedge enumeration — one
+    * self-join of the symmetric adjacency on the CENTER node (u < w
+    * canonicalizes the pair), one grouped count, one anti-join removing
+    * existing edges, top-k per endpoint. Every join is an id equi-join.
+    *
+    * Scale note: full-graph CN scoring is Σ C(deg, 2) wedge mass by
+    * definition; the production shape (and this query) bounds the QUERY
+    * set instead — the ANN nQueries convention. A pair's canonical MIN
+    * endpoint decides capture, so the bound pushes INTO the wedge
+    * self-join as a filter on one side (u < nQueries ∧ u < w covers
+    * every pair a query node participates in), and the join output
+    * scales with Σ_{query nodes} deg, not Σ C(deg, 2). Runs on the
+    * sparse mod-10000 graph (the mod-100 tier is complete — no
+    * non-adjacent pairs exist to predict).
+    */
+  def linkPredict(spark: SparkSession, dir: String, mod: Long = 10000,
+                  k: Int = 3, nQueries: Long = 200): DataFrame = {
+    val und = graft.Caches.memoized(spark, dir, s"graph:und_plain_$mod") {
+      edges(spark, dir, mod)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    }
+    val sym = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+    val cn = sym.toDF("v", "u").where(col("u") < nQueries)
+      .join(sym.toDF("v2", "w"),
+        col("v") === col("v2") && col("u") < col("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("common_neighbors"))
+    val cand = cn.join(und, cn("u") === und("a") && cn("w") === und("b"), "left_anti")
+    val perNode = cand
+      .select(col("u").as("id"), col("w").as("candidate"), col("common_neighbors"))
+      .union(cand
+        .select(col("w").as("id"), col("u").as("candidate"), col("common_neighbors")))
+      .where(col("id") < nQueries)
+    perNode.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("common_neighbors").desc, col("candidate"))))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank").cast("int").as("rank"),
+        col("candidate"), col("common_neighbors"))
+  }
+
   /** Connected components of the fixture graph through the shared
     * [[Components]] large-star/small-star module — the module registered
     * as a first-class graph operator, not only as dedup plumbing.
@@ -314,6 +359,7 @@ object PageRank {
     // scheduling overhead against parallelism for this working set.
     "pr_toprank_10k"  -> ((s, d) => topK(s, d, mod = 10000, partitions = 8)),
     "pr_triangles"    -> ((s, d) => triangles(s, d)),
+    "pr_link_predict" -> ((s, d) => linkPredict(s, d)),
     // Scale tier for the degree-ordered wedge guard: the dense mod-10000
     // graph (~10k nodes; ~590k undirected edges at sf0.1, avg degree
     // ~120). Unlike the iterative tiers this one IS oracle-tractable —
@@ -409,6 +455,7 @@ object PageRank {
            SELECT reach.v, ed.b FROM reach JOIN ed ON reach.r = ed.a)
          SELECT v AS id, min(r) AS component_id FROM reach GROUP BY v""",
     "pr_triangles"     -> trianglesOracle(100),
+    "pr_link_predict"  -> linkPredictOracle(10000, 3, 200),
     "pr_triangles_10k" -> trianglesOracle(10000),
   )
 
@@ -461,6 +508,35 @@ object PageRank {
     * purely the hub-skew guard. Tractable at the t2 gate even for
     * mod=10000 (~55k edges at sf0.01 → ~360k wedges).
     */
+  /** DuckDB replay of [[linkPredict]]: same wedge enumeration, pair
+    * canonicalization, anti-join, and per-endpoint ranking.
+    */
+  private def linkPredictOracle(mod: Long, k: Int, nQueries: Long): String =
+    s"""WITH e AS (
+          SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+          FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+        sym AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und),
+        cn AS (
+          SELECT s1.n AS u, s2.n AS w, CAST(count(*) AS BIGINT) AS common_neighbors
+          FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.n < s2.n
+          WHERE s1.n < $nQueries
+          GROUP BY s1.n, s2.n),
+        cand AS (
+          SELECT cn.u, cn.w, cn.common_neighbors
+          FROM cn ANTI JOIN und ON cn.u = und.a AND cn.w = und.b),
+        pn AS (
+          SELECT id, candidate, common_neighbors FROM (
+            SELECT u AS id, w AS candidate, common_neighbors FROM cand
+            UNION ALL SELECT w, u, common_neighbors FROM cand)
+          WHERE id < $nQueries)
+        SELECT id, CAST(rank AS INT) AS rank, candidate, common_neighbors FROM (
+          SELECT id, candidate, common_neighbors,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY common_neighbors DESC, candidate) AS rank
+          FROM pn)
+        WHERE rank <= $k"""
+
   private def trianglesOracle(mod: Long): String =
     s"""WITH e AS (
           SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst

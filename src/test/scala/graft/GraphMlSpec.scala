@@ -151,6 +151,33 @@ class PageRankSpec extends AnyFunSuite {
     assert(sizes.sum == nodes.length)
   }
 
+  test("link prediction matches a brute-force common-neighbors replay") {
+    val und = PageRank.edges(spark, sf, mod = 10000).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    und.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val got = PageRank.linkPredict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    // brute force for every query node: CN over non-adjacent candidates,
+    // top-3 by (count desc, id)
+    val want = (0L until 200L).flatMap { q =>
+      if (!adj.contains(q)) Nil
+      else {
+        val cands = adj.keys.filter(w => w != q && !adj(q).contains(w))
+          .map(w => w -> (adj(q) & adj(w)).size.toLong)
+          .filter(_._2 > 0).toSeq
+          .sortBy { case (w, c) => (-c, w) }.take(3)
+        cands.zipWithIndex.map { case ((w, c), i) => (q, i + 1) -> (w, c) }
+      }
+    }.toMap
+    assert(got == want, s"${got.size} vs ${want.size} predictions")
+    // predictions are genuinely non-edges
+    got.foreach { case ((q, _), (w, _)) =>
+      assert(!und.contains((math.min(q, w), math.max(q, w))), s"($q,$w) is an edge") }
+  }
+
   test("partitionGraph: hash and range partitionings cover all nodes, range is ordered") {
     val n = PageRank.nodes(spark, sf)
     val e = PageRank.edges(spark, sf)
