@@ -285,19 +285,7 @@ object PageRank {
     */
   def linkPredict(spark: SparkSession, dir: String, mod: Long = 10000,
                   k: Int = 3, nQueries: Long = 200): DataFrame = {
-    val und = graft.Caches.memoized(spark, dir, s"graph:und_plain_$mod") {
-      edges(spark, dir, mod)
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-    }
-    val sym = und.select(col("a").as("v"), col("b").as("n"))
-      .union(und.select(col("b").as("v"), col("a").as("n")))
-    val cn = sym.toDF("v", "u").where(col("u") < nQueries)
-      .join(sym.toDF("v2", "w"),
-        col("v") === col("v2") && col("u") < col("w"))
-      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("common_neighbors"))
-    val cand = cn.join(und, cn("u") === und("a") && cn("w") === und("b"), "left_anti")
+    val (und, cand) = cnCandidates(spark, dir, mod, nQueries)
     val perNode = cand
       .select(col("u").as("id"), col("w").as("candidate"), col("common_neighbors"))
       .union(cand
@@ -309,6 +297,64 @@ object PageRank {
       .where(col("rank") <= k)
       .select(col("id"), col("rank").cast("int").as("rank"),
         col("candidate"), col("common_neighbors"))
+  }
+
+  /** Shared candidate machinery of [[linkPredict]] and
+    * [[linkPredictAdamicAdar]]: (canonical edge set, scored non-adjacent
+    * candidate pairs). The Adamic-Adar weight — Σ 1/ln(deg(v)) over
+    * common neighbors v, down-weighting promiscuous centers — rides the
+    * SAME wedge rows: the per-center weight joins from a broadcast
+    * degree table, 6-dp-rounded onto the decimal grid and DECIMAL-summed
+    * (order-free — the repo's PMI/BM25 fp protocol), so the oracle
+    * replays scores exactly. Centers always have deg ≥ 2 (a wedge needs
+    * two spokes), so 1/ln(deg) is finite everywhere it is evaluated.
+    */
+  private def cnCandidates(spark: SparkSession, dir: String, mod: Long,
+                           nQueries: Long): (DataFrame, DataFrame) = {
+    val und = graft.Caches.memoized(spark, dir, s"graph:und_plain_$mod") {
+      edges(spark, dir, mod)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    }
+    val sym = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+    val degW = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= 2)
+      .select(col("v").as("v3"),
+        round(lit(1.0) / log(col("deg").cast("double")), 6)
+          .cast("decimal(12,6)").as("wt"))
+    val cn = sym.toDF("v", "u").where(col("u") < nQueries)
+      .join(sym.toDF("v2", "w"),
+        col("v") === col("v2") && col("u") < col("w"))
+      .join(broadcast(degW), col("v") === col("v3"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("wt")).as("aa_d"))
+    (und, cn.join(und, cn("u") === und("a") && cn("w") === und("b"), "left_anti"))
+  }
+
+  /** [[linkPredict]] under the Adamic-Adar weighting (Adamic & Adar
+    * 2003): rare shared neighbors count more than hubs — the standard
+    * refinement wherever raw CN over-credits high-degree centers. Same
+    * candidates, ranking by the decimal-exact AA score.
+    */
+  def linkPredictAdamicAdar(spark: SparkSession, dir: String, mod: Long = 10000,
+                            k: Int = 3, nQueries: Long = 200): DataFrame = {
+    val (_, cand) = cnCandidates(spark, dir, mod, nQueries)
+    val perNode = cand
+      .select(col("u").as("id"), col("w").as("candidate"),
+        col("common_neighbors"), col("aa_d"))
+      .union(cand
+        .select(col("w").as("id"), col("u").as("candidate"),
+          col("common_neighbors"), col("aa_d")))
+      .where(col("id") < nQueries)
+    perNode.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("aa_d").desc, col("candidate"))))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank").cast("int").as("rank"), col("candidate"),
+        col("common_neighbors"), col("aa_d").cast("double").as("adamic_adar"))
   }
 
   /** Connected components of the fixture graph through the shared
@@ -360,6 +406,7 @@ object PageRank {
     "pr_toprank_10k"  -> ((s, d) => topK(s, d, mod = 10000, partitions = 8)),
     "pr_triangles"    -> ((s, d) => triangles(s, d)),
     "pr_link_predict" -> ((s, d) => linkPredict(s, d)),
+    "pr_link_adamic_adar" -> ((s, d) => linkPredictAdamicAdar(s, d)),
     // Scale tier for the degree-ordered wedge guard: the dense mod-10000
     // graph (~10k nodes; ~590k undirected edges at sf0.1, avg degree
     // ~120). Unlike the iterative tiers this one IS oracle-tractable —
@@ -456,6 +503,7 @@ object PageRank {
          SELECT v AS id, min(r) AS component_id FROM reach GROUP BY v""",
     "pr_triangles"     -> trianglesOracle(100),
     "pr_link_predict"  -> linkPredictOracle(10000, 3, 200),
+    "pr_link_adamic_adar" -> linkPredictAAOracle(10000, 3, 200),
     "pr_triangles_10k" -> trianglesOracle(10000),
   )
 
@@ -534,6 +582,39 @@ object PageRank {
           SELECT id, candidate, common_neighbors,
                  row_number() OVER (PARTITION BY id
                                     ORDER BY common_neighbors DESC, candidate) AS rank
+          FROM pn)
+        WHERE rank <= $k"""
+
+  private def linkPredictAAOracle(mod: Long, k: Int, nQueries: Long): String =
+    s"""WITH e AS (
+          SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+          FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+        sym AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und),
+        degw AS (
+          SELECT v, CAST(round(1.0 / ln(count(*)::DOUBLE), 6) AS DECIMAL(12,6)) AS wt
+          FROM sym GROUP BY v HAVING count(*) >= 2),
+        cn AS (
+          SELECT s1.n AS u, s2.n AS w, CAST(count(*) AS BIGINT) AS common_neighbors,
+                 sum(d.wt) AS aa_d
+          FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.n < s2.n
+          JOIN degw d ON d.v = s1.v
+          WHERE s1.n < $nQueries
+          GROUP BY s1.n, s2.n),
+        cand AS (
+          SELECT cn.u, cn.w, cn.common_neighbors, cn.aa_d
+          FROM cn ANTI JOIN und ON cn.u = und.a AND cn.w = und.b),
+        pn AS (
+          SELECT id, candidate, common_neighbors, aa_d FROM (
+            SELECT u AS id, w AS candidate, common_neighbors, aa_d FROM cand
+            UNION ALL SELECT w, u, common_neighbors, aa_d FROM cand)
+          WHERE id < $nQueries)
+        SELECT id, CAST(rank AS INT) AS rank, candidate, common_neighbors,
+               CAST(aa_d AS DOUBLE) AS adamic_adar
+        FROM (
+          SELECT id, candidate, common_neighbors, aa_d,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY aa_d DESC, candidate) AS rank
           FROM pn)
         WHERE rank <= $k"""
 

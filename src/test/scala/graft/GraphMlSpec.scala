@@ -178,6 +178,36 @@ class PageRankSpec extends AnyFunSuite {
       assert(!und.contains((math.min(q, w), math.max(q, w))), s"($q,$w) is an edge") }
   }
 
+  test("Adamic-Adar ranking matches a brute-force decimal replay") {
+    val und = PageRank.edges(spark, sf, mod = 10000).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    und.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    def w6(v: Long): BigDecimal =
+      BigDecimal(1.0 / math.log(adj(v).size.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val got = PageRank.linkPredictAdamicAdar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    val want = (0L until 200L).flatMap { q =>
+      if (!adj.contains(q)) Nil
+      else {
+        val cands = adj.keys.filter(w => w != q && !adj(q).contains(w))
+          .map { w =>
+            val cn = adj(q) & adj(w)
+            (w, cn.size.toLong, cn.toSeq.map(w6).sum)
+          }
+          .filter(_._2 > 0).toSeq
+          .sortBy { case (w, _, aa) => (-aa, w) }.take(3)
+        cands.zipWithIndex.map { case ((w, c, aa), i) =>
+          (q, i + 1) -> (w, c, aa.toDouble) }
+      }
+    }.toMap
+    assert(got == want, s"${got.size} vs ${want.size} AA predictions")
+  }
+
   test("partitionGraph: hash and range partitionings cover all nodes, range is ordered") {
     val n = PageRank.nodes(spark, sf)
     val e = PageRank.edges(spark, sf)
