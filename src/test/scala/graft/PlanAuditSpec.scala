@@ -304,6 +304,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_topk_ivfpq" -> "K=16 centroid probe + MxK=64-row codebook broadcast, both bounded",
       "sim_index_persist" -> "same IVF-PQ plan served from the reloaded Parquet index",
       "ta_corpus_stats" -> "1-row corpus rollup joined back for ratios",
+      "ta_temperature_sample" -> "1-row quota normalizer (sum sqrt(n_s)) broadcast",
       "ta_importance_sample" -> "1-row LM totals (T, R, V) broadcast (bm25 stats shape)",
       "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
       "text_pmi_pairs" -> "1-row global line count broadcast (A5: sentinel replaced)",
