@@ -324,14 +324,19 @@ object PageRank {
       .select(col("v").as("v3"),
         round(lit(1.0) / log(col("deg").cast("double")), 6)
           .cast("decimal(12,6)").as("wt"))
-    val cn = sym.toDF("v", "u").where(col("u") < nQueries)
-      .join(sym.toDF("v2", "w"),
-        col("v") === col("v2") && col("u") < col("w"))
-      .join(broadcast(degW), col("v") === col("v3"))
-      .groupBy(col("u"), col("w"))
-      .agg(count(lit(1)).as("common_neighbors"),
-        sum(col("wt")).as("aa_d"))
-    (und, cn.join(und, cn("u") === und("a") && cn("w") === und("b"), "left_anti"))
+    // scored candidates memoized: pr_link_predict and pr_link_adamic_adar
+    // rank the SAME wedge aggregate — one wedge join per registry run
+    val cand = graft.Caches.memoized(spark, dir, s"graph:cn_cand_${mod}_$nQueries") {
+      val cn = sym.toDF("v", "u").where(col("u") < nQueries)
+        .join(sym.toDF("v2", "w"),
+          col("v") === col("v2") && col("u") < col("w"))
+        .join(broadcast(degW), col("v") === col("v3"))
+        .groupBy(col("u"), col("w"))
+        .agg(count(lit(1)).as("common_neighbors"),
+          sum(col("wt")).as("aa_d"))
+      cn.join(und, cn("u") === und("a") && cn("w") === und("b"), "left_anti")
+    }
+    (und, cand)
   }
 
   /** [[linkPredict]] under the Adamic-Adar weighting (Adamic & Adar
