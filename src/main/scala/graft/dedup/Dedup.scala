@@ -92,6 +92,32 @@ object Dedup {
                         maxShingleDf: Option[Long] = None): DataFrame =
     indexJaccardPairs(docShingles(spark, dir), minJaccard, maxShingleDf)
 
+  /** ASYMMETRIC near-dup pairs by overlap coefficient
+    * |A∩B| / min(|A|,|B|) — the subset-inclusion class symmetric Jaccard
+    * structurally misses: a short document quoted inside a long one has
+    * overlap ≈ 1 but Jaccard ≈ |A|/|B| → 0 as the size ratio grows.
+    * Same capped inverted-index machinery as [[ngramJaccardPairs]]
+    * (equi-join on (xxhash64, length), never n²; the stop-shingle df cap
+    * applies identically at scale); both scores emitted so the gap the
+    * operator exists for is visible per pair.
+    */
+  def overlapPairs(spark: SparkSession, dir: String, minOverlap: Double = 0.9): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+    val inter = ex.toDF("d1", "s", "sl").join(ex.toDF("d2", "s2", "sl2"),
+        col("s") === col("s2") && col("sl") === col("sl2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter.join(counts.toDF("d1", "n1"), "d1").join(counts.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          least(col("n1"), col("n2")).cast("double"), 6).as("overlap"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 6).as("jaccard"))
+      .where(col("overlap") >= minOverlap)
+  }
+
   /** The inverted-index Jaccard core over an arbitrary (doc_id, sh) frame
     * — shared by the fixture-tier [[ngramJaccardPairs]] and the skewed
     * measurement tier [[ngramSkew]]. Callers pass a persisted/memoized
@@ -978,6 +1004,7 @@ object Dedup {
     "dedup_incremental_bloom" -> ((s, d) => incremental(s, d, bloomExact = true)),
     "dedup_passages"      -> ((s, d) => dupPassages(s, d)),
     "dedup_cdc_passages"  -> ((s, d) => cdcPassages(s, d)),
+    "dedup_overlap_pairs" -> ((s, d) => overlapPairs(s, d)),
     "dedup_boilerplate"   -> ((s, d) => boilerplate(s, d)),
   )
 
@@ -1051,6 +1078,16 @@ object Dedup {
     // at j ≥ 0.9, so the hash gate relies on the fixture's planted dups
     // being ≥ 0.9 (they are); a future planted pair with J in [0.5, 0.9)
     // would flip this row red without any code change.
+    "dedup_overlap_pairs" ->
+      s"""WITH $shSql
+          SELECT d1, d2, overlap, jaccard FROM (
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         least(len(a.s), len(b.s)), 6) AS overlap,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE overlap >= 0.9""",
     "dedup_incremental" -> incrementalOracle,
     "dedup_incremental_persisted" -> incrementalOracle,
     // output-identical by construction (bloom admits every true dup, the

@@ -232,6 +232,29 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (_, c) => assert(got(c) == c) }
   }
 
+  test("overlap pairs: brute-force replay; catches subset pairs jaccard misses") {
+    import graft.dedup.Dedup
+    // scalar shingle sets per doc (3-gram, the docShingles geometry),
+    // tokens collected through the shared tokenizer expression
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.text.Text.tokenize(col("text")).as("t"))
+      .collect().map { r =>
+        val t = r.getSeq[String](1)
+        r.getLong(0) -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val got = Dedup.overlapPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      (d1, s1) <- toks.toSeq; (d2, s2) <- toks.toSeq if d1 < d2
+      inter = (s1 & s2).size if inter > 0
+      ov = r6(inter.toDouble / math.min(s1.size, s2.size)) if ov >= 0.9
+    } yield (d1, d2) -> (ov, r6(inter.toDouble / (s1 ++ s2).size))).toMap
+    assert(got == want, s"${got.size} vs ${want.size} overlap pairs")
+    assert(got.nonEmpty)
+  }
+
   test("CDC chunks: scalar replay exact; shift re-aligns where tiled blocks share zero") {
     import org.apache.spark.sql.functions._
     def scalarCdc(toks: Seq[String]): Seq[String] = {
