@@ -171,6 +171,23 @@ class CachesSpec extends AnyFunSuite {
     * the memo. A leak here grows with the registry, which is exactly
     * when it would start to hurt.
     */
+  test("parquetArtifact: stable across releaseAll, rebuild overwrites cleanly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def build(n: Int) = Caches.parquetArtifact(spark, TestSpark.sf, "spec/tiny")(
+      spark.range(n).toDF("id"))
+    val a1 = build(5).collect().map(_.getLong(0)).toSet
+    assert(a1 == (0L until 5L).toSet)
+    // within a session the memo serves the same reloaded relation
+    assert(build(99).collect().map(_.getLong(0)).toSet == a1)
+    Caches.releaseAll()
+    // post-release the build RE-WRITES (mode overwrite) and re-reads:
+    // a changed source must land, stale files must not survive
+    val a2 = build(3).collect().map(_.getLong(0)).toSet
+    assert(a2 == (0L until 3L).toSet, s"stale artifact rows survived: $a2")
+    Caches.releaseAll()
+  }
+
   test("a full registry pass releases every memoized frame") {
     val sf = TestSpark.sf
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
