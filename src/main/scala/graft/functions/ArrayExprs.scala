@@ -321,6 +321,10 @@ object ArrayExprs {
     */
   case class CdcChunks(child: Expression, divisor: Int)
     extends UnaryExpression with CodegenFallback {
+    // the gear is a positive long, so divisor ≤ 0 either throws deep in
+    // eval (0) or silently diverges from the documented `% divisor == 0`
+    // SQL-replay semantics (negative) — reject at construction
+    require(divisor > 0, s"cdc_chunks divisor must be positive, got $divisor")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "cdc_chunks"
 

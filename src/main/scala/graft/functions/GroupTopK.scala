@@ -31,9 +31,18 @@ object GroupTopK {
     def zero: TkBuf = TkBuf(Array.emptyDoubleArray, Array.emptyLongArray)
 
     private def insert(b: TkBuf, id: Long, v: Double): TkBuf = {
-      // find insertion point in the (v DESC, id ASC) order
+      // find insertion point in the (v DESC, id ASC) order. Comparison is
+      // java.lang.Double.compare — the TOTAL order both engines sort by
+      // (NaN greater than every value, so NaN rows rank first under DESC
+      // exactly as the row_number window form and DuckDB order them; IEEE
+      // `>` would instead drop NaN silently). -0.0 < 0.0 under this order
+      // is the one divergence from SQL equality — absent from the fixture
+      // and only able to flip a tie between bit-distinct zeros.
       var i = 0
-      while (i < b.vs.length && (b.vs(i) > v || (b.vs(i) == v && b.ids(i) < id))) i += 1
+      while (i < b.vs.length && {
+        val c = java.lang.Double.compare(b.vs(i), v)
+        c > 0 || (c == 0 && b.ids(i) < id)
+      }) i += 1
       if (i >= k) b
       else {
         val n = math.min(k, b.vs.length + 1)

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * is the bounded exact-cosine probe (the `MaxExactVectors` contract —
   * at 100 TB the dense leg swaps to the IVF/LSH tiers, which return the
   * same (doc_id, rank) relation and fuse identically); the fusion itself
-  * joins two ≤topN-row rankings — driver-free and trivially cheap. Both
-  * legs' unpartitioned rank windows are bounded by construction (corpus
-  * probe ≤ MaxExactVectors rows, fusion ≤ 2·topN rows).
+  * joins two ≤topN-row rankings — driver-free and trivially cheap. Every
+  * ranking step is orderBy.limit (TakeOrderedAndProject) with rank
+  * numbered on the bounded survivors, so no partition-less window ever
+  * sees more than topN (legs) / k (fusion) rows.
   *
   * Determinism: both legs round scores to 6 dp with doc-id tiebreaks
   * (the repo-wide portability contract); `1/(K + rank)` on integer ranks
@@ -48,14 +49,19 @@ object Hybrid {
           .as("norm"))
     val q = e.where(col("vec_id") === queryVec)
       .select(col("embedding").as("qe"), col("norm").as("qn"))
+    // top-k per leg via orderBy.limit (TakeOrderedAndProject — bounded
+    // per-partition heaps, never a partition-less window over the full
+    // candidate set), then rank numbered on the ≤topN survivors: same
+    // total order, so the bounded ranks ARE the global ranks (the bm25
+    // shape — r8 verdict weak-row fix)
     val dense = e.where(col("vec_id") =!= queryVec)
       .crossJoin(broadcast(q)) // 1-row query embedding (the bm25 stats shape)
       .select(col("vec_id").as("doc_id"),
         round(graft.functions.ArrayExprs.floatDot(col("embedding"), col("qe")) /
           (col("norm") * col("qn")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(topN)
       .withColumn("drank",
         row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
-      .where(col("drank") <= topN)
       .select(col("doc_id"), col("drank"))
 
     sparse.join(dense, Seq("doc_id"), "full_outer")
@@ -63,9 +69,9 @@ object Hybrid {
         round(
           coalesce(lit(1.0) / (lit(RrfK) + col("srank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfK) + col("drank")), lit(0.0)), 9).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
-      .where(col("rank") <= k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -333,6 +333,72 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("full-registry window lint: every partition-less window is limit-bounded") {
+    // r8 verdict's only two `weak` rows were partition-less
+    // `row_number().over(Window.orderBy(...))` windows (ir_bm25 dense/
+    // fused ranking): EVERY row flows through ONE task's sort — a
+    // corpus-scale single-task window at 100×. The fixed shape is
+    // `orderBy.limit(topN)` (TakeOrderedAndProject) with rank numbered on
+    // the ≤topN survivors, so a partition-less WindowExec is legal ONLY
+    // with a limit operator strictly below it in the physical plan.
+    // ml_roc_auc is the one allowlisted unbounded case: its window input
+    // is the per-distinct-score aggregate, documented bounded by the
+    // holdout size (ml/Spam.scala rocAuc).
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def flattenPlan(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flattenPlan)
+    }
+    def bounded(p: SparkPlan): Boolean = flattenPlan(p).exists {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: CollectLimitExec | _: LocalLimitExec => true
+      case _: WindowGroupLimitExec => true
+      case _ => false
+    }
+    val allow = Set("ml_roc_auc")
+    withTransparentMemos {
+      Caches.releaseAll()
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(q => allow(q._1)).flatMap { case (name, fn) =>
+          val unbounded = flattenPlan(fn(spark, sf).queryExecution.executedPlan)
+            .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+            .filterNot(w => bounded(w.child))
+          Option.when(unbounded.nonEmpty)(
+            s"$name: ${unbounded.size} partition-less WindowExec without a limit below")
+        }
+      Caches.releaseAll()
+      assert(failures.isEmpty, s"window lint failures:\n${failures.mkString("\n")}")
+      // sensitivity control: the probe DOES catch an unbounded global window
+      import org.apache.spark.sql.functions.{col, row_number}
+      val planted = spark.range(100).toDF("v").withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+      val hits = flattenPlan(planted.queryExecution.executedPlan)
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .filterNot(w => bounded(w.child))
+      assert(hits.nonEmpty, "window lint probe lost sensitivity")
+    }
+  }
+
+  test("bm25 doc-length join is candidate-pruned, ranking is TakeOrdered") {
+    // the r8 `weak` fix's second half: the per-doc length aggregation
+    // must be semi-join-pruned to candidate docs (never a corpus-wide
+    // doc-length shuffle per query), and the top-k must plan as
+    // TakeOrderedAndProject
+    withTransparentMemos {
+      val p = plan(graft.ir.InvertedIndex.bm25(spark, sf))
+      assert(p.contains("LeftSemi"), s"bm25 dl join not candidate-pruned:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"bm25 top-k not TakeOrdered:\n$p")
+      val h = plan(graft.ir.Hybrid.rrf(spark, sf))
+      assert(h.contains("TakeOrderedAndProject"), s"rrf top-k not TakeOrdered:\n$h")
+    }
+  }
+
   test("column pruning reaches the scan: q6 reads only what it aggregates") {
     // an 11-column fact table, a 7-column aggregate: the parquet
     // ReadSchema must exclude the untouched columns (at 100 TB the
