@@ -42,6 +42,7 @@ object SparkEntry {
       (operators.Skew.queries, operators.Skew.oracles),
       (operators.RuntimeFilter.queries, operators.RuntimeFilter.oracles),
       (operators.Layout.queries, operators.Layout.oracles),
+      (sources.Tbl.queries, sources.Tbl.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -87,4 +87,47 @@ object Tbl {
       if (dateCols(c)) to_timestamp(col(c), "yyyy-MM-dd").as(c) else col(c)
     }: _*)
   }
+
+  /** The lineitem fixture rendered ONCE per session in the reference's
+    * positional 16-field `.tbl` layout (a [[graft.Caches]] artifact under
+    * the session artifact root — the 5 trailing TPC-H fields the fixture
+    * lacks are filled with constants the read-side projection never
+    * touches), then read back through the positional scanner. The
+    * round-trip makes the `.tbl` path itself part of the oracle-gated
+    * surface, not just a spec: any parse/typing/date drift in the scanner
+    * shows up as a hash mismatch downstream.
+    */
+  def lineitemViaTbl(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "artifact:lineitem_tbl") {
+      val root = graft.Caches.artifactBase(dir).resolve("tbl").toString
+      graft.Tables.lineitem(spark, dir).select(concat_ws("|",
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd"),
+          lit("1996-01-01"), lit("1996-01-01"), lit("NONE"), lit("MAIL"), lit("x")))
+        .write.mode("overwrite").text(s"$root/lineitem.tbl")
+      table(spark, root, "lineitem")
+    }
+
+  /** Q1 over the `.tbl` round-trip (`Q1.scala:29-34` — the reference's
+    * only input format): pushed-down shipdate range + global count, same
+    * oracle as q1_shipdate_count because the `.tbl` detour must be
+    * value-transparent.
+    */
+  def q1ViaTbl(spark: SparkSession, dir: String, dt: String = "1996-03"): DataFrame =
+    lineitemViaTbl(spark, dir)
+      .filter(graft.Tables.dateMatches(col("l_shipdate"), dt))
+      .agg(count(lit(1)).as("cnt"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_tbl_roundtrip" -> ((s, d) => q1ViaTbl(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical to the q1_shipdate_count oracle: the .tbl write/read is
+    // required to be invisible to the values
+    "q1_tbl_roundtrip" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '1996-03%'",
+  )
 }

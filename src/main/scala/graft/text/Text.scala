@@ -110,8 +110,9 @@ object Text {
 
   /** Stripes form of the PMI table (`StripesPMI.java:44-143` — a1 ships
     * pairs and stripes variants of the same computation): one row per w1
-    * with a w2→pmi map. Same content as [[pmiPairs]]; spec-tested for
-    * equivalence (map-valued rows aren't oracle-hashable).
+    * with a w2→pmi map. Same content as [[pmiPairs]]; oracle-gated as a
+    * registry query — the map is built from entries sorted by key on both
+    * engines, so the MAP values compare deterministically.
     */
   def pmiStripes(spark: SparkSession, dir: String, minCooccur: Int = 10): DataFrame =
     pmiPairs(spark, dir, minCooccur)
@@ -121,9 +122,13 @@ object Text {
 
   /** Stripes form of the bigram table
     * (`ComputeBigramRelativeFrequencyStripes.scala:52-69`): one row per w1
-    * with a w2→relfreq map. Same content as [[bigramRelFreq]]; the map
-    * shape is a presentation detail (tested for equivalence in
-    * TextSpec, not oracle-compared — map hashing is engine-specific).
+    * with a w2→relfreq map — the reference's literal output shape (its
+    * reducer emits one HashMapWritable per key). Oracle-gated as a
+    * registry query: both engines assemble the map from entries sorted by
+    * key (Spark `sort_array` before `map_from_entries`, DuckDB
+    * `list_sort` before `map_from_entries`), so entry order — the one
+    * engine-specific degree of freedom in a MAP value — is pinned and the
+    * rows hash-compare exactly.
     */
   def bigramStripes(spark: SparkSession, dir: String): DataFrame =
     bigramRelFreq(spark, dir)
@@ -140,7 +145,9 @@ object Text {
     "text_wordcount"      -> ((s, d) => wordCount(s, d)),
     "text_prefixcount"    -> ((s, d) => prefixCount(s, d)),
     "text_bigram_relfreq" -> ((s, d) => bigramRelFreq(s, d)),
+    "text_bigram_stripes" -> ((s, d) => bigramStripes(s, d)),
     "text_pmi_pairs"      -> ((s, d) => pmiPairs(s, d)),
+    "text_pmi_stripes"    -> ((s, d) => pmiStripes(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -174,5 +181,32 @@ object Text {
           FROM pairs
           JOIN (SELECT w AS w1, c AS cx FROM wc) USING (w1)
           JOIN (SELECT w AS w2, c AS cy FROM wc) USING (w2), n""",
+    // map-valued stripes: entries sorted by key on both engines, so the
+    // MAP rows compare deterministically (keys are unique per w1)
+    "text_bigram_stripes" ->
+      s"""WITH toks AS (SELECT $tokSql AS w FROM documents),
+          bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+                 FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)),
+          cnts AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
+          rel AS (SELECT w1, w2,
+                    round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY w1), 6) AS relfreq
+                  FROM cnts)
+          SELECT w1, map_from_entries(list_sort(list(row(w2, relfreq)))) AS stripe
+          FROM rel GROUP BY w1""",
+    "text_pmi_stripes" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct(($tokSql)[1:100]) AS tok FROM documents),
+          dw AS (SELECT doc_id, unnest(tok) AS w FROM toks WHERE len(tok) > 0),
+          n AS (SELECT count(*) AS n FROM toks WHERE len(tok) > 0),
+          wc AS (SELECT w, count(*) AS c FROM dw GROUP BY w),
+          pairs AS (SELECT a.w AS w1, b.w AS w2, count(*) AS npairs
+                    FROM dw a JOIN dw b USING (doc_id)
+                    WHERE a.w <> b.w GROUP BY 1, 2 HAVING count(*) >= 10),
+          pmi AS (SELECT w1, w2,
+                    round(log10(CAST(npairs AS DOUBLE) / CAST(cx * cy AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pmi
+                  FROM pairs
+                  JOIN (SELECT w AS w1, c AS cx FROM wc) USING (w1)
+                  JOIN (SELECT w AS w2, c AS cy FROM wc) USING (w2), n)
+          SELECT w1, map_from_entries(list_sort(list(row(w2, pmi)))) AS stripe
+          FROM pmi GROUP BY w1""",
   )
 }

@@ -308,6 +308,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ta_importance_sample" -> "1-row LM totals (T, R, V) broadcast (bm25 stats shape)",
       "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
       "text_pmi_pairs" -> "1-row global line count broadcast (A5: sentinel replaced)",
+      "text_pmi_stripes" -> "same pmiPairs plan under the map re-shape (A5 broadcast)",
     )
     Caches.releaseAll()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
