@@ -45,6 +45,21 @@ object InvertedIndex {
       termDocTf(spark, dir).repartition(col("term"))
     }
 
+  /** The postings relation ROUND-TRIPPED through Parquet storage — the
+    * on-disk half of S6 the reference actually had (it wrote MapFiles and
+    * every retrieval run reopened them, `BuildInvertedIndexCompressed
+    * .java:187`, `BooleanRetrievalCompressed.java:109-124`). Built once
+    * per (session, dir) by [[graft.Caches.parquetArtifact]]; the returned
+    * relation's lineage roots at the written Parquet files, so persisted-
+    * serving queries prove the index SURVIVES storage: term clustering is
+    * preserved file-per-partition by the write, and a `term = t` lookup
+    * prunes on Parquet row-group min/max stats — the MapFile point-get,
+    * now against real bytes on disk rather than a cached plan.
+    */
+  def postingsRelationPersisted(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.parquetArtifact(spark, dir, "ir_postings")(
+      termDocTf(spark, dir).repartition(col("term")))
+
   /** The index: postings sorted by doc_id per term, df = postings length
     * (`BuildInvertedIndexCompressed.java:89-139`). `sort_array` on the
     * collected structs replaces the MR composite-key secondary sort
@@ -66,8 +81,11 @@ object InvertedIndex {
     * point-get, `BooleanRetrievalCompressed.java:109-124`), so the corpus
     * is scanned once per run, not once per term branch.
     */
-  def booleanQuery(spark: SparkSession, dir: String, postfix: String): DataFrame = {
-    val dw = postingsRelation(spark, dir).select(col("term"), col("doc_id"))
+  def booleanQuery(spark: SparkSession, dir: String, postfix: String,
+                   persisted: Boolean = false): DataFrame = {
+    val rel = if (persisted) postingsRelationPersisted(spark, dir)
+              else postingsRelation(spark, dir)
+    val dw = rel.select(col("term"), col("doc_id"))
     var stack = List.empty[DataFrame]
     postfix.trim.split("\\s+").foreach {
       case "AND" =>
@@ -123,8 +141,10 @@ object InvertedIndex {
     */
   def bm25(spark: SparkSession, dir: String,
            terms: Seq[String] = Seq("spark", "table", "merge"),
-           k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
-    val post = postingsRelation(spark, dir)
+           k1: Double = 1.2, b: Double = 0.75, topN: Int = 20,
+           persisted: Boolean = false): DataFrame = {
+    val post = if (persisted) postingsRelationPersisted(spark, dir)
+               else postingsRelation(spark, dir)
     // postings rows matching a query term: |terms| point-lookups against
     // the term-clustered relation — the candidate set everything below
     // is bounded by
@@ -367,6 +387,44 @@ object InvertedIndex {
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
        w -> w <> '')"""
 
+  // shared by the in-session query and its persisted twin: the artifact
+  // round-trip must be value-transparent, so one SQL serves both rows
+  private lazy val booleanOracleSql =
+    s"""WITH dw AS (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents)
+        SELECT doc_id FROM (
+          (SELECT doc_id FROM dw WHERE term = 'spark'
+           INTERSECT
+           SELECT doc_id FROM dw WHERE term = 'table')
+          UNION
+          SELECT doc_id FROM dw WHERE term = 'merge')"""
+
+  private lazy val bm25OracleSql =
+    s"""WITH post AS MATERIALIZED (
+          SELECT term, doc_id, count(*) AS tf
+          FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          GROUP BY term, doc_id),
+        dl AS MATERIALIZED (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        qt AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+               WHERE term IN ('spark', 'table', 'merge') GROUP BY term)
+        SELECT doc_id, score, rank FROM (
+          SELECT doc_id, CAST(score_d AS DOUBLE) AS score,
+                 row_number() OVER (ORDER BY score_d DESC, doc_id) AS rank
+          FROM (
+            SELECT p.doc_id,
+                   sum(CAST(round(
+                     round(ln((CAST(st.n_docs AS DOUBLE) - q.df + 0.5) / (q.df + 0.5) + 1.0), 6)
+                     * (CAST(p.tf AS DOUBLE) * 2.2 /
+                        (CAST(p.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                          (CAST(d.dl AS DOUBLE) /
+                           (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))),
+                     6) AS DECIMAL(18,6))) AS score_d
+            FROM post p JOIN qt q USING (term) JOIN dl d USING (doc_id) CROSS JOIN st
+            GROUP BY p.doc_id))
+        WHERE rank <= 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ir_postings" -> ((s, d) => postingsRelation(s, d)),
     "ir_index_stats" -> ((s, d) => index(s, d).select(
@@ -388,6 +446,12 @@ object InvertedIndex {
     // the reference's compression-envelope golden, re-expressed: counts
     // hash-gated, byte envelope pinned as a boolean (see indexSize)
     "ir_index_size" -> ((s, d) => indexSize(s, d)),
+    // build-once/serve-from-storage: same queries, but the postings
+    // relation is reopened from the written Parquet artifact (the MapFile
+    // reopen the reference did on every retrieval run) — same oracles,
+    // because storage must be value-transparent
+    "ir_boolean_persisted" -> ((s, d) => booleanQuery(s, d, demoQuery, persisted = true)),
+    "ir_bm25_persisted" -> ((s, d) => bm25(s, d, persisted = true)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -407,40 +471,12 @@ object InvertedIndex {
                 FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
                 GROUP BY term, doc_id)
           GROUP BY term""",
-    "ir_boolean" ->
-      s"""WITH dw AS (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents)
-          SELECT doc_id FROM (
-            (SELECT doc_id FROM dw WHERE term = 'spark'
-             INTERSECT
-             SELECT doc_id FROM dw WHERE term = 'table')
-            UNION
-            SELECT doc_id FROM dw WHERE term = 'merge')""",
-    "ir_bm25" ->
-      s"""WITH post AS MATERIALIZED (
-            SELECT term, doc_id, count(*) AS tf
-            FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
-            GROUP BY term, doc_id),
-          dl AS MATERIALIZED (
-            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
-          st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                        CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-          qt AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
-                 WHERE term IN ('spark', 'table', 'merge') GROUP BY term)
-          SELECT doc_id, score, rank FROM (
-            SELECT doc_id, CAST(score_d AS DOUBLE) AS score,
-                   row_number() OVER (ORDER BY score_d DESC, doc_id) AS rank
-            FROM (
-              SELECT p.doc_id,
-                     sum(CAST(round(
-                       round(ln((CAST(st.n_docs AS DOUBLE) - q.df + 0.5) / (q.df + 0.5) + 1.0), 6)
-                       * (CAST(p.tf AS DOUBLE) * 2.2 /
-                          (CAST(p.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
-                            (CAST(d.dl AS DOUBLE) /
-                             (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))),
-                       6) AS DECIMAL(18,6))) AS score_d
-              FROM post p JOIN qt q USING (term) JOIN dl d USING (doc_id) CROSS JOIN st
-              GROUP BY p.doc_id))
-          WHERE rank <= 20""",
+    "ir_boolean" -> booleanOracleSql,
+    // persisted twins: storage must be value-transparent, so the SQL is
+    // byte-identical to the in-session forms
+    "ir_boolean_persisted" -> booleanOracleSql,
+    "ir_bm25" -> bm25OracleSql,
+    "ir_bm25_persisted" -> bm25OracleSql,
     "ir_retrieve" ->
       s"""WITH dw AS (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents),
           hits AS (SELECT doc_id FROM (
