@@ -147,12 +147,30 @@ object Bench {
     // builds the warmup triggered are in the ledger, not in warmup_sec
     val warmupSec = (System.nanoTime() - warm0) / 1e9 - buildAccum
 
+    // Steal-burst flagging (r8 verdict ask 6): the r8 driver artifact was
+    // taken at 20× the quiet-window steal and three queries read 3-8×
+    // their quiet medians — but the artifact itself could not show WHICH
+    // rows rode a burst, so adjudication needed a side-channel local
+    // file. Each rep now records the hypervisor steal delta across its
+    // own wall window; a query is flagged when any rep's stolen share of
+    // the machine's CPU budget for that window exceeds 5% (with a 10-tick
+    // absolute floor so micro-reps can't flag on one jiffy) — those
+    // medians are contention-suspect and a reader should prefer the
+    // quiet-window bench_history twin before calling them regressions.
+    val ncores = Runtime.getRuntime.availableProcessors()
+    def stealFlagged(wallSec: Double, ticks: Long): Boolean =
+      ticks > 10 && wallSec > 0 &&
+        ticks.toDouble / (ncores * wallSec * 100.0) > 0.05
+
     val results = names.map { name =>
       val runs = (1 to reps).map { _ =>
         buildAccum = 0.0
+        val s0 = stealJiffies()
         val t0 = System.nanoTime()
         val err = materialize(name)
-        ((System.nanoTime() - t0) / 1e9 - buildAccum, err)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val st = if (s0 < 0) -1L else stealJiffies() - s0
+        (wall - buildAccum, err, st, wall)
       }
       // per-rep chronology on stderr (stdout carries ONLY the compact
       // line): the [min,max] spread can't distinguish "cold rep 1" from
@@ -160,11 +178,14 @@ object Bench {
       // that matters when chasing in-context variance
       if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
         System.err.println(
-          s"REPS $name: ${runs.map(r => f"${r._1}%.2f").mkString(" ")}")
+          s"REPS $name: ${runs.map(r => f"${r._1}%.2f").mkString(" ")}" +
+            s" steal: ${runs.map(_._3).mkString(" ")}")
       val times = runs.map(_._1).sorted
       val median = times(times.length / 2)
-      (name, median, times.head, times.last, runs.flatMap(_._2).headOption)
+      (name, median, times.head, times.last, runs.flatMap(_._2).headOption,
+        runs.map(_._3), runs.exists(r => stealFlagged(r._4, r._3)))
     }
+    val flagged = results.collect { case (k, _, _, _, _, _, true) => k }
 
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -172,11 +193,16 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, med, _, _, _) => s"${q(k)}:$med" }.mkString("{", ",", "}")
-    val spread = results.map { case (k, _, mn, mx, _) => s"${q(k)}:[$mn,$mx]" }
+    val qs = results.map { case (k, med, _, _, _, _, _) => s"${q(k)}:$med" }.mkString("{", ",", "}")
+    val spread = results.map { case (k, _, mn, mx, _, _, _) => s"${q(k)}:[$mn,$mx]" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(e)) => s"${q(k)}:${q(e)}" }
+    val errs = results.collect { case (k, _, _, _, Some(e), _, _) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")
+    // full-fidelity only: every rep's steal delta for every query (the
+    // compact line carries just the flagged names)
+    val stealReps = results.map { case (k, _, _, _, _, st, _) =>
+      s"${q(k)}:[${st.mkString(",")}]" }.mkString("{", ",", "}")
+    val flaggedJson = flagged.map(q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val loadEnd = loadAvg()
     val stealTicks = // run's stolen CPU in 10 ms ticks (−1 = unreadable)
@@ -189,7 +215,32 @@ object Bench {
     val builds = buildLedger.toSeq.sortBy(-_._2)
       .map { case (k, s) => s"${q("build:" + k)}:${math.rint(s * 100) / 100}" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"cpu_ticks":$cpuTicks,"build_sec":$buildSec,"builds":$builds,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    // ×10 scaling-slope tier (r8 verdict ask 3): pair each heavy
+    // scale-path family's base query with its inflated-corpus twin and
+    // report [t1, t10] medians side by side — the measured slope that
+    // backs the "would survive 100×" design argument. Factors: the *_big
+    // tiers are arithmetic ×10 inflations of the same corpus; the
+    // components/toprank pair's key names its ~×120 edge factor
+    // (mod-100 complete graph ~4.95k und edges → mod-10000 ~590k).
+    // Medians here are query-side (memo builds ledger separately under
+    // build:*); pairs whose members didn't run (SPARK_GRAFT_ONLY) are
+    // skipped.
+    val scalingPairs = Seq(
+      ("dedup_minhash_x10", "dedup_minhash", "dedup_minhash_big"),
+      ("ngram_capped_x10", "dedup_ngram_capped", "dedup_ngram_capped_big"),
+      ("ann_lsh_x10", "sim_topk_lsh", "sim_topk_lsh_big"),
+      ("ann_ivfpq_x10", "sim_topk_ivfpq", "sim_topk_ivfpq_big"),
+      ("sliding_rollup_x10", "st_sliding_rollup", "st_sliding_rollup_big"),
+      ("sessions_x10", "st_sessions_stateful", "st_sessions_big"),
+      ("components_x120", "pr_components", "pr_components_10k"),
+      ("toprank_x120", "pr_toprank", "pr_toprank_10k"))
+    val medianOf = results.map(r => r._1 -> r._2).toMap
+    val scaling = scalingPairs.flatMap { case (fam, base, big) =>
+      for (t1 <- medianOf.get(base); t10 <- medianOf.get(big))
+        yield s"${q(fam)}:[${math.rint(t1 * 100) / 100},${math.rint(t10 * 100) / 100}]"
+    }.mkString("{", ",", "}")
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"cpu_ticks":$cpuTicks,"steal_flagged":$flaggedJson,"steal_reps":$stealReps,"scaling":$scaling,"build_sec":$buildSec,"builds":$builds,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     // The full-fidelity record goes ONLY to target/bench.json — NOT to
     // stdout. The driver's BENCH artifact keeps the LAST ~2000 chars of
     // stdout (BENCH_r01..r05 all carry a 2000-char "tail", parsed:null):
@@ -227,7 +278,7 @@ object Bench {
         (if (dropped.nonEmpty)
           Seq(s""""_omitted_below":${dropped.size}""",
             s""""_thr_cs":${math.rint(thr * 100).toLong}""") else Nil) ++
-        kept.map { case (k, med, _, _, _) =>
+        kept.map { case (k, med, _, _, _, _, _) =>
           s"${q(k)}:${math.rint(med * scale).toLong}" })
         .mkString("{", ",", "}")
       val bos = new java.io.ByteArrayOutputStream()
@@ -246,7 +297,7 @@ object Bench {
       var used = 0
       var kept = 0
       var cut = false
-      sortedBySec.foreach { case (k, med, _, _, _) =>
+      sortedBySec.foreach { case (k, med, _, _, _, _, _) =>
         val ent = s"${q(k)}:${math.rint(med * 1000) / 1000}"
         // strict prefix cut, no best-fit backfill: "omitted_fastest"
         // must mean exactly the N fastest queries
@@ -264,7 +315,13 @@ object Bench {
       s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","reps":$reps,""" +
         s""""sf":"$sfDir","n_queries":${results.length},"n_errors":${results.count(_._5.isDefined)},""" +
         s""""load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,""" +
-        s""""cpu_ticks":$cpuTicks,""" +
+        // flagged list capped in-window (a fully-contended run could name
+        // every query and starve the line of medians); the full record
+        // carries all names plus per-rep deltas
+        s""""cpu_ticks":$cpuTicks,"steal_flagged":${
+          flagged.take(12).map(q).mkString("[", ",", "]")},""" +
+        (if (flagged.length > 12) s""""steal_flagged_more":${flagged.length - 12},""" else "") +
+        s""""scaling":$scaling,""" +
         s""""build_sec":${math.rint(buildSec * 100) / 100},"builds":$topBuilds,""" +
         s""""queries":${entries.mkString("{", ",", "}")},""" +
         s""""omitted_fastest":$omitted,"omitted_sec":$omittedSec,""" +
