@@ -371,6 +371,51 @@ object Dedup {
     sh.agg(count(lit(1)).as("n_docs")).crossJoin(verified)
   }
 
+  /** ×10 measurement tier for the CAPPED n-gram Jaccard index (the
+    * dedup_ngram_capped pipeline at the scaling-slope gate): the same
+    * inflated corpus as [[minhashBigPortable]] pushed through the
+    * identical hashed-inverted-index machinery — df-cap semi-join,
+    * shingle-key self-join, per-doc-count denominators — with the cap
+    * scaled ×replicas: inflation multiplies every shingle's df by
+    * ~replicas (each source doc's shingles recur across its whole
+    * near-dup family), so an unscaled cap would discard the content
+    * keys themselves instead of the hot tail. Output is the minhashBig
+    * one-row summary (n_docs, n_candidates, n_pairs): pairs sharing ≥1
+    * kept shingle, and pairs verified on the round-6 Jaccard grid — the
+    * bench measures the index join, not a giant pair write. Hash-gated:
+    * inflation, tokenize+shingle, cap, join, and Jaccard replay as a
+    * chained CTE (the skewOracle pattern; the oracle intersects raw
+    * shingle strings where this side joins (xxhash64, length) keys —
+    * identical sets modulo a 64-bit+length collision, the documented
+    * [[indexJaccardPairs]] trade).
+    */
+  def ngramCappedBig(spark: SparkSession, dir: String, replicas: Int = 10,
+                     minJaccard: Double = 0.2,
+                     cap: Long = StopShingleDf * 10): DataFrame = {
+    val sh = bigShingles(spark, dir, replicas)
+    val ex = memoized(spark, dir, s"big_ngram_ex_$replicas") {
+      sh.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+    }
+    val keep = ex.groupBy(col("s"), col("sl")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= cap).select(col("s"), col("sl"))
+    val exk = ex.join(keep, Seq("s", "sl"), "left_semi")
+      .select(col("doc_id"), col("s"), col("sl"))
+    val inter = exk.toDF("d1", "s", "sl")
+      .join(exk.toDF("d2", "s2", "sl2"),
+        col("s") === col("s2") && col("sl") === col("sl2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_int"))
+    val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val verified = inter
+      .join(counts.toDF("d1", "n1"), "d1")
+      .join(counts.toDF("d2", "n2"), "d2")
+      .select(round(col("n_int").cast("double") /
+        (col("n1") + col("n2") - col("n_int")).cast("double"), 6).as("j"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("j") >= minJaccard, 1)).as("n_pairs"))
+    sh.agg(count(lit(1)).as("n_docs")).crossJoin(verified)
+  }
+
   /** Boilerplate-skewed measurement tier for the stop-shingle cap: real
     * corpora are not uniformly perturbed — a few shared templates (site
     * footers, license banners, sponsor tags) put identical shingles into
@@ -951,6 +996,36 @@ object Dedup {
         FROM ver"""
   }
 
+  /** Full replay of [[ngramCappedBig]]: the minhashBig inflation CTE,
+    * tokenize+shingle, df cap, inverted-index self-join on the raw
+    * shingle string, round-6 Jaccard, all folded to the one summary row.
+    */
+  private def ngramCappedBigOracle(minJ: Double, cap: Long, replicas: Int): String =
+    s"""WITH inflated AS (
+          SELECT doc_id * $replicas + r AS doc_id,
+                 CASE WHEN r = 0 THEN text
+                      ELSE text || ' zz' || repeat('x', r) END AS text
+          FROM documents, generate_series(0, ${replicas - 1}) AS t(r)),
+        sh AS (
+          SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w) - 2)]) AS s
+          FROM (SELECT doc_id, $tokSql AS w FROM inflated)
+          WHERE len(w) >= 3),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        keep AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
+                 WHERE df <= $cap),
+        exk AS (SELECT doc_id, g FROM ex JOIN keep USING (g)),
+        i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_int
+              FROM exk a JOIN exk b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+        n AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+        v AS (SELECT round(n_int::DOUBLE / (n1.n_sh + n2.n_sh - n_int), 6) AS j
+              FROM i JOIN n n1 ON i.d1 = n1.doc_id JOIN n n2 ON i.d2 = n2.doc_id)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM sh) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(count(CASE WHEN j >= $minJ THEN 1 END) AS BIGINT) AS n_pairs
+        FROM v"""
+
   private def cappedJaccardOracle(minJ: Double, cap: Long): String =
     s"""WITH $shSql,
         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -989,6 +1064,9 @@ object Dedup {
     // mod-p family (chained-CTE oracle); the xxhash64 production family
     // stays spec-pinned in ExtensionsSpec — see minhashBigPortable
     "dedup_minhash_big"   -> ((s, d) => minhashBigPortable(s, d)),
+    // scaling-slope tier: the capped inverted-index Jaccard at ×10,
+    // cap scaled with the inflation (see ngramCappedBig)
+    "dedup_ngram_capped_big" -> ((s, d) => ngramCappedBig(s, d)),
     "dedup_simhash"       -> ((s, d) => simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_groups"        -> ((s, d) => dupGroups(s, d)),
@@ -1019,6 +1097,7 @@ object Dedup {
     "dedup_ngram_skew"    -> skewOracle(0.2, SkewCap, 3),
     "dedup_minhash"       -> jaccardOracle(0.5),
     "dedup_minhash_big"   -> minhashBigOracle(0.5, 10),
+    "dedup_ngram_capped_big" -> ngramCappedBigOracle(0.2, StopShingleDf * 10, 10),
     // connected components over the ≥0.5-jaccard pair graph via a
     // recursive CTE; canonical = min reachable doc_id
     "dedup_groups" -> groupsOracle,

@@ -380,24 +380,46 @@ object Similarity {
     */
   private def pqCodes(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.memoized(spark, dir, "sim:pq_codes") {
-      val e = Tables.embeddings(spark, dir)
-        .where(col("vec_id") < MaxExactVectors)
-        .select(col("vec_id"), col("embedding"))
-      val cb = pqCodebooks(spark, dir)
-      e.join(broadcast(cb))
-        .select(col("vec_id"), col("m"), col("cell"),
-          round(graft.functions.ArrayExprs.floatDoubleDot(
-              slice(col("embedding"), col("m") * lit(PqSub) + lit(1), lit(PqSub)),
-              col("ce")) /
-            (sqrt(dot(
-              slice(col("embedding"), col("m") * lit(PqSub) + lit(1), lit(PqSub)),
-              slice(col("embedding"), col("m") * lit(PqSub) + lit(1), lit(PqSub)))) *
-             sqrt(col("cn2"))), 6).as("ccos"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("m"))
-            .orderBy(col("ccos").desc, col("cell"))))
-        .where(col("rk") === 1)
-        .select(col("vec_id"), col("m"), col("cell").as("code"))
+      pqEncode(
+        Tables.embeddings(spark, dir)
+          .where(col("vec_id") < MaxExactVectors)
+          .select(col("vec_id"), col("embedding")),
+        pqCodebooks(spark, dir))
+    }
+
+  /** Encode a (vec_id, embedding) corpus against a broadcast codebook:
+    * per vector × subspace, the argmax-cosine cell (round6 grid, ties to
+    * the lowest cell — the k-means assignment protocol). Shared by the
+    * fixture-tier [[pqCodes]] and the ×10 [[pqCodesBig]] — the SAME
+    * trained codebook encodes both, the train-on-sample/encode-everything
+    * split production PQ runs.
+    */
+  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame =
+    e.join(broadcast(cb))
+      .select(col("vec_id"), col("m"), col("cell"),
+        round(graft.functions.ArrayExprs.floatDoubleDot(
+            slice(col("embedding"), col("m") * lit(PqSub) + lit(1), lit(PqSub)),
+            col("ce")) /
+          (sqrt(dot(
+            slice(col("embedding"), col("m") * lit(PqSub) + lit(1), lit(PqSub)),
+            slice(col("embedding"), col("m") * lit(PqSub) + lit(1), lit(PqSub)))) *
+           sqrt(col("cn2"))), 6).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("ccos").desc, col("cell"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+
+  /** PQ codes for the ×[[BigReplicas]] inflated corpus, encoded with the
+    * BASE-corpus-trained codebook — no [[MaxExactVectors]] cap: unlike
+    * the exhaustive-ADC [[topKPq]] baseline, the IVF-PQ consumer prunes
+    * candidates by cell, so encoding the whole corpus is exactly the
+    * 100 TB shape (codes are M small ints per vector; the encode is a
+    * broadcast argmax, no shuffle of the vector table).
+    */
+  private def pqCodesBig(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "sim:pq_codes_big") {
+      pqEncode(inflatedEmbeddings(spark, dir), pqCodebooks(spark, dir))
     }
 
   /** PQ approximate top-k via ASYMMETRIC distance computation, expressed
@@ -609,6 +631,47 @@ object Similarity {
       assigned.select(col("vec_id"), col("cell")), k)
   }
 
+  /** The ×[[BigReplicas]] corpus assigned to the BASE-trained IVF cells —
+    * the big tier's inverted lists. Same broadcast-argmax shape as
+    * [[ivfAssign]] (no label: the inflation doesn't carry one), memoized
+    * as corpus prep like every index relation.
+    */
+  private def ivfAssignBig(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "sim:ivf_assigned_big") {
+      val cents = ivfCentroids(spark, dir)
+      val e = inflatedEmbeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
+          centCos(col("embedding"), col("norm"), col("ce"), col("cn")).as("ccos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+    }
+
+  /** Measurement tier for IVF-PQ at ×10 (the topKLshBig pattern, r8
+    * verdict's scaling-slope ask): quantizers TRAINED ON THE BASE corpus
+    * (the production train-on-sample split — at 100 TB nobody retrains
+    * the coarse quantizer on the full corpus), the ×[[BigReplicas]]
+    * inflated corpus assigned and PQ-encoded against them, and the same
+    * [[ivfPqRank]] probe/ADC plan serving from ~×10 cell populations and
+    * a ×10 code table. Deterministic end to end (the inflation is
+    * replayable arithmetic, the circular shift preserves each stage's
+    * left-to-right fp evaluation order on the SAME array both engines
+    * hold), so the chained-CTE oracle extends the fixture replay with
+    * one corpus CTE.
+    */
+  def topKIvfPqBig(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val assigned = ivfAssignBig(spark, dir)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("norm").as("qn"))
+    ivfPqRank(queries, ivfCentroids(spark, dir), pqCodebooks(spark, dir),
+      pqCodesBig(spark, dir), assigned.select(col("vec_id"), col("cell")), k)
+  }
+
   /** The IVF-PQ query plan over EXPLICIT index relations — the shared
     * core of [[topKIvfPq]] (session-memoized index) and
     * [[topKIvfPqPersisted]] (index reloaded from Parquet artifacts):
@@ -789,6 +852,9 @@ object Similarity {
     "sim_topk_lsh_big" -> ((s, d) => topKLshBig(s, d)),
     "sim_topk_pq"      -> ((s, d) => topKPq(s, d)),
     "sim_topk_ivfpq"   -> ((s, d) => topKIvfPq(s, d)),
+    // scaling-slope tier: base-trained quantizers serving the ×10
+    // corpus — ~×10 cell populations, ×10 code table, same probe plan
+    "sim_topk_ivfpq_big" -> ((s, d) => topKIvfPqBig(s, d)),
     // the SAME rankings served from Parquet-persisted indexes (write →
     // reload → query); hash-gated against the identical oracles
     "sim_index_persist" -> ((s, d) => topKIvfPqPersisted(s, d)),
@@ -800,6 +866,93 @@ object Similarity {
     "sim_centroid_cos" -> ((s, d) => centroidCos(s, d)),
     "sim_knn_classify" -> ((s, d) => knnClassify(s, d)),
   )
+
+  /** The IVF-PQ replay parameterized over the SERVED corpus: the
+    * training chains (IVF k=16 x 5 iterations, four prefixed PQ
+    * sub-quantizer chains) always read the base `embeddings` table —
+    * the train-on-sample split — while assignment, encoding, probing,
+    * and ADC ranking run over `corpusSql`: `embeddings` itself for the
+    * fixture tier (with the exhaustive-baseline encode cap), the x10
+    * circular-shift inflation for the big tier (uncapped: IVF pruning,
+    * not the cap, bounds its candidates).
+    */
+  private def ivfPqOracle(corpusSql: String, codeFilter: String): String =
+    ("WITH " + KMeans.kmeansCtes(k = 16, iterations = IvfIters) + ", " +
+       (0 until PqM).map(m =>
+         KMeans.kmeansCtesOn(s"s${m}_",
+           s"embedding[${m * PqSub + 1}:${(m + 1) * PqSub}]", PqK, PqIters))
+         .mkString(", ") +
+      s""",
+          corpus AS MATERIALIZED ($corpusSql),
+          en AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM corpus),
+          c AS MATERIALIZED (
+            SELECT cell, cent AS ce,
+                   sqrt(list_sum(list_transform(cent, x -> x * x))) AS cn
+            FROM c$IvfIters),
+          asn AS MATERIALIZED (
+            SELECT vec_id, embedding, nrm, cell FROM (
+              SELECT en.vec_id, en.embedding, en.nrm, c.cell,
+                     row_number() OVER (PARTITION BY en.vec_id ORDER BY
+                       round(list_sum(list_transform(list_zip(en.embedding, c.ce),
+                               z -> z[1]::DOUBLE * z[2])) / (en.nrm * c.cn), 6) DESC,
+                       c.cell) AS rk
+              FROM en CROSS JOIN c) WHERE rk = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+                FROM asn WHERE vec_id < 10),
+          p AS MATERIALIZED (
+            SELECT query_id, cell FROM (
+              SELECT q.query_id, c.cell,
+                     row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       round(list_sum(list_transform(list_zip(q.qe, c.ce),
+                               z -> z[1]::DOUBLE * z[2])) / (q.qn * c.cn), 6) DESC,
+                       c.cell) AS rk
+              FROM q CROSS JOIN c) WHERE rk <= $IvfProbes),
+          cand AS (
+            SELECT p.query_id, a.vec_id
+            FROM p JOIN asn a ON p.cell = a.cell AND p.query_id <> a.vec_id),
+          cb AS MATERIALIZED (
+            ${(0 until PqM).map(m =>
+              s"""SELECT $m AS m, cell, cent,
+                         list_sum(list_transform(cent, x -> x * x)) AS cn2
+                  FROM s${m}_c$PqIters""").mkString(" UNION ALL ")}),
+          codes AS MATERIALIZED (
+            SELECT vec_id, m, cell AS code FROM (
+              SELECT e2.vec_id, cb.m, cb.cell,
+                     row_number() OVER (PARTITION BY e2.vec_id, cb.m ORDER BY
+                       round(list_sum(list_transform(
+                               list_zip(e2.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub], cb.cent),
+                               z -> z[1]::DOUBLE * z[2]))
+                         / (sqrt(list_sum(list_transform(
+                              e2.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub],
+                              x -> x::DOUBLE * x::DOUBLE)))
+                            * sqrt(cb.cn2)), 6) DESC,
+                       cb.cell) AS rk
+              FROM (SELECT vec_id, embedding FROM corpus $codeFilter) e2
+                   CROSS JOIN cb) WHERE rk = 1),
+          lut AS MATERIALIZED (
+            SELECT q.query_id, q.qn, cb.m, cb.cell,
+                   CAST(round(list_sum(list_transform(
+                           list_zip(q.qe[cb.m*$PqSub+1:(cb.m+1)*$PqSub], cb.cent),
+                           z -> z[1]::DOUBLE * z[2])), 9) AS DECIMAL(18,9)) AS term,
+                   CAST(round(cb.cn2, 9) AS DECIMAL(18,9)) AS vterm
+            FROM q CROSS JOIN cb),
+          sc AS (
+            SELECT cand.query_id, c2.vec_id,
+                   round(CAST(sum(l.term) AS DOUBLE) /
+                         (any_value(l.qn) * sqrt(CAST(sum(l.vterm) AS DOUBLE))), 6) AS pqcos
+            FROM cand
+            JOIN codes c2 ON c2.vec_id = cand.vec_id
+            JOIN lut l ON l.query_id = cand.query_id AND l.m = c2.m AND l.cell = c2.code
+            GROUP BY cand.query_id, c2.vec_id)
+          SELECT query_id, vec_id, pqcos, rank FROM (
+            SELECT query_id, vec_id, pqcos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY pqcos DESC, vec_id) AS rank
+            FROM sc)
+          WHERE rank <= 3""")
 
   private val baseOracles: Map[String, String] = Map(
     "sim_knn_classify" ->
@@ -1172,82 +1325,15 @@ object Similarity {
     // (unprefixed, k=16 × 5 iterations) AND the four prefixed PQ
     // sub-quantizer chains in one WITH, then assignment → probe →
     // candidate cells → encode → ADC ranking over candidates only.
-    "sim_topk_ivfpq" ->
-      ("WITH " + KMeans.kmeansCtes(k = 16, iterations = IvfIters) + ", " +
-       (0 until PqM).map(m =>
-         KMeans.kmeansCtesOn(s"s${m}_",
-           s"embedding[${m * PqSub + 1}:${(m + 1) * PqSub}]", PqK, PqIters))
-         .mkString(", ") +
-      s""",
-          en AS MATERIALIZED (
-            SELECT vec_id, embedding,
-                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-            FROM e),
-          c AS MATERIALIZED (
-            SELECT cell, cent AS ce,
-                   sqrt(list_sum(list_transform(cent, x -> x * x))) AS cn
-            FROM c$IvfIters),
-          asn AS MATERIALIZED (
-            SELECT vec_id, embedding, nrm, cell FROM (
-              SELECT en.vec_id, en.embedding, en.nrm, c.cell,
-                     row_number() OVER (PARTITION BY en.vec_id ORDER BY
-                       round(list_sum(list_transform(list_zip(en.embedding, c.ce),
-                               z -> z[1]::DOUBLE * z[2])) / (en.nrm * c.cn), 6) DESC,
-                       c.cell) AS rk
-              FROM en CROSS JOIN c) WHERE rk = 1),
-          q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
-                FROM asn WHERE vec_id < 10),
-          p AS MATERIALIZED (
-            SELECT query_id, cell FROM (
-              SELECT q.query_id, c.cell,
-                     row_number() OVER (PARTITION BY q.query_id ORDER BY
-                       round(list_sum(list_transform(list_zip(q.qe, c.ce),
-                               z -> z[1]::DOUBLE * z[2])) / (q.qn * c.cn), 6) DESC,
-                       c.cell) AS rk
-              FROM q CROSS JOIN c) WHERE rk <= $IvfProbes),
-          cand AS (
-            SELECT p.query_id, a.vec_id
-            FROM p JOIN asn a ON p.cell = a.cell AND p.query_id <> a.vec_id),
-          cb AS MATERIALIZED (
-            ${(0 until PqM).map(m =>
-              s"""SELECT $m AS m, cell, cent,
-                         list_sum(list_transform(cent, x -> x * x)) AS cn2
-                  FROM s${m}_c$PqIters""").mkString(" UNION ALL ")}),
-          codes AS MATERIALIZED (
-            SELECT vec_id, m, cell AS code FROM (
-              SELECT e2.vec_id, cb.m, cb.cell,
-                     row_number() OVER (PARTITION BY e2.vec_id, cb.m ORDER BY
-                       round(list_sum(list_transform(
-                               list_zip(e2.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub], cb.cent),
-                               z -> z[1]::DOUBLE * z[2]))
-                         / (sqrt(list_sum(list_transform(
-                              e2.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub],
-                              x -> x::DOUBLE * x::DOUBLE)))
-                            * sqrt(cb.cn2)), 6) DESC,
-                       cb.cell) AS rk
-              FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $MaxExactVectors) e2
-                   CROSS JOIN cb) WHERE rk = 1),
-          lut AS MATERIALIZED (
-            SELECT q.query_id, q.qn, cb.m, cb.cell,
-                   CAST(round(list_sum(list_transform(
-                           list_zip(q.qe[cb.m*$PqSub+1:(cb.m+1)*$PqSub], cb.cent),
-                           z -> z[1]::DOUBLE * z[2])), 9) AS DECIMAL(18,9)) AS term,
-                   CAST(round(cb.cn2, 9) AS DECIMAL(18,9)) AS vterm
-            FROM q CROSS JOIN cb),
-          sc AS (
-            SELECT cand.query_id, c2.vec_id,
-                   round(CAST(sum(l.term) AS DOUBLE) /
-                         (any_value(l.qn) * sqrt(CAST(sum(l.vterm) AS DOUBLE))), 6) AS pqcos
-            FROM cand
-            JOIN codes c2 ON c2.vec_id = cand.vec_id
-            JOIN lut l ON l.query_id = cand.query_id AND l.m = c2.m AND l.cell = c2.code
-            GROUP BY cand.query_id, c2.vec_id)
-          SELECT query_id, vec_id, pqcos, rank FROM (
-            SELECT query_id, vec_id, pqcos,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY pqcos DESC, vec_id) AS rank
-            FROM sc)
-          WHERE rank <= 3"""),
+    "sim_topk_ivfpq" -> ivfPqOracle("SELECT vec_id, embedding FROM embeddings",
+      s"WHERE vec_id < $MaxExactVectors"),
+    // The same composition served over the ×10 circular-shift inflation
+    // (the sim_topk_lsh_big corpus CTE), quantizers still trained on the
+    // base corpus — train-on-sample, encode/search everything.
+    "sim_topk_ivfpq_big" -> ivfPqOracle(
+      s"""SELECT vec_id + r * $BigIdStride AS vec_id,
+                 list_concat(embedding[r+1:len(embedding)], embedding[1:r]) AS embedding
+          FROM embeddings, generate_series(0, ${BigReplicas - 1}) t(r)""", ""),
     // Full replay of the SemDeDup pipeline: the KMeans training chain
     // (shared with sim_topk_ivf), assignment to trained cells, exact
     // cosine on SAME-CELL pairs, recursive min-label reachability over

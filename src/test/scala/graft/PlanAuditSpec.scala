@@ -290,6 +290,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (releaseAll below guarantees a cold start).
     val bnljAllowed: Map[String, String] = Map(
       "dedup_minhash_big" -> "1-row x 1-row summary crossJoin (n_docs x counts)",
+      "dedup_ngram_capped_big" -> "1-row x 1-row summary crossJoin (n_docs x counts)",
       "dedup_ngram_skew" -> "1-row x 1-row summary crossJoins (docs x stats x pairs)",
       "ir_bm25" -> "1-row global corpus stats (N, avgdl) broadcast to every doc",
       "ir_bm25_persisted" -> "same bm25 plan served from the reloaded Parquet postings",
@@ -303,6 +304,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_topk_ivf" -> "K=16 trained-centroid probe, bounded by centroid count",
       "sim_topk_pq" -> "MxK=64-row trained codebook broadcast (encode + ADC table build)",
       "sim_topk_ivfpq" -> "K=16 centroid probe + MxK=64-row codebook broadcast, both bounded",
+      "sim_topk_ivfpq_big" -> "same bounded probe/codebook broadcasts over the x10 corpus",
       "sim_index_persist" -> "same IVF-PQ plan served from the reloaded Parquet index",
       "ta_corpus_stats" -> "1-row corpus rollup joined back for ratios",
       "ta_temperature_sample" -> "1-row quota normalizer (sum sqrt(n_s)) broadcast",
