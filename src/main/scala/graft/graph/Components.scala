@@ -54,22 +54,45 @@ object Components {
     * SET, not the session default; 32-wide exchanges over a 100-edge
     * graph are pure scheduling overhead × stages × rounds). Default:
     * session width.
+    *
+    * `prepared`: `pairs` is ALREADY the oriented edge set — columns
+    * (src, dst) with src > dst, distinct, and cached by the caller
+    * (a [[graft.Caches.memoized]] corpus-prep relation shared across
+    * tiers/reps) — so round 0 starts directly on it instead of
+    * re-deriving orientation + distinct per call. The loop never
+    * unpersists a prepared input: its lifecycle belongs to the caller's
+    * memo.
     */
   def labels(nodes: DataFrame, pairs: DataFrame,
-             partitions: Option[Int] = None): DataFrame = {
+             partitions: Option[Int] = None,
+             prepared: Boolean = false): DataFrame = {
     val idCol = nodes.columns.head
     val pw: Pin = (df, cols) =>
       partitions.fold(df)(n => df.repartition(n, cols: _*))
-    var e = graft.Caches.register(
-      pw(pairs.toDF("x", "y")
-        .where(col("x") =!= col("y"))
-        // large→small orientation from the start: the round invariant
-        .select(greatest(col("x"), col("y")).as("src"),
-          least(col("x"), col("y")).as("dst")),
-        Seq(col("src"), col("dst")))
-        .distinct().persist())
-    val spark = nodes.sparkSession
+    var e =
+      if (prepared) pairs
+      else graft.Caches.register(
+        pw(pairs.toDF("x", "y")
+          .where(col("x") =!= col("y"))
+          // large→small orientation from the start: the round invariant
+          .select(greatest(col("x"), col("y")).as("src"),
+            least(col("x"), col("y")).as("dst")),
+          Seq(col("src"), col("dst")))
+          .distinct().persist())
+    var owned = !prepared
     var done = false
+    // per-round fingerprint of the previous round's edge set: (count,
+    // bit_xor of the row hashes) — order-free and exact to compute, a
+    // NECESSARY condition for set equality. The loop's one per-round
+    // action is this probe over the NEW set alone (one plain two-phase
+    // aggregate over the just-persisted cache — no union with the old
+    // set, no count_distinct Expand), and the full set-equality
+    // certificate runs only when two consecutive fingerprints agree —
+    // ~once per run at the fixpoint, plus at most the odd 64-bit
+    // collision (which costs one extra certificate, never a wrong
+    // answer: equality is always CONFIRMED by the exact certificate,
+    // the fingerprint only decides when to bother running it).
+    var prevFp: Option[(Long, Long)] = Some(fingerprint(e))
     while (!done) {
       val next = smallStar(largeStar(e, pw), pw)
       // PLAN truncation, not just caching: each round references the
@@ -81,24 +104,47 @@ object Components {
       // plan to a LogicalRDD of bounded size while keeping
       // recompute-on-eviction lineage (the repo's persist-not-checkpoint
       // rule) — the RDD chain grows linearly in rounds, which is fine.
+      // Internal-row truncation (GraftExpr.truncated), not
+      // createDataFrame(next.rdd): the external-Row encode/decode ran
+      // per edge per round.
       val e2 = graft.Caches.register(
-        spark.createDataFrame(next.rdd, next.schema).persist())
+        org.apache.spark.sql.GraftExpr.truncated(next).persist())
       // the ONE scalar action per round (materializes e2's cache as a
-      // side effect): set-equality certificate per the identity above
-      val row = e2.union(e)
-        .agg(count(lit(1)).as("t"),
-          count_distinct(col("src"), col("dst")).as("d"))
-        .head()
-      done = row.getLong(0) == 2 * row.getLong(1)
+      // side effect): the fingerprint probe
+      val fp = fingerprint(e2)
+      if (prevFp.contains(fp)) {
+        // fingerprints stable: CONFIRM with the exact set-equality
+        // certificate per the identity above
+        val row = e2.union(e)
+          .agg(count(lit(1)).as("t"),
+            count_distinct(col("src"), col("dst")).as("d"))
+          .head()
+        done = row.getLong(0) == 2 * row.getLong(1)
+      }
+      prevFp = Some(fp)
       // the superseded round's cache is dead weight once e2 is
       // materialized; drop it eagerly so O(log n) rounds hold O(1)
       // cached edge sets, not a growing chain
-      e.unpersist()
+      if (owned) e.unpersist()
       e = e2
+      owned = true
     }
     val lab = e.groupBy(col("src").as(idCol)).agg(min(col("dst")).as("label"))
     nodes.select(col(idCol)).join(lab, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("label"))
+  }
+
+  /** (row count, bit_xor of per-row xxhash64) over an oriented edge
+    * frame — the order-free exact-to-compute set fingerprint the
+    * convergence probe compares round over round. Also materializes the
+    * frame's cache when it is freshly persisted (it is the round's one
+    * action).
+    */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("fp"))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** One full large-star + small-star round over an oriented edge frame —
