@@ -386,6 +386,37 @@ object Temporal {
         (col("pa99") >= col("lo99") && col("pa99") <= col("hi99")).as("p99_ok"))
   }
 
+  /** HLL SKETCH MERGE ACROSS STORED RUNS — the one mergeable-sketch
+    * property not otherwise exercised through storage: a Datasketches
+    * HLL binary per epoch-day parity of the event stream (one per
+    * "ingest run", the CountMin.mergedEstimates split), each persisted
+    * as a Parquet artifact, reopened, `hll_union_agg`-merged, and the
+    * union's estimate checked against the exact full-corpus distinct
+    * count. Register max-merge over a disjoint split covers the whole
+    * stream, so the merged estimate must land inside the single-sketch
+    * error bound. Gated the ev_approx_bounds way: exact value + the
+    * bound boolean pinned TRUE (a Datasketches binary's estimate is not
+    * oracle-replayable); artifact existence and the merge identity
+    * (merged estimate == whole-stream sketch estimate) asserted in
+    * spec.
+    */
+  def hllMerged(spark: SparkSession, dir: String): DataFrame = {
+    def daySketch(par: Int): DataFrame =
+      graft.Caches.parquetArtifact(spark, dir, s"hll_day_$par")(
+        Tables.events(spark, dir)
+          .where(pmod(datediff(to_date(col("ts")),
+            lit(java.sql.Date.valueOf("1970-01-01"))), lit(2)) === par)
+          .agg(hll_sketch_agg(col("user_id"), 12).as("sk")))
+    val est = daySketch(0).unionByName(daySketch(1))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_users"),
+        (abs(col("est") - col("n_users")).cast("double") <=
+          greatest(lit(5.0), col("n_users").cast("double") * 0.10)).as("hll_ok"))
+  }
+
   /** Higher-moment profile per event type — mean, stddev, skewness,
     * excess kurtosis — from exact DECIMAL power sums (Σv, Σv², Σv³, Σv⁴
     * over the 2-dp value grid), the mergeable-moments form a distributed
@@ -453,6 +484,9 @@ object Temporal {
     "ev_type_pivot"     -> ((s, d) => typePivot(s, d)),
     "ev_quantiles"      -> ((s, d) => valueQuantiles(s, d)),
     "ev_approx_bounds"  -> ((s, d) => approxBounds(s, d)),
+    // per-day persisted HLL binaries, reopened + union-merged; exact
+    // distinct + pinned bound boolean (see hllMerged)
+    "ev_hll_merged"     -> ((s, d) => hllMerged(s, d)),
   )
 
   // DuckDB oracles. epoch_ms(CAST(ts AS TIMESTAMP)) floors ns → ms exactly
@@ -638,5 +672,11 @@ object Temporal {
            round(quantile_cont(value, 0.99), 6) AS p99,
            TRUE AS p99_ok
          FROM events GROUP BY event_type""",
+    // merged-HLL tier: exact global distinct + the union-estimate bound
+    // pinned TRUE (the binary sketch itself is not replayable) — the
+    // gate fails iff the split/persist/union merge leaves the bound
+    "ev_hll_merged" ->
+      """SELECT count(DISTINCT user_id) AS n_users, TRUE AS hll_ok
+         FROM events""",
   )
 }

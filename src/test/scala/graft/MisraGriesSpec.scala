@@ -125,6 +125,48 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(whole.values.sum == keys.length.toLong * CountMin.Depth)
   }
 
+  test("merged-artifact sketches: CM linearity, HLL union identity, artifacts on disk") {
+    import graft.functions.CountMin
+    try {
+      // CM linearity certificate: estimates served from the two
+      // reopened day artifacts must EQUAL the one-pass sketch's — cell
+      // counts are plain counts over a disjoint split of the stream
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = rows(CountMin.estimates(spark, sf))
+      val got = rows(CountMin.mergedEstimates(spark, sf))
+      assert(got == want && got.nonEmpty,
+        "merged-day estimates must equal the one-pass sketch (CM linearity)")
+      // HLL union identity: max-merge of the two day registers ==
+      // whole-stream registers, so the merged estimate matches the
+      // single-sketch estimate exactly (and sits inside the bound)
+      val hllRow = graft.events.Temporal.hllMerged(spark, sf).head()
+      assert(hllRow.getBoolean(1), "merged HLL estimate left its bound")
+      import org.apache.spark.sql.functions._
+      val whole = graft.Tables.events(spark, sf)
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est"))
+        .head().getLong(0)
+      // day artifacts really landed, and the merged cell mass accounts
+      // for every event exactly once (× Depth cells each)
+      val base = Caches.artifactBase(sf)
+      Seq("cm_day_0", "cm_day_1", "hll_day_0", "hll_day_1").foreach { a =>
+        assert(java.nio.file.Files.isDirectory(base.resolve(a)), s"missing artifact $a")
+      }
+      val mass = spark.read.parquet(base.resolve("cm_day_0").toString)
+        .unionByName(spark.read.parquet(base.resolve("cm_day_1").toString))
+        .agg(sum(col("n"))).head().getLong(0)
+      val nEvents = graft.Tables.events(spark, sf).count()
+      assert(mass == nEvents * CountMin.Depth,
+        s"merged cell mass $mass != $nEvents x ${CountMin.Depth}")
+      val mergedEst = spark.read.parquet(base.resolve("hll_day_0").toString)
+        .unionByName(spark.read.parquet(base.resolve("hll_day_1").toString))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .head().getLong(0)
+      assert(mergedEst == whole,
+        s"HLL union estimate $mergedEst != whole-stream sketch $whole")
+    } finally Caches.releaseAll()
+  }
+
   test("fixture heavy hitters equal the exact φ-heavy set with exact counts") {
     try {
       val got = MisraGries.heavyHitters(spark, sf).collect()

@@ -292,6 +292,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "dedup_minhash_big" -> "1-row x 1-row summary crossJoin (n_docs x counts)",
       "dedup_ngram_capped_big" -> "1-row x 1-row summary crossJoin (n_docs x counts)",
       "dedup_ngram_skew" -> "1-row x 1-row summary crossJoins (docs x stats x pairs)",
+      "ev_hll_merged" -> "1-row exact-distinct x 1-row merged-sketch estimate crossJoin",
       "ir_bm25" -> "1-row global corpus stats (N, avgdl) broadcast to every doc",
       "ir_bm25_persisted" -> "same bm25 plan served from the reloaded Parquet postings",
       "ir_hybrid_rrf" -> "1-row query embedding + bm25 stats broadcasts, both bounded",
