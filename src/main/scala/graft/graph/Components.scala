@@ -158,22 +158,30 @@ object Components {
 
   /** Emitted edges keep dst < src (m ≤ u < v), so the orientation
     * invariant holds without re-normalizing.
+    *
+    * NOT deduplicated on the way out: emission count is exactly |E|
+    * (each undirected edge emits one row from its larger endpoint), so
+    * there is no blow-up to bound, [[smallStar]]'s min-aggregate is
+    * duplicate-insensitive, and its final distinct restores set
+    * semantics for the round — while a distinct here would shuffle on
+    * (src, dst) only for smallStar to immediately re-shuffle the same
+    * rows on (src). Dropping it removed one exchange + one dedup per
+    * round from a loop the r8 audit judged scheduling-bound.
     */
   private def largeStar(e: DataFrame, pw: Pin): DataFrame = {
     val sym = pw(e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
       Seq(col("src")))
     val mn = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
-    pw(sym.join(mn, col("src") === col("u"))
+    sym.join(mn, col("src") === col("u"))
       .where(col("dst") > col("src"))
-      .select(col("dst").as("src"), col("m").as("dst")),
-      Seq(col("src"), col("dst")))
-      .distinct()
+      .select(col("dst").as("src"), col("m").as("dst"))
   }
 
-  /** Input already oriented large→small, so Γ(v) here is exactly the
-    * smaller-neighbor set; m ≤ u for every emitted (u, m) and the u = m
-    * self-loop is dropped.
+  /** Input already oriented large→small (duplicates tolerated — see
+    * [[largeStar]]), so Γ(v) here is exactly the smaller-neighbor set;
+    * m ≤ u for every emitted (u, m) and the u = m self-loop is dropped.
+    * The one distinct per round lives here.
     */
   private def smallStar(e: DataFrame, pw: Pin): DataFrame = {
     val eP = pw(e, Seq(col("src")))

@@ -105,25 +105,18 @@ object PageRank {
     */
   def runOnGraph(nodesDf: DataFrame, edgesDf: DataFrame,
                  sources: Seq[Long], iterations: Int,
-                 partitions: Option[Int] = None,
-                 prepared: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+                 partitions: Option[Int] = None): DataFrame = {
     val spark = nodesDf.sparkSession
     val p = partitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    // `prepared`: caller-supplied (edges ⋈ outdeg, nodes) ALREADY
-    // repartitioned to hash(src, p)/hash(id, p) and cached (a memoized
-    // corpus-prep pair shared across bench reps — see topK); their
-    // lifecycle belongs to the caller's memo.
-    val (e, n) = prepared.getOrElse {
-      val outdeg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      (graft.Caches.register(edgesDf.join(outdeg, "src")
-        .select(col("src"), col("dst"), col("outdeg"))
-        .repartition(p, col("src")).persist()),
-      // n and e are co-partitioned at width p once and reused every
-      // iteration; ranks inherits hash(id, p) from n, so the rank⋈edges join
-      // and the left join back to n plan without extra exchanges.
-       graft.Caches.register(nodesDf.repartition(p, col("id")).persist()))
-    }
+    val outdeg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = graft.Caches.register(edgesDf.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(p, col("src")).persist())
+    // n and e are co-partitioned at width p once and reused every
+    // iteration; ranks inherits hash(id, p) from n, so the rank⋈edges join
+    // and the left join back to n plan without extra exchanges.
+    val n = graft.Caches.register(nodesDf.repartition(p, col("id")).persist())
 
     val rankCols = sources.indices.map(i => s"rank_$i")
     var ranks = n.select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
@@ -192,23 +185,14 @@ object PageRank {
            partitions: Int = 4): DataFrame = {
     // oracle-tier fixture graph is ~100 nodes: size the iteration
     // shuffles to the working set (callers pass a wider value for the
-    // 10k measurement tier). The co-partitioned (edges ⋈ outdeg, nodes)
-    // pair is corpus prep — memoized per (dir, mod, p) so bench reps
-    // and repeat callers share one derivation; truncated still
-    // advertises hash(src, p)/hash(id, p) (GraftExpr.truncated keeps
-    // output partitioning), so every iteration's joins stay
-    // exchange-free on the memoized pair exactly as on the inline one.
-    val eMemo = graft.Caches.memoized(spark, dir, s"graph:pr_e_${mod}_$partitions") {
-      val ed = edges(spark, dir, mod)
-      ed.join(ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-        .select(col("src"), col("dst"), col("outdeg"))
-        .repartition(partitions, col("src"))
-    }
-    val nMemo = graft.Caches.memoized(spark, dir, s"graph:pr_n_${mod}_$partitions") {
-      nodes(spark, dir, mod).repartition(partitions, col("id"))
-    }
-    val ranked = runOnGraph(nMemo, eMemo, sources,
-      iterations, partitions = Some(partitions), prepared = Some((eMemo, nMemo)))
+    // 10k measurement tier). The (edges ⋈ outdeg, nodes) prep stays
+    // INLINE per call, not memoized: an A/B at sf0.1 measured the loop
+    // ~1.2 s/rep FASTER against the inline persisted pair than against
+    // memoized truncated leaves even with prep rebuilt every rep — the
+    // full cached plans give AQE/planning better information per
+    // iteration than a truncated leaf, and the prep itself is ~1 s.
+    val ranked = runOnGraph(nodes(spark, dir, mod), edges(spark, dir, mod), sources,
+      iterations, partitions = Some(partitions))
     val perSource = sources.zipWithIndex.map { case (s, i) =>
       ranked.select(lit(s).as("source"), col("id").as("node"),
         round(col(s"rank_$i"), 5).as("rank"))

@@ -54,7 +54,16 @@ object GraftExpr {
         }))
       case p => UnknownPartitioning(p.numPartitions)
     }
+    // carry the origin's SIZE statistics (attribute stats dropped — their
+    // exprIds belong to the old plan): a stats-less LogicalRDD defaults
+    // to spark.sql.defaultSizeInBytes, which vetoes broadcast for every
+    // consumer join of a memoized relation — measured as each PageRank
+    // iteration's node join planning sort-merge instead of broadcast-hash
+    // against the memoized pair (~+25% on the whole 10k loop)
+    val srcStats = ds.queryExecution.optimizedPlan.stats
+    val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = srcStats.sizeInBytes, rowCount = srcStats.rowCount)
     classic.Dataset.ofRows(ds.sparkSession,
-      execution.LogicalRDD(newOutput, rdd, part)(ds.sparkSession))
+      execution.LogicalRDD(newOutput, rdd, part)(ds.sparkSession, Some(stats)))
   }
 }
