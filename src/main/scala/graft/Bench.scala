@@ -217,26 +217,53 @@ object Bench {
       .mkString("{", ",", "}")
     // ×10 scaling-slope tier (r8 verdict ask 3): pair each heavy
     // scale-path family's base query with its inflated-corpus twin and
-    // report [t1, t10] medians side by side — the measured slope that
-    // backs the "would survive 100×" design argument. Factors: the *_big
-    // tiers are arithmetic ×10 inflations of the same corpus; the
+    // report the COLD-PIPELINE cost side by side — query median PLUS the
+    // family's ledgered build:* rows — the measured slope that backs the
+    // "would survive 100×" design argument. Query medians alone are NOT
+    // comparable across tiers: how much of a family's pipeline hides
+    // behind a memo differs by design (dedup_minhash serves pairs from
+    // the minhash_pairs memo at ~0.02 s/rep while its big twin runs the
+    // band join per rep — a raw-median pair read as a fake 100× slope in
+    // the first r9 run). Cold cost = what a first/only run of the family
+    // pays, the same quantity on both sides. Factors: the *_big tiers
+    // are arithmetic ×10 inflations of the same corpus; the
     // components/toprank pair's key names its ~×120 edge factor
     // (mod-100 complete graph ~4.95k und edges → mod-10000 ~590k).
-    // Medians here are query-side (memo builds ledger separately under
-    // build:*); pairs whose members didn't run (SPARK_GRAFT_ONLY) are
-    // skipped.
+    // Build keys trained-on-base and reused by the big tier (IVF
+    // centroids, PQ codebooks — the production train-on-sample split)
+    // are charged to BOTH sides. Pairs whose members didn't run
+    // (SPARK_GRAFT_ONLY) are skipped.
     val scalingPairs = Seq(
-      ("dedup_minhash_x10", "dedup_minhash", "dedup_minhash_big"),
-      ("ngram_capped_x10", "dedup_ngram_capped", "dedup_ngram_capped_big"),
-      ("ann_lsh_x10", "sim_topk_lsh", "sim_topk_lsh_big"),
-      ("ann_ivfpq_x10", "sim_topk_ivfpq", "sim_topk_ivfpq_big"),
-      ("sliding_rollup_x10", "st_sliding_rollup", "st_sliding_rollup_big"),
-      ("sessions_x10", "st_sessions_stateful", "st_sessions_big"),
-      ("components_x120", "pr_components", "pr_components_10k"),
-      ("toprank_x120", "pr_toprank", "pr_toprank_10k"))
+      ("dedup_minhash_x10",
+        ("dedup_minhash", Seq("dedup:shingles", "dedup:minhash_pairs_0.5")),
+        ("dedup_minhash_big",
+          Seq("dedup:big_shingles_10", "dedup:big_h60_10", "dedup:big_permbands_10"))),
+      ("ngram_capped_x10",
+        ("dedup_ngram_capped", Seq("dedup:shingles")),
+        ("dedup_ngram_capped_big", Seq("dedup:big_shingles_10", "dedup:big_ngram_ex_10"))),
+      ("ann_lsh_x10",
+        ("sim_topk_lsh", Seq("sim:lsh_bands")),
+        ("sim_topk_lsh_big", Seq("sim:lsh_bands_big"))),
+      ("ann_ivfpq_x10",
+        ("sim_topk_ivfpq",
+          Seq("sim:ivf_centroids", "sim:ivf_assigned", "sim:pq_codebooks", "sim:pq_codes")),
+        ("sim_topk_ivfpq_big",
+          Seq("sim:ivf_centroids", "sim:ivf_assigned_big", "sim:pq_codebooks", "sim:pq_codes_big"))),
+      ("sliding_rollup_x10",
+        ("st_sliding_rollup", Seq.empty), ("st_sliding_rollup_big", Seq.empty)),
+      ("sessions_x10",
+        ("st_sessions_stateful", Seq.empty), ("st_sessions_big", Seq.empty)),
+      ("components_x120",
+        ("pr_components", Seq("graph:oriented_100")),
+        ("pr_components_10k", Seq("graph:oriented_10000"))),
+      ("toprank_x120",
+        ("pr_toprank", Seq.empty), ("pr_toprank_10k", Seq.empty)))
     val medianOf = results.map(r => r._1 -> r._2).toMap
-    val scaling = scalingPairs.flatMap { case (fam, base, big) =>
-      for (t1 <- medianOf.get(base); t10 <- medianOf.get(big))
+    def coldCost(name: String, buildKeys: Seq[String]): Option[Double] =
+      medianOf.get(name)
+        .map(_ + buildKeys.flatMap(buildLedger.get).sum)
+    val scaling = scalingPairs.flatMap { case (fam, (base, bb), (big, gb)) =>
+      for (t1 <- coldCost(base, bb); t10 <- coldCost(big, gb))
         yield s"${q(fam)}:[${math.rint(t1 * 100) / 100},${math.rint(t10 * 100) / 100}]"
     }.mkString("{", ",", "}")
 
