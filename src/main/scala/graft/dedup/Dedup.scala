@@ -1042,6 +1042,97 @@ object Dedup {
           FROM i JOIN n n1 ON i.d1 = n1.doc_id JOIN n n2 ON i.d2 = n2.doc_id)
         WHERE jaccard >= $minJ"""
 
+  /** Longest duplicated substring over the corpus (dedup_longest_dup) —
+    * the EXACT query the fixed-length passage dedup ([[dupPassages]])
+    * approximates, and the one a suffix array over the concatenated
+    * corpus answers directly (the substring-dedup construction of
+    * "Deduplicating Training Data Makes Language Models Better", Lee
+    * et al. 2021). Spark-first re-expression: binary search on the
+    * MONOTONE predicate "some substring of length L occurs ≥ 2 times"
+    * (a duplicate of length L contains duplicates of every shorter
+    * length), each probe one distributed pass:
+    *
+    *   explode L-grams → groupBy xxhash64(gram), count ≥ 2 (8-byte
+    *   shuffle keys, not L-byte strings) → semi-join the collision
+    *   buckets back and re-group by the GRAM ITSELF — a 64-bit
+    *   collision can never fabricate a duplicate, so the answer is
+    *   exact while only collision-bucket members ever shuffle as
+    *   strings.
+    *
+    * O(log maxDocLen) probes total — bounded by DOCUMENT length, not
+    * corpus size — each linear in corpus chars, vs the suffix array's
+    * one global O(n log n) sort: the probe form needs no
+    * order-preserving corpus-wide index and every stage is a plain
+    * hash shuffle. Overlapping occurrences count, mirroring
+    * suffix-array semantics ("mmmm" contains "mmm" twice). Output: the
+    * top `topN` duplicated substrings at the maximal length as
+    * (len, substring, n_occ, n_docs), ordered n_occ desc then
+    * substring asc — deterministic, hash-gated against a DuckDB
+    * recursive-CTE binary-search replay.
+    */
+  def longestDupSubstring(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    longestDupOn(
+      memoized(spark, dir, "lds_docs")(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))),
+      topN)
+
+  /** Core over an arbitrary (doc_id, text) frame — spec-tested on
+    * planted corpora (overlap semantics, tie order) independently of
+    * the fixture.
+    */
+  private[graft] def longestDupOn(docs: DataFrame, topN: Int = 20): DataFrame = {
+    def grams(l: Int): DataFrame =
+      docs.where(length(col("text")) >= l)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - l + 1)).as("pos"))
+        .select(col("doc_id"), expr(s"substring(text, pos, $l)").as("sub"))
+    // duplicated l-grams with exact counts; also the existence probe
+    // (isEmpty plans a limit-1, so a probe stops at the first survivor)
+    def dupGrams(l: Int): DataFrame = {
+      val g = grams(l)
+      val dupH = g.groupBy(xxhash64(col("sub")).as("h"))
+        .agg(count(lit(1)).as("c")).where(col("c") >= 2)
+        .select(col("h"))
+      g.withColumn("h", xxhash64(col("sub")))
+        .join(dupH, Seq("h"), "left_semi")
+        .groupBy(col("sub"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_occ") >= 2)
+    }
+    // bracket: [longest exactly-duplicated full text, longest text].
+    // The lower-bound seed is one NARROW pass (md5 of each text, no gram
+    // explosion): an identical-twin document of length n IS a duplicated
+    // n-substring, and on dedup-shaped corpora that bound lands close to
+    // the answer, collapsing the search to a handful of probes at large
+    // L (where grams-per-doc ≈ len−L+1 is small) instead of paying the
+    // corpus-chars-sized probes at small L. No L=1 guard probe: if the
+    // corpus has no duplicate at all, every probe fails, lo stays 1, and
+    // dupGrams(1) below is itself the (empty) answer — the guard would
+    // be the single most expensive pass (|corpus chars| 1-grams) spent
+    // on the rarest outcome.
+    val bounds = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("c"), max(length(col("text"))).as("l"))
+      .agg(max(when(col("c") >= 2, col("l"))).as("lo"), max(col("l")).as("hi"))
+      .head()
+    if (bounds.isNullAt(1)) { // empty corpus
+      docs.select(lit(0).as("len"), col("text").as("substring"),
+        lit(0L).as("n_occ"), lit(0L).as("n_docs")).limit(0)
+    } else {
+      var lo = if (bounds.isNullAt(0)) 1 else math.max(1, bounds.getInt(0))
+      var hi = bounds.getInt(1)
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (dupGrams(mid).isEmpty) hi = mid - 1 else lo = mid
+      }
+      dupGrams(lo)
+        .select(lit(lo).as("len"), col("sub").as("substring"),
+          col("n_occ"), col("n_docs"))
+        .orderBy(col("n_occ").desc, col("substring"))
+        .limit(topN)
+    }
+  }
+
   /** The registered cap for dedup_ngram_capped: at sf0.01 the corpus has
     * 615 shingles with df > 3 (max df 7), so the cap genuinely prunes
     * the hot end of the index while the planted near-dup pairs (which
@@ -1084,6 +1175,10 @@ object Dedup {
     "dedup_cdc_passages"  -> ((s, d) => cdcPassages(s, d)),
     "dedup_overlap_pairs" -> ((s, d) => overlapPairs(s, d)),
     "dedup_boilerplate"   -> ((s, d) => boilerplate(s, d)),
+    // exact longest duplicated substring via binary-searched gram
+    // probes — the suffix-array query, re-expressed as log(docLen)
+    // hash-shuffle passes (see longestDupSubstring)
+    "dedup_longest_dup"   -> ((s, d) => longestDupSubstring(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1251,5 +1346,44 @@ object Dedup {
                    AS boiler_frac
           FROM sh8 LEFT JOIN hot ON sh8.passage = hot.passage
           GROUP BY sh8.doc_id""",
+    // Binary-search replay of longestDupSubstring: the recursive CTE
+    // carries the (lo, hi) bracket, each step probes mid = ⌈(lo+hi)/2⌉
+    // with a correlated EXISTS over the exploded mid-grams (grouped by
+    // the gram itself, so both engines answer the same exact predicate),
+    // and the monotone predicate makes the converged lo independent of
+    // probe order — the only value that must match the Spark loop.
+    "dedup_longest_dup" ->
+      """WITH RECURSIVE bs(lo, hi) AS (
+           SELECT 1, (SELECT max(length(text))::INT FROM documents)
+           UNION ALL
+           SELECT CASE WHEN t.ex THEN t.mid ELSE t.lo END,
+                  CASE WHEN t.ex THEN t.hi ELSE t.mid - 1 END
+           FROM (
+             SELECT b.lo, b.hi, (b.lo + b.hi + 1) // 2 AS mid,
+               EXISTS (
+                 SELECT 1 FROM (
+                   SELECT substr(d.text, p.pos::INT, (b.lo + b.hi + 1) // 2) AS sub
+                   FROM documents d,
+                        LATERAL (SELECT unnest(generate_series(
+                          1, length(d.text) - (b.lo + b.hi + 1) // 2 + 1)) AS pos) p
+                   WHERE length(d.text) >= (b.lo + b.hi + 1) // 2
+                 ) g GROUP BY g.sub HAVING count(*) >= 2 LIMIT 1
+               ) AS ex
+             FROM bs b WHERE b.lo < b.hi
+           ) t
+         ),
+         best AS (SELECT max(lo) AS len FROM bs WHERE lo = hi)
+         SELECT b.len AS len, g.sub AS substring,
+                count(*) AS n_occ, count(DISTINCT g.doc_id) AS n_docs
+         FROM best b,
+              LATERAL (
+                SELECT d.doc_id, substr(d.text, p.pos::INT, b.len) AS sub
+                FROM documents d,
+                     LATERAL (SELECT unnest(generate_series(
+                       1, length(d.text) - b.len + 1)) AS pos) p
+                WHERE length(d.text) >= b.len
+              ) g
+         GROUP BY b.len, g.sub HAVING count(*) >= 2
+         ORDER BY n_occ DESC, substring LIMIT 20""",
   )
 }
