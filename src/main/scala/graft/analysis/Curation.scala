@@ -96,6 +96,49 @@ object Curation {
         col("rk").cast("long").as("rank_in_source"), col("n_s"), col("k_s"))
   }
 
+  private val PriorityK = 100
+
+  /** Weighted sampling WITHOUT replacement + unbiased subset-sum
+    * estimation in one pass: priority sampling (Duffield, Lund, Thorup,
+    * JACM 2007). Each doc gets priority q = w / u with weight
+    * w = n_chars and u ~ U(0,1]; the sample is the top-k by q and the
+    * estimator ŵ = max(w, τ) (τ = the (k+1)-th priority) makes
+    * Σ_sample ŵ an unbiased estimate of Σ_corpus w — the sketch that
+    * lets a 100 TB pipeline answer "how many bytes does this slice
+    * hold" from a k-row sample.
+    *
+    * Every arithmetic step is cross-engine bit-exact, which is what
+    * makes the SAMPLE ITSELF oracle-gateable (not just a rounded
+    * statistic): u is an md5-derived integer in [1, 2^32] (exactly
+    * representable), w·2^32 is an integer times a power of two (exact
+    * double), and one IEEE division of two exact integers is correctly
+    * rounded — identical bits in Spark and DuckDB, so both engines
+    * select the same k rows with no tolerance anywhere. τ is the min
+    * priority of the top-(k+1) frame (numerically the (k+1)-th order
+    * statistic), carried as a one-row broadcast.
+    *
+    * Plan shape: narrow projection → TakeOrderedAndProject(k+1) → one
+    * broadcast nested-loop of a 1-row aggregate. No full shuffle, no
+    * window; the top-k reduction is the only cross-partition traffic,
+    * O(k) per partition — the same shape at 100 TB.
+    */
+  def prioritySample(spark: SparkSession, dir: String, k: Int = PriorityK): DataFrame = {
+    val pri = Tables.documents(spark, dir).select(
+      col("doc_id"), col("n_chars").cast("long").as("w"),
+      ((col("n_chars").cast("double") * lit(4294967296.0)) /
+        (expr("conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)")
+          .cast("long") + lit(1)).cast("double")).as("q"))
+    val topK1 = pri.orderBy(col("q").desc, col("doc_id")).limit(k + 1)
+    // boundary row = sort-last under (q desc, doc_id asc): smallest q,
+    // then largest doc_id — min of (q, -doc_id) fieldwise
+    val bnd = topK1.agg(min(struct(col("q"), (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("b.q").as("tau"), (-col("b.nd")).cast("long").as("tau_doc"))
+    topK1.crossJoin(broadcast(bnd))
+      .where(!(col("q") === col("tau") && col("doc_id") === col("tau_doc")))
+      .select(col("doc_id"), col("w"), round(col("q"), 6).as("q6"),
+        round(greatest(col("w").cast("double"), col("tau")), 6).as("w_hat"))
+  }
+
   private val ChunkLen = 8
   private val ChunkStride = 6
 
@@ -369,12 +412,31 @@ object Curation {
     "ta_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "ta_mixture_sample"    -> ((s, d) => mixtureSample(s, d)),
     "ta_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
+    "ta_priority_sample"   -> ((s, d) => prioritySample(s, d)),
     "ta_chunk"             -> ((s, d) => chunk(s, d)),
     "ta_pack"              -> ((s, d) => pack(s, d)),
     "ta_pack_manifest"     -> ((s, d) => packManifest(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    // priority sampling: every step is bit-exact cross-engine (md5
+    // integer u, w·2^32 exact, one IEEE division), so the selected SET
+    // itself is replayed — the boundary row is dropped by identity,
+    // not by rank
+    "ta_priority_sample" ->
+      s"""WITH pri AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                   (CAST(n_chars AS DOUBLE) * 4294967296.0) /
+                   CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        + 1 AS DOUBLE) AS q
+            FROM documents),
+          topk1 AS (SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT ${PriorityK + 1}),
+          bnd AS (SELECT q AS tau, doc_id AS tau_doc
+                  FROM topk1 ORDER BY q ASC, doc_id DESC LIMIT 1)
+          SELECT t.doc_id, t.w, round(t.q, 6) AS q6,
+                 round(greatest(CAST(t.w AS DOUBLE), b.tau), 6) AS w_hat
+          FROM topk1 t CROSS JOIN bnd b
+          WHERE NOT (t.q = b.tau AND t.doc_id = b.tau_doc)""",
     // smoothed-LM replay: identical 6-dp log-ratio grid, DECIMAL doc
     // sums, same (score desc, doc_id) total order
     "ta_importance_sample" ->

@@ -8,6 +8,40 @@ class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("priority sample: matches brute-force top-k and the max(w, tau) estimator") {
+    val k = 100
+    // brute force on the driver from the same per-doc priorities the
+    // operator computes (500 docs at the spec tier)
+    val pri = Tables.documents(spark, sf).select(
+      col("doc_id").cast("long"), col("n_chars").cast("long"),
+      ((col("n_chars").cast("double") * lit(4294967296.0)) /
+        (expr("conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)")
+          .cast("long") + lit(1)).cast("double")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ordered = pri.sortBy { case (id, _, q) => (-q, id) }
+    val tau = ordered(k)._3
+    val expect = ordered.take(k)
+      .map { case (id, w, q) => (id, w, math.max(w.toDouble, tau)) }.toSet
+
+    val got = Curation.prioritySample(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got.size == k)
+    assert(got.map(t => (t._1, t._2)) === expect.map(t => (t._1, t._2)),
+      "selected set must equal the brute-force top-k by priority")
+    // w_hat agrees with max(w, tau) on the 6-dp grid
+    val tau6 = BigDecimal(tau).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (id, w, wHat) =>
+      val e = math.max(w.toDouble, tau6)
+      assert(math.abs(wHat - e) < 1e-6, s"doc $id: w_hat $wHat vs expected $e")
+    }
+    // the priority-sampling estimate of total corpus weight is within a
+    // loose factor of truth (statistical sanity, not a tolerance gate)
+    val est = got.toSeq.map(_._3).sum
+    val truth = pri.map(_._2.toDouble).sum
+    assert(est > truth / 3 && est < truth * 3,
+      s"subset-sum estimate $est implausible vs true $truth")
+  }
+
   test("source report: partitions the corpus, rates bounded, dup math checks out") {
     val rows = Curation.sourceReport(spark, sf).collect()
     assert(rows.nonEmpty)

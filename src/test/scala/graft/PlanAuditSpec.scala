@@ -308,6 +308,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_topk_ivfpq_big" -> "same bounded probe/codebook broadcasts over the x10 corpus",
       "sim_index_persist" -> "same IVF-PQ plan served from the reloaded Parquet index",
       "ta_corpus_stats" -> "1-row corpus rollup joined back for ratios",
+      "ta_priority_sample" -> "1-row boundary (tau) aggregate broadcast over k+1 rows",
       "ta_temperature_sample" -> "1-row quota normalizer (sum sqrt(n_s)) broadcast",
       "ta_importance_sample" -> "1-row LM totals (T, R, V) broadcast (bm25 stats shape)",
       "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
