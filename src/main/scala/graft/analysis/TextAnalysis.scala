@@ -148,6 +148,57 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** Interpolated Kneser-Ney smoothed bigram LM estimation — the
+    * distributed n-gram LM-training job (Brants et al. 2007 "Large
+    * Language Models in Machine Translation" is the canonical MapReduce
+    * formulation; a data pipeline runs it to score/filter text against a
+    * corpus LM). For every bigram type (w1,w2) with count c:
+    *
+    *   P_KN(w2|w1) = (c − D)/c(w1·) + D·N1+(w1·)/c(w1·) · N1+(·w2)/|B|
+    *
+    * where D = 0.75 (fixed discount; c ≥ 1 > D so the max(·,0) clamp never
+    * binds on observed types), c(w1·) = prefix token count, N1+(w1·) =
+    * distinct followers of w1, N1+(·w2) = distinct predecessors of w2
+    * (the continuation numerator — KN's insight is that the backoff
+    * unigram weight is type- not token-based), |B| = total bigram types.
+    *
+    * Shape: one groupBy(w1,w2) shuffle builds the type table (memoized —
+    * it feeds three aggregates and the final join); the two marginal
+    * tables are vocabulary-sized, so they broadcast (the ta_perplexity
+    * Heaps'-law argument); |B| rides along as a 1-row broadcast. At
+    * 100 TB the type table is vocab²-bounded — orders of magnitude
+    * smaller than the corpus — and everything downstream of the first
+    * aggregate is broadcast-joined, so the corpus is read exactly once.
+    *
+    * fp-portability: p_kn is a single double expression evaluated in the
+    * same operation order in both engines (IEEE arithmetic is
+    * deterministic), then 6-dp rounded — the repo-wide contract.
+    */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val types = graft.Caches.memoized(spark, dir, "ta:kn_bigram_types")(
+      withToks(spark, dir)
+        .select(explode(expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+             ELSE transform(sequence(0, size(toks)-2),
+                            i -> struct(toks[i] AS w1, toks[i+1] AS w2)) END"""))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt")))
+    val byW1 = types.groupBy(col("w1"))
+      .agg(sum(col("cnt")).as("cw1"), count(lit(1)).as("nf"))
+    val byW2 = types.groupBy(col("w2")).agg(count(lit(1)).as("np"))
+    val nb = types.agg(count(lit(1)).as("nb"))
+    types
+      .join(broadcast(byW1), "w1")
+      .join(broadcast(byW2), "w2")
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("cnt"),
+        round(
+          (col("cnt").cast("double") - lit(0.75)) / col("cw1").cast("double") +
+            (lit(0.75) * col("nf").cast("double") / col("cw1").cast("double")) *
+              (col("np").cast("double") / col("nb").cast("double")), 6).as("p_kn"))
+  }
+
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
@@ -197,6 +248,7 @@ object TextAnalysis {
     "ta_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "ta_repetition"  -> ((s, d) => repetition(s, d)),
     "ta_perplexity"  -> ((s, d) => perplexity(s, d)),
+    "ta_kneser_ney"  -> ((s, d) => kneserNey(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -274,6 +326,20 @@ object TextAnalysis {
                        AS DECIMAL(18,6)) AS nll
                 FROM tok JOIN v USING (w) CROSS JOIN t)
           GROUP BY doc_id""",
+    "ta_kneser_ney" ->
+      s"""WITH toks AS (SELECT $tokSql AS w FROM documents),
+          bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+                 FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)),
+          types AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
+          m1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cw1, count(*) AS nf
+                 FROM types GROUP BY w1),
+          m2 AS (SELECT w2, count(*) AS np FROM types GROUP BY w2),
+          nb AS (SELECT count(*) AS nb FROM types)
+          SELECT w1, w2, cnt,
+                 round((CAST(cnt AS DOUBLE) - 0.75) / CAST(cw1 AS DOUBLE)
+                       + (0.75 * CAST(nf AS DOUBLE) / CAST(cw1 AS DOUBLE))
+                         * (CAST(np AS DOUBLE) / CAST(nb AS DOUBLE)), 6) AS p_kn
+          FROM types JOIN m1 USING (w1) JOIN m2 USING (w2), nb""",
     "ta_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
                  CAST(list_reduce(
