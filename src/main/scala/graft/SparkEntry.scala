@@ -43,6 +43,7 @@ object SparkEntry {
       (operators.RuntimeFilter.queries, operators.RuntimeFilter.oracles),
       (operators.Layout.queries, operators.Layout.oracles),
       (sources.Tbl.queries, sources.Tbl.oracles),
+      (sources.Bucketed.queries, sources.Bucketed.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

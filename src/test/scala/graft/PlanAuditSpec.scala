@@ -69,6 +69,18 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("op_bucketed_join: neither join input shuffles (bucket spec survives the registry path)") {
+    val p = plan(graft.sources.Bucketed.bucketedJoin(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey")
+      && !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join inputs still shuffle:\n$p")
+    // both sides must scan through the bucket spec (the property that
+    // makes the join exchange-free at ANY scale; at the lint fixture the
+    // tiny orders side legitimately broadcasts instead of sort-merging)
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"expected two bucket-aware scans:\n$p")
+  }
+
   test("near-dup and ANN candidate generation is join-shaped, not a cross product") {
     withTransparentMemos {
     // brute-force baselines (cosinePairs, topK) are *documented* nested

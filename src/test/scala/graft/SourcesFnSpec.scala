@@ -135,7 +135,7 @@ class BucketedSpec extends AnyFunSuite {
 
   test("bucketed fact join plans with no exchange and matches the shuffled join") {
     graft.sources.Bucketed.bucketizeFacts(spark, sf, buckets = 8)
-    val df = graft.sources.Bucketed.coLocatedJoin(spark)
+    val df = graft.sources.Bucketed.coLocatedJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning(l_orderkey")
       && !plan.contains("Exchange hashpartitioning(o_orderkey"),
