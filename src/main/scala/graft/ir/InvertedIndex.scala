@@ -181,6 +181,60 @@ object InvertedIndex {
       .select(col("doc_id"), col("score_d").cast("double").as("score"), col("rank"))
   }
 
+  /** Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling ranking that complements
+    * [[bm25]]'s tf-idf one; a training-data pipeline uses it to score
+    * documents against a corpus LM (the retrieval-side twin of
+    * ta_kneser_ney's estimation side). Ranking-equivalent matched-terms
+    * form, so absent (term, doc) pairs never need rows:
+    *
+    *   log P(q|d) = Σ_{t∈q∩d} ln(1 + tf(t,d)/(μ·P(t|C))) + |q|·ln(μ/(dl+μ))
+    *
+    * with P(t|C) = ctf(t)/|C| (collection term frequency over total
+    * tokens). μ defaults to 10, tuned to the fixture's ~14-token docs
+    * (the standard 2000 assumes web-length documents); candidates are
+    * docs matching ≥1 query term, the standard postings-driven candidate
+    * set (a no-match doc is never surfaced, exactly like bm25).
+    *
+    * Same scale shape as [[bm25]]: corpus stats are ONE map-side-combined
+    * aggregate; ctf is a per-query-term broadcast; the per-doc length
+    * join is semi-join-pruned to candidates; top-k is orderBy.limit
+    * (TakeOrderedAndProject) with rank numbered on the ≤topN survivors.
+    * Same fp-portability contract: each term contribution and the
+    * doc-length normalizer are 6-dp-rounded DECIMAL(18,6) terms of an
+    * exact order-free sum the oracle replays bit-for-bit.
+    */
+  def qlDirichlet(spark: SparkSession, dir: String,
+                  terms: Seq[String] = Seq("spark", "table", "merge"),
+                  mu: Double = 10.0, topN: Int = 20): DataFrame = {
+    val post = postingsRelation(spark, dir)
+    val matched = post.filter(col("term").isin(terms: _*))
+    val stats = post.agg(sum(col("tf")).as("c_total"))
+    val ctf = matched.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val dl = post.join(matched.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val contrib = round(
+      log(lit(1.0) + col("tf").cast("double") /
+        (lit(mu) * (col("ctf").cast("double") / col("c_total").cast("double")))), 6)
+    val norm = round(
+      lit(terms.size.toDouble) *
+        log(lit(mu) / (col("dl").cast("double") + lit(mu))), 6)
+    matched
+      .join(broadcast(ctf), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.cast("decimal(18,6)").as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("s_match")) // exact decimal sum, order-free
+      .join(dl, "doc_id")
+      .select(col("doc_id"),
+        (col("s_match") + norm.cast("decimal(18,6)")).as("score_d"))
+      .orderBy(col("score_d").desc, col("doc_id")).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_d").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score_d").cast("double").as("score"), col("rank"))
+  }
+
   /** POSITIONAL index relation: per (term, doc), the sorted 1-based token
     * offsets — the positional-postings extension a phrase-capable engine
     * needs on top of the reference's (doc, tf) postings. Built once per
@@ -425,8 +479,39 @@ object InvertedIndex {
             GROUP BY p.doc_id))
         WHERE rank <= 20"""
 
+  private lazy val qlDirichletOracleSql =
+    s"""WITH post AS MATERIALIZED (
+          SELECT term, doc_id, count(*) AS tf
+          FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          GROUP BY term, doc_id),
+        st AS (SELECT CAST(sum(tf) AS BIGINT) AS c_total FROM post),
+        qt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM post
+               WHERE term IN ('spark', 'table', 'merge') GROUP BY term),
+        cand AS (SELECT DISTINCT doc_id FROM post
+                 WHERE term IN ('spark', 'table', 'merge')),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post
+               WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id),
+        sm AS (
+          SELECT p.doc_id,
+                 sum(CAST(round(ln(1.0 + CAST(p.tf AS DOUBLE) /
+                       (10.0 * (CAST(q.ctf AS DOUBLE) / CAST(st.c_total AS DOUBLE)))),
+                     6) AS DECIMAL(18,6))) AS s_match
+          FROM post p JOIN qt q USING (term) CROSS JOIN st
+          GROUP BY p.doc_id)
+        SELECT doc_id, score, rank FROM (
+          SELECT doc_id, CAST(score_d AS DOUBLE) AS score,
+                 row_number() OVER (ORDER BY score_d DESC, doc_id) AS rank
+          FROM (
+            SELECT sm.doc_id,
+                   sm.s_match + CAST(round(
+                     3.0 * ln(10.0 / (CAST(d.dl AS DOUBLE) + 10.0)), 6)
+                     AS DECIMAL(18,6)) AS score_d
+            FROM sm JOIN dl d USING (doc_id)))
+        WHERE rank <= 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ir_postings" -> ((s, d) => postingsRelation(s, d)),
+    "ir_ql_dirichlet" -> ((s, d) => qlDirichlet(s, d)),
     "ir_index_stats" -> ((s, d) => index(s, d).select(
       col("term"), col("df"),
       col("postings")(0).getField("doc_id").as("first_doc"),
@@ -477,6 +562,7 @@ object InvertedIndex {
     "ir_boolean_persisted" -> booleanOracleSql,
     "ir_bm25" -> bm25OracleSql,
     "ir_bm25_persisted" -> bm25OracleSql,
+    "ir_ql_dirichlet" -> qlDirichletOracleSql,
     "ir_retrieve" ->
       s"""WITH dw AS (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents),
           hits AS (SELECT doc_id FROM (

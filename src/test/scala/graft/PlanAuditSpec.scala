@@ -306,6 +306,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "dedup_ngram_skew" -> "1-row x 1-row summary crossJoins (docs x stats x pairs)",
       "ev_hll_merged" -> "1-row exact-distinct x 1-row merged-sketch estimate crossJoin",
       "ir_bm25" -> "1-row global corpus stats (N, avgdl) broadcast to every doc",
+      "ir_ql_dirichlet" -> "1-row corpus token total (|C|) broadcast (bm25 stats shape)",
       "ir_bm25_persisted" -> "same bm25 plan served from the reloaded Parquet postings",
       "ir_hybrid_rrf" -> "1-row query embedding + bm25 stats broadcasts, both bounded",
       "pr_toprank" -> "1-row dangling-mass scalar broadcast per iteration",
