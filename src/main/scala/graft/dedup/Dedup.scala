@@ -610,6 +610,34 @@ object Dedup {
       .groupBy(col("canonical_id")).agg(count(lit(1)).as("group_size"))
       .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
 
+  /** Canonical-representative selection — the step a real dedup pipeline
+    * runs AFTER grouping: a near-dup cluster keeps its best-quality
+    * member, not an arbitrary one (min-doc_id canonicals throw away the
+    * cleanest copy whenever it isn't the oldest). Joins the memoized
+    * component labels with the ta_quality heuristic score and picks the
+    * per-group argmax, tie-broken to the lowest doc_id via a single
+    * struct-max aggregate (max over (score, −doc_id) is highest score
+    * then lowest id — no window sort). Output is full-corpus: every doc
+    * with its group, the group's chosen representative, and a keep flag.
+    *
+    * Scale: labels and scores join on doc_id (one keyed shuffle each);
+    * the argmax is a mergeable aggregate moving O(groups) rows; the
+    * rejoin keys on the group label. Nothing is ever ordered globally.
+    * Scores are exact-decimal-derived doubles (ta_quality's contract),
+    * so the cross-engine argmax comparison is deterministic.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val joined = dupGroups(spark, dir)
+      .join(graft.analysis.TextAnalysis.qualityScore(spark, dir)
+        .select(col("doc_id"), col("score")), "doc_id")
+    val best = joined.groupBy(col("canonical_id"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("canonical_id"), (-col("b.neg_id")).as("best_doc"))
+    joined.join(best, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("best_doc"),
+        (col("doc_id") === col("best_doc")).as("keep"))
+  }
+
   /** Benchmark-contamination check — the training-data hygiene operator:
     * for every training document, the fraction of its word-3-gram
     * shingles that appear anywhere in the held-out eval set (here: the
@@ -1162,6 +1190,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dedup_groups"        -> ((s, d) => dupGroups(s, d)),
     "dedup_group_sizes"   -> ((s, d) => groupSizeHistogram(s, d)),
+    "dedup_keep_best"     -> ((s, d) => keepBest(s, d)),
     "dedup_contamination" -> ((s, d) => contamination(s, d)),
     "dedup_incremental"   -> ((s, d) => incremental(s, d)),
     // the corpus index (fp set, band table, shingle sets) served from
@@ -1202,6 +1231,23 @@ object Dedup {
             SELECT canonical_id, count(*) AS group_size
             FROM lab GROUP BY canonical_id)
           GROUP BY group_size""",
+    // keep-best replay: quality score from the ta_quality oracle, argmax
+    // = max score then min doc_id among the max-score rows
+    "dedup_keep_best" ->
+      s"""WITH lab AS ($groupsOracle),
+          q AS (SELECT doc_id, score
+                FROM (${graft.analysis.TextAnalysis.oracles("ta_quality")})),
+          j AS (SELECT lab.doc_id, lab.canonical_id, q.score
+                FROM lab JOIN q USING (doc_id)),
+          mx AS (SELECT canonical_id, max(score) AS ms FROM j
+                 GROUP BY canonical_id),
+          best AS (SELECT j.canonical_id, min(j.doc_id) AS best_doc
+                   FROM j JOIN mx ON j.canonical_id = mx.canonical_id
+                                 AND j.score = mx.ms
+                   GROUP BY j.canonical_id)
+          SELECT j.doc_id, j.canonical_id, b.best_doc,
+                 (j.doc_id = b.best_doc) AS keep
+          FROM j JOIN best b USING (canonical_id)""",
     "dedup_simhash" ->
       s"""WITH hs AS (
             SELECT doc_id, list_transform($tokSql,
