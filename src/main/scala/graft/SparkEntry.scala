@@ -44,6 +44,7 @@ object SparkEntry {
       (operators.Layout.queries, operators.Layout.oracles),
       (sources.Tbl.queries, sources.Tbl.oracles),
       (sources.Bucketed.queries, sources.Bucketed.oracles),
+      (sources.Partitioned.queries, sources.Partitioned.oracles),
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

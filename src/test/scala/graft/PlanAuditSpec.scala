@@ -81,6 +81,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected two bucket-aware scans:\n$p")
   }
 
+  test("op_partition_prune: the day predicate prunes at listing time, not post-scan") {
+    val p = plan(graft.sources.Partitioned.prunedDayRollup(spark, sf))
+    assert(p.contains("PartitionFilters: [isnotnull(day")
+      && """\(day#\d+ = 2024-01-15\)""".r.findFirstIn(p).isDefined,
+      s"day predicate did not land in PartitionFilters:\n$p")
+  }
+
   test("near-dup and ANN candidate generation is join-shaped, not a cross product") {
     withTransparentMemos {
     // brute-force baselines (cosinePairs, topK) are *documented* nested
