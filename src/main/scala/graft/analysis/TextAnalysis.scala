@@ -199,6 +199,36 @@ object TextAnalysis {
               (col("np").cast("double") / col("nb").cast("double")), 6).as("p_kn"))
   }
 
+  /** Per-document unigram Shannon entropy in bits — the standard
+    * gibberish/degenerate-text quality signal (low entropy = looped or
+    * boilerplate text, abnormally high = encoded blobs/random strings;
+    * pipelines filter both tails). H(d) = −Σ_w p_w·log2(p_w) over the
+    * doc's token distribution, p_w = tf(w,d)/|d|.
+    *
+    * Shape: one narrow array-lambda pass per row, zero shuffle (the
+    * module contract). fp-portability: each p·log2(p) term is 6-dp
+    * rounded and cast DECIMAL(18,6); the per-doc total is the exact
+    * decimal sum, which is ORDER-FREE — so the Spark side can fold the
+    * terms in array order while the oracle aggregates them relationally
+    * (unnest + groupBy), and the two still agree bit-for-bit. Docs whose
+    * tokenization is empty are dropped on both sides (no tokens = no
+    * distribution).
+    */
+  def entropy(spark: SparkSession, dir: String): DataFrame =
+    withToks(spark, dir)
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        expr(
+          """CAST(-aggregate(
+               transform(array_distinct(toks), w ->
+                 CAST(round(
+                   (size(filter(toks, x -> x = w)) / CAST(size(toks) AS DOUBLE))
+                     * log2(size(filter(toks, x -> x = w)) / CAST(size(toks) AS DOUBLE)),
+                   6) AS DECIMAL(18,6))),
+               CAST(0 AS DECIMAL(18,6)),
+               (acc, t) -> CAST(acc + t AS DECIMAL(18,6))) AS DOUBLE)""")
+          .as("entropy_bits"))
+
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
@@ -249,6 +279,7 @@ object TextAnalysis {
     "ta_repetition"  -> ((s, d) => repetition(s, d)),
     "ta_perplexity"  -> ((s, d) => perplexity(s, d)),
     "ta_kneser_ney"  -> ((s, d) => kneserNey(s, d)),
+    "ta_entropy"     -> ((s, d) => entropy(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,6 +371,15 @@ object TextAnalysis {
                        + (0.75 * CAST(nf AS DOUBLE) / CAST(cw1 AS DOUBLE))
                          * (CAST(np AS DOUBLE) / CAST(nb AS DOUBLE)), 6) AS p_kn
           FROM types JOIN m1 USING (w1) JOIN m2 USING (w2), nb""",
+    "ta_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          t AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS w FROM tok),
+          cnts AS (SELECT doc_id, n, w, count(*) AS k FROM t GROUP BY doc_id, n, w)
+          SELECT doc_id, n AS n_tokens,
+                 CAST(-sum(CAST(round(
+                   (k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE)), 6)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
+          FROM cnts GROUP BY doc_id, n""",
     "ta_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
                  CAST(list_reduce(
