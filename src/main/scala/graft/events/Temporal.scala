@@ -467,8 +467,40 @@ object Temporal {
       round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
   }
 
+  /** Exponentially time-decayed per-user activity score — the standard
+    * recency-weighted feature (recommendation/engagement pipelines keep
+    * one per user): score(u) = Σ_events value·2^(−⌊age/7d⌋), i.e. an
+    * event loses half its weight per week of age, measured against the
+    * corpus horizon (max event day, a 1-row broadcast).
+    *
+    * fp-portability: the decay weight is division by an INTEGER power of
+    * two (`1 << weeks`, clamped at 2^62) — exact IEEE scaling with zero
+    * libm involvement, so unlike a pow()/exp() decay the weights are
+    * bit-identical in any engine; each term is then 6-dp rounded into
+    * the exact order-free decimal sum (the repo contract). Week
+    * granularity is the price of exactness — a pipeline wanting smooth
+    * daily decay accepts libm pow and a looser gate.
+    *
+    * Shape: one narrow pass + one user-keyed aggregate; partial
+    * aggregation combines map-side. Nothing global but the 1-row max.
+    */
+  def decayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val h = ev.agg(max(col("day")).as("h_day"))
+    ev.crossJoin(broadcast(h))
+      .withColumn("wk", least(expr("datediff(h_day, day) DIV 7"), lit(62L)))
+      .withColumn("term",
+        round(col("value") / expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(wk AS INT)) AS DOUBLE)"), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("term")).cast("double").as("decay_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_moments"        -> ((s, d) => moments(s, d)),
+    "ev_decay_score"    -> ((s, d) => decayScore(s, d)),
     "ev_user_deltas"    -> ((s, d) => userDeltas(s, d)),
     "ev_asof_join"      -> ((s, d) => asofJoin(s, d)),
     "ev_range_join"     -> ((s, d) => rangeJoin(s, d)),
@@ -565,6 +597,18 @@ object Temporal {
          FROM i LEFT JOIN e
            ON e.t_ms > i.start_ms AND e.t_ms < i.start_ms + 3600000
          GROUP BY i.incident_id""",
+    "ev_decay_score" ->
+      """WITH e AS (SELECT user_id,
+                      CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+                    FROM events),
+          h AS (SELECT max(day) AS h_day FROM e)
+          SELECT user_id, count(*) AS n_events,
+                 CAST(sum(CAST(round(value /
+                     CAST((CAST(1 AS BIGINT) << CAST(least(
+                       date_diff('day', day, h_day) // 7, 62) AS INTEGER)) AS DOUBLE),
+                   6) AS DECIMAL(18,6))) AS DOUBLE) AS decay_score
+          FROM e CROSS JOIN h
+          GROUP BY user_id""",
     "ev_rollup_daily" ->
       """SELECT event_type, day,
            CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS lvl,

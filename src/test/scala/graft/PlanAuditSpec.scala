@@ -332,6 +332,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ta_temperature_sample" -> "1-row quota normalizer (sum sqrt(n_s)) broadcast",
       "ta_importance_sample" -> "1-row LM totals (T, R, V) broadcast (bm25 stats shape)",
       "ta_kneser_ney" -> "1-row bigram-type-count (|B|) broadcast (bm25 stats shape)",
+      "ev_decay_score" -> "1-row corpus horizon (max day) broadcast",
       "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
       "text_pmi_pairs" -> "1-row global line count broadcast (A5: sentinel replaced)",
       "text_pmi_stripes" -> "same pmiPairs plan under the map re-shape (A5 broadcast)",
