@@ -160,6 +160,74 @@ object Pii {
         regexp_count(col("text"), lit(ip))).cast("long").as("n_redacted"))
   }
 
+  // ------------------------------------------------------------ Luhn tier
+
+  /** Luhn-sum SQL over the first `n` digits of a string column expression
+    * — for a digit at 1-based position i of a 16-length card number,
+    * every ODD i is doubled (9-wrapped): with an even total length the
+    * doubled digits counted from the right (2nd, 4th, …) are exactly the
+    * odd left positions, and a 15-digit prefix occupies positions 1..15
+    * of the final number so the same parity rule prices its check digit.
+    * Pure integer arithmetic — both engines compute identical sums.
+    * `fn` abstracts the engine dialect: Spark folds with
+    * aggregate/transform/sequence, DuckDB with
+    * list_reduce/list_transform/generate_series (same element lambda).
+    */
+  private def luhnSum(col: String, n: Int, spark: Boolean): String = {
+    // Spark CAST('' AS INT) yields NULL (ansi off); DuckDB CAST throws —
+    // TRY_CAST restores the NULL-on-empty semantics the no-match guard
+    // relies on (false AND NULL = false in both engines)
+    val digit =
+      if (spark) s"CAST(substr($col, i, 1) AS INT)"
+      else s"TRY_CAST(substr($col, i, 1) AS INTEGER)"
+    val elem =
+      s"""CASE WHEN i % 2 = 1 THEN
+            CASE WHEN 2 * $digit > 9 THEN 2 * $digit - 9 ELSE 2 * $digit END
+          ELSE $digit END"""
+    if (spark)
+      s"aggregate(transform(sequence(1, $n), i -> $elem), 0, (a, x) -> a + x)"
+    else
+      s"list_reduce(list_transform(generate_series(1, $n), i -> $elem), (a, x) -> a + x)"
+  }
+
+  /** The card-tier injected corpus: doc_ids divisible by 13 gain a
+    * 16-digit card number whose 15-digit body derives from the id
+    * (Knuth-hash modulo, zero-padded) and whose 16th digit is the TRUE
+    * Luhn check digit for even ids but check+5 (mod 10, never equal) for
+    * odd ids — so the corpus carries deterministic valid AND invalid
+    * cards, and a validator that ignored the checksum would over-count
+    * exactly the odd-id half. Replayed digit-for-digit by the oracle.
+    */
+  private def injectCardExpr(spark: Boolean): String = {
+    val varchar = if (spark) "STRING" else "VARCHAR"
+    val base = s"lpad(CAST((doc_id * 2654435761) % 1000000000000000 AS $varchar), 15, '0')"
+    val s15 = luhnSum(base, 15, spark)
+    s"""text || CASE WHEN doc_id % 13 = 0
+          THEN ' card ' || $base ||
+               CAST(CASE WHEN doc_id % 2 = 0
+                         THEN (10 - $s15 % 10) % 10
+                         ELSE ((10 - $s15 % 10) % 10 + 5) % 10 END AS $varchar)
+          ELSE '' END"""
+  }
+
+  private val CardRe = "\\b\\d{16}\\b"
+
+  /** Card scan with checksum validation: candidates from the 16-digit
+    * regex, `luhn_valid` from the exact checksum over the extracted
+    * match. Narrow single-pass like the other tiers; the hash gate pins
+    * that exactly the even-id cards validate (checksum semantics, not
+    * just pattern match).
+    */
+  def scanLuhn(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(injectCardExpr(spark = true)).as("text"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(CardRe)).cast("long").as("n_candidates"),
+        regexp_extract(col("text"), CardRe, 0).as("cand"))
+      .select(col("doc_id"), col("n_candidates"),
+        (col("n_candidates") > 0 &&
+          expr(s"${luhnSum("cand", 16, spark = true)} % 10 = 0")).as("luhn_valid"))
+
   // ---------------------------------------------------------------- oracle
 
   /** The injection replayed in DuckDB — identical arithmetic, identical
@@ -215,6 +283,7 @@ object Pii {
     "pii_scan"        -> ((s, d) => scan(s, d)),
     "pii_scan_strict" -> ((s, d) => scanStrict(s, d)),
     "pii_redact"      -> ((s, d) => redact(s, d)),
+    "pii_luhn"        -> ((s, d) => scanLuhn(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -238,6 +307,17 @@ object Pii {
                  len(regexp_extract_all(text, '$phoneSql')) +
                  len(regexp_extract_all(text, '$IpReStrict')) > 0 AS has_pii
           FROM inj""",
+    "pii_luhn" ->
+      s"""WITH inj AS (SELECT doc_id, ${injectCardExpr(spark = false)} AS text
+                       FROM documents),
+          c AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '$CardRe')) AS BIGINT) AS n_candidates,
+                  regexp_extract(text, '$CardRe') AS cand
+                FROM inj)
+          SELECT doc_id, n_candidates,
+                 (n_candidates > 0 AND
+                  ${luhnSum("cand", 16, spark = false)} % 10 = 0) AS luhn_valid
+          FROM c""",
     "pii_redact" ->
       s"""WITH inj AS ($injectSql)
           SELECT doc_id,
