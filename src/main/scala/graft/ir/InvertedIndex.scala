@@ -181,6 +181,40 @@ object InvertedIndex {
       .select(col("doc_id"), col("score_d").cast("double").as("score"), col("rank"))
   }
 
+  /** One doc-sharded postings artifact — the per-ingest-batch half of an
+    * INCREMENTAL index lifecycle: at 100 TB nobody rebuilds the index per
+    * batch; each ingest run writes its own shard and serving merges them.
+    * Doc-partitioned shards are disjoint in (term, doc_id), so the merge
+    * is a unionByName + term recluster — no re-aggregation.
+    */
+  def shardPostings(spark: SparkSession, dir: String, parity: Int): DataFrame =
+    graft.Caches.parquetArtifact(spark, dir, s"ir_postings_shard$parity")(
+      Tables.documents(spark, dir)
+        .where(pmod(col("doc_id"), lit(2)) === parity)
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .repartition(col("term")))
+
+  /** The merged view over both persisted shards, term-clustered like
+    * [[postingsRelation]]. The registry query serves the full per-term
+    * stats from it under ir_index_stats' EXACT oracle — hash-proving
+    * merge-of-shards ≡ monolithic rebuild.
+    */
+  def mergedPostings(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "ir:postings_merged")(
+      shardPostings(spark, dir, 0)
+        .unionByName(shardPostings(spark, dir, 1))
+        .repartition(col("term")))
+
+  def mergedIndexStats(spark: SparkSession, dir: String): DataFrame =
+    mergedPostings(spark, dir)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("tf")).as("total_tf"))
+
   /** Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai &
     * Lafferty 2001) — the language-modeling ranking that complements
     * [[bm25]]'s tf-idf one; a training-data pipeline uses it to score
@@ -479,6 +513,14 @@ object InvertedIndex {
             GROUP BY p.doc_id))
         WHERE rank <= 20"""
 
+  private lazy val statsOracleSql =
+    s"""SELECT term, count(*) AS df, min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc, CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM (SELECT term, doc_id, count(*) AS tf
+              FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+              GROUP BY term, doc_id)
+        GROUP BY term"""
+
   private lazy val qlDirichletOracleSql =
     s"""WITH post AS MATERIALIZED (
           SELECT term, doc_id, count(*) AS tf
@@ -517,6 +559,7 @@ object InvertedIndex {
       col("postings")(0).getField("doc_id").as("first_doc"),
       element_at(col("postings"), -1).getField("doc_id").as("last_doc"),
       aggregate(col("postings"), lit(0L), (acc, p) => acc + p.getField("tf")).as("total_tf"))),
+    "ir_index_merged" -> ((s, d) => mergedIndexStats(s, d)),
     "ir_boolean" -> ((s, d) => booleanQuery(s, d, demoQuery)),
     "ir_retrieve" -> ((s, d) => retrieve(s, d, demoQuery)),
     "ir_bm25" -> ((s, d) => bm25(s, d)),
@@ -549,13 +592,9 @@ object InvertedIndex {
       s"""SELECT term, doc_id, count(*) AS tf
           FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
           GROUP BY term, doc_id""",
-    "ir_index_stats" ->
-      s"""SELECT term, count(*) AS df, min(doc_id) AS first_doc,
-                 max(doc_id) AS last_doc, CAST(sum(tf) AS BIGINT) AS total_tf
-          FROM (SELECT term, doc_id, count(*) AS tf
-                FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
-                GROUP BY term, doc_id)
-          GROUP BY term""",
+    "ir_index_stats" -> statsOracleSql,
+    // shard-merge ≡ monolithic rebuild: byte-identical oracle
+    "ir_index_merged" -> statsOracleSql,
     "ir_boolean" -> booleanOracleSql,
     // persisted twins: storage must be value-transparent, so the SQL is
     // byte-identical to the in-session forms
