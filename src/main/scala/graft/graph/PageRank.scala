@@ -367,6 +367,70 @@ object PageRank {
         col("common_neighbors"), col("aa_d").cast("double").as("adamic_adar"))
   }
 
+  /** Convergence bound for [[bfs]] — the oracle's recursive expansion is
+    * depth-capped here, so a run that has not exhausted its frontier
+    * within the bound would silently diverge; the loop `require`s
+    * convergence instead (the KCore.MaxRounds contract). Sparse-tier
+    * eccentricities measured ≤ 13 across the SF sweep; bound 25.
+    */
+  val MaxHops = 25
+
+  /** Multi-source BFS hop distances — the unweighted single/multi-source
+    * shortest-path operator (the one classic graph primitive the family
+    * lacked next to PageRank / components / triangles / k-core / link
+    * prediction). dist(v) = min hops from ANY source; unreached nodes
+    * report −1.
+    *
+    * Shape: textbook frontier expansion — per round, one equi-join of
+    * the symmetric adjacency with the (persisted, truncated) frontier,
+    * one distinct, one anti-join against the labeled set; every shuffle
+    * keys on node id and the working set only shrinks after the wave
+    * peaks. One bounded driver scalar per round (frontier count — the
+    * Components convergence-certificate budget). At 100 TB this is the
+    * standard iterative-BFS plan: no per-round driver data, labels
+    * accumulate as a union of ≤[[MaxHops]] persisted leaves.
+    *
+    * Oracle: bounded recursive CTE over (id, d) pairs with UNION
+    * dedup — min(d) per node is idempotent past convergence, so the
+    * depth cap only has to DOMINATE the real eccentricity (required at
+    * run time), not equal it.
+    */
+  def bfs(spark: SparkSession, dir: String,
+          sources: Seq[Long] = Seq(1L, 57L), mod: Long = 10000): DataFrame = {
+    import spark.implicits._
+    // same memo key + derivation as cnCandidates: one oriented-distinct
+    // edge set per (session, dir, mod) serves link prediction AND bfs
+    val und = graft.Caches.memoized(spark, dir, s"graph:und_plain_$mod") {
+      edges(spark, dir, mod)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    }
+    val sym = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+    var labeled = graft.Caches.register(
+      sources.toDF("id").withColumn("dist", lit(0L)).persist())
+    var frontier = labeled.select(col("id"))
+    var frontierCount = labeled.count()
+    var depth = 0
+    while (frontierCount > 0) {
+      depth += 1
+      require(depth <= MaxHops,
+        s"bfs exceeded $MaxHops hops — oracle depth cap would diverge")
+      val nextRaw = sym.join(frontier.select(col("id").as("v")), Seq("v"))
+        .select(col("n").as("id")).distinct()
+        .join(labeled.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth.toLong))
+      val next = graft.Caches.register(
+        spark.createDataFrame(nextRaw.rdd, nextRaw.schema).persist())
+      frontierCount = next.count()
+      frontier = next.select(col("id"))
+      labeled = labeled.union(next)
+    }
+    nodes(spark, dir, mod).join(labeled, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
   /** Connected components of the fixture graph through the shared
     * [[Components]] large-star/small-star module — the module registered
     * as a first-class graph operator, not only as dedup plumbing.
@@ -413,6 +477,7 @@ object PageRank {
     "pr_edges_outdeg" -> ((s, d) => outDegrees(s, d)),
     "pr_toprank"      -> ((s, d) => topK(s, d)),
     "pr_components"     -> ((s, d) => components(s, d)),
+    "pr_bfs"            -> ((s, d) => bfs(s, d)),
     "pr_components_10k" -> ((s, d) => componentsSummary(s, d)),
     // Measurement tier, hash-gated since round 6: the 10-iteration CTE
     // unroll IS tractable in DuckDB at the t2 gate (~55k edges, <1 s) —
@@ -502,6 +567,7 @@ object PageRank {
            SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 100 AS dst
            FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100)
          GROUP BY src""",
+    "pr_bfs" -> bfsOracle(Seq(1L, 57L), mod = 10000),
     "pr_toprank" -> topKOracle(Seq(3, 57), iterations = 10, k = 10),
     // hash-gated since round 6 (tractable: <1 s in DuckDB at sf0.01) —
     // the mod-10000 substitution of the identical unrolled protocol
@@ -544,6 +610,31 @@ object PageRank {
     * iteration count, which is exactly why only the SUMMARY is compared:
     * identical labels, engine-appropriate algorithms.
     */
+  /** [[bfs]] replay: bounded recursive expansion over (id, d) pairs —
+    * UNION dedup keeps the working set ≤ nodes × [[MaxHops]]; min(d)
+    * per node is the BFS distance.
+    */
+  private def bfsOracle(sources: Seq[Long], mod: Long): String = {
+    val anchor = sources
+      .map(s => s"SELECT CAST($s AS BIGINT) AS id, CAST(0 AS BIGINT) AS d")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+          FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+        sym AS MATERIALIZED (
+          SELECT src AS v, dst AS n FROM e UNION SELECT dst, src FROM e),
+        nd AS MATERIALIZED (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+        reach(id, d) AS (
+          $anchor
+          UNION
+          SELECT s.n, reach.d + 1 FROM reach JOIN sym s ON reach.id = s.v
+          WHERE reach.d < $MaxHops)
+        SELECT nd.id, COALESCE(m.d, CAST(-1 AS BIGINT)) AS dist
+        FROM nd LEFT JOIN
+          (SELECT id, min(d) AS d FROM reach GROUP BY id) m ON nd.id = m.id"""
+  }
+
   private def componentsSummaryOracle(mod: Long, rounds: Int): String = {
     val sb = new StringBuilder(
       s"""WITH e AS MATERIALIZED (
