@@ -132,7 +132,11 @@ object TextAnalysis {
     * corpus's word vocab is executor-memory-sized by Heaps' law; were it
     * not, the same plan holds as a shuffle join keyed on the word).
     */
-  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+  def perplexity(spark: SparkSession, dir: String): DataFrame =
+    // memoized: consumed by ta_perplexity AND ta_ppl_buckets per run
+    graft.Caches.memoized(spark, dir, "ta:ppl")(perplexityUncached(spark, dir))
+
+  private def perplexityUncached(spark: SparkSession, dir: String): DataFrame = {
     val tok = withToks(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("w"))
     val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -146,6 +150,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("nll")).cast("double") / count(lit(1)).cast("double"), 6)
           .as("avg_nll"))
+  }
+
+  /** CCNet-style perplexity bucketing: docs split into head / middle /
+    * tail thirds by LM perplexity (Wenzek et al. 2020 — the canonical
+    * LLM-data quality partition; training mixes oversample the head).
+    * Buckets come from exact DISCRETE tertile cutoffs: the smallest
+    * avg_nll values whose cumulative count reaches ⌈n/3⌉ and ⌈2n/3⌉,
+    * with the ceilings computed in pure integer arithmetic.
+    *
+    * Scale shape: cutoffs are derived from the HISTOGRAM of distinct
+    * 6-dp avg_nll values (value-grid-bounded — the ml_roc_auc contract),
+    * so the partition-less cumulative window runs over at most
+    * grid-cardinality rows, never the corpus; the per-doc bucketing is
+    * then a broadcast of the one-row cutoffs. No corpus-scale sort, no
+    * interpolated percentile (whose (1−f)·a + f·b arithmetic is not
+    * pinned cross-engine — discrete cutoffs are exact by construction).
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ppl = perplexity(spark, dir)
+    val hist = ppl.groupBy(col("avg_nll")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_nll"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val total = hist.agg(sum(col("c")).as("n"))
+    val cuts = cum.crossJoin(broadcast(total)).agg(
+      min(when(col("cum") >= expr("(n + 2) DIV 3"), col("avg_nll"))).as("c1"),
+      min(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("avg_nll"))).as("c2"))
+    ppl.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("avg_nll") <= col("c1"), "head")
+          .when(col("avg_nll") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
   }
 
   /** Interpolated Kneser-Ney smoothed bigram LM estimation — the
@@ -280,7 +317,20 @@ object TextAnalysis {
     "ta_perplexity"  -> ((s, d) => perplexity(s, d)),
     "ta_kneser_ney"  -> ((s, d) => kneserNey(s, d)),
     "ta_entropy"     -> ((s, d) => entropy(s, d)),
+    "ta_ppl_buckets" -> ((s, d) => pplBuckets(s, d)),
   )
+
+  private lazy val pplOracleSql =
+    s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
+        v AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
+        SELECT doc_id, count(*) AS n_tokens,
+          round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        FROM (SELECT doc_id,
+                CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                     AS DECIMAL(18,6)) AS nll
+              FROM tok JOIN v USING (w) CROSS JOIN t)
+        GROUP BY doc_id"""
 
   val oracles: Map[String, String] = Map(
     "ta_corpus_stats" ->
@@ -346,17 +396,21 @@ object TextAnalysis {
                   round(len(list_filter(toks, w -> list_contains(${sqlList(EsStop)}, w)))::DOUBLE
                         / len(toks), 6) AS score_es
                 FROM (SELECT doc_id, $tokSql AS toks FROM documents))""",
-    "ta_perplexity" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
-          v AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
-          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
-          SELECT doc_id, count(*) AS n_tokens,
-            round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
-          FROM (SELECT doc_id,
-                  CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
-                       AS DECIMAL(18,6)) AS nll
-                FROM tok JOIN v USING (w) CROSS JOIN t)
-          GROUP BY doc_id""",
+    "ta_perplexity" -> pplOracleSql,
+    "ta_ppl_buckets" ->
+      s"""WITH ppl AS ($pplOracleSql),
+          hist AS (SELECT avg_nll, count(*) AS c FROM ppl GROUP BY avg_nll),
+          cum AS (SELECT avg_nll, sum(c) OVER (ORDER BY avg_nll) AS cum FROM hist),
+          tot AS (SELECT count(*) AS n FROM ppl),
+          cuts AS (SELECT
+              min(CASE WHEN cum >= (n + 2) // 3 THEN avg_nll END) AS c1,
+              min(CASE WHEN cum >= (2 * n + 2) // 3 THEN avg_nll END) AS c2
+            FROM cum, tot)
+          SELECT doc_id, avg_nll,
+                 CASE WHEN avg_nll <= c1 THEN 'head'
+                      WHEN avg_nll <= c2 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM ppl, cuts""",
     "ta_kneser_ney" ->
       s"""WITH toks AS (SELECT $tokSql AS w FROM documents),
           bg AS (SELECT w[i] AS w1, w[i+1] AS w2

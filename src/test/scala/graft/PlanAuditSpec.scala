@@ -334,6 +334,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ta_kneser_ney" -> "1-row bigram-type-count (|B|) broadcast (bm25 stats shape)",
       "ev_decay_score" -> "1-row corpus horizon (max day) broadcast",
       "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
+      "ta_ppl_buckets" -> "1-row histogram total + 1-row tertile cutoffs broadcast",
       "text_pmi_pairs" -> "1-row global line count broadcast (A5: sentinel replaced)",
       "text_pmi_stripes" -> "same pmiPairs plan under the map re-shape (A5 broadcast)",
     )
@@ -389,7 +390,9 @@ class PlanAuditSpec extends AnyFunSuite {
       case _: WindowGroupLimitExec => true
       case _ => false
     }
-    val allow = Set("ml_roc_auc")
+    // ta_ppl_buckets' cumulative window runs over the DISTINCT 6-dp
+    // avg_nll histogram — value-grid-bounded input, same contract
+    val allow = Set("ml_roc_auc", "ta_ppl_buckets")
     withTransparentMemos {
       Caches.releaseAll()
       val failures = SparkEntry.queries.toSeq.sortBy(_._1)
