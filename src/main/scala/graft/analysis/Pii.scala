@@ -173,7 +173,7 @@ object Pii {
     * aggregate/transform/sequence, DuckDB with
     * list_reduce/list_transform/generate_series (same element lambda).
     */
-  private def luhnSum(col: String, n: Int, spark: Boolean): String = {
+  private[graft] def luhnSum(col: String, n: Int, spark: Boolean): String = {
     // Spark CAST('' AS INT) yields NULL (ansi off); DuckDB CAST throws —
     // TRY_CAST restores the NULL-on-empty semantics the no-match guard
     // relies on (false AND NULL = false in both engines)

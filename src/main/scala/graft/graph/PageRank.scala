@@ -397,7 +397,6 @@ object PageRank {
     */
   def bfs(spark: SparkSession, dir: String,
           sources: Seq[Long] = Seq(1L, 57L), mod: Long = 10000): DataFrame = {
-    import spark.implicits._
     // same memo key + derivation as cnCandidates: one oriented-distinct
     // edge set per (session, dir, mod) serves link prediction AND bfs
     val und = graft.Caches.memoized(spark, dir, s"graph:und_plain_$mod") {
@@ -406,6 +405,16 @@ object PageRank {
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
     }
+    bfsOnGraph(nodes(spark, dir, mod), und, sources)
+  }
+
+  /** [[bfs]] over explicit (nodes, canonical undirected edges) frames —
+    * the graph-parameterized core the hand-graph spec drives directly.
+    */
+  def bfsOnGraph(nodesDf: DataFrame, und: DataFrame,
+                 sources: Seq[Long]): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
     val sym = und.select(col("a").as("v"), col("b").as("n"))
       .union(und.select(col("b").as("v"), col("a").as("n")))
     var labeled = graft.Caches.register(
@@ -427,7 +436,7 @@ object PageRank {
       frontier = next.select(col("id"))
       labeled = labeled.union(next)
     }
-    nodes(spark, dir, mod).join(labeled, Seq("id"), "left_outer")
+    nodesDf.join(labeled, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 

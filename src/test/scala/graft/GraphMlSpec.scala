@@ -239,6 +239,22 @@ class PageRankSpec extends AnyFunSuite {
     val want = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     assert(got == want)
   }
+
+  test("bfs on a hand graph: path distances, branch, multi-source min, unreached") {
+    import spark.implicits._
+    // path 1-2-3-4, branch 3-5, isolated pair 8-9: from {1}, dist(5)=3
+    // through the branch; {8,9} unreachable
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (8L, 9L)).toDF("a", "b")
+    val nodesDf = Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L).toDF("id")
+    def run(sources: Seq[Long]): Map[Long, Long] =
+      PageRank.bfsOnGraph(nodesDf, und, sources).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Seq(1L)) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 3L, 8L -> -1L, 9L -> -1L))
+    // multi-source takes the min over sources; the pair is now covered
+    assert(run(Seq(4L, 8L)) == Map(4L -> 0L, 3L -> 1L, 2L -> 2L, 5L -> 2L,
+      1L -> 3L, 8L -> 0L, 9L -> 1L))
+  }
 }
 
 class SpamSpec extends AnyFunSuite {

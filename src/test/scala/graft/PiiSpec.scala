@@ -109,4 +109,16 @@ class PiiSpec extends AnyFunSuite {
       .agg(sum(col("n_redacted"))).head.getLong(0)
     assert(n == 4L, s"strict redaction count $n != 4 (email + 3 real IPs)")
   }
+
+  test("Luhn fold validates the known test vector and rejects its neighbors") {
+    // 4539578763621486: doubled odd positions sum 37, plain even sum 43,
+    // total 80 ≡ 0 (mod 10) — a hand-checked valid number
+    def valid(card: String): Boolean =
+      spark.sql(
+        s"SELECT ${Pii.luhnSum(s"'$card'", 16, spark = true)} % 10 = 0 AS ok")
+        .head.getBoolean(0)
+    assert(valid("4539578763621486"))
+    // flipping the check digit to any other value must fail
+    assert((0 to 9).count(d => valid("453957876362148" + d)) == 1)
+  }
 }
