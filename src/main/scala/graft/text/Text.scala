@@ -108,6 +108,56 @@ object Text {
           (col("cx") * col("cy")).cast("double") * col("n").cast("double")), 6).as("pmi"))
   }
 
+  /** xlogx with the conventional 0·ln0 = 0 — emitted as SQL TEXT so the
+    * Spark expression and the DuckDB oracle parse the exact same formula
+    * (identical operation order ⇒ identical IEEE doubles; the ln-on-
+    * exact-integers contract bm25/PMI already rely on).
+    */
+  private def xlx(k: String): String =
+    s"(CASE WHEN ($k) = 0 THEN 0.0 ELSE CAST($k AS DOUBLE) * ln(CAST($k AS DOUBLE)) END)"
+
+  /** Dunning log-likelihood-ratio collocation scoring (Dunning 1993) —
+    * the robust companion to [[pmiPairs]]: PMI over-ranks rare pairs
+    * (a 10-10-10 coincidence gets a huge score); LLR tests the 2×2
+    * document-cooccurrence contingency against independence, so scores
+    * are comparable across frequency bands. Same candidate machinery as
+    * PMI (distinct-capped tokens, doc-level cooccurrence, HAVING ≥ 10);
+    * the contingency cells are exact integers and the 9-term xlogx sum
+    * is one fixed-order double expression shared textually with the
+    * oracle ([[xlx]]), then 6-dp rounded.
+    */
+  private[graft] val llrSql: String =
+    s"""round(2.0 * (${xlx("k11")} + ${xlx("k12")} + ${xlx("k21")} + ${xlx("k22")}
+        - ${xlx("k11 + k12")} - ${xlx("k21 + k22")}
+        - ${xlx("k11 + k21")} - ${xlx("k12 + k22")} + ${xlx("nn")}), 6)"""
+
+  def llrPairs(spark: SparkSession, dir: String, minCooccur: Int = 10): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenizeDistinctCapped(col("text")).as("tok"))
+      .filter(size(col("tok")) > 0)
+    val dw = graft.Caches.memoized(spark, dir, "text:pmi_dw")(
+      toks.select(col("doc_id"), explode(col("tok")).as("w")))
+    val n  = toks.agg(count(lit(1)).as("nn"))
+    val wc = dw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = dw.as("a").join(dw.as("b"), "doc_id")
+      .where(col("a.w") =!= col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("npairs"))
+      .where(col("npairs") >= minCooccur)
+    pairs
+      .join(wc.withColumnRenamed("w", "w1").withColumnRenamed("c", "cx"), "w1")
+      .join(wc.withColumnRenamed("w", "w2").withColumnRenamed("c", "cy"), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("npairs"),
+        col("npairs").as("k11"),
+        (col("cx") - col("npairs")).as("k12"),
+        (col("cy") - col("npairs")).as("k21"),
+        (col("nn") - col("cx") - col("cy") + col("npairs")).as("k22"),
+        col("nn"))
+      .select(col("w1"), col("w2"), col("npairs"), expr(llrSql).as("llr"))
+  }
+
   /** Stripes form of the PMI table (`StripesPMI.java:44-143` — a1 ships
     * pairs and stripes variants of the same computation): one row per w1
     * with a w2→pmi map. Same content as [[pmiPairs]]; oracle-gated as a
@@ -147,6 +197,7 @@ object Text {
     "text_bigram_relfreq" -> ((s, d) => bigramRelFreq(s, d)),
     "text_bigram_stripes" -> ((s, d) => bigramStripes(s, d)),
     "text_pmi_pairs"      -> ((s, d) => pmiPairs(s, d)),
+    "text_llr_pairs"      -> ((s, d) => llrPairs(s, d)),
     "text_pmi_stripes"    -> ((s, d) => pmiStripes(s, d)),
   )
 
@@ -181,6 +232,22 @@ object Text {
           FROM pairs
           JOIN (SELECT w AS w1, c AS cx FROM wc) USING (w1)
           JOIN (SELECT w AS w2, c AS cy FROM wc) USING (w2), n""",
+    "text_llr_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct(($tokSql)[1:100]) AS tok FROM documents),
+          dw AS (SELECT doc_id, unnest(tok) AS w FROM toks WHERE len(tok) > 0),
+          n AS (SELECT count(*) AS nn FROM toks WHERE len(tok) > 0),
+          wc AS (SELECT w, count(*) AS c FROM dw GROUP BY w),
+          pairs AS (SELECT a.w AS w1, b.w AS w2, count(*) AS npairs
+                    FROM dw a JOIN dw b USING (doc_id)
+                    WHERE a.w <> b.w GROUP BY 1, 2 HAVING count(*) >= 10),
+          cells AS (
+            SELECT w1, w2, npairs,
+                   npairs AS k11, cx - npairs AS k12, cy - npairs AS k21,
+                   nn - cx - cy + npairs AS k22, nn
+            FROM pairs
+            JOIN (SELECT w AS w1, c AS cx FROM wc) USING (w1)
+            JOIN (SELECT w AS w2, c AS cy FROM wc) USING (w2), n)
+          SELECT w1, w2, npairs, $llrSql AS llr FROM cells""",
     // map-valued stripes: entries sorted by key on both engines, so the
     // MAP rows compare deterministically (keys are unique per w1)
     "text_bigram_stripes" ->

@@ -336,6 +336,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
       "ta_ppl_buckets" -> "1-row histogram total + 1-row tertile cutoffs broadcast",
       "text_pmi_pairs" -> "1-row global line count broadcast (A5: sentinel replaced)",
+      "text_llr_pairs" -> "1-row global doc count broadcast (same A5 shape as PMI)",
       "text_pmi_stripes" -> "same pmiPairs plan under the map re-shape (A5 broadcast)",
     )
     Caches.releaseAll()
