@@ -704,6 +704,33 @@ class AnalysisSpec extends AnyFunSuite {
     assert(fps.map(_.getAs[String]("fp_md5")).distinct.length == fps.length)
     fps.foreach(r => assert(r.getAs[Long]("roll_hash") >= 0))
   }
+
+  test("token entropy matches a scalar fold and its analytic bounds") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val toks = Tables.documents(spark, sf).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+").toSeq
+          .map(_.replaceAll("(^[^a-z]+|[^a-z]+$)", "")).filter(_.nonEmpty)
+    }
+    val want = toks.collect { case (id, ts) if ts.nonEmpty =>
+      val n = ts.length.toDouble
+      val h = -ts.groupBy(identity).values
+        .map(g => r6(g.length / n * (math.log(g.length / n) / math.log(2.0))))
+        .sum
+      id -> (ts.length.toLong, h.toDouble)
+    }.toMap
+    val got = TextAnalysis.entropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong, r.getDouble(2))).toMap
+    assert(got == want)
+    // analytic bounds: 0 ≤ H ≤ log2(n_tokens) + the 6dp per-term rounding
+    // budget (each of ≤ n terms can round up by 5e-7 — a uniform doc
+    // overshoots log2(n) by ~2e-6, measured)
+    got.values.foreach { case (n, h) =>
+      assert(h >= 0.0 &&
+        h <= math.log(n.toDouble) / math.log(2.0) + n * 5e-7)
+    }
+  }
 }
 
 class EventsSpec extends AnyFunSuite {

@@ -235,4 +235,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L).forall(rz(_).isEmpty), "MAD=0 must yield NULL rz")
     assert(Seq(4L, 5L, 6L).forall(id => rz(id).exists(d => !d.isNaN && !d.isInfinite)))
   }
+
+  test("decay score matches a scalar fold over collected events") {
+    val out = Temporal.decayScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("day").toLocalDate, r.getDouble(2)))
+    val horizon = ev.map(_._2).maxBy(_.toEpochDay)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val score = rows.map { case (_, day, v) =>
+        val wk = math.min((horizon.toEpochDay - day.toEpochDay) / 7, 62L)
+        r6(v / (1L << wk).toDouble)
+      }.sum
+      u -> (rows.length.toLong, score.toDouble)
+    }
+    assert(out == want)
+  }
 }
