@@ -266,6 +266,40 @@ object TextAnalysis {
                (acc, t) -> CAST(acc + t AS DECIMAL(18,6))) AS DOUBLE)""")
           .as("entropy_bits"))
 
+  /** Document scoring under the Kneser-Ney bigram LM — the consumer half
+    * of [[kneserNey]]'s estimation (a pipeline scores/filters docs by LM
+    * likelihood; bigram-LM scoring is strictly sharper than the unigram
+    * [[perplexity]]): score(d) = avg over the doc's bigrams of
+    * −ln p_kn(w2|w1). The LM is trained on the corpus itself, so every
+    * doc bigram is an observed type — no backoff path is exercised (the
+    * unseen-bigram case belongs to cross-corpus scoring; documented
+    * boundary).
+    *
+    * Shape: the doc-bigram stream joins the memoized KN type table on
+    * (w1, w2) — vocab²-bounded, a plain keyed shuffle join (broadcast at
+    * fixture scale is the planner's call) — then one per-doc aggregate.
+    * fp: p_kn is the shared 6-dp grid from [[kneserNey]]; −ln of a grid
+    * value re-rounds to 6 dp into the exact order-free decimal sum, the
+    * ta_perplexity protocol.
+    */
+  def knScore(spark: SparkSession, dir: String): DataFrame = {
+    val lm = kneserNey(spark, dir).select(col("w1"), col("w2"), col("p_kn"))
+    val bg = withToks(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(0, size(toks)-2),
+                          i -> struct(toks[i] AS w1, toks[i+1] AS w2)) END"""))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    bg.join(lm, Seq("w1", "w2"))
+      .select(col("doc_id"),
+        round(-log(col("p_kn")), 6).cast("decimal(18,6)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_nll"))
+  }
+
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
@@ -318,7 +352,23 @@ object TextAnalysis {
     "ta_kneser_ney"  -> ((s, d) => kneserNey(s, d)),
     "ta_entropy"     -> ((s, d) => entropy(s, d)),
     "ta_ppl_buckets" -> ((s, d) => pplBuckets(s, d)),
+    "ta_kn_score"    -> ((s, d) => knScore(s, d)),
   )
+
+  private lazy val knOracleSql =
+    s"""WITH toks AS (SELECT $tokSql AS w FROM documents),
+        bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+               FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)),
+        types AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
+        m1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cw1, count(*) AS nf
+               FROM types GROUP BY w1),
+        m2 AS (SELECT w2, count(*) AS np FROM types GROUP BY w2),
+        nb AS (SELECT count(*) AS nb FROM types)
+        SELECT w1, w2, cnt,
+               round((CAST(cnt AS DOUBLE) - 0.75) / CAST(cw1 AS DOUBLE)
+                     + (0.75 * CAST(nf AS DOUBLE) / CAST(cw1 AS DOUBLE))
+                       * (CAST(np AS DOUBLE) / CAST(nb AS DOUBLE)), 6) AS p_kn
+        FROM types JOIN m1 USING (w1) JOIN m2 USING (w2), nb"""
 
   private lazy val pplOracleSql =
     s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
@@ -411,20 +461,17 @@ object TextAnalysis {
                       WHEN avg_nll <= c2 THEN 'middle'
                       ELSE 'tail' END AS bucket
           FROM ppl, cuts""",
-    "ta_kneser_ney" ->
-      s"""WITH toks AS (SELECT $tokSql AS w FROM documents),
-          bg AS (SELECT w[i] AS w1, w[i+1] AS w2
-                 FROM toks, unnest(generate_series(1, len(w)-1)) AS t(i)),
-          types AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
-          m1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cw1, count(*) AS nf
-                 FROM types GROUP BY w1),
-          m2 AS (SELECT w2, count(*) AS np FROM types GROUP BY w2),
-          nb AS (SELECT count(*) AS nb FROM types)
-          SELECT w1, w2, cnt,
-                 round((CAST(cnt AS DOUBLE) - 0.75) / CAST(cw1 AS DOUBLE)
-                       + (0.75 * CAST(nf AS DOUBLE) / CAST(cw1 AS DOUBLE))
-                         * (CAST(np AS DOUBLE) / CAST(nb AS DOUBLE)), 6) AS p_kn
-          FROM types JOIN m1 USING (w1) JOIN m2 USING (w2), nb""",
+    "ta_kneser_ney" -> knOracleSql,
+    "ta_kn_score" ->
+      s"""WITH lm AS ($knOracleSql),
+          toksd AS (SELECT doc_id, $tokSql AS w FROM documents),
+          bgd AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                  FROM toksd, unnest(generate_series(1, len(w)-1)) AS t(i))
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(CAST(sum(CAST(round(-ln(p_kn), 6) AS DECIMAL(18,6)))
+                       AS DOUBLE) / count(*), 6) AS avg_nll
+          FROM bgd JOIN lm USING (w1, w2)
+          GROUP BY doc_id""",
     "ta_entropy" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
           t AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS w FROM tok),

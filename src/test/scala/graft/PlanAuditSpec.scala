@@ -332,6 +332,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ta_temperature_sample" -> "1-row quota normalizer (sum sqrt(n_s)) broadcast",
       "ta_importance_sample" -> "1-row LM totals (T, R, V) broadcast (bm25 stats shape)",
       "ta_kneser_ney" -> "1-row bigram-type-count (|B|) broadcast (bm25 stats shape)",
+      "ta_kn_score" -> "inherits ta_kneser_ney's 1-row |B| broadcast through the LM join",
       "ev_decay_score" -> "1-row corpus horizon (max day) broadcast",
       "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
       "ta_ppl_buckets" -> "1-row histogram total + 1-row tertile cutoffs broadcast",
