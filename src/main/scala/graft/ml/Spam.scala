@@ -322,6 +322,39 @@ object Spam {
       .withColumn("roca_pct", round((lit(1.0) - col("auc")) * 100, 4))
   }
 
+  /** Confusion matrix + metrics at the TOP-K operating point — the third
+    * leg of the evaluation family ([[rocAuc]] ranks, calibration checks
+    * probability honesty, this reports the operating point a filter with
+    * a review budget deploys at): flag the k highest-margin docs
+    * (deterministic docid tie-break), then tp/fp/fn/tn and
+    * precision@k / recall@k / F1. The margin-≥0 point is degenerate on
+    * this holdout (every doc scores positive — measured tn = fn = 0), so
+    * the budgeted point is both the realistic one and the one that
+    * exercises all four cells. Flagging is `orderBy.limit(k)`
+    * (TakeOrderedAndProject, the bm25 discipline) + a docid semi-join —
+    * no global window; counts from exact decimal comparisons; F1 =
+    * 2tp/(2tp+fp+fn) as one double expression, 6-dp rounded.
+    */
+  def confusion(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val scored = holdoutScored(spark, dir)
+    val flagged = scored.orderBy(col("score_d").desc, col("docid")).limit(k)
+      .select(col("docid"), lit(1L).as("flag"))
+    scored.join(flagged, Seq("docid"), "left_outer")
+      .select(col("label"), coalesce(col("flag"), lit(0L)).as("flag"))
+      .agg(
+        sum(when(col("label") === 1 && col("flag") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("flag") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1 && col("flag") === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("label") === 0 && col("flag") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"), 6)
+          .as("recall"),
+        round((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6).as("f1"))
+  }
+
   /** Reliability diagram over the same holdout scores — the standard
     * companion of [[rocAuc]] (AUC ranks; calibration asks whether the
     * sigmoid of the raw margin is honest as a probability): sigmoid
@@ -657,6 +690,24 @@ object Spam {
                  round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate
           FROM bn GROUP BY bin"""
 
+  private def confusionOracle(steps: Int, numFeatures: Int, k: Int = 20): String =
+    holdoutScoredCtes(steps, numFeatures) + s""",
+          fl AS (SELECT label,
+                   CASE WHEN row_number() OVER (ORDER BY score_d DESC, docid) <= $k
+                        THEN 1 ELSE 0 END AS flag
+                 FROM sc),
+          cf AS (SELECT
+                   CAST(sum(CASE WHEN label = 1 AND flag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN label = 0 AND flag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN label = 1 AND flag = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(sum(CASE WHEN label = 0 AND flag = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                 FROM fl)
+          SELECT tp, fp, fn, tn,
+                 round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+                 round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+                 round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+          FROM cf"""
+
   private def rocAucOracle(steps: Int, numFeatures: Int): String =
     holdoutScoredCtes(steps, numFeatures) + s""",
           ps AS (SELECT score_d, CAST(sum(label) AS BIGINT) AS np,
@@ -699,6 +750,7 @@ object Spam {
     // classifier quality (the reference's 1-ROCA% grading metric) on the
     // held-out hash-split bucket — integer rank arithmetic, hash-gated
     "ml_roc_auc"     -> ((s, d) => rocAuc(s, d)),
+    "ml_confusion"   -> ((s, d) => confusion(s, d)),
     "ml_calibration" -> ((s, d) => calibration(s, d)),
   )
 
@@ -718,6 +770,7 @@ object Spam {
     "spam_apply_seq" -> applySeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
     "spam_ensemble_seq" -> ensembleSeqOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
     "ml_roc_auc" -> rocAucOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
+    "ml_confusion" -> confusionOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
     "ml_calibration" -> calibrationOracle(SeqDocs.toInt, BatchLogit.NumFeatures),
   )
 }
