@@ -340,8 +340,40 @@ object TextAnalysis {
           .as("mean_doc_len"))
   }
 
+  /** Per-document top-k TF-IDF keyword extraction — the standard document
+    * representation a curation pipeline attaches before clustering or
+    * search (no reference counterpart; extension mandate). tf and df are
+    * exact integers, so `tf · ln(N/df)` is one fixed-order double
+    * expression shared textually with the oracle (the ln-on-exact-integers
+    * contract PMI/BM25 rely on); the top-k cut is a window PARTITIONED BY
+    * doc_id — per-group sorts over a high-cardinality key, which
+    * distributes evenly at any scale (unlike the global windows the plan
+    * lint forbids). Docs with no tokens contribute no rows in either
+    * engine.
+    */
+  def keywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        expr("CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w")))
+          .cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_corpus_stats" -> ((s, d) => corpusStats(s, d)),
+    "ta_keywords"    -> ((s, d) => keywords(s, d)),
     "ta_token_stats" -> ((s, d) => tokenStats(s, d)),
     "ta_bpe_tokens"  -> ((s, d) => bpeTokenCount(s, d)),
     "ta_quality"     -> ((s, d) => qualityScore(s, d)),
@@ -481,6 +513,19 @@ object TextAnalysis {
                    (k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE)), 6)
                    AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
           FROM cnts GROUP BY doc_id, n""",
+    "ta_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
+          tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+          dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          sc AS (SELECT doc_id, w, tf, df,
+                   CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+                 FROM tf JOIN dfx USING (w) CROSS JOIN n)
+          SELECT doc_id, rank, w AS term, tf, df, round(tfidf, 6) AS tfidf
+          FROM (SELECT *, row_number() OVER
+                  (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rank
+                FROM sc)
+          WHERE rank <= 3""",
     "ta_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
                  CAST(list_reduce(

@@ -440,6 +440,90 @@ object PageRank {
       .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
+  /** Convergence bound for [[sssp]]. Weighted relaxation can need more
+    * rounds than the hop eccentricity (a cheap many-hop detour keeps
+    * improving after BFS would have stopped), but each round strictly
+    * improves some node's distance, so rounds ≤ the hop length of the
+    * longest optimal path. The unrolled oracle replays exactly this many
+    * rounds; min-relaxation is idempotent past convergence, so the bound
+    * only has to DOMINATE the real convergence depth (required at run
+    * time), not equal it. Measured ≤ 15 across the SF sweep; bound 32.
+    */
+  val SsspMaxRounds = 32
+
+  /** Deterministic per-direction edge weight for [[sssp]]: a pure
+    * function of the traversed (v → n) pair so both engines derive it
+    * independently — residues are non-negative, so `%` == `pmod`.
+    */
+  private def edgeWeight(v: Column, n: Column): Column =
+    (pmod(v * 31 + n, lit(9)) + 1).cast("long")
+
+  /** Multi-source WEIGHTED shortest paths (Bellman-Ford relaxation) —
+    * the weighted companion to [[bfs]]: dist(v) = min over sources of
+    * the cheapest path cost, unreached nodes −1. Weights are a
+    * deterministic function of the traversed direction ([[edgeWeight]]),
+    * so the symmetrized graph is weighted-asymmetric — the general case.
+    *
+    * Shape: per round, one equi-join of the weighted adjacency with the
+    * current distance relation, a min-aggregate by destination, and a
+    * full-outer merge keeping the elementwise least — all shuffles key
+    * on node id. Unlike BFS the working set is the whole labeled
+    * relation (a relaxation can improve an already-labeled node), so the
+    * convergence certificate is the monotone pair (labeled count, Σdist):
+    * distances only decrease and the labeled set only grows, so the pair
+    * is unchanged iff a round was a no-op — one driver-side row per
+    * round, the Components budget. Plans are truncated per round (the
+    * [[bfsOnGraph]] protocol) to keep the lineage flat across rounds.
+    */
+  def sssp(spark: SparkSession, dir: String,
+           sources: Seq[Long] = Seq(1L, 57L), mod: Long = 10000): DataFrame = {
+    val und = graft.Caches.memoized(spark, dir, s"graph:und_plain_$mod") {
+      edges(spark, dir, mod)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+    }
+    ssspOnGraph(nodes(spark, dir, mod), und, sources)
+  }
+
+  /** [[sssp]] over explicit (nodes, canonical undirected edges) frames —
+    * the graph-parameterized core the hand-graph spec drives directly.
+    */
+  def ssspOnGraph(nodesDf: DataFrame, und: DataFrame,
+                  sources: Seq[Long]): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val wadj = und.select(col("a").as("v"), col("b").as("n"))
+      .union(und.select(col("b").as("v"), col("a").as("n")))
+      .withColumn("w", edgeWeight(col("v"), col("n")))
+    var dist = graft.Caches.register(
+      sources.toDF("id").withColumn("dist", lit(0L)).persist())
+    var cert = (0L, 0L) // (labeled count, Σdist) — monotone certificate
+    var converged = false
+    var round = 0
+    while (!converged) {
+      round += 1
+      require(round <= SsspMaxRounds,
+        s"sssp exceeded $SsspMaxRounds rounds — oracle unroll would diverge")
+      val relaxed = wadj.join(dist.withColumnRenamed("id", "v"), Seq("v"))
+        .select(col("n").as("id"), (col("dist") + col("w")).as("cand"))
+        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+      val mergedRaw = dist.join(relaxed, Seq("id"), "full_outer")
+        .select(col("id"),
+          least(coalesce(col("dist"), col("cand")),
+            coalesce(col("cand"), col("dist"))).as("dist"))
+      val merged = graft.Caches.register(
+        spark.createDataFrame(mergedRaw.rdd, mergedRaw.schema).persist())
+      val row = merged.agg(count(lit(1)), sum(col("dist"))).head()
+      val next = (row.getLong(0), row.getLong(1))
+      converged = next == cert
+      cert = next
+      dist = merged
+    }
+    nodesDf.join(dist, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
   /** Connected components of the fixture graph through the shared
     * [[Components]] large-star/small-star module — the module registered
     * as a first-class graph operator, not only as dedup plumbing.
@@ -487,6 +571,7 @@ object PageRank {
     "pr_toprank"      -> ((s, d) => topK(s, d)),
     "pr_components"     -> ((s, d) => components(s, d)),
     "pr_bfs"            -> ((s, d) => bfs(s, d)),
+    "pr_sssp"           -> ((s, d) => sssp(s, d)),
     "pr_components_10k" -> ((s, d) => componentsSummary(s, d)),
     // Measurement tier, hash-gated since round 6: the 10-iteration CTE
     // unroll IS tractable in DuckDB at the t2 gate (~55k edges, <1 s) —
@@ -577,6 +662,7 @@ object PageRank {
            FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 100)
          GROUP BY src""",
     "pr_bfs" -> bfsOracle(Seq(1L, 57L), mod = 10000),
+    "pr_sssp" -> ssspOracle(Seq(1L, 57L), mod = 10000, rounds = SsspMaxRounds),
     "pr_toprank" -> topKOracle(Seq(3, 57), iterations = 10, k = 10),
     // hash-gated since round 6 (tractable: <1 s in DuckDB at sf0.01) —
     // the mod-10000 substitution of the identical unrolled protocol
@@ -642,6 +728,45 @@ object PageRank {
         SELECT nd.id, COALESCE(m.d, CAST(-1 AS BIGINT)) AS dist
         FROM nd LEFT JOIN
           (SELECT id, min(d) AS d FROM reach GROUP BY id) m ON nd.id = m.id"""
+  }
+
+  /** [[sssp]] replay: UNROLLED min-relaxation rounds (the
+    * componentsSummaryOracle technique — a recursive CTE over weighted
+    * (id, dist) pairs never converges syntactically because a cheaper
+    * distance is a NEW row under UNION dedup). Each round is one
+    * join+min-aggregate over the weighted symmetric adjacency; rounds
+    * dominates the measured convergence depth and min-relaxation is
+    * idempotent past it.
+    */
+  private def ssspOracle(sources: Seq[Long], mod: Long, rounds: Int): String = {
+    val anchor = sources
+      .map(s => s"SELECT CAST($s AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist")
+      .mkString(" UNION ALL ")
+    val sb = new StringBuilder(
+      s"""WITH e AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+            FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+          sym AS MATERIALIZED (
+            SELECT src AS v, dst AS n FROM e UNION SELECT dst, src FROM e),
+          we AS MATERIALIZED (
+            SELECT v, n, (v * 31 + n) % 9 + 1 AS w FROM sym),
+          nd AS MATERIALIZED (SELECT DISTINCT id FROM
+            (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+          d0 AS ($anchor)""")
+    for (i <- 1 to rounds) sb ++=
+      s""",
+          d$i AS MATERIALIZED (
+            SELECT id, min(dist) AS dist FROM (
+              SELECT id, dist FROM d${i - 1}
+              UNION ALL
+              SELECT we.n AS id, d.dist + we.w AS dist
+              FROM d${i - 1} d JOIN we ON d.id = we.v
+            ) GROUP BY id)"""
+    sb ++=
+      s"""
+          SELECT nd.id, COALESCE(dd.dist, CAST(-1 AS BIGINT)) AS dist
+          FROM nd LEFT JOIN d$rounds dd USING (id)"""
+    sb.toString
   }
 
   private def componentsSummaryOracle(mod: Long, rounds: Int): String = {

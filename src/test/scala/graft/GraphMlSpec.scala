@@ -255,6 +255,38 @@ class PageRankSpec extends AnyFunSuite {
     assert(run(Seq(4L, 8L)) == Map(4L -> 0L, 3L -> 1L, 2L -> 2L, 5L -> 2L,
       1L -> 3L, 8L -> 0L, 9L -> 1L))
   }
+
+  test("sssp on a hand graph matches scalar Bellman-Ford with the shared weights") {
+    import spark.implicits._
+    // same topology as the bfs spec plus a direct 1-4 edge: hop-shorter
+    // paths must LOSE to weight-cheaper detours when the weights say so
+    val undSeq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (8L, 9L), (1L, 4L))
+    val nodeSeq = Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L)
+    def w(v: Long, n: Long): Long = (v * 31 + n) % 9 + 1
+    def scalar(sources: Seq[Long]): Map[Long, Long] = {
+      val adj = undSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val dist = scala.collection.mutable.HashMap(sources.map(_ -> 0L): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        adj.foreach { case (v, n) =>
+          dist.get(v).foreach { dv =>
+            if (dist.get(n).forall(_ > dv + w(v, n))) {
+              dist(n) = dv + w(v, n); changed = true
+            }
+          }
+        }
+      }
+      nodeSeq.map(id => id -> dist.getOrElse(id, -1L)).toMap
+    }
+    def run(sources: Seq[Long]): Map[Long, Long] =
+      PageRank.ssspOnGraph(nodeSeq.toDF("id"), undSeq.toDF("a", "b"), sources)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Seq(1L)) == scalar(Seq(1L)))
+    assert(run(Seq(4L, 8L)) == scalar(Seq(4L, 8L)))
+    // weights are direction-asymmetric: the traversal direction decides
+    assert(w(1L, 2L) != w(2L, 1L))
+  }
 }
 
 class SpamSpec extends AnyFunSuite {
