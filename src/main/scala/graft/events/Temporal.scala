@@ -498,8 +498,34 @@ object Temporal {
         sum(col("term")).cast("double").as("decay_score"))
   }
 
+  /** Per-user event-type transition matrix (first-order Markov
+    * estimate) — the sequence-mining primitive next to the funnel: how
+    * often does type A immediately precede type B within a user's
+    * stream, and with what conditional probability. One lead() over the
+    * per-user window (partition-local, same shuffle as [[userDeltas]]),
+    * then a #types² aggregate; the per-from totals come from a second
+    * tiny aggregate joined back (broadcast at any scale — the matrix is
+    * bounded by the type vocabulary, never the event count). cnt/total
+    * divides exact integers, so the probability doubles match the
+    * oracle bit-for-bit.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t_ms"), col("event_id"))
+    val cnts = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), ms("ts").as("t_ms"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cnts.groupBy(col("from_type")).agg(sum(col("cnt")).as("total"))
+    cnts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        round(col("cnt").cast("double") / col("total").cast("double"), 6).as("prob"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_moments"        -> ((s, d) => moments(s, d)),
+    "ev_transitions"    -> ((s, d) => transitions(s, d)),
     "ev_decay_score"    -> ((s, d) => decayScore(s, d)),
     "ev_user_deltas"    -> ((s, d) => userDeltas(s, d)),
     "ev_asof_join"      -> ((s, d) => asofJoin(s, d)),
@@ -559,6 +585,21 @@ object Temporal {
                         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
                         s2, s3, s4
                  FROM ag))""",
+    "ev_transitions" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms
+             FROM events),
+         p AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY t_ms, event_id) AS to_type
+               FROM e),
+         c AS (SELECT from_type, to_type, count(*) AS cnt
+               FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS total
+               FROM c GROUP BY from_type)
+         SELECT from_type, to_type, cnt,
+           round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS prob
+         FROM c JOIN t USING (from_type)""",
     "ev_user_deltas" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
                epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms,

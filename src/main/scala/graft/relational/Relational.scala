@@ -196,6 +196,45 @@ object Relational {
           .cast("double").as("supp_bal"))
   }
 
+  /** Q10 (extension — TPC-H Q12 shape, the reference has no conditional
+    * aggregation): per returnflag, how many 1996-shipped lineitems belong
+    * to urgent/high-priority orders vs the rest. The CASE WHEN runs
+    * INSIDE the aggregate (one pass, codegen'd), not as a pre-pivot; the
+    * only shuffles are the orderkey join and the 3-group aggregate, and
+    * the priority projection rides the broadcast-eligible orders side.
+    */
+  def q10(spark: SparkSession, dir: String, dt: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(dateMatches(col("l_shipdate"), dt))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+
+  /** Q11 (extension — TPC-H Q11 shape, no scalar-subquery filter exists
+    * in the reference): nations whose supplier balance exceeds a fixed
+    * fraction of the GLOBAL balance. The global total is a one-row
+    * aggregate broadcast back as a cross join — the scalar-subquery plan
+    * Catalyst produces for correlated HAVING, spelled explicitly. Both
+    * sums are exact DECIMAL over the same rows, so the threshold compare
+    * is engine-independent.
+    */
+  def q11(spark: SparkSession, dir: String, fraction: Double = 0.04): DataFrame = {
+    val bal = Tables.supplier(spark, dir)
+      .select(col("s_nationkey"), dec(col("s_acctbal"), 12, 2).as("b"))
+    val perNation = bal.groupBy(col("s_nationkey"))
+      .agg(sum(col("b")).as("value"))
+    val total = bal.agg(sum(col("b")).as("total"))
+    perNation.crossJoin(broadcast(total))
+      .where(col("value").cast("double") > col("total").cast("double") * fraction)
+      .select(col("s_nationkey"), col("value").cast("double").as("value"))
+  }
+
   // Baked-in parameters for the driver-run registry: chosen so every query
   // is non-empty at sf0.001 (dates span 1995-01..2001-11 uniformly).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -208,6 +247,8 @@ object Relational {
     "q7_top_revenue"    -> ((s, d) => q7(s, d, "1997-06-30")),
     "q8_cust_no_big_orders" -> ((s, d) => q8(s, d, 300000.0)),
     "q9_nation_balance"     -> ((s, d) => q9(s, d)),
+    "q10_priority_lines"    -> ((s, d) => q10(s, d, "1996")),
+    "q11_top_nations"       -> ((s, d) => q11(s, d)),
   )
 
   // DuckDB-dialect oracles over the same Parquet tables. Column aliases
@@ -295,5 +336,22 @@ object Relational {
            coalesce(n_supp, 0) AS n_supp,
            CAST(coalesce(supp_bal, 0) AS DOUBLE) AS supp_bal
          FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""",
+    "q10_priority_lines" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE strftime(l_shipdate, '%Y-%m-%d') LIKE '1996%'
+         GROUP BY l_returnflag""",
+    "q11_top_nations" ->
+      """WITH b AS (SELECT s_nationkey, CAST(s_acctbal AS DECIMAL(12,2)) AS b
+                    FROM supplier),
+            pn AS (SELECT s_nationkey, sum(b) AS value FROM b GROUP BY s_nationkey),
+            t AS (SELECT sum(b) AS total FROM b)
+         SELECT s_nationkey, CAST(value AS DOUBLE) AS value
+         FROM pn, t
+         WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) * 0.04""",
   )
 }
