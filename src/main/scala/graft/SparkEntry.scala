@@ -33,6 +33,7 @@ object SparkEntry {
       (graph.KCore.queries, graph.KCore.oracles),
       (ml.Spam.queries, ml.Spam.oracles),
       (ml.BatchLogit.queries, ml.BatchLogit.oracles),
+      (ml.NaiveBayes.queries, ml.NaiveBayes.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (functions.LogSumExp.queries, functions.LogSumExp.oracles),

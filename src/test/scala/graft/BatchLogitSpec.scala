@@ -69,3 +69,32 @@ class BatchLogitSpec extends AnyFunSuite {
     assert(acc > 0.7, s"training accuracy $acc")
   }
 }
+
+class NaiveBayesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("NB model: per-class smoothed likelihoods sum to 1, grid is complete") {
+    import org.apache.spark.sql.functions._
+    val m = graft.ml.NaiveBayes.train(spark, sf).collect()
+    val byClass = m.groupBy(_.getString(0))
+    // full V×C grid: every class carries the whole vocabulary
+    val vocab = m.map(_.getString(1)).distinct.length
+    byClass.foreach { case (lang, rows) =>
+      assert(rows.length == vocab, s"$lang grid incomplete")
+      val probSum = rows.map(r => math.exp(r.getDouble(3))).sum
+      assert(math.abs(probSum - 1.0) < 1e-3, s"$lang Σp = $probSum")
+    }
+    // priors are class-constant and exp-sum to 1 across classes
+    val priorSum = byClass.values.map(rs => math.exp(rs.head.getDouble(4))).sum
+    assert(math.abs(priorSum - 1.0) < 1e-3, s"Σprior = $priorSum")
+  }
+
+  test("NB apply: one prediction per doc, winning score is the max") {
+    import org.apache.spark.sql.functions._
+    val pred = graft.ml.NaiveBayes.apply_(spark, sf)
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(pred.count() == docs)
+    assert(pred.select(countDistinct(col("doc_id"))).head.getLong(0) == docs)
+  }
+}
