@@ -371,9 +371,39 @@ object TextAnalysis {
         col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
   }
 
+  /** Flesch reading-ease / Flesch-Kincaid grade per document — the
+    * readability axis of quality scoring (next to [[qualityScore]]'s
+    * stopword/length heuristics): a curation pipeline buckets training
+    * text by audience complexity. Counting conventions are pinned for
+    * determinism: words = reference-tokenizer tokens, sentences =
+    * `[.!?]+` runs (floored at 1), syllables = `[aeiouy]+` vowel groups
+    * in the lowercased text. All three are exact integers counted by the
+    * same regex in both engines; the two formulas then run in one fixed
+    * double expression order, 6-dp rounded. Shuffle-free single pass.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    withToks(spark, dir)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+          .cast("long").as("n_sentences"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("n_syllables"))
+      .where(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")), 6)
+          .as("flesch"),
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+          - lit(15.59), 6).as("fk_grade"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_corpus_stats" -> ((s, d) => corpusStats(s, d)),
     "ta_keywords"    -> ((s, d) => keywords(s, d)),
+    "ta_readability" -> ((s, d) => readability(s, d)),
     "ta_token_stats" -> ((s, d) => tokenStats(s, d)),
     "ta_bpe_tokens"  -> ((s, d) => bpeTokenCount(s, d)),
     "ta_quality"     -> ((s, d) => qualityScore(s, d)),
@@ -513,6 +543,21 @@ object TextAnalysis {
                    (k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE)), 6)
                    AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
           FROM cnts GROUP BY doc_id, n""",
+    "ta_readability" ->
+      s"""SELECT doc_id, n_words, n_sentences, n_syllables,
+            round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS flesch,
+            round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                  + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                  - 15.59, 6) AS fk_grade
+          FROM (SELECT doc_id,
+                  CAST(len($tokSql) AS BIGINT) AS n_words,
+                  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+                    AS n_sentences,
+                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                    AS n_syllables
+                FROM documents)
+          WHERE n_words > 0""",
     "ta_keywords" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
           tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),

@@ -433,7 +433,91 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Per-user materialized state — the keyed-UPSERT landing pattern next
+    * to [[exactlyOnceSink]]'s append-by-partition one: a streaming
+    * pipeline maintaining a "current profile per key" table (event count,
+    * exact value total, last event by time). The aggregate is decomposed
+    * into mergeable partials (count/decimal-sum/struct-max — the sketch
+    * contract), so each micro-batch folds into the stored state with one
+    * keyed merge. [[userState]] is the batch execution of the same
+    * decomposition (merge of ONE partial is the identity), which is what
+    * the registry hash-gates; the multi-batch upsert ≡ batch proof and
+    * the redelivery fence live in StreamingSpec.
+    */
+  private def userStatePartial(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), unix_millis(col("ts")).as("t_ms"),
+        col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_v"),
+        max(struct(col("t_ms"), col("event_id"), col("event_type"),
+          col("value"))).as("last"))
+
+  /** Fold partial states (idempotent under re-merge of a no-op batch;
+    * sum_v is re-pinned to one decimal type so the parquet round-trip
+    * schema stays fixed across arbitrarily many merges).
+    */
+  private def mergeStates(parts: DataFrame): DataFrame =
+    parts.groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_v")).cast("decimal(22,2)").as("sum_v"),
+        max(col("last")).as("last"))
+
+  private def finishState(st: DataFrame): DataFrame =
+    st.select(col("user_id"), col("n_events"),
+      round(col("sum_v"), 2).cast("double").as("sum_value"),
+      col("last").getField("t_ms").as("last_ms"),
+      col("last").getField("event_type").as("last_type"),
+      col("last").getField("value").as("last_value"))
+
+  /** Batch execution of the upsert decomposition (registry form). */
+  def userState(ev: DataFrame): DataFrame =
+    finishState(mergeStates(userStatePartial(ev)))
+
+  /** Apply one micro-batch to the stored state with BATCH-ID FENCING:
+    * the state table carries the last applied batch id, and a redelivered
+    * batch (id ≤ stored) is skipped — aggregate upserts are not naturally
+    * idempotent, so the fence is what makes in-checkpoint retries safe
+    * (the transactional-commit trick, done with the batch id the
+    * checkpoint already guarantees is stable). Returns true if applied.
+    * The merged state is pinned (localCheckpoint materializes it) BEFORE
+    * overwriting the files it was read from.
+    */
+  def applyStateBatch(df: DataFrame, batchId: Long, path: String): Boolean = {
+    val spark = df.sparkSession
+    val exists = new java.io.File(path, "_SUCCESS").exists
+    val prior = if (exists) Some(spark.read.parquet(path)) else None
+    val fenced = prior.exists(p =>
+      p.agg(max(col("batch_id"))).head().getLong(0) >= batchId)
+    if (fenced) return false
+    val parts = prior match {
+      case Some(p) => p.drop("batch_id").unionByName(userStatePartial(df))
+      case None    => userStatePartial(df)
+    }
+    val pinned = mergeStates(parts)
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true)
+    pinned.write.mode("overwrite").parquet(path)
+    true
+  }
+
+  /** The upsert sink: fold every micro-batch into the keyed state table. */
+  def upsertStateSink(stream: DataFrame, path: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        applyStateBatch(df, batchId, path); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Open the materialized state table in the registry shape. */
+  def readUserState(spark: SparkSession, path: String): DataFrame =
+    finishState(spark.read.parquet(path))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_user_state" -> ((s, d) => userState(Tables.events(s, d))),
     "st_static_enrich" -> ((s, d) => staticEnrich(Tables.events(s, d))),
     "st_approx_users" -> ((s, d) => approxUsersChecked(s, d)),
     // batch execution of the streaming plans — same code, same oracle
@@ -454,6 +538,19 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_user_state" ->
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms,
+               event_id, event_type, value FROM events),
+         a AS (SELECT user_id, count(*) AS n_events,
+                 CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+               FROM e GROUP BY user_id),
+         l AS (SELECT user_id, t_ms AS last_ms, event_type AS last_type,
+                 value AS last_value
+               FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY t_ms DESC, event_id DESC) AS rn FROM e)
+               WHERE rn = 1)
+         SELECT user_id, n_events, sum_value, last_ms, last_type, last_value
+         FROM a JOIN l USING (user_id)""",
     // all five fixture types are present in the dim, so the inner join
     // keeps every row — exactly the CASE replay
     "st_static_enrich" ->

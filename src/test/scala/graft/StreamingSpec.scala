@@ -283,6 +283,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally ev.unpersist()
   }
 
+  test("keyed upsert sink: multi-batch state equals batch, fence rejects redelivery") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = 1700000000000000L // µs
+    def evs(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("user_id", "event_id", "m", "event_type", "value")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(lit(base) + col("m") * 60L * 1000000L).as("ts"),
+          col("event_type"), col("value"))
+    // u1 and u2 both straddle the file boundary; the LAST event per user
+    // arrives in different files, so the struct-max really merges
+    val f1 = evs(Seq((1L, 1L, 0L, "click", 1.25), (1L, 2L, 10L, "view", 2.0),
+      (2L, 3L, 5L, "click", 0.5)))
+    val f2 = evs(Seq((1L, 4L, 35L, "buy", 4.0), (2L, 5L, 2L, "view", 1.5),
+      (3L, 6L, 7L, "click", 3.0)))
+    val srcDir = java.nio.file.Files.createTempDirectory("st-upsert-src")
+    Seq(f1, f2).foreach { f =>
+      f.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      Thread.sleep(20)
+    }
+    val statePath = java.nio.file.Files.createTempDirectory("st-upsert-state")
+      .resolve("state").toString
+    val q = Streaming.upsertStateSink(
+      spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+      statePath,
+      java.nio.file.Files.createTempDirectory("st-upsert-chk").toString)
+    assert(q.awaitTermination(180000), "stream did not terminate")
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+      "expected one microbatch per source file")
+    def st(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getString(4), r.getDouble(5))).toSet
+    val got = st(Streaming.readUserState(spark, statePath))
+    val want = st(Streaming.userState(f1.union(f2)))
+    assert(got == want, s"upsert state drifted: $got vs $want")
+    // u2's last event (m=5, file 1) beats file 2's m=2 — max crossed files
+    assert(got.exists { case (u, n, s, _, t, _) => u == 2L && n == 2L && t == "click" })
+    // redelivery fence: re-applying an already-folded batch id is a no-op
+    assert(!Streaming.applyStateBatch(f2, batchId = 1L, statePath))
+    assert(!Streaming.applyStateBatch(f1, batchId = 0L, statePath))
+    assert(st(Streaming.readUserState(spark, statePath)) == want)
+    // a NEW batch id still applies
+    val f3 = evs(Seq((3L, 7L, 99L, "buy", 1.0)))
+    assert(Streaming.applyStateBatch(f3, batchId = 2L, statePath))
+    assert(st(Streaming.readUserState(spark, statePath)) ==
+      st(Streaming.userState(f1.union(f2).union(f3))))
+  }
+
   test("multi-microbatch stitching: sessions spanning file boundaries equal the batch plan") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
