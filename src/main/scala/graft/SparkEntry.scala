@@ -44,6 +44,7 @@ object SparkEntry {
       (operators.RuntimeFilter.queries, operators.RuntimeFilter.oracles),
       (operators.Layout.queries, operators.Layout.oracles),
       (sources.Tbl.queries, sources.Tbl.oracles),
+      (sources.Jsonl.queries, sources.Jsonl.oracles),
       (sources.Bucketed.queries, sources.Bucketed.oracles),
       (sources.Partitioned.queries, sources.Partitioned.oracles),
     )

@@ -523,9 +523,30 @@ object Temporal {
         round(col("cnt").cast("double") / col("total").cast("double"), 6).as("prob"))
   }
 
+  /** Per-event running totals: cumulative value sum and event ordinal
+    * within each user's stream — the unbounded-preceding running-
+    * aggregate window form (completes the W-surface next to lag/lead
+    * deltas and the partitioned top-k). The cumulative sum runs in
+    * DECIMAL so every prefix is exact — a double running sum would
+    * disagree with the oracle on late digits wherever the prefix order
+    * crossed a partial. Partitioned by user_id: per-group state, never a
+    * global sort.
+    */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), ms("ts").as("t_ms"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(byUser).as("event_ordinal"),
+        sum(col("v")).over(byUser).cast("double").as("running_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_moments"        -> ((s, d) => moments(s, d)),
     "ev_transitions"    -> ((s, d) => transitions(s, d)),
+    "ev_running_total"  -> ((s, d) => runningTotals(s, d)),
     "ev_decay_score"    -> ((s, d) => decayScore(s, d)),
     "ev_user_deltas"    -> ((s, d) => userDeltas(s, d)),
     "ev_asof_join"      -> ((s, d) => asofJoin(s, d)),
@@ -585,6 +606,16 @@ object Temporal {
                         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
                         s2, s3, s4
                  FROM ag))""",
+    "ev_running_total" ->
+      """WITH e AS (SELECT event_id, user_id,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms,
+               CAST(value AS DECIMAL(12,2)) AS v
+             FROM events)
+         SELECT event_id, user_id,
+           count(*) OVER w AS event_ordinal,
+           CAST(sum(v) OVER w AS DOUBLE) AS running_value
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "ev_transitions" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
                epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms
