@@ -34,6 +34,7 @@ object SparkEntry {
       (ml.Spam.queries, ml.Spam.oracles),
       (ml.BatchLogit.queries, ml.BatchLogit.oracles),
       (ml.NaiveBayes.queries, ml.NaiveBayes.oracles),
+      (ml.Ols.queries, ml.Ols.oracles),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
       (streaming.Streaming.queries, streaming.Streaming.oracles),
       (functions.LogSumExp.queries, functions.LogSumExp.oracles),

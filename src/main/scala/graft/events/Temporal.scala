@@ -543,10 +543,42 @@ object Temporal {
         sum(col("v")).over(byUser).cast("double").as("running_value"))
   }
 
+  /** Seasonal anomaly detection on event volume: per (event_type,
+    * hour-of-day) cell, the baseline mean/std of the DAILY count across
+    * observed days, and each day's z-score against its cell baseline —
+    * the time-of-day-profile monitor a pipeline runs over ingest volume
+    * (the global [[zscores]] can't see a 3 A.M. spike that is normal at
+    * 3 P.M.). Counts are exact integers, so the variance positivity test
+    * runs on INTEGERS (n·Σc² > (Σc)² — exact in both engines, no
+    * float-sign flake on constant cells); the z formula itself is one
+    * fixed double expression. Baseline is over observed (nonzero) days,
+    * documented: absent cells are absent in both engines.
+    */
+  def seasonalAnomaly(spark: SparkSession, dir: String, flagZ: Double = 2.0): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val base = cells.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+    cells.join(broadcast(base), Seq("event_type", "hr"))
+      .select(col("event_type"), col("day"), col("hr"), col("cnt"),
+        expr("""CASE WHEN n_days * ss > s * s THEN
+                  round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                        / sqrt(CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
+                               - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                                 * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))), 6)
+                END""").as("z"))
+      .withColumn("anomaly", coalesce(abs(col("z")) > flagZ, lit(false)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_moments"        -> ((s, d) => moments(s, d)),
     "ev_transitions"    -> ((s, d) => transitions(s, d)),
     "ev_running_total"  -> ((s, d) => runningTotals(s, d)),
+    "ev_seasonal_anomaly" -> ((s, d) => seasonalAnomaly(s, d)),
     "ev_decay_score"    -> ((s, d) => decayScore(s, d)),
     "ev_user_deltas"    -> ((s, d) => userDeltas(s, d)),
     "ev_asof_join"      -> ((s, d) => asofJoin(s, d)),
@@ -606,6 +638,29 @@ object Temporal {
                         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
                         s2, s3, s4
                  FROM ag))""",
+    "ev_seasonal_anomaly" ->
+      """WITH cells AS (
+           SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr, count(*) AS cnt
+           FROM events GROUP BY 1, 2, 3),
+         base AS (
+           SELECT event_type, hr, count(*) AS n_days,
+             CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS ss
+           FROM cells GROUP BY event_type, hr)
+         SELECT event_type, day, hr, cnt,
+           CASE WHEN n_days * ss > s * s THEN
+             round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                   / sqrt(CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
+                          - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                            * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))), 6)
+           END AS z,
+           coalesce(abs(CASE WHEN n_days * ss > s * s THEN
+             round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                   / sqrt(CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
+                          - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                            * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))), 6)
+           END) > 2.0, false) AS anomaly
+         FROM cells JOIN base USING (event_type, hr)""",
     "ev_running_total" ->
       """WITH e AS (SELECT event_id, user_id,
                epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms,

@@ -235,6 +235,24 @@ object Relational {
       .select(col("s_nationkey"), col("value").cast("double").as("value"))
   }
 
+  /** Q12 (extension — the set-operation surface: INTERSECT, which the
+    * reference has no form of): customers who ordered in BOTH years,
+    * counted per nation. Catalyst plans intersect as a distinct +
+    * left-semi join on all columns — after each side is pre-aggregated
+    * to distinct custkeys, so the set op moves key sets, not order rows.
+    */
+  def q12(spark: SparkSession, dir: String, y1: String, y2: String): DataFrame = {
+    def keys(y: String) = Tables.orders(spark, dir)
+      .filter(dateMatches(col("o_orderdate"), y))
+      .select(col("o_custkey")).distinct()
+    keys(y1).intersect(keys(y2))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_repeat_customers"))
+  }
+
   // Baked-in parameters for the driver-run registry: chosen so every query
   // is non-empty at sf0.001 (dates span 1995-01..2001-11 uniformly).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -249,6 +267,7 @@ object Relational {
     "q9_nation_balance"     -> ((s, d) => q9(s, d)),
     "q10_priority_lines"    -> ((s, d) => q10(s, d, "1996")),
     "q11_top_nations"       -> ((s, d) => q11(s, d)),
+    "q12_repeat_customers"  -> ((s, d) => q12(s, d, "1996", "1997")),
   )
 
   // DuckDB-dialect oracles over the same Parquet tables. Column aliases
@@ -353,5 +372,15 @@ object Relational {
          SELECT s_nationkey, CAST(value AS DOUBLE) AS value
          FROM pn, t
          WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) * 0.04""",
+    "q12_repeat_customers" ->
+      """SELECT c_nationkey, count(*) AS n_repeat_customers
+         FROM (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE strftime(o_orderdate, '%Y-%m-%d') LIKE '1996%'
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE strftime(o_orderdate, '%Y-%m-%d') LIKE '1997%') k
+         JOIN customer ON k.o_custkey = c_custkey
+         GROUP BY c_nationkey""",
   )
 }
