@@ -400,10 +400,41 @@ object TextAnalysis {
           + lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
           - lit(15.59), 6).as("fk_grade"))
 
+  /** Per-source distribution shift: KL(source ‖ corpus) over unigram
+    * distributions — the drift monitor a multi-source pipeline runs per
+    * ingest (a source whose token distribution diverges from the corpus
+    * is misparsed, off-domain, or newly spammy). Every KL term is
+    * (c_sw/T_s)·ln(c_sw·T / (T_s·c_w)) on exact integer counts — the
+    * ln-on-exact-integers contract — 6-dp rounded into an exact decimal
+    * sum. Corpus counts join the per-source cells on token (vocabulary-
+    * bounded broadcast); p_s ≪ p is impossible inside a corpus that
+    * CONTAINS the source, so every term is finite by construction.
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), explode(Text.tokenize(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val perSource = cells.groupBy(col("source")).agg(sum(col("c_sw")).as("ts"))
+    val corpus = cells.groupBy(col("w")).agg(sum(col("c_sw")).as("cw"))
+    val total = corpus.agg(sum(col("cw")).as("t"))
+    cells.join(broadcast(perSource), "source")
+      .join(broadcast(corpus), "w")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("ts"),
+        expr("""CAST(round((CAST(c_sw AS DOUBLE) / CAST(ts AS DOUBLE))
+                 * ln((CAST(c_sw AS DOUBLE) * CAST(t AS DOUBLE))
+                      / (CAST(ts AS DOUBLE) * CAST(cw AS DOUBLE))), 6)
+                AS DECIMAL(18,6))""").as("term"))
+      .groupBy(col("source"))
+      .agg(first(col("ts")).as("n_tokens"),
+        sum(col("term")).cast("double").as("kl"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_corpus_stats" -> ((s, d) => corpusStats(s, d)),
     "ta_keywords"    -> ((s, d) => keywords(s, d)),
     "ta_readability" -> ((s, d) => readability(s, d)),
+    "ta_source_kl"   -> ((s, d) => sourceKl(s, d)),
     "ta_token_stats" -> ((s, d) => tokenStats(s, d)),
     "ta_bpe_tokens"  -> ((s, d) => bpeTokenCount(s, d)),
     "ta_quality"     -> ((s, d) => qualityScore(s, d)),
@@ -543,6 +574,19 @@ object TextAnalysis {
                    (k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE)), 6)
                    AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
           FROM cnts GROUP BY doc_id, n""",
+    "ta_source_kl" ->
+      s"""WITH tok AS (SELECT source, unnest($tokSql) AS w FROM documents),
+          cells AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w),
+          ps AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS ts FROM cells GROUP BY source),
+          cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS cw FROM cells GROUP BY w),
+          tt AS (SELECT CAST(sum(cw) AS BIGINT) AS t FROM cw)
+          SELECT source, any_value(ts) AS n_tokens,
+            CAST(sum(CAST(round((CAST(c_sw AS DOUBLE) / CAST(ts AS DOUBLE))
+                   * ln((CAST(c_sw AS DOUBLE) * CAST(t AS DOUBLE))
+                        / (CAST(ts AS DOUBLE) * CAST(cw.cw AS DOUBLE))), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS kl
+          FROM cells JOIN ps USING (source) JOIN cw USING (w) CROSS JOIN tt
+          GROUP BY source""",
     "ta_readability" ->
       s"""SELECT doc_id, n_words, n_sentences, n_syllables,
             round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))

@@ -524,6 +524,64 @@ object PageRank {
       .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
+  /** HITS iteration count — like [[SsspMaxRounds]], the oracle unrolls
+    * exactly this many rounds (a fixed-budget power iteration, the usual
+    * HITS deployment; convergence-to-fixpoint is not part of the
+    * contract, the iterate grid is).
+    */
+  val HitsIterations = 8
+
+  /** HITS hubs & authorities (Kleinberg 1999) — the second iterative
+    * linear-algebra operator next to personalized PageRank, on the
+    * DIRECTED fixture graph: a(v) ← Σ_{u→v} h(u), h(v) ← Σ_{v→u} a(v's
+    * targets), each phase max-normalized. Determinism contract: scores
+    * live on the 6-dp DECIMAL grid, so both Σ phases are EXACT
+    * (order-free) decimal sums; the max is exact; only the normalizing
+    * division runs in double (on bit-identical inputs) and lands back on
+    * the grid — the pr_toprank protocol with max-normalization instead
+    * of the dangling-mass scalar. Per iteration: two edge-keyed
+    * join+aggregates, two 1-row max broadcasts, one node-keyed merge;
+    * plans truncated per round ([[bfsOnGraph]] protocol). No driver data
+    * at all — even the normalizer stays a broadcast frame.
+    */
+  def hits(spark: SparkSession, dir: String, mod: Long = 10000,
+           k: Int = 20): DataFrame = {
+    val e = edges(spark, dir, mod).persist()
+    val nd = nodes(spark, dir, mod).persist()
+    graft.Caches.register(e); graft.Caches.register(nd)
+    val one = lit(1).cast("decimal(18,6)")
+    val zero = lit(0).cast("decimal(28,6)")
+    var scores = nd.select(col("id"), one.as("h"), one.as("a"))
+    for (_ <- 1 to HitsIterations) {
+      val aRaw = nd.join(
+          e.join(scores.select(col("id").as("src"), col("h")), Seq("src"))
+            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("sa")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("sa"), zero).as("sa"))
+      val aNorm = aRaw.crossJoin(broadcast(aRaw.agg(max(col("sa")).as("amax"))))
+        .select(col("id"),
+          round(col("sa").cast("double") / col("amax").cast("double"), 6)
+            .cast("decimal(18,6)").as("a"))
+      val hRaw = nd.join(
+          e.join(aNorm.select(col("id").as("dst"), col("a")), Seq("dst"))
+            .groupBy(col("src").as("id")).agg(sum(col("a")).as("sh")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("sh"), zero).as("sh"))
+      val hNorm = hRaw.crossJoin(broadcast(hRaw.agg(max(col("sh")).as("hmax"))))
+        .select(col("id"),
+          round(col("sh").cast("double") / col("hmax").cast("double"), 6)
+            .cast("decimal(18,6)").as("h"))
+      val nextRaw = aNorm.join(hNorm, Seq("id"))
+      val next = graft.Caches.register(
+        spark.createDataFrame(nextRaw.rdd, nextRaw.schema).persist())
+      next.count()
+      scores = next.select(col("id"), col("h"), col("a"))
+    }
+    scores.orderBy(col("a").desc, col("id")).limit(k)
+      .select(col("id"), col("a").cast("double").as("authority"),
+        col("h").cast("double").as("hub"))
+  }
+
   /** Connected components of the fixture graph through the shared
     * [[Components]] large-star/small-star module — the module registered
     * as a first-class graph operator, not only as dedup plumbing.
@@ -572,6 +630,7 @@ object PageRank {
     "pr_components"     -> ((s, d) => components(s, d)),
     "pr_bfs"            -> ((s, d) => bfs(s, d)),
     "pr_sssp"           -> ((s, d) => sssp(s, d)),
+    "pr_hits"           -> ((s, d) => hits(s, d)),
     "pr_components_10k" -> ((s, d) => componentsSummary(s, d)),
     // Measurement tier, hash-gated since round 6: the 10-iteration CTE
     // unroll IS tractable in DuckDB at the t2 gate (~55k edges, <1 s) —
@@ -663,6 +722,7 @@ object PageRank {
          GROUP BY src""",
     "pr_bfs" -> bfsOracle(Seq(1L, 57L), mod = 10000),
     "pr_sssp" -> ssspOracle(Seq(1L, 57L), mod = 10000, rounds = SsspMaxRounds),
+    "pr_hits" -> hitsOracle(mod = 10000, iterations = HitsIterations, k = 20),
     "pr_toprank" -> topKOracle(Seq(3, 57), iterations = 10, k = 10),
     // hash-gated since round 6 (tractable: <1 s in DuckDB at sf0.01) —
     // the mod-10000 substitution of the identical unrolled protocol
@@ -728,6 +788,52 @@ object PageRank {
         SELECT nd.id, COALESCE(m.d, CAST(-1 AS BIGINT)) AS dist
         FROM nd LEFT JOIN
           (SELECT id, min(d) AS d FROM reach GROUP BY id) m ON nd.id = m.id"""
+  }
+
+  /** [[hits]] replay: the iterate grid unrolled verbatim — per round an
+    * authority sum+max-normalize pair then a hub pair, all sums exact
+    * DECIMAL, the one double division shared textually.
+    */
+  private def hitsOracle(mod: Long, iterations: Int, k: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH e AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+            FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+          nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+            (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+          s0 AS (SELECT id, CAST(1 AS DECIMAL(18,6)) AS h,
+                        CAST(1 AS DECIMAL(18,6)) AS a FROM nodes)""")
+    for (i <- 1 to iterations) sb ++=
+      s""",
+          ar$i AS MATERIALIZED (
+            SELECT n.id, coalesce(x.sa, CAST(0 AS DECIMAL(28,6))) AS sa
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS id, sum(s.h) AS sa
+              FROM s${i - 1} s JOIN e ON s.id = e.src GROUP BY e.dst) x
+            ON n.id = x.id),
+          am$i AS (SELECT max(sa) AS amax FROM ar$i),
+          a$i AS MATERIALIZED (
+            SELECT id, CAST(round(CAST(sa AS DOUBLE) / CAST(amax AS DOUBLE), 6)
+                            AS DECIMAL(18,6)) AS a
+            FROM ar$i, am$i),
+          hr$i AS MATERIALIZED (
+            SELECT n.id, coalesce(x.sh, CAST(0 AS DECIMAL(28,6))) AS sh
+            FROM nodes n LEFT JOIN (
+              SELECT e.src AS id, sum(a.a) AS sh
+              FROM a$i a JOIN e ON a.id = e.dst GROUP BY e.src) x
+            ON n.id = x.id),
+          hm$i AS (SELECT max(sh) AS hmax FROM hr$i),
+          s$i AS MATERIALIZED (
+            SELECT a$i.id,
+              CAST(round(CAST(sh AS DOUBLE) / CAST(hmax AS DOUBLE), 6)
+                   AS DECIMAL(18,6)) AS h,
+              a$i.a
+            FROM a$i JOIN hr$i ON a$i.id = hr$i.id, hm$i)"""
+    sb ++=
+      s"""
+          SELECT id, CAST(a AS DOUBLE) AS authority, CAST(h AS DOUBLE) AS hub
+          FROM s$iterations ORDER BY a DESC, id LIMIT $k"""
+    sb.toString
   }
 
   /** [[sssp]] replay: UNROLLED min-relaxation rounds (the

@@ -339,6 +339,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "text_pmi_pairs" -> "1-row global line count broadcast (A5: sentinel replaced)",
       "text_llr_pairs" -> "1-row global doc count broadcast (same A5 shape as PMI)",
       "text_pmi_stripes" -> "same pmiPairs plan under the map re-shape (A5 broadcast)",
+      "ta_keywords" -> "1-row doc-count (N) broadcast for the idf term",
+      "ta_source_kl" -> "1-row corpus token total broadcast (bm25 stats shape)",
+      "q11_top_nations" -> "1-row global balance total broadcast (the scalar subquery)",
+      "ml_nb_train" -> "V x C model-grid crossJoin (vocabulary x class count, the NB model size) + 1-row vocab/doc-count broadcasts",
+      "ml_nb_apply" -> "inherits the bounded V x C grid + 1-row broadcasts through the model join",
+      "pr_hits" -> "1-row max-normalizer broadcast per iteration (pr_toprank scalar shape)",
     )
     Caches.releaseAll()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
