@@ -527,9 +527,12 @@ object PageRank {
   /** HITS iteration count — like [[SsspMaxRounds]], the oracle unrolls
     * exactly this many rounds (a fixed-budget power iteration, the usual
     * HITS deployment; convergence-to-fixpoint is not part of the
-    * contract, the iterate grid is).
+    * contract, the iterate grid is). 5 double-phase iterations = 10
+    * edge-sized joins, the same round budget as the pr_toprank tier (each
+    * HITS iteration is TWO propagation rounds, so the budget in rounds —
+    * not iterations — is what's matched).
     */
-  val HitsIterations = 8
+  val HitsIterations = 5
 
   /** HITS hubs & authorities (Kleinberg 1999) — the second iterative
     * linear-algebra operator next to personalized PageRank, on the
@@ -545,37 +548,53 @@ object PageRank {
     * at all — even the normalizer stays a broadcast frame.
     */
   def hits(spark: SparkSession, dir: String, mod: Long = 10000,
-           k: Int = 20): DataFrame = {
-    val e = edges(spark, dir, mod).persist()
-    val nd = nodes(spark, dir, mod).persist()
-    graft.Caches.register(e); graft.Caches.register(nd)
+           k: Int = 20, partitions: Int = 16): DataFrame = {
+    // both phases join the edge relation, one on src and one on dst —
+    // pre-partition a copy per key at the pinned tier width (the
+    // components-10k protocol) so no iteration ever re-exchanges the
+    // edge set; the iterate side is node-count-sized and cheap to move
+    val eBySrc = graft.Caches.memoized(spark, dir, s"graph:hits_esrc_$mod")(
+      edges(spark, dir, mod).repartition(partitions, col("src")))
+    val eByDst = graft.Caches.memoized(spark, dir, s"graph:hits_edst_$mod")(
+      edges(spark, dir, mod).repartition(partitions, col("dst")))
+    val nd = graft.Caches.memoized(spark, dir, s"graph:hits_nodes_$mod")(
+      nodes(spark, dir, mod).repartition(partitions, col("id")))
     val one = lit(1).cast("decimal(18,6)")
     val zero = lit(0).cast("decimal(28,6)")
+    // the runOnGraph protocol: the WHOLE power iteration is one lazy plan
+    // — zero mid-loop actions (each 1-row max normalizer is a broadcast
+    // subquery executed inside the final job; its raw-sum subtree also
+    // feeds the main consumer and ReuseExchange dedupes the shuffle), and
+    // a LAZY localCheckpoint cuts the tree per phase so re-optimization
+    // of the ~x6-referenced iterate doesn't compound (eager per-iteration
+    // persists + counts measured 3x slower: 16 tiny jobs of scheduling
+    // overhead against cold caches)
     var scores = nd.select(col("id"), one.as("h"), one.as("a"))
     for (_ <- 1 to HitsIterations) {
       val aRaw = nd.join(
-          e.join(scores.select(col("id").as("src"), col("h")), Seq("src"))
+          eBySrc.join(scores.select(col("id").as("src"), col("h")), Seq("src"))
             .groupBy(col("dst").as("id")).agg(sum(col("h")).as("sa")),
           Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("sa"), zero).as("sa"))
-      val aNorm = aRaw.crossJoin(broadcast(aRaw.agg(max(col("sa")).as("amax"))))
+      val aNorm = aRaw
+        .crossJoin(broadcast(aRaw.agg(max(col("sa")).as("amax"))))
         .select(col("id"),
           round(col("sa").cast("double") / col("amax").cast("double"), 6)
             .cast("decimal(18,6)").as("a"))
+        .localCheckpoint(eager = false)
       val hRaw = nd.join(
-          e.join(aNorm.select(col("id").as("dst"), col("a")), Seq("dst"))
+          eByDst.join(aNorm.select(col("id").as("dst"), col("a")), Seq("dst"))
             .groupBy(col("src").as("id")).agg(sum(col("a")).as("sh")),
           Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("sh"), zero).as("sh"))
-      val hNorm = hRaw.crossJoin(broadcast(hRaw.agg(max(col("sh")).as("hmax"))))
+      val hNorm = hRaw
+        .crossJoin(broadcast(hRaw.agg(max(col("sh")).as("hmax"))))
         .select(col("id"),
           round(col("sh").cast("double") / col("hmax").cast("double"), 6)
             .cast("decimal(18,6)").as("h"))
-      val nextRaw = aNorm.join(hNorm, Seq("id"))
-      val next = graft.Caches.register(
-        spark.createDataFrame(nextRaw.rdd, nextRaw.schema).persist())
-      next.count()
-      scores = next.select(col("id"), col("h"), col("a"))
+      scores = aNorm.join(hNorm, Seq("id"))
+        .select(col("id"), col("h"), col("a"))
+        .localCheckpoint(eager = false)
     }
     scores.orderBy(col("a").desc, col("id")).limit(k)
       .select(col("id"), col("a").cast("double").as("authority"),
