@@ -490,35 +490,48 @@ object PageRank {
     * the graph-parameterized core the hand-graph spec drives directly.
     */
   def ssspOnGraph(nodesDf: DataFrame, und: DataFrame,
-                  sources: Seq[Long]): DataFrame = {
+                  sources: Seq[Long], partitions: Int = 16): DataFrame = {
     val spark = und.sparkSession
     import spark.implicits._
-    val wadj = und.select(col("a").as("v"), col("b").as("n"))
-      .union(und.select(col("b").as("v"), col("a").as("n")))
-      .withColumn("w", edgeWeight(col("v"), col("n")))
+    // inline persisted prep (the topK protocol): every relaxation round
+    // joins the weighted adjacency on v — pre-partition it ONCE at the
+    // tier width so rounds exchange only the node-count-sized distance
+    // relation, never the edge set
+    val wadj = graft.Caches.register(
+      und.select(col("a").as("v"), col("b").as("n"))
+        .union(und.select(col("b").as("v"), col("a").as("n")))
+        .withColumn("w", edgeWeight(col("v"), col("n")))
+        .repartition(partitions, col("v")).persist())
+    // FRONTIER Bellman-Ford: only edges out of nodes whose distance
+    // improved last round are relaxed (any future improvement must
+    // propagate from an improved node, so frontier-empty == the plain
+    // all-edges fixpoint — which is what the idempotent oracle unroll
+    // replays). Work per round tracks the improvement wavefront instead
+    // of staying |E| forever; convergence is the empty frontier, one
+    // bounded driver scalar per round (the bfs budget).
     var dist = graft.Caches.register(
       sources.toDF("id").withColumn("dist", lit(0L)).persist())
-    var cert = (0L, 0L) // (labeled count, Σdist) — monotone certificate
-    var converged = false
+    var frontier = dist
+    var frontierCount = frontier.count()
     var round = 0
-    while (!converged) {
+    while (frontierCount > 0) {
       round += 1
       require(round <= SsspMaxRounds,
         s"sssp exceeded $SsspMaxRounds rounds — oracle unroll would diverge")
-      val relaxed = wadj.join(dist.withColumnRenamed("id", "v"), Seq("v"))
+      val relaxed = wadj.join(frontier.withColumnRenamed("id", "v"), Seq("v"))
         .select(col("n").as("id"), (col("dist") + col("w")).as("cand"))
         .groupBy(col("id")).agg(min(col("cand")).as("cand"))
       val mergedRaw = dist.join(relaxed, Seq("id"), "full_outer")
         .select(col("id"),
           least(coalesce(col("dist"), col("cand")),
-            coalesce(col("cand"), col("dist"))).as("dist"))
+            coalesce(col("cand"), col("dist"))).as("dist"),
+          when(col("dist").isNull, lit(true))
+            .otherwise(coalesce(col("cand") < col("dist"), lit(false))).as("imp"))
       val merged = graft.Caches.register(
         spark.createDataFrame(mergedRaw.rdd, mergedRaw.schema).persist())
-      val row = merged.agg(count(lit(1)), sum(col("dist"))).head()
-      val next = (row.getLong(0), row.getLong(1))
-      converged = next == cert
-      cert = next
-      dist = merged
+      frontierCount = merged.where(col("imp")).count()
+      frontier = merged.where(col("imp")).select(col("id"), col("dist"))
+      dist = merged.select(col("id"), col("dist"))
     }
     nodesDf.join(dist, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
