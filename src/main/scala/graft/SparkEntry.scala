@@ -44,6 +44,7 @@ object SparkEntry {
       (operators.Skew.queries, operators.Skew.oracles),
       (operators.RuntimeFilter.queries, operators.RuntimeFilter.oracles),
       (operators.Layout.queries, operators.Layout.oracles),
+      (operators.Compact.queries, operators.Compact.oracles),
       (sources.Tbl.queries, sources.Tbl.oracles),
       (sources.Jsonl.queries, sources.Jsonl.oracles),
       (sources.Bucketed.queries, sources.Bucketed.oracles),

@@ -464,6 +464,60 @@ object InvertedIndex {
     (indexBytes, rawTextBytes)
   }
 
+  /** More-like-this retrieval (the Lucene MLT contract): each query
+    * DOCUMENT is reduced to its [[nTerms]] highest-TF-IDF terms (the
+    * ta_keywords scoring, computed from the same postings relation), and
+    * those terms run as a BM25 query against the rest of the corpus —
+    * document-as-query similarity search on the sparse index, the lexical
+    * twin of sim_knn_classify's embedding probe. Everything downstream of
+    * term selection is the bm25 plan per query doc: bounded candidate
+    * postings, candidate-pruned dl, 1-row stats broadcast, exact-decimal
+    * contribution sums; the final cut is a window PARTITIONED BY query
+    * doc over the candidate-bounded score set.
+    */
+  def moreLikeThis(spark: SparkSession, dir: String,
+                   queryDocs: Seq[Long] = Seq(3L, 57L), nTerms: Int = 3,
+                   k1: Double = 1.2, b: Double = 0.75, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = postingsRelation(spark, dir)
+    val stats = post.agg(count_distinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("sum_dl"))
+    val dfAll = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = post.filter(col("doc_id").isin(queryDocs: _*))
+      .join(broadcast(dfAll), "term")
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .withColumn("tfidf",
+        expr("CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
+      .where(col("rn") <= nTerms)
+      .select(col("doc_id").as("qdoc"), col("term"))
+    val matched = post.join(qterms, Seq("term"))
+      .where(col("doc_id") =!= col("qdoc"))
+    val dl = post.join(matched.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf6 = round(
+      log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)), 6)
+    val tfn = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    matched
+      .join(broadcast(dfAll), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qdoc"), col("doc_id"),
+        round(idf6 * tfn, 6).cast("decimal(18,6)").as("contrib"))
+      .groupBy(col("qdoc"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_d"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qdoc")).orderBy(col("score_d").desc, col("doc_id"))))
+      .where(col("rank") <= topN)
+      .select(col("qdoc"), col("doc_id"),
+        col("score_d").cast("double").as("score"), col("rank"))
+  }
+
   // Fixed query over the fixture vocabulary: (spark AND table) OR merge.
   private val demoQuery = "spark table AND merge OR"
   private val demoPhrase = Seq("table", "hash")
@@ -512,6 +566,44 @@ object InvertedIndex {
             FROM post p JOIN qt q USING (term) JOIN dl d USING (doc_id) CROSS JOIN st
             GROUP BY p.doc_id))
         WHERE rank <= 20"""
+
+  private lazy val mltOracleSql =
+    s"""WITH post AS MATERIALIZED (
+          SELECT term, doc_id, count(*) AS tf
+          FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          GROUP BY term, doc_id),
+        st AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                      CAST(sum(tf) AS BIGINT) AS sum_dl FROM post),
+        dfa AS MATERIALIZED (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+        qt AS (SELECT qdoc, term FROM (
+                 SELECT p.doc_id AS qdoc, p.term,
+                        row_number() OVER (PARTITION BY p.doc_id ORDER BY
+                          CAST(p.tf AS DOUBLE)
+                            * ln(CAST(st.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) DESC,
+                          p.term) AS rn
+                 FROM post p JOIN dfa d USING (term) CROSS JOIN st
+                 WHERE p.doc_id IN (3, 57))
+               WHERE rn <= 3),
+        m AS (SELECT q.qdoc, p.term, p.doc_id, p.tf
+              FROM post p JOIN qt q USING (term) WHERE p.doc_id <> q.qdoc),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post
+               WHERE doc_id IN (SELECT DISTINCT doc_id FROM m) GROUP BY doc_id),
+        sc AS (SELECT m.qdoc, m.doc_id,
+                 sum(CAST(round(
+                   round(ln((CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+                   * (CAST(m.tf AS DOUBLE) * 2.2 /
+                      (CAST(m.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                        (CAST(l.dl AS DOUBLE) /
+                         (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))),
+                   6) AS DECIMAL(18,6))) AS score_d
+               FROM m JOIN dfa d USING (term) JOIN dl l USING (doc_id) CROSS JOIN st
+               GROUP BY m.qdoc, m.doc_id)
+        SELECT qdoc, doc_id, CAST(score_d AS DOUBLE) AS score, rank
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY qdoc ORDER BY score_d DESC, doc_id) AS rank
+              FROM sc)
+        WHERE rank <= 10"""
 
   private lazy val statsOracleSql =
     s"""SELECT term, count(*) AS df, min(doc_id) AS first_doc,
@@ -563,6 +655,7 @@ object InvertedIndex {
     "ir_boolean" -> ((s, d) => booleanQuery(s, d, demoQuery)),
     "ir_retrieve" -> ((s, d) => retrieve(s, d, demoQuery)),
     "ir_bm25" -> ((s, d) => bm25(s, d)),
+    "ir_mlt" -> ((s, d) => moreLikeThis(s, d)),
     "ir_phrase" -> ((s, d) => phraseQuery(s, d, demoPhrase)),
     "ir_proximity" -> ((s, d) => proximityQuery(s, d, demoNear._1, demoNear._2, demoNear._3)),
     "ir_prefix" -> ((s, d) => prefixSearch(s, d, demoPrefix)),
@@ -600,6 +693,7 @@ object InvertedIndex {
     // byte-identical to the in-session forms
     "ir_boolean_persisted" -> booleanOracleSql,
     "ir_bm25" -> bm25OracleSql,
+    "ir_mlt" -> mltOracleSql,
     "ir_bm25_persisted" -> bm25OracleSql,
     "ir_ql_dirichlet" -> qlDirichletOracleSql,
     "ir_retrieve" ->
