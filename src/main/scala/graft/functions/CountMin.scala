@@ -152,8 +152,38 @@ object CountMin {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("r"), col("c"), col("n"))
 
+  /** Join-size estimation from sketches — the query-OPTIMIZER use of CM
+    * (Alon-Matias-Szegedy F₂ / Cormode-Muthukrishnan inner product): the
+    * self-join size Σ_k f(k)² of events on user_id, estimated as
+    * min_r Σ_c cell[r][c]² without touching per-key frequencies. This is
+    * how a planner sizes a join it hasn't run: each side keeps a d×w
+    * sketch (mergeable, broadcastable), and the inner product of
+    * matching rows bounds the output cardinality from above —
+    * est ≥ exact always (collision cross-terms only add), and
+    * est ≤ exact + (e/w)·N² with probability 1−e^{−d}. Both the exact
+    * value (one grouped aggregate) and the estimate are deterministic
+    * (md5 hash family), so the gate pins the NUMBERS and both bound
+    * booleans.
+    */
+  def selfJoinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = graft.Tables.events(spark, dir).select(col("user_id").as("key"))
+    val est = cells(keyed)
+      .groupBy(col("r")).agg(sum(col("n") * col("n")).as("sq"))
+      .agg(min(col("sq")).as("cm_est"))
+    val exact = keyed.groupBy(col("key")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("exact_f2"), sum(col("f")).as("n"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n"), col("exact_f2"), col("cm_est"),
+        (col("cm_est") >= col("exact_f2")).as("ge_exact"),
+        (col("cm_est").cast("double") <=
+          col("exact_f2").cast("double") +
+            lit(2.718281828459045 / Width) *
+              col("n").cast("double") * col("n").cast("double")).as("within_bound"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_countmin" -> ((s, d) => estimates(s, d)),
+    "op_join_estimate" -> ((s, d) => selfJoinEstimate(s, d)),
     // cross-run merge: per-day sketches persisted as Parquet artifacts,
     // reopened, cell-wise summed, serving full-corpus estimates
     "ev_countmin_merged" -> ((s, d) => mergedEstimates(s, d)),
@@ -217,6 +247,28 @@ object CountMin {
           SELECT e.key, e.n_exact, est.cm_est,
                  est.cm_est - e.n_exact AS overestimate
           FROM exact e JOIN est ON e.key = est.key""",
+    "op_join_estimate" ->
+      s"""WITH s AS (SELECT user_id AS key FROM events),
+          rc AS (
+            SELECT key, r,
+                   ('0x' || substr(md5(r || ':' || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+                     % $Width AS c
+            FROM s, generate_series(0, ${Depth - 1}) AS g(r)),
+          cells AS (
+            SELECT r, c, CAST(count(*) AS BIGINT) AS n FROM rc GROUP BY r, c),
+          est AS (
+            SELECT CAST(min(sq) AS BIGINT) AS cm_est FROM (
+              SELECT r, sum(n * n) AS sq FROM cells GROUP BY r)),
+          exact AS (
+            SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2,
+                   CAST(sum(f) AS BIGINT) AS n
+            FROM (SELECT count(*) AS f FROM s GROUP BY key))
+          SELECT n, exact_f2, cm_est,
+                 cm_est >= exact_f2 AS ge_exact,
+                 CAST(cm_est AS DOUBLE) <=
+                   CAST(exact_f2 AS DOUBLE) + ${2.718281828459045 / Width}
+                     * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) AS within_bound
+          FROM exact, est""",
     "st_countmin" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
                    AS window_start,
