@@ -574,11 +574,44 @@ object Temporal {
       .withColumn("anomaly", coalesce(abs(col("z")) > flagZ, lit(false)))
   }
 
+  /** Time-BOUNDED funnel: each stage counts only if it happens within
+    * [[FunnelWindowMs]] of the previous stage's earliest qualifying
+    * event — the conversion-attribution semantics real funnels use (an
+    * unbounded funnel credits a purchase years after the click). Same
+    * chained-grouped-mins shape as [[funnel]] with the window predicate
+    * added to each stage join; rows are per-user with the stage reached
+    * UNDER the window, so the two funnels' stage distributions are
+    * directly comparable.
+    */
+  val FunnelWindowMs: Long = 7L * 24 * 3600 * 1000
+
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), ms("ts").as("t_ms"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t_ms")).as("s_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(s, "user_id")
+      .where(col("t_ms") >= col("s_ms") &&
+        col("t_ms") <= col("s_ms") + FunnelWindowMs)
+      .groupBy(col("user_id")).agg(min(col("t_ms")).as("c_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("t_ms") >= col("c_ms") &&
+        col("t_ms") <= col("c_ms") + FunnelWindowMs)
+      .groupBy(col("user_id")).agg(min(col("t_ms")).as("p_ms"))
+    s.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("s_ms"), col("c_ms"), col("p_ms"),
+        (lit(1L) + when(col("c_ms").isNotNull, 1L).otherwise(0L)
+          + when(col("p_ms").isNotNull, 1L).otherwise(0L)).as("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_moments"        -> ((s, d) => moments(s, d)),
     "ev_transitions"    -> ((s, d) => transitions(s, d)),
     "ev_running_total"  -> ((s, d) => runningTotals(s, d)),
     "ev_seasonal_anomaly" -> ((s, d) => seasonalAnomaly(s, d)),
+    "ev_funnel_windowed"  -> ((s, d) => funnelWindowed(s, d)),
     "ev_decay_score"    -> ((s, d) => decayScore(s, d)),
     "ev_user_deltas"    -> ((s, d) => userDeltas(s, d)),
     "ev_asof_join"      -> ((s, d) => asofJoin(s, d)),
@@ -757,6 +790,23 @@ object Temporal {
          p AS (SELECT e.user_id, min(t_ms) AS p_ms
                FROM e JOIN c USING (user_id)
                WHERE event_type = 'purchase' AND t_ms >= c_ms GROUP BY e.user_id)
+         SELECT s.user_id, s_ms, c_ms, p_ms,
+           CAST(1 + (CASE WHEN c_ms IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN p_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+         FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "ev_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type,
+               epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms FROM events),
+         s AS (SELECT user_id, min(t_ms) AS s_ms FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(t_ms) AS c_ms
+               FROM e JOIN s USING (user_id)
+               WHERE event_type = 'click' AND t_ms >= s_ms
+                 AND t_ms <= s_ms + 604800000 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(t_ms) AS p_ms
+               FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND t_ms >= c_ms
+                 AND t_ms <= c_ms + 604800000 GROUP BY e.user_id)
          SELECT s.user_id, s_ms, c_ms, p_ms,
            CAST(1 + (CASE WHEN c_ms IS NOT NULL THEN 1 ELSE 0 END)
                   + (CASE WHEN p_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage

@@ -329,11 +329,7 @@ object Multimodal {
     */
   def phashPairs(spark: SparkSession, dir: String, maxHamming: Int = 9): DataFrame = {
     require(maxHamming == 9, "banding fixed at 10x6 bits")
-    val hs = imageDHash(spark, dir)
-    val blocks = hs.select(col("doc_id"), col("dhash"),
-      explode(expr("transform(sequence(0, 9), " +
-        "b -> struct(b AS blk, shiftright(dhash, b*6) & 63 AS bval))")).as("bk"))
-      .select(col("doc_id"), col("dhash"), col("bk.blk").as("blk"), col("bk.bval").as("bval"))
+    val blocks = dhashBlocks(imageDHash(spark, dir))
     blocks.toDF("d1", "h1", "blk", "bval")
       .join(blocks.toDF("d2", "h2", "blk2", "bval2"),
         col("blk") === col("blk2") && col("bval") === col("bval2") && col("d1") < col("d2"))
@@ -341,6 +337,41 @@ object Multimodal {
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Banded block explosion of the dHash table (10 bands × 6 bits) —
+    * shared by the pair join and the query-by-image search.
+    */
+  private def dhashBlocks(hs: DataFrame): DataFrame =
+    hs.select(col("doc_id"), col("dhash"),
+      explode(expr("transform(sequence(0, 9), " +
+        "b -> struct(b AS blk, shiftright(dhash, b*6) & 63 AS bval))")).as("bk"))
+      .select(col("doc_id"), col("dhash"), col("bk.blk").as("blk"),
+        col("bk.bval").as("bval"))
+
+  /** Query-by-image: top-k perceptual neighbors of each query image by
+    * dHash Hamming distance, candidates restricted to images sharing ≥1
+    * of the 10 bands (the mm_phash_pairs machinery pointed at a bounded
+    * query set instead of all-pairs — the ANN probe next to sim_topk's
+    * embedding probes). Deterministic end to end: a true neighbor
+    * differing in every band is invisible to BOTH engines identically,
+    * the documented banding contract.
+    */
+  def phashSearch(spark: SparkSession, dir: String,
+                  queryDocs: Seq[Long] = Seq(0L, 57L), k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = dhashBlocks(imageDHash(spark, dir))
+    val qb = blocks.where(col("doc_id").isin(queryDocs: _*))
+      .toDF("qdoc", "qh", "blk", "bval")
+    qb.join(blocks.toDF("doc_id", "h", "blk2", "bval2"),
+        col("blk") === col("blk2") && col("bval") === col("bval2") &&
+          col("qdoc") =!= col("doc_id"))
+      .select(col("qdoc"), col("qh"), col("doc_id"), col("h")).distinct()
+      .select(col("qdoc"), col("doc_id"),
+        bit_count(col("qh").bitwiseXOR(col("h"))).as("hamming"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qdoc")).orderBy(col("hamming"), col("doc_id"))))
+      .where(col("rank") <= k)
   }
 
   /** MJPEG-style video demuxer: the container is a bare concatenation of
@@ -533,7 +564,33 @@ object Multimodal {
     "mm_wav_decode"   -> ((s, d) => wavDecode(s, d)),
     "mm_video_decode" -> ((s, d) => videoDecode(s, d)),
     "mm_phash_pairs"  -> ((s, d) => phashPairs(s, d)),
+    "mm_phash_search" -> ((s, d) => phashSearch(s, d)),
   )
+
+  /** Oracle replay of the image dHash table (pixel formula → luma block
+    * sums → cross-multiplied dHash bits) — shared by mm_phash_pairs and
+    * mm_phash_search.
+    */
+  private val dhashCtes =
+    """px AS (
+           SELECT doc_id, w, h, p % w AS x, p // w AS y
+           FROM (SELECT doc_id, (16 + doc_id % 64)::BIGINT AS w,
+                        (16 + doc_id % 48)::BIGINT AS h,
+                        unnest(generate_series(0, (16 + doc_id % 64)*(16 + doc_id % 48) - 1)) AS p
+                 FROM documents WHERE doc_id % 3 = 0)),
+         blk AS (
+           SELECT doc_id, (y*6)//h AS r, (x*11)//w AS c,
+                  sum((doc_id*31 + x*7 + y*13) % 256 + (doc_id*17 + x*3 + y*5) % 256
+                      + (doc_id*29 + x*11 + y*19) % 256) AS s,
+                  count(*) AS n
+           FROM px GROUP BY doc_id, (y*6)//h, (x*11)//w),
+         hs AS (
+           SELECT l.doc_id,
+                  CAST(sum(CASE WHEN rb.s * l.n > l.s * rb.n
+                           THEN (1::BIGINT << (l.r*10 + l.c)) ELSE 0 END) AS BIGINT) AS dhash
+           FROM blk l JOIN blk rb
+             ON rb.doc_id = l.doc_id AND rb.r = l.r AND rb.c = l.c + 1
+           GROUP BY l.doc_id)"""
 
   val oracles: Map[String, String] = Map(
     // DuckDB has no md5(BLOB)/BLOB slicing; payload = UTF-8 bytes of text
@@ -644,29 +701,34 @@ object Multimodal {
     // brute-force hamming (the oracle may be n² — the REGISTERED plan is
     // the banded equi-join, asserted pigeonhole-exact in spec). A hash
     // match certifies decode, downsample, packing, and the pair set.
+    // (dhashCtes — the px→blk→hs replay — is shared with mm_phash_search.)
     "mm_phash_pairs" ->
-      """WITH px AS (
-           SELECT doc_id, w, h, p % w AS x, p // w AS y
-           FROM (SELECT doc_id, (16 + doc_id % 64)::BIGINT AS w,
-                        (16 + doc_id % 48)::BIGINT AS h,
-                        unnest(generate_series(0, (16 + doc_id % 64)*(16 + doc_id % 48) - 1)) AS p
-                 FROM documents WHERE doc_id % 3 = 0)),
-         blk AS (
-           SELECT doc_id, (y*6)//h AS r, (x*11)//w AS c,
-                  sum((doc_id*31 + x*7 + y*13) % 256 + (doc_id*17 + x*3 + y*5) % 256
-                      + (doc_id*29 + x*11 + y*19) % 256) AS s,
-                  count(*) AS n
-           FROM px GROUP BY doc_id, (y*6)//h, (x*11)//w),
-         hs AS (
-           SELECT l.doc_id,
-                  CAST(sum(CASE WHEN rb.s * l.n > l.s * rb.n
-                           THEN (1::BIGINT << (l.r*10 + l.c)) ELSE 0 END) AS BIGINT) AS dhash
-           FROM blk l JOIN blk rb
-             ON rb.doc_id = l.doc_id AND rb.r = l.r AND rb.c = l.c + 1
-           GROUP BY l.doc_id)
+      s"""WITH $dhashCtes
          SELECT a.doc_id AS d1, b.doc_id AS d2,
                 bit_count(xor(a.dhash, b.dhash)) AS hamming
          FROM hs a JOIN hs b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dhash, b.dhash)) <= 9""",
+    // mm_phash_search: same dhash replay; banded candidate generation
+    // (share ≥1 of the 10 6-bit blocks) then exact Hamming top-k per
+    // query — the deterministic ANN contract (a neighbor differing in
+    // every block is invisible to BOTH engines identically)
+    "mm_phash_search" ->
+      s"""WITH $dhashCtes,
+         qb AS (SELECT doc_id AS qdoc, dhash AS qh, b AS blk,
+                       (dhash >> (b*6)) & 63 AS bval
+                FROM hs, generate_series(0, 9) AS t(b)
+                WHERE doc_id IN (0, 57)),
+         cb AS (SELECT doc_id, dhash, b AS blk, (dhash >> (b*6)) & 63 AS bval
+                FROM hs, generate_series(0, 9) AS t(b)),
+         cand AS (SELECT DISTINCT qb.qdoc, qb.qh, cb.doc_id, cb.dhash
+                  FROM qb JOIN cb ON qb.blk = cb.blk AND qb.bval = cb.bval
+                  WHERE qb.qdoc <> cb.doc_id),
+         sc AS (SELECT qdoc, doc_id,
+                       CAST(bit_count(xor(qh, dhash)) AS BIGINT) AS hamming
+                FROM cand)
+         SELECT qdoc, doc_id, hamming, rank
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY qdoc ORDER BY hamming, doc_id) AS rank FROM sc)
+         WHERE rank <= 5""",
   )
 }
