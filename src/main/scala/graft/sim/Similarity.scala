@@ -85,6 +85,60 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * the diversity pass a retrieval stack runs AFTER top-k — greedily
+    * pick k results maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s), so
+    * near-duplicate hits don't crowd the result list. Shape: the
+    * candidate pool is the bounded exact top-[[MmrCandidates]] probe
+    * (the ANN tiers are its scale path), its [[MmrCandidates]]² pairwise
+    * cosines are one tiny self-join, and each greedy step is an argmax
+    * over ≤ pool-size rows — the per-step 1-row pick is a bounded driver
+    * scalar (the components convergence-certificate budget), never a
+    * corpus-sized collect. All cosines on the 6-dp grid; the MMR score
+    * is one fixed double expression; ties break on vec_id — the oracle
+    * unrolls the k greedy steps verbatim.
+    */
+  val MmrLambda = 0.7
+  val MmrCandidates = 20
+  val MmrK = 5
+
+  def mmr(spark: SparkSession, dir: String, queryId: Long = 3L): DataFrame = {
+    import spark.implicits._
+    val e = exactInput(spark, dir)
+    val q = e.filter(col("vec_id") === queryId).toDF("qid", "qe", "qn")
+    val cand = graft.Caches.register(
+      e.toDF("vec_id", "ce", "cn").crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("vec_id"), col("ce"), col("cn"),
+          cosinePre(col("qe"), col("qn"), col("ce"), col("cn")).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(MmrCandidates)
+        .persist())
+    val pair = graft.Caches.register(
+      cand.select(col("vec_id").as("v1"), col("ce").as("e1"), col("cn").as("n1"))
+        .join(cand.select(col("vec_id").as("v2"), col("ce").as("e2"), col("cn").as("n2")),
+          col("v1") =!= col("v2"))
+        .select(col("v1"), col("v2"),
+          cosinePre(col("e1"), col("n1"), col("e2"), col("n2")).as("sim"))
+        .persist())
+    var selected = Vector.empty[(Long, Long, Double, Double)] // (rank, id, rel, mmr)
+    for (t <- 1 to MmrK) {
+      val chosen = selected.map(_._2)
+      val maxSim =
+        if (chosen.isEmpty) cand.select(col("vec_id").as("v1"), lit(0.0).as("ms"))
+        else pair.where(col("v2").isin(chosen: _*))
+          .groupBy(col("v1")).agg(max(col("sim")).as("ms"))
+      val pick = cand.where(!col("vec_id").isin(chosen: _*))
+        .join(maxSim, col("vec_id") === col("v1"), "left_outer")
+        .select(col("vec_id"), col("rel"),
+          round(lit(MmrLambda) * col("rel") -
+            lit(1 - MmrLambda) * coalesce(col("ms"), lit(0.0)), 6).as("mmr"))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .head()
+      selected :+= ((t.toLong, pick.getLong(0), pick.getDouble(1), pick.getDouble(2)))
+    }
+    selected.toDF("rank", "vec_id", "rel", "mmr")
+  }
+
   private val SketchBits = 16
   private val SketchBands = 4
   private val SketchRows = 4
@@ -838,9 +892,58 @@ object Similarity {
        (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
         sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)"""
 
+  /** [[mmr]] replay: candidate pool + pairwise cosines, then the k greedy
+    * steps unrolled (each = one argmax CTE over the not-yet-selected
+    * pool). λ and 1−λ are interpolated from the SAME doubles Spark uses
+    * (1−0.7 is 0.30000000000000004 in IEEE — writing '0.3' would be a
+    * different constant).
+    */
+  private def mmrOracle(queryId: Long, nCand: Int, k: Int): String = {
+    val lam = MmrLambda
+    val oneMinus = 1 - MmrLambda
+    val sb = new StringBuilder(
+      s"""WITH cand AS MATERIALIZED (
+            SELECT vec_id, rel FROM (
+              SELECT b.vec_id AS vec_id, $cosSql AS rel,
+                     row_number() OVER (ORDER BY $cosSql DESC, b.vec_id) AS rn
+              FROM embeddings a JOIN embeddings b
+                ON b.vec_id <> a.vec_id AND b.vec_id < $MaxExactVectors
+              WHERE a.vec_id = $queryId)
+            WHERE rn <= $nCand),
+          ce AS MATERIALIZED (
+            SELECT c.vec_id, c.rel, e.embedding FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id),
+          pair AS MATERIALIZED (
+            SELECT a.vec_id AS v1, b.vec_id AS v2, $cosSql AS sim
+            FROM ce a JOIN ce b ON a.vec_id <> b.vec_id),
+          sel0(vec_id) AS (SELECT CAST(NULL AS BIGINT) WHERE 1 = 0)""")
+    for (t <- 1 to k) sb ++=
+      s""",
+          s$t AS MATERIALIZED (
+            SELECT vec_id, rel, mmr FROM (
+              SELECT c.vec_id, c.rel,
+                     round($lam * c.rel - $oneMinus * coalesce(m.ms, 0.0), 6) AS mmr,
+                     row_number() OVER (ORDER BY
+                       round($lam * c.rel - $oneMinus * coalesce(m.ms, 0.0), 6) DESC,
+                       c.vec_id) AS rn
+              FROM cand c
+              LEFT JOIN (SELECT v1, max(sim) AS ms FROM pair
+                         WHERE v2 IN (SELECT vec_id FROM sel${t - 1}) GROUP BY v1) m
+                ON c.vec_id = m.v1
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1}))
+            WHERE rn = 1),
+          sel$t AS (SELECT vec_id FROM sel${t - 1} UNION ALL SELECT vec_id FROM s$t)"""
+    sb ++= (1 to k).map(t =>
+      s"""
+          SELECT CAST($t AS BIGINT) AS rank, vec_id, rel, mmr FROM s$t""")
+      .mkString(" UNION ALL ")
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "sim_topk"         -> ((s, d) => topK(s, d)),
+    "sim_mmr"          -> ((s, d) => mmr(s, d)),
     // Both ANN variants are approximate RELATIVE TO exact top-k but
     // deterministic in themselves (md5-derived LSH planes / seed-vector
     // quantizer), so both carry full SQL oracles; recall vs the
@@ -1017,6 +1120,7 @@ object Similarity {
                     ON b.vec_id <> a.vec_id
                   WHERE a.vec_id < 10))
           WHERE rank <= 3""",
+    "sim_mmr" -> mmrOracle(queryId = 3L, nCand = MmrCandidates, k = MmrK),
     // Full replay of the LSH pipeline: regenerate the md5 plane family
     // (w CTE: 16 bits × 64 dims — the fixture embedding width), sketch
     // every vector, band the bits into 4-bit integer bucket keys, then

@@ -321,6 +321,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.values.forall(_ == 3))
   }
 
+  test("MMR: greedy matches a scalar replay and diversifies vs plain top-k") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.mmr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == Similarity.MmrK && got.map(_._2).distinct.length == got.length)
+    // scalar replay of the greedy recurrence over the same candidate pool
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]) = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.map(i => x(i).toDouble * y(i).toDouble).sum
+      r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    }
+    val q = e(3L)
+    val cand = e.toSeq.filter(_._1 != 3L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(Similarity.MmrCandidates)
+    var sel = Vector.empty[(Long, Double, Double)]
+    for (_ <- 1 to Similarity.MmrK) {
+      val pick = cand.filterNot(c => sel.exists(_._1 == c._1)).map { case (id, rel) =>
+        val ms = if (sel.isEmpty) 0.0
+                 else sel.map(s => cos(e(id), e(s._1))).max
+        (id, rel, r6(Similarity.MmrLambda * rel - (1 - Similarity.MmrLambda) * ms))
+      }.minBy { case (id, _, m) => (-m, id) }
+      sel :+= pick
+    }
+    assert(got.map(g => (g._2, g._3, g._4)).toSeq == sel,
+      s"greedy drifted: ${got.toSeq} vs $sel")
+    // diversification: the MMR set's mean pairwise similarity does not
+    // exceed the plain top-k head of the same pool
+    def meanPair(ids: Seq[Long]) = {
+      val ps = for (a <- ids; b <- ids if a < b) yield cos(e(a), e(b))
+      ps.sum / ps.size
+    }
+    val plain = cand.take(Similarity.MmrK).map(_._1)
+    assert(meanPair(got.map(_._2).toSeq) <= meanPair(plain) + 1e-9,
+      "MMR set is less diverse than plain top-k")
+  }
+
   test("LSH topk candidates score identically to exact where they overlap") {
     val exact = Similarity.topK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
