@@ -345,6 +345,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "ml_nb_train" -> "V x C model-grid crossJoin (vocabulary x class count, the NB model size) + 1-row vocab/doc-count broadcasts",
       "ml_nb_apply" -> "inherits the bounded V x C grid + 1-row broadcasts through the model join",
       "pr_hits" -> "1-row max-normalizer broadcast per iteration (pr_toprank scalar shape)",
+      "ir_mlt" -> "1-row corpus stats (N, avgdl) broadcast per query doc (the bm25 shape)",
+      "op_join_estimate" -> "1-row sketch-estimate x 1-row exact-F2 crossJoin",
     )
     Caches.releaseAll()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
