@@ -430,11 +430,59 @@ object TextAnalysis {
         sum(col("term")).cast("double").as("kl"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): hash every [[WinnowK]]-gram, slide a
+    * [[WinnowW]]-hash window, keep each window's RIGHTMOST minimal hash —
+    * the guarantee ta_fingerprint's whole-doc hashes and dedup_passages'
+    * fixed stride lack: any shared substring of length ≥ k+w−1 yields at
+    * least one shared fingerprint, with density ~2/(w+1) regardless of
+    * document length. Entirely per-row (one array fold per window,
+    * shuffle-free); md5-derived gram hashes so the oracle regenerates
+    * them, tie-break rightmost in both engines (fold keeps the later
+    * index on ≤; the oracle orders hash ASC, index DESC).
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // RELATIONAL form, not nested array lambdas: a first draft computed
+    // the gram-hash array and folded each window in-row, and Catalyst's
+    // projection collapsing inlined the non-cheap array aliases into
+    // every lambda reference — the tokenizer regex re-evaluated per
+    // window-element comparison, ~600 s of CPU on 1500 docs (the same
+    // pathology repetition()'s comment records). Exploding grams and
+    // window positions into rows makes every subexpression evaluate
+    // exactly once, and the pick is an equi-join + keyed window.
+    val tk = withToks(spark, dir)
+      .where(size(col("toks")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    val grams = tk
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, n - $WinnowK)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"""CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, $WinnowK))),
+                 1, 8), 16, 10) AS BIGINT) % 2147483647""").as("h"))
+    val winPos = tk
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, n - ${WinnowK + WinnowW - 1})")).as("p"))
+      .select(col("doc_id"), col("p"),
+        explode(expr(s"sequence(p, p + ${WinnowW - 1})")).as("i"))
+    winPos.join(grams, Seq("doc_id", "i"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("p"))
+          .orderBy(col("h").asc, col("i").desc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("i").cast("long").as("pos"), col("h").as("fp"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_corpus_stats" -> ((s, d) => corpusStats(s, d)),
     "ta_keywords"    -> ((s, d) => keywords(s, d)),
     "ta_readability" -> ((s, d) => readability(s, d)),
     "ta_source_kl"   -> ((s, d) => sourceKl(s, d)),
+    "ta_winnow"      -> ((s, d) => winnow(s, d)),
     "ta_token_stats" -> ((s, d) => tokenStats(s, d)),
     "ta_bpe_tokens"  -> ((s, d) => bpeTokenCount(s, d)),
     "ta_quality"     -> ((s, d) => qualityScore(s, d)),
@@ -574,6 +622,25 @@ object TextAnalysis {
                    (k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE)), 6)
                    AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
           FROM cnts GROUP BY doc_id, n""",
+    "ta_winnow" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          el AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= 6),
+          grams AS (
+            SELECT doc_id, i,
+                   ('0x' || substr(md5(array_to_string(toks[i+1 : i+3], ' ')), 1, 8))::BIGINT
+                     % 2147483647 AS h
+            FROM el, unnest(generate_series(0, n - 3)) AS t(i)),
+          wins AS (SELECT doc_id, p
+                   FROM (SELECT doc_id, n FROM el),
+                        unnest(generate_series(0, n - 6)) AS t(p)),
+          pick AS (
+            SELECT w.doc_id, w.p, g.i, g.h,
+                   row_number() OVER (PARTITION BY w.doc_id, w.p
+                                      ORDER BY g.h ASC, g.i DESC) AS rn
+            FROM wins w JOIN grams g
+              ON g.doc_id = w.doc_id AND g.i BETWEEN w.p AND w.p + 3)
+          SELECT DISTINCT doc_id, CAST(i AS BIGINT) AS pos, h AS fp
+          FROM pick WHERE rn = 1""",
     "ta_source_kl" ->
       s"""WITH tok AS (SELECT source, unnest($tokSql) AS w FROM documents),
           cells AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w),

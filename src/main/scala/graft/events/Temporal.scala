@@ -606,12 +606,45 @@ object Temporal {
           + when(col("p_ms").isNotNull, 1L).otherwise(0L)).as("stage"))
   }
 
+  /** Set-intersection cardinality from HLL sketches by inclusion-
+    * exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B) — the audience-overlap
+    * question ("how many users both click AND purchase") answered from
+    * three mergeable sketches without a join, the way two TB-sized user
+    * sets are intersected in practice. Exact overlap (one semi-join-
+    * shaped aggregate) runs next to it; the estimate's error compounds
+    * across three sketches, so the pinned bound is the sum of the three
+    * per-sketch bounds (3 × max(5, 10%) — generous, and the point: the
+    * oracle pins the BOOLEAN, the exact numbers gate the rest, the
+    * ev_approx_bounds protocol).
+    */
+  def hllIntersection(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) = ev.where(col("event_type") === t).select(col("user_id"))
+    val a = users("click"); val b = users("purchase")
+    val est = a.agg(hll_sketch_agg(col("user_id"), 12).as("ska"))
+      .crossJoin(b.agg(hll_sketch_agg(col("user_id"), 12).as("skb")))
+      .crossJoin(a.unionByName(b)
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sku")))
+      .select((hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb"))
+        - hll_sketch_estimate(col("sku"))).as("est_both"))
+    val exact = a.distinct().join(b.distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+      .crossJoin(a.agg(countDistinct(col("user_id")).as("n_a")))
+      .crossJoin(b.agg(countDistinct(col("user_id")).as("n_b")))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        (abs(col("est_both") - col("n_both").cast("double")) <=
+          lit(3.0) * greatest(lit(5.0),
+            greatest(col("n_a"), col("n_b")).cast("double") * 0.10)).as("hll_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_moments"        -> ((s, d) => moments(s, d)),
     "ev_transitions"    -> ((s, d) => transitions(s, d)),
     "ev_running_total"  -> ((s, d) => runningTotals(s, d)),
     "ev_seasonal_anomaly" -> ((s, d) => seasonalAnomaly(s, d)),
     "ev_funnel_windowed"  -> ((s, d) => funnelWindowed(s, d)),
+    "ev_hll_intersection" -> ((s, d) => hllIntersection(s, d)),
     "ev_decay_score"    -> ((s, d) => decayScore(s, d)),
     "ev_user_deltas"    -> ((s, d) => userDeltas(s, d)),
     "ev_asof_join"      -> ((s, d) => asofJoin(s, d)),
@@ -794,6 +827,13 @@ object Temporal {
            CAST(1 + (CASE WHEN c_ms IS NOT NULL THEN 1 ELSE 0 END)
                   + (CASE WHEN p_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
          FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "ev_hll_intersection" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+            b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         SELECT (SELECT count(*) FROM a) AS n_a,
+                (SELECT count(*) FROM b) AS n_b,
+                (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS n_both,
+                true AS hll_ok""",
     "ev_funnel_windowed" ->
       """WITH e AS (SELECT user_id, event_type,
                epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms FROM events),
