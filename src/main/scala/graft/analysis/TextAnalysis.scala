@@ -305,6 +305,27 @@ object TextAnalysis {
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
        w -> w <> '')"""
 
+  /** [[winnow]] replay — shared with dedup's winnow-pair join. */
+  private[graft] lazy val winnowOracleSql =
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        el AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= 6),
+        grams AS (
+          SELECT doc_id, i,
+                 ('0x' || substr(md5(array_to_string(toks[i+1 : i+3], ' ')), 1, 8))::BIGINT
+                   % 2147483647 AS h
+          FROM el, unnest(generate_series(0, n - 3)) AS t(i)),
+        wins AS (SELECT doc_id, p
+                 FROM (SELECT doc_id, n FROM el),
+                      unnest(generate_series(0, n - 6)) AS t(p)),
+        pick AS (
+          SELECT w.doc_id, w.p, g.i, g.h,
+                 row_number() OVER (PARTITION BY w.doc_id, w.p
+                                    ORDER BY g.h ASC, g.i DESC) AS rn
+          FROM wins w JOIN grams g
+            ON g.doc_id = w.doc_id AND g.i BETWEEN w.p AND w.p + 3)
+        SELECT DISTINCT doc_id, CAST(i AS BIGINT) AS pos, h AS fp
+        FROM pick WHERE rn = 1"""
+
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** BPE-ish token counting: subword-style segmentation by regex
@@ -444,7 +465,10 @@ object TextAnalysis {
   val WinnowK = 3
   val WinnowW = 4
 
-  def winnow(spark: SparkSession, dir: String): DataFrame = {
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "ta:winnow")(winnowUncached(spark, dir))
+
+  private def winnowUncached(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // RELATIONAL form, not nested array lambdas: a first draft computed
     // the gram-hash array and folded each window in-row, and Catalyst's
@@ -622,25 +646,7 @@ object TextAnalysis {
                    (k / CAST(n AS DOUBLE)) * log2(k / CAST(n AS DOUBLE)), 6)
                    AS DECIMAL(18,6))) AS DOUBLE) AS entropy_bits
           FROM cnts GROUP BY doc_id, n""",
-    "ta_winnow" ->
-      s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
-          el AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) >= 6),
-          grams AS (
-            SELECT doc_id, i,
-                   ('0x' || substr(md5(array_to_string(toks[i+1 : i+3], ' ')), 1, 8))::BIGINT
-                     % 2147483647 AS h
-            FROM el, unnest(generate_series(0, n - 3)) AS t(i)),
-          wins AS (SELECT doc_id, p
-                   FROM (SELECT doc_id, n FROM el),
-                        unnest(generate_series(0, n - 6)) AS t(p)),
-          pick AS (
-            SELECT w.doc_id, w.p, g.i, g.h,
-                   row_number() OVER (PARTITION BY w.doc_id, w.p
-                                      ORDER BY g.h ASC, g.i DESC) AS rn
-            FROM wins w JOIN grams g
-              ON g.doc_id = w.doc_id AND g.i BETWEEN w.p AND w.p + 3)
-          SELECT DISTINCT doc_id, CAST(i AS BIGINT) AS pos, h AS fp
-          FROM pick WHERE rn = 1""",
+    "ta_winnow" -> winnowOracleSql,
     "ta_source_kl" ->
       s"""WITH tok AS (SELECT source, unnest($tokSql) AS w FROM documents),
           cells AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w),

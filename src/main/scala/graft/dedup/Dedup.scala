@@ -1168,7 +1168,33 @@ object Dedup {
     */
   val StopShingleDf = 3L
 
+  /** Near-dup pairs by SHARED WINNOWING FINGERPRINTS (the MOSS pair
+    * report): docs sharing ≥ minShared of ta_winnow's window-min
+    * fingerprints. Winnowing's guarantee makes this the
+    * substring-overlap detector among the pair generators (any common
+    * run of ≥ k+w−1 tokens must share a fingerprint, so long quotes
+    * can't hide between fixed strides); the join is the standard
+    * fingerprint inverted index — never n² — with a df cap as the
+    * boilerplate-fingerprint skew guard (the dedup_ngram_capped
+    * discipline), and the fingerprint table is the shared ta:winnow
+    * memo.
+    */
+  def winnowPairs(spark: SparkSession, dir: String,
+                  minShared: Int = 3, dfCap: Int = 50): DataFrame = {
+    val fps = graft.analysis.TextAnalysis.winnow(spark, dir)
+      .select(col("doc_id"), col("fp")).distinct()
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap).select(col("fp"))
+    val cold = fps.join(hot, Seq("fp"), "left_anti")
+    cold.select(col("doc_id").as("d1"), col("fp"))
+      .join(cold.select(col("doc_id").as("d2"), col("fp")), Seq("fp"))
+      .where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "dedup_exact"         -> ((s, d) => exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
     // the 100 TB skew guard ON and oracle-gated: stop shingles with
@@ -1211,6 +1237,15 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_winnow_pairs" ->
+      s"""WITH fpt AS (SELECT DISTINCT doc_id, fp FROM
+            (${graft.analysis.TextAnalysis.winnowOracleSql})),
+          hot AS (SELECT fp FROM fpt GROUP BY fp HAVING count(*) > 50),
+          cold AS (SELECT * FROM fpt WHERE fp NOT IN (SELECT fp FROM hot))
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+          FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING count(*) >= 3""",
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
                 min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -518,6 +518,47 @@ object InvertedIndex {
         col("score_d").cast("double").as("score"), col("rank"))
   }
 
+  /** Retrieval evaluation harness: P@10 / MRR / nDCG@10 of the BM25
+    * ranking against a deterministic relevance set (docs containing ALL
+    * query terms — the conjunctive qrel both engines can derive, so the
+    * whole evaluation is oracle-replayable end to end). The metric
+    * arithmetic a search team runs on every ranking change, as one
+    * bounded aggregate over the ≤topN ranked rows: binary-relevance DCG
+    * terms 1/log2(rank+1) are 6-dp-rounded decimals (order-free sums),
+    * IDCG comes from an exploded 1-row sequence of the ideal ranks, MRR
+    * is 1/min(relevant rank). Zero relevant docs would yield null metrics
+    * in both engines alike.
+    */
+  def rankEval(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("spark", "table", "merge"),
+               k: Int = 10, topN: Int = 20): DataFrame = {
+    val post = postingsRelation(spark, dir)
+    val rel = post.filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      .where(col("nt") === terms.size)
+      .select(col("doc_id"))
+    val ranked = bm25(spark, dir, terms, topN = topN)
+      .join(rel.withColumn("is_rel", lit(1L)), Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("is_rel"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    val pk = ranked.where(col("rank") <= k)
+      .agg((sum(col("is_rel")).cast("double") / k).as("p_at_k"))
+    val mrr = ranked.where(col("is_rel") === 1)
+      .agg(round(lit(1.0) / min(col("rank")).cast("double"), 6).as("mrr"))
+    val dcg = ranked.where(col("rank") <= k && col("is_rel") === 1)
+      .agg(sum(expr("CAST(round(1.0 / log2(CAST(rank AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))"))
+        .as("dcg"))
+    val idcg = nRel
+      .select(explode(expr(s"sequence(1, least(n_relevant, ${k}L))")).as("r"))
+      .agg(sum(expr("CAST(round(1.0 / log2(CAST(r AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))"))
+        .as("idcg"))
+    nRel.crossJoin(broadcast(pk)).crossJoin(broadcast(mrr))
+      .crossJoin(broadcast(dcg)).crossJoin(broadcast(idcg))
+      .select(col("n_relevant"), round(col("p_at_k"), 6).as("p_at_k"), col("mrr"),
+        round(col("dcg").cast("double") / col("idcg").cast("double"), 6).as("ndcg_at_k"))
+  }
+
   // Fixed query over the fixture vocabulary: (spark AND table) OR merge.
   private val demoQuery = "spark table AND merge OR"
   private val demoPhrase = Seq("table", "hash")
@@ -605,6 +646,30 @@ object InvertedIndex {
               FROM sc)
         WHERE rank <= 10"""
 
+  private lazy val rankEvalOracleSql =
+    s"""WITH ranked AS (SELECT * FROM ($bm25OracleSql) t),
+        dw AS (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents),
+        rel AS (SELECT doc_id FROM dw
+                WHERE term IN ('spark', 'table', 'merge')
+                GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+        nr AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
+        j AS (SELECT r.doc_id, r.rank,
+                CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+              FROM ranked r LEFT JOIN rel USING (doc_id)),
+        pk AS (SELECT CAST(sum(is_rel) AS DOUBLE) / 10 AS p_at_k
+               FROM j WHERE rank <= 10),
+        m AS (SELECT round(1.0 / CAST(min(rank) AS DOUBLE), 6) AS mrr
+              FROM j WHERE is_rel = 1),
+        d AS (SELECT sum(CAST(round(1.0 / log2(CAST(rank AS DOUBLE) + 1.0), 6)
+                             AS DECIMAL(18,6))) AS dcg
+              FROM j WHERE rank <= 10 AND is_rel = 1),
+        i AS (SELECT sum(CAST(round(1.0 / log2(CAST(r AS DOUBLE) + 1.0), 6)
+                             AS DECIMAL(18,6))) AS idcg
+              FROM nr, unnest(generate_series(1, least(n_relevant, 10))) t(r))
+        SELECT n_relevant, round(p_at_k, 6) AS p_at_k, mrr,
+               round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg_at_k
+        FROM nr, pk, m, d, i"""
+
   private lazy val statsOracleSql =
     s"""SELECT term, count(*) AS df, min(doc_id) AS first_doc,
                max(doc_id) AS last_doc, CAST(sum(tf) AS BIGINT) AS total_tf
@@ -656,6 +721,7 @@ object InvertedIndex {
     "ir_retrieve" -> ((s, d) => retrieve(s, d, demoQuery)),
     "ir_bm25" -> ((s, d) => bm25(s, d)),
     "ir_mlt" -> ((s, d) => moreLikeThis(s, d)),
+    "ir_rank_eval" -> ((s, d) => rankEval(s, d)),
     "ir_phrase" -> ((s, d) => phraseQuery(s, d, demoPhrase)),
     "ir_proximity" -> ((s, d) => proximityQuery(s, d, demoNear._1, demoNear._2, demoNear._3)),
     "ir_prefix" -> ((s, d) => prefixSearch(s, d, demoPrefix)),
@@ -694,6 +760,7 @@ object InvertedIndex {
     "ir_boolean_persisted" -> booleanOracleSql,
     "ir_bm25" -> bm25OracleSql,
     "ir_mlt" -> mltOracleSql,
+    "ir_rank_eval" -> rankEvalOracleSql,
     "ir_bm25_persisted" -> bm25OracleSql,
     "ir_ql_dirichlet" -> qlDirichletOracleSql,
     "ir_retrieve" ->
