@@ -45,6 +45,7 @@ object SparkEntry {
       (operators.RuntimeFilter.queries, operators.RuntimeFilter.oracles),
       (operators.Layout.queries, operators.Layout.oracles),
       (operators.Compact.queries, operators.Compact.oracles),
+      (operators.Maintenance.queries, operators.Maintenance.oracles),
       (sources.Tbl.queries, sources.Tbl.oracles),
       (sources.Jsonl.queries, sources.Jsonl.oracles),
       (sources.Bucketed.queries, sources.Bucketed.oracles),

@@ -347,6 +347,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "pr_hits" -> "1-row max-normalizer broadcast per iteration (pr_toprank scalar shape)",
       "ir_mlt" -> "1-row corpus stats (N, avgdl) broadcast per query doc (the bm25 shape)",
       "op_join_estimate" -> "1-row sketch-estimate x 1-row exact-F2 crossJoin",
+      "ir_rank_eval" -> "1-row metric aggregates (P@k, MRR, DCG, IDCG) crossJoined",
+      "ev_hll_intersection" -> "1-row sketch estimates x 1-row exact counts crossJoin",
     )
     Caches.releaseAll()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
