@@ -638,6 +638,35 @@ object Temporal {
             greatest(col("n_a"), col("n_b")).cast("double") * 0.10)).as("hll_ok"))
   }
 
+  /** Exponential smoothing of daily volume per event type (EWMA,
+    * α = 1/2) — the time-series baseline next to [[seasonalAnomaly]]'s
+    * profile z-scores. α = 1/2 is chosen for exactness, not laziness:
+    * the recurrence s_t = (x_t + s_{t−1})/2 with s_1 = x_1 has the
+    * CLOSED FORM s_t = Σ_{j≥2} x_j/2^{t−j+1} + x_1/2^{t−1}, every weight
+    * an exact power of two — so each term is an exact IEEE double
+    * (integer count ≤ 2^14 scaled by 2^−k) and the ≤ 53-bit sum is exact
+    * in ANY order: the sequential fold becomes one windowed weighted
+    * sum, embarrassingly parallel and bit-identical cross-engine without
+    * the decimal-grid machinery. The self-join is (days per type)² —
+    * calendar-bounded, never event-bounded.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
+    daily.select(col("event_type"), col("day"), col("cnt"), col("t"))
+      .join(daily.select(col("event_type"), col("cnt").as("xj"), col("t").as("j")),
+        Seq("event_type"))
+      .where(col("j") <= col("t"))
+      .groupBy(col("event_type"), col("day"), col("t"), col("cnt"))
+      .agg(round(sum(col("xj").cast("double") *
+        pow(lit(0.5), col("t") - col("j") +
+          when(col("j") === 1, 0L).otherwise(1L))), 6).as("ewma"))
+      .select(col("event_type"), col("day"), col("cnt"), col("ewma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_moments"        -> ((s, d) => moments(s, d)),
     "ev_transitions"    -> ((s, d) => transitions(s, d)),
@@ -645,6 +674,7 @@ object Temporal {
     "ev_seasonal_anomaly" -> ((s, d) => seasonalAnomaly(s, d)),
     "ev_funnel_windowed"  -> ((s, d) => funnelWindowed(s, d)),
     "ev_hll_intersection" -> ((s, d) => hllIntersection(s, d)),
+    "ev_ewma"             -> ((s, d) => ewma(s, d)),
     "ev_decay_score"    -> ((s, d) => decayScore(s, d)),
     "ev_user_deltas"    -> ((s, d) => userDeltas(s, d)),
     "ev_asof_join"      -> ((s, d) => asofJoin(s, d)),
@@ -827,6 +857,21 @@ object Temporal {
            CAST(1 + (CASE WHEN c_ms IS NOT NULL THEN 1 ELSE 0 END)
                   + (CASE WHEN p_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
          FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "ev_ewma" ->
+      """WITH daily AS (
+           SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         idx AS (SELECT event_type, day, cnt,
+                   CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                        AS BIGINT) AS t
+                 FROM daily)
+         SELECT a.event_type, a.day, a.cnt,
+           round(sum(CAST(b.cnt AS DOUBLE) *
+             power(0.5, a.t - b.t + CASE WHEN b.t = 1 THEN 0 ELSE 1 END)), 6) AS ewma
+         FROM idx a JOIN idx b
+           ON a.event_type = b.event_type AND b.t <= a.t
+         GROUP BY a.event_type, a.day, a.cnt""",
     "ev_hll_intersection" ->
       """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
             b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')

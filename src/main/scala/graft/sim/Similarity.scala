@@ -139,6 +139,27 @@ object Similarity {
     selected.toDF("rank", "vec_id", "rel", "mmr")
   }
 
+  /** Measured ANN quality AS DATA: per-query recall@k of the LSH
+    * ranking against the exact top-k — the number an ANN deployment
+    * tracks per index build. Both rankings are already deterministic
+    * exact replays, so recall itself rides the hash gate (the spec-side
+    * recall assertions bound it; this row PINS it).
+    */
+  def recallAtK(spark: SparkSession, dir: String,
+                k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val ex = topK(spark, dir, k, nQueries).select(col("query_id"), col("vec_id"))
+    val ap = topKLsh(spark, dir, k, nQueries)
+      .select(col("query_id").as("qa"), col("vec_id").as("va"), lit(1L).as("hit"))
+    ex.join(ap, col("query_id") === col("qa") && col("vec_id") === col("va"),
+        "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_total"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("k_total"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("k_total").cast("double"), 6)
+          .as("recall"))
+  }
+
   private val SketchBits = 16
   private val SketchBands = 4
   private val SketchRows = 4
@@ -944,6 +965,7 @@ object Similarity {
     "sim_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "sim_topk"         -> ((s, d) => topK(s, d)),
     "sim_mmr"          -> ((s, d) => mmr(s, d)),
+    "sim_recall_at_k"  -> ((s, d) => recallAtK(s, d)),
     // Both ANN variants are approximate RELATIVE TO exact top-k but
     // deterministic in themselves (md5-derived LSH planes / seed-vector
     // quantizer), so both carry full SQL oracles; recall vs the
@@ -1525,5 +1547,19 @@ object Similarity {
     */
   val oracles: Map[String, String] = baseOracles ++ Map(
     "sim_index_persist" -> baseOracles("sim_topk_ivfpq"),
-    "sim_lsh_persist" -> baseOracles("sim_topk_lsh"))
+    "sim_lsh_persist" -> baseOracles("sim_topk_lsh"),
+    // recall@k re-derives BOTH rankings (each already an exact replay)
+    // and joins them — the measured ANN quality, as numbers under the
+    // hash gate instead of a spec-side assertion
+    "sim_recall_at_k" ->
+      s"""WITH ex AS (SELECT * FROM (${baseOracles("sim_topk")}) t),
+          ap AS (SELECT * FROM (${baseOracles("sim_topk_lsh")}) t)
+          SELECT ex.query_id, count(*) AS k_total,
+            CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hit,
+            round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS recall
+          FROM ex LEFT JOIN ap
+            ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+          GROUP BY ex.query_id""")
 }
