@@ -253,6 +253,22 @@ object Relational {
       .agg(count(lit(1)).as("n_repeat_customers"))
   }
 
+  /** Q13 (extension — TPC-H Q13 shape): customer order-count
+    * distribution INCLUDING zero-order customers — the left-outer +
+    * two-level aggregate (count a nullable column per key, then
+    * histogram the counts) that no inner-join pipeline can express.
+    * First aggregate keys on custkey (high cardinality, even shuffle);
+    * the second input is one row per customer.
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
   // Baked-in parameters for the driver-run registry: chosen so every query
   // is non-empty at sf0.001 (dates span 1995-01..2001-11 uniformly).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -268,6 +284,7 @@ object Relational {
     "q10_priority_lines"    -> ((s, d) => q10(s, d, "1996")),
     "q11_top_nations"       -> ((s, d) => q11(s, d)),
     "q12_repeat_customers"  -> ((s, d) => q12(s, d, "1996", "1997")),
+    "q13_order_dist"        -> ((s, d) => q13(s, d)),
   )
 
   // DuckDB-dialect oracles over the same Parquet tables. Column aliases
@@ -382,5 +399,11 @@ object Relational {
            WHERE strftime(o_orderdate, '%Y-%m-%d') LIKE '1997%') k
          JOIN customer ON k.o_custkey = c_custkey
          GROUP BY c_nationkey""",
+    "q13_order_dist" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_custkey)
+         GROUP BY c_count""",
   )
 }
