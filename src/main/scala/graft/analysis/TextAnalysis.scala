@@ -468,7 +468,14 @@ object TextAnalysis {
   def winnow(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.memoized(spark, dir, "ta:winnow")(winnowUncached(spark, dir))
 
-  private def winnowUncached(spark: SparkSession, dir: String): DataFrame = {
+  private def winnowUncached(spark: SparkSession, dir: String): DataFrame =
+    winnowOn(Tables.documents(spark, dir)
+      .withColumn("toks", Text.tokenize(col("text"))))
+
+  /** [[winnow]] over an explicit (doc_id, toks) frame — the
+    * frame-parameterized core the guarantee spec drives directly.
+    */
+  def winnowOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // RELATIONAL form, not nested array lambdas: a first draft computed
     // the gram-hash array and folded each window in-row, and Catalyst's
@@ -478,7 +485,7 @@ object TextAnalysis {
     // pathology repetition()'s comment records). Exploding grams and
     // window positions into rows makes every subexpression evaluate
     // exactly once, and the pick is an equi-join + keyed window.
-    val tk = withToks(spark, dir)
+    val tk = docs
       .where(size(col("toks")) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
     val grams = tk

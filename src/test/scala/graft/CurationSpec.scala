@@ -218,4 +218,35 @@ class CurationSpec extends AnyFunSuite {
       .where(col("split") =!= col("naive_split")).count()
     assert(moved > 0, "no doc moved splits — planted dups not exercising the guard")
   }
+
+  test("winnowing guarantees: window coverage and shared-substring detection") {
+    import spark.implicits._
+    import graft.analysis.TextAnalysis
+    // two docs sharing an EMBEDDED 8-token run (≥ k+w−1 = 6) inside
+    // otherwise-disjoint text, plus an unrelated doc
+    val shared = "the quick brown fox jumps over lazy dogs"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, s"one two three four five $shared six seven"),
+      (3L, "completely different words that never overlap with anything here ok"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", graft.text.Text.tokenize(col("text")))
+    val fps = TextAnalysis.winnowOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 1) shared ≥ k+w−1 run ⇒ at least one shared fingerprint VALUE
+    val f1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((f1 intersect f2).nonEmpty, "shared 8-token run produced no shared fingerprint")
+    // 2) density/coverage: within each doc, consecutive selected
+    //    positions are ≤ w apart (every window contributes a pick)
+    fps.groupBy(_._1).foreach { case (id, rows) =>
+      val pos = rows.map(_._2).sorted
+      val gaps = pos.zip(pos.tail).map { case (a, b) => b - a }
+      assert(gaps.forall(_ <= TextAnalysis.WinnowW),
+        s"doc $id fingerprint gap exceeds w: ${gaps.max}")
+    }
+    // 3) the unrelated doc shares nothing with doc 1
+    val f3 = fps.filter(_._1 == 3L).map(_._3).toSet
+    assert((f1 intersect f3).isEmpty, "disjoint docs share a fingerprint")
+  }
 }
