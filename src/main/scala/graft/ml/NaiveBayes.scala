@@ -33,33 +33,42 @@ import graft.text.Text
 object NaiveBayes {
 
   /** (doc_id, lang, w, tf) — per-document token frequencies. */
-  private def docTf(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private def docTfOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), explode(Text.tokenize(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("lang"), col("w"))
       .agg(count(lit(1)).as("tf"))
+
+  private def docTf(spark: SparkSession, dir: String): DataFrame =
+    docTfOn(Tables.documents(spark, dir))
 
   /** The smoothed model grid: every (lang, token) cell of V×C, with its
     * occurrence count (0 for unseen) and add-1-smoothed log-likelihood,
     * plus the per-class document-count log-prior replicated per row
     * (keeps the model a single relation).
     */
-  def nbModel(spark: SparkSession, dir: String): DataFrame = {
-    val tf = graft.Caches.memoized(spark, dir, "ml:nb_tf")(docTf(spark, dir))
+  def nbModel(spark: SparkSession, dir: String): DataFrame =
+    nbModelOn(Tables.documents(spark, dir),
+      graft.Caches.memoized(spark, dir, "ml:nb_tf")(docTf(spark, dir)))
+
+  /** [[nbModel]] over an explicit training-docs frame (the CV folds
+    * train on subsets).
+    */
+  private def nbModelOn(docs: DataFrame, tf: DataFrame): DataFrame = {
     val cellCnt = tf.groupBy(col("lang"), col("w"))
       .agg(sum(col("tf")).as("cnt"))
     val classTotal = cellCnt.groupBy(col("lang"))
       .agg(sum(col("cnt")).as("total"))
     val vocab = cellCnt.select(col("w")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
-    val docs = Tables.documents(spark, dir)
+    val byClass = docs
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
     classTotal.crossJoin(vocab)
       .join(cellCnt, Seq("lang", "w"), "left_outer")
       .na.fill(0L, Seq("cnt"))
       .crossJoin(broadcast(vsize))
-      .join(broadcast(docs.crossJoin(nDocs)), Seq("lang"))
+      .join(broadcast(byClass.crossJoin(nDocs)), Seq("lang"))
       .select(col("lang"), col("w").as("token"), col("cnt"),
         expr("""CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(total + v AS DOUBLE)), 6)
                 AS DECIMAL(18,6))""").as("loglik"),
@@ -98,9 +107,53 @@ object NaiveBayes {
         col("score").cast("double").as("score"))
   }
 
+  /** 5-fold cross-validation of the NB classifier — the evaluation
+    * PROTOCOL next to the resubstitution gate ([[apply_]]) and the
+    * holdout metrics (ml_roc_auc / ml_confusion): per fold, train on the
+    * other four md5-bucket folds, classify the held fold, report
+    * (n_test, n_correct, accuracy). Fold assignment is the repo's
+    * content-stable md5 bucketing (ml_hash_split convention), so both
+    * engines derive identical folds. Test docs whose every token is
+    * outside the fold's TRAIN vocabulary produce no score row and are
+    * excluded from n_test — identically in both engines (the documented
+    * closed-vocab boundary). Scores stay exact decimals, argmax
+    * tie-breaks on class — the whole 5-model protocol replays.
+    */
+  val CvFolds = 5
+
+  private def foldExpr = expr(
+    s"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $CvFolds")
+
+  def crossValidate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).withColumn("fold", foldExpr)
+    val perFold = (0 until CvFolds).map { f =>
+      val trainDocs = docs.where(col("fold") =!= f)
+      val model = nbModelOn(trainDocs, docTfOn(trainDocs))
+        .select(col("lang").as("cand"), col("token").as("w"),
+          col("loglik"), col("logprior"))
+      val scored = docTfOn(docs.where(col("fold") === f))
+        .join(broadcast(model), Seq("w"))
+        .groupBy(col("doc_id"), col("lang"), col("cand"))
+        .agg((first(col("logprior")) + sum(col("tf") * col("loglik"))).as("score"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))))
+        .where(col("rn") === 1)
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("cand") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+        .select(lit(f.toLong).as("fold"), col("n_test"), col("n_correct"))
+    }
+    perFold.reduce(_ unionByName _)
+      .select(col("fold"), col("n_test"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_test").cast("double"), 6)
+          .as("accuracy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_nb_train" -> ((s, d) => train(s, d)),
     "ml_nb_apply" -> ((s, d) => apply_(s, d)),
+    "ml_nb_cv"    -> ((s, d) => crossValidate(s, d)),
   )
 
   private val tokSql =
@@ -108,15 +161,18 @@ object NaiveBayes {
        w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
        w -> w <> '')"""
 
-  private val modelSql =
-    s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS w FROM documents),
+  /** The model-grid replay over a named docs relation — `documents` for
+    * the train/apply gates, a fold CTE for cross-validation.
+    */
+  private def modelSqlOn(src: String) =
+    s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS w FROM $src),
         tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM tok GROUP BY doc_id, lang, w),
         cell AS (SELECT lang, w, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY lang, w),
         ct AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total FROM cell GROUP BY lang),
         vocab AS (SELECT DISTINCT w FROM cell),
         vs AS (SELECT count(*) AS v FROM vocab),
-        dc AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
-        nd AS (SELECT count(*) AS n FROM documents),
+        dc AS (SELECT lang, count(*) AS n_docs FROM $src GROUP BY lang),
+        nd AS (SELECT count(*) AS n FROM $src),
         grid AS (SELECT ct.lang, vocab.w, coalesce(cell.cnt, 0) AS cnt, ct.total
                  FROM ct CROSS JOIN vocab
                  LEFT JOIN cell ON cell.lang = ct.lang AND cell.w = vocab.w)
@@ -127,7 +183,41 @@ object NaiveBayes {
                AS DECIMAL(18,6)) AS logprior
         FROM grid CROSS JOIN vs JOIN dc ON dc.lang = grid.lang CROSS JOIN nd"""
 
+  private lazy val modelSql = modelSqlOn("documents")
+
+  private lazy val cvOracleSql = {
+    val folds = (0 until CvFolds).map { f =>
+      s"""tr$f AS (SELECT * FROM fd WHERE fold <> $f),
+          te$f AS (SELECT * FROM fd WHERE fold = $f),
+          m$f AS (SELECT * FROM (${modelSqlOn(s"tr$f")}) t),
+          tf$f AS (SELECT doc_id, lang, w, count(*) AS tf
+                   FROM (SELECT doc_id, lang, unnest($tokSql) AS w FROM te$f)
+                   GROUP BY doc_id, lang, w),
+          sc$f AS (SELECT tf$f.doc_id, tf$f.lang, m$f.lang AS cand,
+                     any_value(m$f.logprior) + sum(tf$f.tf * m$f.loglik) AS score
+                   FROM tf$f JOIN m$f ON tf$f.w = m$f.token
+                   GROUP BY tf$f.doc_id, tf$f.lang, m$f.lang),
+          ag$f AS (SELECT CAST($f AS BIGINT) AS fold, count(*) AS n_test,
+                     CAST(sum(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_correct
+                   FROM (SELECT *, row_number() OVER
+                           (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+                         FROM sc$f)
+                   WHERE rn = 1)"""
+    }.mkString(",\n")
+    val union = (0 until CvFolds).map(f => s"SELECT * FROM ag$f").mkString(" UNION ALL ")
+    s"""WITH fd AS (SELECT *,
+            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % $CvFolds AS fold
+          FROM documents),
+        $folds
+        SELECT fold, n_test, n_correct,
+          round(CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS accuracy
+        FROM ($union)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "ml_nb_cv" -> cvOracleSql,
     "ml_nb_train" ->
       s"""SELECT lang, token, cnt, CAST(loglik AS DOUBLE) AS loglik,
             CAST(logprior AS DOUBLE) AS logprior

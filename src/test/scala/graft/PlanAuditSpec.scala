@@ -350,6 +350,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ir_rank_eval" -> "1-row metric aggregates (P@k, MRR, DCG, IDCG) crossJoined",
       "ev_hll_intersection" -> "1-row sketch estimates x 1-row exact counts crossJoin",
       "sim_recall_at_k" -> "joins the two allowlisted bounded rankings (sim_topk x sim_topk_lsh)",
+      "ml_nb_cv" -> "five per-fold V x C model grids (the ml_nb_train bound, once per fold)",
     )
     Caches.releaseAll()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
