@@ -54,16 +54,23 @@ object NaiveBayes {
   /** [[nbModel]] over an explicit training-docs frame (the CV folds
     * train on subsets).
     */
-  private def nbModelOn(docs: DataFrame, tf: DataFrame): DataFrame = {
+  private def nbModelOn(docs: DataFrame, tf: DataFrame): DataFrame =
+    nbModelFrom(tf,
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")))
+
+  /** The grid from sufficient inputs alone: the tf relation and the
+    * per-class doc counts (so CV folds can slice ONE memoized tf instead
+    * of re-tokenizing the corpus per fold).
+    */
+  private def nbModelFrom(tf: DataFrame, classDocs: DataFrame): DataFrame = {
     val cellCnt = tf.groupBy(col("lang"), col("w"))
       .agg(sum(col("tf")).as("cnt"))
     val classTotal = cellCnt.groupBy(col("lang"))
       .agg(sum(col("cnt")).as("total"))
     val vocab = cellCnt.select(col("w")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
-    val byClass = docs
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val byClass = classDocs
+    val nDocs = classDocs.agg(sum(col("n_docs")).as("n"))
     classTotal.crossJoin(vocab)
       .join(cellCnt, Seq("lang", "w"), "left_outer")
       .na.fill(0L, Seq("cnt"))
@@ -126,13 +133,22 @@ object NaiveBayes {
 
   def crossValidate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir).withColumn("fold", foldExpr)
+    // ONE corpus tokenization shared by all five folds: the tf relation
+    // carries the fold tag, so each fold's train tf is a filter of the
+    // memo (the per-fold-retokenization draft measured 7 s vs ~2 s)
+    val tfAll = graft.Caches.memoized(spark, dir, "ml:nb_tf_fold")(
+      docTf(spark, dir).withColumn("fold", foldExpr))
+    val classFold = graft.Caches.memoized(spark, dir, "ml:nb_classfold")(
+      Tables.documents(spark, dir).withColumn("fold", foldExpr)
+        .groupBy(col("lang"), col("fold")).agg(count(lit(1)).as("n_docs")))
     val perFold = (0 until CvFolds).map { f =>
-      val trainDocs = docs.where(col("fold") =!= f)
-      val model = nbModelOn(trainDocs, docTfOn(trainDocs))
+      val model = nbModelFrom(
+        tfAll.where(col("fold") =!= f).drop("fold"),
+        classFold.where(col("fold") =!= f)
+          .groupBy(col("lang")).agg(sum(col("n_docs")).as("n_docs")))
         .select(col("lang").as("cand"), col("token").as("w"),
           col("loglik"), col("logprior"))
-      val scored = docTfOn(docs.where(col("fold") === f))
+      val scored = tfAll.where(col("fold") === f).drop("fold")
         .join(broadcast(model), Seq("w"))
         .groupBy(col("doc_id"), col("lang"), col("cand"))
         .agg((first(col("logprior")) + sum(col("tf") * col("loglik"))).as("score"))
