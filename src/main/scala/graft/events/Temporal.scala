@@ -648,7 +648,14 @@ object Temporal {
     * in ANY order: the sequential fold becomes one windowed weighted
     * sum, embarrassingly parallel and bit-identical cross-engine without
     * the decimal-grid machinery. The self-join is (days per type)² —
-    * calendar-bounded, never event-bounded.
+    * calendar-bounded, never event-bounded — and TRUNCATED at 40 lags:
+    * the exactness argument needs weight·count to stay within the 53-bit
+    * mantissa, which holds unconditionally for t−j ≤ 40 (2^−41 × 2^14
+    * count bits < 2^−27, and the dropped tail Σ_{lag>40} x_j/2^lag <
+    * 2^14·2^−40 < 10⁻⁷ sits strictly below the 6-dp rounding grid), so
+    * the claim no longer silently expires after ~39 distinct days per
+    * type. Both engines truncate identically, so the gate compares the
+    * same truncated sum.
     */
   def ewma(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
@@ -659,7 +666,7 @@ object Temporal {
     daily.select(col("event_type"), col("day"), col("cnt"), col("t"))
       .join(daily.select(col("event_type"), col("cnt").as("xj"), col("t").as("j")),
         Seq("event_type"))
-      .where(col("j") <= col("t"))
+      .where(col("j") <= col("t") && col("j") >= col("t") - 40L)
       .groupBy(col("event_type"), col("day"), col("t"), col("cnt"))
       .agg(round(sum(col("xj").cast("double") *
         pow(lit(0.5), col("t") - col("j") +
@@ -870,7 +877,7 @@ object Temporal {
            round(sum(CAST(b.cnt AS DOUBLE) *
              power(0.5, a.t - b.t + CASE WHEN b.t = 1 THEN 0 ELSE 1 END)), 6) AS ewma
          FROM idx a JOIN idx b
-           ON a.event_type = b.event_type AND b.t <= a.t
+           ON a.event_type = b.event_type AND b.t <= a.t AND b.t >= a.t - 40
          GROUP BY a.event_type, a.day, a.cnt""",
     "ev_hll_intersection" ->
       """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),

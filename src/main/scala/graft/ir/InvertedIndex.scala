@@ -549,7 +549,12 @@ object InvertedIndex {
     val dcg = ranked.where(col("rank") <= k && col("is_rel") === 1)
       .agg(sum(expr("CAST(round(1.0 / log2(CAST(rank AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))"))
         .as("dcg"))
-    val idcg = nRel
+    // Gate the ideal-rank sequence on n_relevant > 0: Spark's
+    // sequence(1, 0) yields the DESCENDING [1, 0] (an idcg of 1 after the
+    // 1/log2(1) term nulls out) while the oracle's generate_series(1, 0)
+    // is empty — filtering first makes the idcg intermediate NULL in both
+    // engines instead of relying on dcg's NULL to cancel the mismatch.
+    val idcg = nRel.where(col("n_relevant") > 0)
       .select(explode(expr(s"sequence(1, least(n_relevant, ${k}L))")).as("r"))
       .agg(sum(expr("CAST(round(1.0 / log2(CAST(r AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))"))
         .as("idcg"))

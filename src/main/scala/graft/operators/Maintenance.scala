@@ -39,10 +39,17 @@ object Maintenance {
     * snapshots (op_bucketed_join) it runs exchange-free.
     */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    // Every hashed field is coalesced to a chr(1) sentinel BEFORE
+    // concatenation: concat_ws silently SKIPS NULL args (so (a,NULL,b)
+    // and (a,b,NULL) would fingerprint equal — the '|' boundary vanishes
+    // with the field) while the oracle's '||' would NULL the whole hash;
+    // the sentinel makes NULL handling and field boundaries identical in
+    // both engines (DuckDB mirrors with coalesce(..., chr(1))).
+    def f(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit("\u0001"))
     def keyed(df: DataFrame, side: String) = df.select(
       col("event_id"),
-      md5(concat_ws("|", col("ts").cast("string"), col("user_id"),
-        col("event_type"), col("value").cast("decimal(12,2)"), col("props")))
+      md5(concat_ws("|", f(col("ts")), f(col("user_id")),
+        f(col("event_type")), f(col("value").cast("decimal(12,2)")), f(col("props"))))
         .as(s"h_$side"),
       col("value").cast("decimal(12,2)").as(s"v_$side"))
     keyed(Tables.events(spark, dir), "a")
@@ -115,8 +122,11 @@ object Maintenance {
   val oracles: Map[String, String] = Map(
     "op_snapshot_diff" ->
       """WITH a AS (SELECT event_id,
-             md5(CAST(ts AS TIMESTAMP) || '|' || user_id || '|' || event_type
-                 || '|' || CAST(value AS DECIMAL(12,2)) || '|' || props) AS h,
+             md5(coalesce(CAST(CAST(ts AS TIMESTAMP) AS VARCHAR), chr(1)) || '|' ||
+                 coalesce(CAST(user_id AS VARCHAR), chr(1)) || '|' ||
+                 coalesce(event_type, chr(1)) || '|' ||
+                 coalesce(CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), chr(1)) || '|' ||
+                 coalesce(props, chr(1))) AS h,
              CAST(value AS DECIMAL(12,2)) AS v
            FROM events),
          v2 AS (
@@ -128,8 +138,11 @@ object Maintenance {
            SELECT event_id + 10000000, ts, user_id, event_type, value, props
            FROM events WHERE event_id % 103 = 0),
          b AS (SELECT event_id,
-             md5(CAST(ts AS TIMESTAMP) || '|' || user_id || '|' || event_type
-                 || '|' || CAST(value AS DECIMAL(12,2)) || '|' || props) AS h,
+             md5(coalesce(CAST(CAST(ts AS TIMESTAMP) AS VARCHAR), chr(1)) || '|' ||
+                 coalesce(CAST(user_id AS VARCHAR), chr(1)) || '|' ||
+                 coalesce(event_type, chr(1)) || '|' ||
+                 coalesce(CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), chr(1)) || '|' ||
+                 coalesce(props, chr(1))) AS h,
              CAST(value AS DECIMAL(12,2)) AS v
            FROM v2)
          SELECT CASE WHEN a.h IS NULL THEN 'added'

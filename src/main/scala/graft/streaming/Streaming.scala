@@ -487,8 +487,13 @@ object Streaming {
     val spark = df.sparkSession
     val exists = new java.io.File(path, "_SUCCESS").exists
     val prior = if (exists) Some(spark.read.parquet(path)) else None
+    // max over a ZERO-ROW state table is NULL — guard the fence read
+    // (a state table is empty only when every batch so far was empty,
+    // in which case re-applying an empty batch is a no-op anyway, so
+    // treating NULL as "not fenced" is safe as well as NPE-free)
     val fenced = prior.exists(p =>
-      p.agg(max(col("batch_id"))).head().getLong(0) >= batchId)
+      Option(p.agg(max(col("batch_id"))).head().get(0))
+        .exists(_.asInstanceOf[Long] >= batchId))
     if (fenced) return false
     val parts = prior match {
       case Some(p) => p.drop("batch_id").unionByName(userStatePartial(df))

@@ -158,17 +158,31 @@ object Text {
       .select(col("w1"), col("w2"), col("npairs"), expr(llrSql).as("llr"))
   }
 
+  /** Canonical string form of a stripe map: `k:v,k:v,...` with entries in
+    * the map's (key-sorted) order and values pinned through DECIMAL(18,6)
+    * so both engines print identical digits. The map itself stays in the
+    * plan — A6's map-merge semantics are still exercised — but the
+    * registered output column is an atomic STRING the driver's
+    * pandas-based row sort can hash (a top-level MAP cell is unhashable
+    * there; see PlanAuditSpec's atomic-output lint).
+    */
+  private def stripeString(m: Column): Column =
+    concat_ws(",", transform(map_entries(m),
+      e => concat(e.getField("key"), lit(":"),
+        e.getField("value").cast("decimal(18,6)").cast("string"))))
+
   /** Stripes form of the PMI table (`StripesPMI.java:44-143` — a1 ships
     * pairs and stripes variants of the same computation): one row per w1
-    * with a w2→pmi map. Same content as [[pmiPairs]]; oracle-gated as a
-    * registry query — the map is built from entries sorted by key on both
-    * engines, so the MAP values compare deterministically.
+    * with a w2→pmi map, serialized canonically via [[stripeString]]. Same
+    * content as [[pmiPairs]] — the map is built from entries sorted by key
+    * on both engines, so the serialized stripes compare deterministically.
     */
   def pmiStripes(spark: SparkSession, dir: String, minCooccur: Int = 10): DataFrame =
     pmiPairs(spark, dir, minCooccur)
       .groupBy(col("w1"))
       .agg(map_from_entries(sort_array(collect_list(struct(col("w2"), col("pmi")))))
-        .as("stripe"))
+        .as("stripe_map"))
+      .select(col("w1"), stripeString(col("stripe_map")).as("stripe"))
 
   /** Stripes form of the bigram table
     * (`ComputeBigramRelativeFrequencyStripes.scala:52-69`): one row per w1
@@ -177,14 +191,16 @@ object Text {
     * registry query: both engines assemble the map from entries sorted by
     * key (Spark `sort_array` before `map_from_entries`, DuckDB
     * `list_sort` before `map_from_entries`), so entry order — the one
-    * engine-specific degree of freedom in a MAP value — is pinned and the
-    * rows hash-compare exactly.
+    * engine-specific degree of freedom in a MAP value — is pinned, and the
+    * map is serialized to an atomic string via [[stripeString]] so the
+    * rows hash-compare exactly at the driver gate.
     */
   def bigramStripes(spark: SparkSession, dir: String): DataFrame =
     bigramRelFreq(spark, dir)
       .groupBy(col("w1"))
       .agg(map_from_entries(sort_array(collect_list(struct(col("w2"), col("relfreq")))))
-        .as("stripe"))
+        .as("stripe_map"))
+      .select(col("w1"), stripeString(col("stripe_map")).as("stripe"))
 
   private val tokSql =
     """list_filter(list_transform(string_split_regex(text, '\s+'),
@@ -248,8 +264,9 @@ object Text {
             JOIN (SELECT w AS w1, c AS cx FROM wc) USING (w1)
             JOIN (SELECT w AS w2, c AS cy FROM wc) USING (w2), n)
           SELECT w1, w2, npairs, $llrSql AS llr FROM cells""",
-    // map-valued stripes: entries sorted by key on both engines, so the
-    // MAP rows compare deterministically (keys are unique per w1)
+    // stripes: entries sorted by key on both engines, map built in-plan,
+    // then serialized to a canonical `k:v,...` string (values via
+    // DECIMAL(18,6)) — the driver gate can only hash atomic cells
     "text_bigram_stripes" ->
       s"""WITH toks AS (SELECT $tokSql AS w FROM documents),
           bg AS (SELECT w[i] AS w1, w[i+1] AS w2
@@ -257,9 +274,14 @@ object Text {
           cnts AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
           rel AS (SELECT w1, w2,
                     round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY w1), 6) AS relfreq
-                  FROM cnts)
-          SELECT w1, map_from_entries(list_sort(list(row(w2, relfreq)))) AS stripe
-          FROM rel GROUP BY w1""",
+                  FROM cnts),
+          m AS (SELECT w1, map_from_entries(list_sort(list(row(w2, relfreq)))) AS stripe_map
+                FROM rel GROUP BY w1)
+          SELECT w1, array_to_string(
+                   list_transform(map_entries(stripe_map),
+                     e -> e.key || ':' || CAST(CAST(e.value AS DECIMAL(18,6)) AS VARCHAR)),
+                   ',') AS stripe
+          FROM m""",
     "text_pmi_stripes" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct(($tokSql)[1:100]) AS tok FROM documents),
           dw AS (SELECT doc_id, unnest(tok) AS w FROM toks WHERE len(tok) > 0),
@@ -272,8 +294,13 @@ object Text {
                     round(log10(CAST(npairs AS DOUBLE) / CAST(cx * cy AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pmi
                   FROM pairs
                   JOIN (SELECT w AS w1, c AS cx FROM wc) USING (w1)
-                  JOIN (SELECT w AS w2, c AS cy FROM wc) USING (w2), n)
-          SELECT w1, map_from_entries(list_sort(list(row(w2, pmi)))) AS stripe
-          FROM pmi GROUP BY w1""",
+                  JOIN (SELECT w AS w2, c AS cy FROM wc) USING (w2), n),
+          m AS (SELECT w1, map_from_entries(list_sort(list(row(w2, pmi)))) AS stripe_map
+                FROM pmi GROUP BY w1)
+          SELECT w1, array_to_string(
+                   list_transform(map_entries(stripe_map),
+                     e -> e.key || ':' || CAST(CAST(e.value AS DECIMAL(18,6)) AS VARCHAR)),
+                   ',') AS stripe
+          FROM m""",
   )
 }

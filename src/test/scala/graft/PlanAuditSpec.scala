@@ -344,7 +344,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q11_top_nations" -> "1-row global balance total broadcast (the scalar subquery)",
       "ml_nb_train" -> "V x C model-grid crossJoin (vocabulary x class count, the NB model size) + 1-row vocab/doc-count broadcasts",
       "ml_nb_apply" -> "inherits the bounded V x C grid + 1-row broadcasts through the model join",
-      "pr_hits" -> "1-row max-normalizer broadcast per iteration (pr_toprank scalar shape)",
+      "pr_hits" -> "single 1-row end-of-loop max-normalizer broadcast over the top-k survivors",
       "ir_mlt" -> "1-row corpus stats (N, avgdl) broadcast per query doc (the bm25 shape)",
       "op_join_estimate" -> "1-row sketch-estimate x 1-row exact-F2 crossJoin",
       "ir_rank_eval" -> "1-row metric aggregates (P@k, MRR, DCG, IDCG) crossJoined",
@@ -374,6 +374,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(planted.contains("CartesianProduct"),
       s"lint probe lost sensitivity:\n$planted")
     }
+  }
+
+  test("full-registry gate lint: every registered output column is atomic") {
+    // The driver's correctness gate canonical-sorts rows in pandas before
+    // hashing; a top-level MAP/ARRAY/STRUCT cell is unhashable there and
+    // the row errs instead of comparing (r9: text_bigram_stripes /
+    // text_pmi_stripes). Nested types are fine INSIDE a plan — they must
+    // be serialized to an atomic column (to_json, concat_ws over sorted
+    // entries) before registration. This lint makes that class of gate
+    // failure impossible to reintroduce.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    def nested(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: MapType | _: ArrayType | _: StructType => true
+      case _ => false
+    }
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = try {
+        fn(spark, sf).schema.fields.collect {
+          case f if nested(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
+        }.toSeq
+      } catch { case e: Throwable => Seq(s"SCHEMAFAIL: ${e.getMessage}") }
+      Option.when(bad.nonEmpty)(s"$name: ${bad.mkString(", ")}")
+    }
+    assert(failures.isEmpty, s"non-atomic registered outputs:\n${failures.mkString("\n")}")
+    // sensitivity control: a planted map-valued output IS caught
+    import org.apache.spark.sql.functions.{lit, map}
+    val planted = spark.range(1).select(map(lit("k"), lit(1)).as("m"))
+    assert(planted.schema.fields.exists(f => nested(f.dataType)),
+      "gate lint probe lost sensitivity")
   }
 
   test("full-registry window lint: every partition-less window is limit-bounded") {

@@ -58,15 +58,19 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  // The registered stripe output is a canonical `k:v,...` string (the
+  // driver gate can only hash atomic cells); parse it back for comparison.
+  private def parseStripe(w1: String, stripe: String): Map[(String, String), Double] =
+    stripe.split(',').map { kv =>
+      val i = kv.lastIndexOf(':')
+      (w1, kv.substring(0, i)) -> kv.substring(i + 1).toDouble
+    }.toMap
+
   test("pmi stripes carry the same content as pmi pairs") {
-    import org.apache.spark.sql.functions._
     val pairs = Text.pmiPairs(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
     val stripes = Text.pmiStripes(spark, sf).collect()
-      .flatMap { r =>
-        val w1 = r.getString(0)
-        r.getAs[Map[String, Double]](1).map { case (w2, pmi) => (w1, w2) -> pmi }
-      }.toMap
+      .flatMap(r => parseStripe(r.getString(0), r.getString(1))).toMap
     assert(stripes == pairs)
     assert(pairs.nonEmpty)
   }
@@ -75,9 +79,14 @@ class TextSpec extends AnyFunSuite {
     val pairs = Text.bigramRelFreq(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("relfreq")).toMap
     val stripes = Text.bigramStripes(spark, sf).collect()
-    val flat = stripes.flatMap { r =>
-      r.getMap[String, Double](1).map { case (w2, f) => (r.getString(0), w2) -> f }
-    }.toMap
+    val flat = stripes.flatMap(r => parseStripe(r.getString(0), r.getString(1))).toMap
     assert(flat == pairs)
+  }
+
+  test("stripe entries are key-sorted within each row") {
+    Text.bigramStripes(spark, sf).collect().foreach { r =>
+      val keys = r.getString(1).split(',').map(kv => kv.substring(0, kv.lastIndexOf(':')))
+      assert(keys.toSeq == keys.toSeq.sorted, s"unsorted stripe for ${r.getString(0)}")
+    }
   }
 }
