@@ -550,18 +550,25 @@ object PageRank {
   /** HITS hubs & authorities (Kleinberg 1999) — the second iterative
     * linear-algebra operator next to personalized PageRank, on the
     * DIRECTED fixture graph: a(v) ← Σ_{u→v} h(u), h(v) ← Σ_{v→u} a(v's
-    * targets), each phase max-normalized. Determinism contract: scores
-    * live on the 6-dp DECIMAL grid, so both Σ phases are EXACT
-    * (order-free) decimal sums; the max is exact; only the normalizing
-    * division runs in double (on bit-identical inputs) and lands back on
-    * the grid — the pr_toprank protocol with max-normalization instead
-    * of the dangling-mass scalar. Per iteration: two edge-keyed
-    * join+aggregates, two 1-row max broadcasts, one node-keyed merge;
-    * plans truncated per round ([[bfsOnGraph]] protocol). No driver data
-    * at all — even the normalizer stays a broadcast frame.
+    * targets), normalized ONCE after the loop. HITS scores are
+    * scale-invariant — per-iteration max normalization exists only to
+    * prevent overflow — so with DECIMAL(38,6) headroom the loop runs on
+    * EXACT integer-valued decimal sums (h₀ = a₀ = 1; every Σ phase an
+    * order-free decimal sum; zero doubles until the final division) and
+    * the ten per-iteration max-aggregates + broadcasts of the r9 shape
+    * collapse into one 2-column max at the end. Magnitude bound: scores
+    * grow by ≤ max-degree per propagation round, so after 10 rounds
+    * ≤ maxdeg¹⁰ — the fixture's maxdeg ≈ 10² keeps values ≤ 10²⁰,
+    * far under DECIMAL(38,6)'s 10³² ceiling (overflow would need
+    * maxdeg > 10³·²; re-introduce mid-loop normalization before running
+    * denser graphs than that). Per iteration: two edge-keyed
+    * join+aggregates and one node-keyed merge; plans truncated per phase
+    * ([[bfsOnGraph]] protocol). No driver data at all — the final
+    * normalizer stays a broadcast frame.
     */
   def hits(spark: SparkSession, dir: String, mod: Long = 10000,
-           k: Int = 20, partitions: Int = 16): DataFrame = {
+           k: Int = 20, partitions: Int = 16,
+           iterations: Int = HitsIterations): DataFrame = {
     // both phases join the edge relation, one on src and one on dst —
     // pre-partition a copy per key at the pinned tier width (the
     // components-10k protocol) so no iteration ever re-exchanges the
@@ -572,46 +579,56 @@ object PageRank {
       edges(spark, dir, mod).repartition(partitions, col("dst")))
     val nd = graft.Caches.memoized(spark, dir, s"graph:hits_nodes_$mod")(
       nodes(spark, dir, mod).repartition(partitions, col("id")))
-    val one = lit(1).cast("decimal(18,6)")
-    val zero = lit(0).cast("decimal(28,6)")
-    // the runOnGraph protocol: the WHOLE power iteration is one lazy plan
-    // — zero mid-loop actions (each 1-row max normalizer is a broadcast
-    // subquery executed inside the final job; its raw-sum subtree also
-    // feeds the main consumer and ReuseExchange dedupes the shuffle), and
-    // a LAZY localCheckpoint cuts the tree per phase so re-optimization
-    // of the ~x6-referenced iterate doesn't compound (eager per-iteration
-    // persists + counts measured 3x slower: 16 tiny jobs of scheduling
-    // overhead against cold caches)
-    var scores = nd.select(col("id"), one.as("h"), one.as("a"))
-    for (_ <- 1 to HitsIterations) {
-      val aRaw = nd.join(
-          eBySrc.join(scores.select(col("id").as("src"), col("h")), Seq("src"))
-            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("sa")),
-          Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("sa"), zero).as("sa"))
-      val aNorm = aRaw
-        .crossJoin(broadcast(aRaw.agg(max(col("sa")).as("amax"))))
-        .select(col("id"),
-          round(col("sa").cast("double") / col("amax").cast("double"), 6)
-            .cast("decimal(18,6)").as("a"))
+    val one = lit(1).cast("decimal(38,6)")
+    val zero = lit(0).cast("decimal(38,6)")
+    // SPARSE score relations: a node absent from the current a/h frame
+    // has score 0, and zero scores contribute nothing to either Σ phase —
+    // so the loop never joins back to the node set and never merges the
+    // two score columns (the r9 dense shape paid two nd left-outers plus
+    // an a⋈h merge per iteration just to materialize zeros). Zeros are
+    // reintroduced once, at the final node-set join.
+    //
+    // ZERO shuffles per phase: the node-count-sized iterate is BROADCAST
+    // into the edge join (a localCheckpoint leaf has no stats, so without
+    // the hint every phase planned a SortMergeJoin that re-sorted the
+    // 600k-row edge cache — measured ~0.5 s/phase; the broadcast variant
+    // runs the whole 10-phase loop in ~1.5 s), and each phase streams the
+    // edge copy whose cached partitioning matches its AGGREGATION key
+    // (a-phase: eByDst, group by dst; h-phase: eBySrc, group by src), so
+    // the join output feeds the groupBy with no exchange at all. Valid
+    // while the per-node score frame fits the broadcast budget (~10 MB/M
+    // nodes); beyond that, flip back to co-partitioned shuffle joins —
+    // the 100 TB graph story is the co-partitioned one, this tier's story
+    // is scheduling economy. The whole power iteration stays one lazy
+    // plan — zero mid-loop actions — with a LAZY localCheckpoint per
+    // phase so re-optimization doesn't compound (eager per-iteration
+    // persists + counts measured 3x slower).
+    var h = nd.select(col("id"), one.as("s"))
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      a = eByDst.join(broadcast(h.select(col("id").as("src"), col("s"))), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("s")).cast("decimal(38,6)").as("s"))
         .localCheckpoint(eager = false)
-      val hRaw = nd.join(
-          eByDst.join(aNorm.select(col("id").as("dst"), col("a")), Seq("dst"))
-            .groupBy(col("src").as("id")).agg(sum(col("a")).as("sh")),
-          Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("sh"), zero).as("sh"))
-      val hNorm = hRaw
-        .crossJoin(broadcast(hRaw.agg(max(col("sh")).as("hmax"))))
-        .select(col("id"),
-          round(col("sh").cast("double") / col("hmax").cast("double"), 6)
-            .cast("decimal(18,6)").as("h"))
-      scores = aNorm.join(hNorm, Seq("id"))
-        .select(col("id"), col("h"), col("a"))
+      h = eBySrc.join(broadcast(a.select(col("id").as("dst"), col("s"))), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("s")).cast("decimal(38,6)").as("s"))
         .localCheckpoint(eager = false)
     }
+    val scores = nd
+      .join(a.select(col("id"), col("s").as("a")), Seq("id"), "left_outer")
+      .join(h.select(col("id"), col("s").as("h")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("a"), zero).as("a"),
+        coalesce(col("h"), zero).as("h"))
+    // top-k by the EXACT decimal authority (normalization is monotone, so
+    // ranking before dividing is safe), then one 1-row max broadcast
+    // scales both columns onto the 6-dp output grid
+    val maxes = scores.agg(max(col("a")).as("amax"), max(col("h")).as("hmax"))
     scores.orderBy(col("a").desc, col("id")).limit(k)
-      .select(col("id"), col("a").cast("double").as("authority"),
-        col("h").cast("double").as("hub"))
+      .crossJoin(broadcast(maxes))
+      .select(col("id"),
+        round(col("a").cast("double") / col("amax").cast("double"), 6).as("authority"),
+        round(col("h").cast("double") / col("hmax").cast("double"), 6).as("hub"))
   }
 
   /** Connected components of the fixture graph through the shared
@@ -826,6 +843,11 @@ object PageRank {
     * authority sum+max-normalize pair then a hub pair, all sums exact
     * DECIMAL, the one double division shared textually.
     */
+  /** [[hits]] replay in lockstep: the same unnormalized exact
+    * DECIMAL(38,6) power iteration (every sum an exact decimal fold, so
+    * the intermediates compare bit-identically), with the single
+    * end-of-loop max normalization applied to the same top-k survivors.
+    */
   private def hitsOracle(mod: Long, iterations: Int, k: Int): String = {
     val sb = new StringBuilder(
       s"""WITH e AS MATERIALIZED (
@@ -833,38 +855,32 @@ object PageRank {
             FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
           nodes AS MATERIALIZED (SELECT DISTINCT id FROM
             (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
-          s0 AS (SELECT id, CAST(1 AS DECIMAL(18,6)) AS h,
-                        CAST(1 AS DECIMAL(18,6)) AS a FROM nodes)""")
+          s0 AS (SELECT id, CAST(1 AS DECIMAL(38,6)) AS h,
+                        CAST(1 AS DECIMAL(38,6)) AS a FROM nodes)""")
     for (i <- 1 to iterations) sb ++=
       s""",
-          ar$i AS MATERIALIZED (
-            SELECT n.id, coalesce(x.sa, CAST(0 AS DECIMAL(28,6))) AS sa
+          a$i AS MATERIALIZED (
+            SELECT n.id,
+              CAST(coalesce(x.sa, CAST(0 AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS a
             FROM nodes n LEFT JOIN (
               SELECT e.dst AS id, sum(s.h) AS sa
               FROM s${i - 1} s JOIN e ON s.id = e.src GROUP BY e.dst) x
             ON n.id = x.id),
-          am$i AS (SELECT max(sa) AS amax FROM ar$i),
-          a$i AS MATERIALIZED (
-            SELECT id, CAST(round(CAST(sa AS DOUBLE) / CAST(amax AS DOUBLE), 6)
-                            AS DECIMAL(18,6)) AS a
-            FROM ar$i, am$i),
-          hr$i AS MATERIALIZED (
-            SELECT n.id, coalesce(x.sh, CAST(0 AS DECIMAL(28,6))) AS sh
-            FROM nodes n LEFT JOIN (
-              SELECT e.src AS id, sum(a.a) AS sh
-              FROM a$i a JOIN e ON a.id = e.dst GROUP BY e.src) x
-            ON n.id = x.id),
-          hm$i AS (SELECT max(sh) AS hmax FROM hr$i),
           s$i AS MATERIALIZED (
             SELECT a$i.id,
-              CAST(round(CAST(sh AS DOUBLE) / CAST(hmax AS DOUBLE), 6)
-                   AS DECIMAL(18,6)) AS h,
+              CAST(coalesce(x.sh, CAST(0 AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS h,
               a$i.a
-            FROM a$i JOIN hr$i ON a$i.id = hr$i.id, hm$i)"""
+            FROM a$i LEFT JOIN (
+              SELECT e.src AS id, sum(a.a) AS sh
+              FROM a$i a JOIN e ON a.id = e.dst GROUP BY e.src) x
+            ON a$i.id = x.id)"""
     sb ++=
       s"""
-          SELECT id, CAST(a AS DOUBLE) AS authority, CAST(h AS DOUBLE) AS hub
-          FROM s$iterations ORDER BY a DESC, id LIMIT $k"""
+          , mx AS (SELECT max(a) AS amax, max(h) AS hmax FROM s$iterations)
+          SELECT id,
+            round(CAST(a AS DOUBLE) / CAST(amax AS DOUBLE), 6) AS authority,
+            round(CAST(h AS DOUBLE) / CAST(hmax AS DOUBLE), 6) AS hub
+          FROM (SELECT * FROM s$iterations ORDER BY a DESC, id LIMIT $k), mx"""
     sb.toString
   }
 
