@@ -69,7 +69,7 @@ object Components {
     val idCol = nodes.columns.head
     val pw: Pin = (df, cols) =>
       partitions.fold(df)(n => df.repartition(n, cols: _*))
-    var e =
+    val e0 =
       if (prepared) pairs
       else graft.Caches.register(
         pw(pairs.toDF("x", "y")
@@ -79,8 +79,6 @@ object Components {
             least(col("x"), col("y")).as("dst")),
           Seq(col("src"), col("dst")))
           .distinct().persist())
-    var owned = !prepared
-    var done = false
     // per-round fingerprint of the previous round's edge set: (count,
     // bit_xor of the row hashes) — order-free and exact to compute, a
     // NECESSARY condition for set equality. The loop's one per-round
@@ -92,43 +90,24 @@ object Components {
     // collision (which costs one extra certificate, never a wrong
     // answer: equality is always CONFIRMED by the exact certificate,
     // the fingerprint only decides when to bother running it).
-    var prevFp: Option[(Long, Long)] = Some(fingerprint(e))
-    while (!done) {
-      val next = smallStar(largeStar(e, pw), pw)
-      // PLAN truncation, not just caching: each round references the
-      // previous round's frame several times (union + join in
-      // large-star, twice in small-star, again in the convergence
-      // union), so carrying analyzed plans forward grows them
-      // exponentially — the analyzer, not the data, becomes the
-      // bottleneck by round ~7. Re-wrapping the RDD resets the logical
-      // plan to a LogicalRDD of bounded size while keeping
-      // recompute-on-eviction lineage (the repo's persist-not-checkpoint
-      // rule) — the RDD chain grows linearly in rounds, which is fine.
-      // Internal-row truncation (GraftExpr.truncated), not
-      // createDataFrame(next.rdd): the external-Row encode/decode ran
-      // per edge per round.
-      val e2 = graft.Caches.register(
-        org.apache.spark.sql.GraftExpr.truncated(next).persist())
-      // the ONE scalar action per round (materializes e2's cache as a
-      // side effect): the fingerprint probe
-      val fp = fingerprint(e2)
-      if (prevFp.contains(fp)) {
-        // fingerprints stable: CONFIRM with the exact set-equality
-        // certificate per the identity above
-        val row = e2.union(e)
-          .agg(count(lit(1)).as("t"),
-            count_distinct(col("src"), col("dst")).as("d"))
-          .head()
-        done = row.getLong(0) == 2 * row.getLong(1)
-      }
-      prevFp = Some(fp)
-      // the superseded round's cache is dead weight once e2 is
-      // materialized; drop it eagerly so O(log n) rounds hold O(1)
-      // cached edge sets, not a growing chain
-      if (owned) e.unpersist()
-      e = e2
-      owned = true
-    }
+    // Truncation / cache lifecycle / round cap live in [[IterativeLoop]];
+    // the star fixpoint is reached in O(log n) rounds (paper Thm 1), so
+    // 64 dominates any feasible input.
+    val e = IterativeLoop.converge[(Long, Long)](
+      e0, maxRounds = 64, what = "components star loop",
+      initialProbe = Some(fingerprint(e0)))(
+      (cur, _) => smallStar(largeStar(cur, pw), pw))(
+      fingerprint)(
+      (prevFp, fp, cur, next) =>
+        prevFp.contains(fp) && {
+          // fingerprints stable: CONFIRM with the exact set-equality
+          // certificate per the identity above
+          val row = next.union(cur)
+            .agg(count(lit(1)).as("t"),
+              count_distinct(col("src"), col("dst")).as("d"))
+            .head()
+          row.getLong(0) == 2 * row.getLong(1)
+        })
     val lab = e.groupBy(col("src").as(idCol)).agg(min(col("dst")).as("label"))
     nodes.select(col(idCol)).join(lab, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("label"))

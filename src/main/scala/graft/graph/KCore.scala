@@ -86,30 +86,24 @@ object KCore {
     val k = math.ceil(factor * 2.0 * row.getLong(0) / row.getLong(1)).toLong
 
     // survivors ⊆ previous survivors each round, so count equality is a
-    // set-equality certificate (the Components monotone protocol)
-    var surv = graft.Caches.register(nodes.persist())
-    var survCount = surv.count()
-    var deg = surv.select(col("id"), lit(0L).as("core_deg")) // replaced round 1
-    var rounds = 0
-    var done = false
-    while (!done) {
-      rounds += 1
-      require(rounds <= MaxRounds,
-        s"k-core peel exceeded $MaxRounds rounds — oracle unroll would diverge")
-      val alive = und
-        .join(surv.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(surv.select(col("id").as("b")), Seq("b"), "left_semi")
-      val d = endpoints(alive).groupBy(col("id"))
-        .agg(count(lit(1)).as("core_deg"))
-      val next = graft.Caches.register(
-        spark.createDataFrame(d.where(col("core_deg") >= k).rdd, d.schema).persist())
-      val nextCount = next.count()
-      done = nextCount == survCount
-      surv.unpersist()
-      surv = next.select(col("id"))
-      deg = next
-      survCount = nextCount
-    }
+    // set-equality certificate (the Components monotone protocol);
+    // truncation / cache lifecycle / the MaxRounds cap live in
+    // [[IterativeLoop]]. State rounds ≥ 1 carry (id, core_deg); the
+    // initial all-nodes state enters as core_deg 0 (replaced round 1).
+    val init = graft.Caches.register(
+      nodes.select(col("id"), lit(0L).as("core_deg")).persist())
+    val deg = IterativeLoop.converge[Long](
+      init, MaxRounds, "k-core peel", initialProbe = Some(init.count()))(
+      (surv, _) => {
+        val alive = und
+          .join(surv.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(surv.select(col("id").as("b")), Seq("b"), "left_semi")
+        endpoints(alive).groupBy(col("id"))
+          .agg(count(lit(1)).as("core_deg"))
+          .where(col("core_deg") >= k)
+      })(
+      _.count())(
+      (prevCount, nextCount, _, _) => prevCount.contains(nextCount))
     nodes.join(deg, Seq("id"), "left_outer")
       .select(col("id"),
         col("core_deg").isNotNull.as("in_core"),

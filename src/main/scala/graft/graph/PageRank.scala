@@ -110,25 +110,33 @@ object PageRank {
     val p = partitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val outdeg = edgesDf.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // e is cached partitioned by DST — the key of the per-iteration
+    // receive AGGREGATION, not of the join: the node-sized rank frame is
+    // broadcast into the edge join (a checkpoint-truncated iterate has no
+    // stats, so without the hint every iteration planned a SortMergeJoin
+    // that re-sorted the edge cache — the pr_hits finding), the BHJ
+    // output inherits e's hash(dst, p) partitioning, and the groupBy(dst)
+    // runs with NO exchange. Valid while the rank frame fits the
+    // broadcast budget (node-count × (1+|sources|) doubles); a
+    // billion-node graph flips back to co-partitioned shuffle joins.
     val e = graft.Caches.register(edgesDf.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(p, col("src")).persist())
-    // n and e are co-partitioned at width p once and reused every
-    // iteration; ranks inherits hash(id, p) from n, so the rank⋈edges join
-    // and the left join back to n plan without extra exchanges.
+      .repartition(p, col("dst")).persist())
     val n = graft.Caches.register(nodesDf.repartition(p, col("id")).persist())
 
     val rankCols = sources.indices.map(i => s"rank_$i")
-    var ranks = n.select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
+    val init = n.select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
       when(col("id") === s, 1.0).otherwise(0.0).as(s"rank_$i")
     }: _*)
 
-    for (iter <- 1 to iterations) {
-      // Phase 1: distribute along edges; unreceiving nodes get 0.
-      val contrib = ranks.join(e, col("id") === col("src"))
+    IterativeLoop.fixedBudget(init, iterations, CheckpointEvery) { (ranks, _) =>
+      // Phase 1: distribute along edges; unreceiving nodes get 0. The
+      // rank frame broadcasts (see e's note); the join output keeps e's
+      // hash(dst, p), so the receive aggregation is exchange-free.
+      val contrib = e.join(broadcast(ranks), col("id") === col("src"))
         .select(col("dst") +:
           rankCols.map(c => (col(c) / col("outdeg")).as(c)): _*)
-      val received = contrib.repartition(p, col("dst")).groupBy(col("dst"))
+      val received = contrib.groupBy(col("dst"))
         .agg(rankCols.map(c => sum(col(c)).as(c)).head,
           rankCols.map(c => sum(col(c)).as(c)).tail: _*)
       // fp-portability contract (same as sim.KMeans): every derived
@@ -136,9 +144,14 @@ object PageRank {
       // merge order (Spark) vs left-to-right order (DuckDB) cannot drift
       // the recurrence by an ulp — both engines stay on the same decimal
       // grid and the oracle replays the rounds verbatim.
+      // `joined` feeds BOTH the mass aggregate and phase 2 — without the
+      // exchange the old shape left for ReuseExchange to dedupe, the lazy
+      // cut is what keeps the edge join from executing twice per
+      // iteration (the shared RDD is computed once at action time).
       val joined = n.join(received, col("id") === col("dst"), "left_outer")
         .select(col("id") +:
           rankCols.map(c => round(coalesce(col(c), lit(0.0)), 6).as(c)): _*)
+        .localCheckpoint(eager = false)
 
       // Missing (dangling) mass per source, clamped ≥ 0
       // (RunPersonalizedPageRankBasic.java:458-464) — a one-row global
@@ -149,16 +162,13 @@ object PageRank {
       val mass = joined.agg(missAggs.head, missAggs.tail: _*)
 
       // Phase 2: jump + re-injection at the source only (:341-352).
-      ranks = joined.crossJoin(broadcast(mass))
+      joined.crossJoin(broadcast(mass))
         .select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
           when(col("id") === s,
             round(lit(Alpha) + lit(1 - Alpha) * (col(s"rank_$i") + col(s"miss_$i")), 6))
             .otherwise(round(lit(1 - Alpha) * col(s"rank_$i"), 6)).as(s"rank_$i")
         }: _*)
-      if (iter % CheckpointEvery == 0 && iter < iterations)
-        ranks = ranks.localCheckpoint(eager = false)
     }
-    ranks
   }
 
   /** Lineage-cut cadence. The `joined` subtree appears twice per iteration
@@ -412,30 +422,29 @@ object PageRank {
     * the graph-parameterized core the hand-graph spec drives directly.
     */
   def bfsOnGraph(nodesDf: DataFrame, und: DataFrame,
-                 sources: Seq[Long]): DataFrame = {
+                 sources: Seq[Long], partitions: Int = 16): DataFrame = {
     val spark = und.sparkSession
     import spark.implicits._
-    val sym = und.select(col("a").as("v"), col("b").as("n"))
-      .union(und.select(col("b").as("v"), col("a").as("n")))
+    // adjacency cached partitioned by the DISTINCT key n (the ssspOnGraph
+    // prep note): the node-sized frontier and labeled set broadcast into
+    // the expansion join / anti-join, so each wave costs zero shuffles of
+    // the edge set and the distinct reuses hash(n, partitions)
+    val sym = graft.Caches.register(
+      und.select(col("a").as("v"), col("b").as("n"))
+        .union(und.select(col("b").as("v"), col("a").as("n")))
+        .repartition(partitions, col("n")).persist())
+    // labels accumulate as a union of ≤MaxHops persisted round leaves, so
+    // superseded frontiers must NOT be dropped (dropSuperseded = false)
     var labeled = graft.Caches.register(
       sources.toDF("id").withColumn("dist", lit(0L)).persist())
-    var frontier = labeled.select(col("id"))
-    var frontierCount = labeled.count()
-    var depth = 0
-    while (frontierCount > 0) {
-      depth += 1
-      require(depth <= MaxHops,
-        s"bfs exceeded $MaxHops hops — oracle depth cap would diverge")
-      val nextRaw = sym.join(frontier.select(col("id").as("v")), Seq("v"))
+    IterativeLoop.converge[Long](
+      labeled, MaxHops, "bfs", dropSuperseded = false)(
+      (frontier, depth) => sym.join(broadcast(frontier.select(col("id").as("v"))), Seq("v"))
         .select(col("n").as("id")).distinct()
-        .join(labeled.select(col("id")), Seq("id"), "left_anti")
-        .withColumn("dist", lit(depth.toLong))
-      val next = graft.Caches.register(
-        spark.createDataFrame(nextRaw.rdd, nextRaw.schema).persist())
-      frontierCount = next.count()
-      frontier = next.select(col("id"))
-      labeled = labeled.union(next)
-    }
+        .join(broadcast(labeled.select(col("id"))), Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth.toLong)))(
+      _.count())(
+      (_, cnt, _, next) => { labeled = labeled.union(next); cnt == 0 })
     nodesDf.join(labeled, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
@@ -493,15 +502,19 @@ object PageRank {
                   sources: Seq[Long], partitions: Int = 16): DataFrame = {
     val spark = und.sparkSession
     import spark.implicits._
-    // inline persisted prep (the topK protocol): every relaxation round
-    // joins the weighted adjacency on v — pre-partition it ONCE at the
-    // tier width so rounds exchange only the node-count-sized distance
-    // relation, never the edge set
+    // inline persisted prep (the topK protocol), partitioned by the
+    // AGGREGATION key n, not the join key v: the node-sized frontier is
+    // broadcast into the relaxation join (the pr_hits finding — a
+    // truncated iterate has no stats, so the unhinted plan re-sorted the
+    // edge cache per round for a SortMergeJoin), the BHJ output inherits
+    // hash(n, partitions), and the min-by-destination aggregate runs with
+    // no exchange. Broadcast validity: the frontier is at most node-sized
+    // — beyond broadcast budget, flip back to co-partitioned joins.
     val wadj = graft.Caches.register(
       und.select(col("a").as("v"), col("b").as("n"))
         .union(und.select(col("b").as("v"), col("a").as("n")))
         .withColumn("w", edgeWeight(col("v"), col("n")))
-        .repartition(partitions, col("v")).persist())
+        .repartition(partitions, col("n")).persist())
     // FRONTIER Bellman-Ford: only edges out of nodes whose distance
     // improved last round are relaxed (any future improvement must
     // propagate from an improved node, so frontier-empty == the plain
@@ -509,31 +522,29 @@ object PageRank {
     // replays). Work per round tracks the improvement wavefront instead
     // of staying |E| forever; convergence is the empty frontier, one
     // bounded driver scalar per round (the bfs budget).
-    var dist = graft.Caches.register(
-      sources.toDF("id").withColumn("dist", lit(0L)).persist())
-    var frontier = dist
-    var frontierCount = frontier.count()
-    var round = 0
-    while (frontierCount > 0) {
-      round += 1
-      require(round <= SsspMaxRounds,
-        s"sssp exceeded $SsspMaxRounds rounds — oracle unroll would diverge")
-      val relaxed = wadj.join(frontier.withColumnRenamed("id", "v"), Seq("v"))
-        .select(col("n").as("id"), (col("dist") + col("w")).as("cand"))
-        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
-      val mergedRaw = dist.join(relaxed, Seq("id"), "full_outer")
-        .select(col("id"),
-          least(coalesce(col("dist"), col("cand")),
-            coalesce(col("cand"), col("dist"))).as("dist"),
-          when(col("dist").isNull, lit(true))
-            .otherwise(coalesce(col("cand") < col("dist"), lit(false))).as("imp"))
-      val merged = graft.Caches.register(
-        spark.createDataFrame(mergedRaw.rdd, mergedRaw.schema).persist())
-      frontierCount = merged.where(col("imp")).count()
-      frontier = merged.where(col("imp")).select(col("id"), col("dist"))
-      dist = merged.select(col("id"), col("dist"))
-    }
-    nodesDf.join(dist, Seq("id"), "left_outer")
+    // state per round: (id, dist, imp) — dist relation plus the improved
+    // flag the next round's frontier filters on; init = sources at 0, all
+    // improved (the round-1 frontier)
+    val init = graft.Caches.register(
+      sources.toDF("id").withColumn("dist", lit(0L))
+        .withColumn("imp", lit(true)).persist())
+    val fin = IterativeLoop.converge[Long](
+      init, SsspMaxRounds, "sssp")(
+      (merged, _) => {
+        val frontier = merged.where(col("imp")).select(col("id"), col("dist"))
+        val relaxed = wadj.join(broadcast(frontier.withColumnRenamed("id", "v")), Seq("v"))
+          .select(col("n").as("id"), (col("dist") + col("w")).as("cand"))
+          .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+        merged.select(col("id"), col("dist")).join(relaxed, Seq("id"), "full_outer")
+          .select(col("id"),
+            least(coalesce(col("dist"), col("cand")),
+              coalesce(col("cand"), col("dist"))).as("dist"),
+            when(col("dist").isNull, lit(true))
+              .otherwise(coalesce(col("cand") < col("dist"), lit(false))).as("imp"))
+      })(
+      _.where(col("imp")).count())(
+      (_, cnt, _, _) => cnt == 0)
+    nodesDf.join(fin.select(col("id"), col("dist")), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
@@ -605,12 +616,12 @@ object PageRank {
     // persists + counts measured 3x slower).
     var h = nd.select(col("id"), one.as("s"))
     var a: DataFrame = null
-    for (_ <- 1 to iterations) {
-      a = eByDst.join(broadcast(h.select(col("id").as("src"), col("s"))), Seq("src"))
+    h = IterativeLoop.fixedBudget(h, iterations, cutEvery = 0) { (hCur, _) =>
+      a = eByDst.join(broadcast(hCur.select(col("id").as("src"), col("s"))), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("s")).cast("decimal(38,6)").as("s"))
         .localCheckpoint(eager = false)
-      h = eBySrc.join(broadcast(a.select(col("id").as("dst"), col("s"))), Seq("dst"))
+      eBySrc.join(broadcast(a.select(col("id").as("dst"), col("s"))), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(sum(col("s")).cast("decimal(38,6)").as("s"))
         .localCheckpoint(eager = false)
