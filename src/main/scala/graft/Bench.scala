@@ -257,7 +257,10 @@ object Bench {
         ("pr_components", Seq("graph:oriented_100")),
         ("pr_components_10k", Seq("graph:oriented_10000"))),
       ("toprank_x120",
-        ("pr_toprank", Seq.empty), ("pr_toprank_10k", Seq.empty)))
+        ("pr_toprank", Seq.empty), ("pr_toprank_10k", Seq.empty)),
+      ("ir_bm25_x10",
+        ("ir_bm25", Seq("ir:postings")),
+        ("ir_bm25_big", Seq("ir:postings_big_10"))))
     val medianOf = results.map(r => r._1 -> r._2).toMap
     def coldCost(name: String, buildKeys: Seq[String]): Option[Double] =
       medianOf.get(name)

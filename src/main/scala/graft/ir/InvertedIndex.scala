@@ -142,9 +142,18 @@ object InvertedIndex {
   def bm25(spark: SparkSession, dir: String,
            terms: Seq[String] = Seq("spark", "table", "merge"),
            k1: Double = 1.2, b: Double = 0.75, topN: Int = 20,
-           persisted: Boolean = false): DataFrame = {
-    val post = if (persisted) postingsRelationPersisted(spark, dir)
-               else postingsRelation(spark, dir)
+           persisted: Boolean = false): DataFrame =
+    bm25OverPostings(
+      if (persisted) postingsRelationPersisted(spark, dir)
+      else postingsRelation(spark, dir),
+      terms, k1, b, topN)
+
+  /** [[bm25]]'s ranking core over an EXPLICIT postings relation — shared
+    * by the fixture tier, its persisted twin, and the ×10 measurement
+    * tier ([[bm25Big]]), so all three serve the same audited plan shape.
+    */
+  private def bm25OverPostings(post: DataFrame, terms: Seq[String],
+                               k1: Double, b: Double, topN: Int): DataFrame = {
     // postings rows matching a query term: |terms| point-lookups against
     // the term-clustered relation — the candidate set everything below
     // is bounded by
@@ -180,6 +189,42 @@ object InvertedIndex {
           .orderBy(col("score_d").desc, col("doc_id"))))
       .select(col("doc_id"), col("score_d").cast("double").as("score"), col("rank"))
   }
+
+  /** ×`replicas` inflated postings — the IR family's measured scale tier
+    * (the dedup bigShingles replica protocol: replica r > 0 appends one
+    * length-(2+r) distinct token, so every inflated doc is a distinct
+    * near-copy). Every real term's df and the doc count scale ×replicas
+    * while the vocabulary stays ~fixed — exactly how a growing corpus
+    * stresses an index: longer postings lists, same term dictionary.
+    * Memoized as corpus prep (what the tier MEASURES per rep is the
+    * query-side ranking over long postings, which is what dominates at
+    * serving time), term-clustered like [[postingsRelation]].
+    */
+  def bigPostings(spark: SparkSession, dir: String, replicas: Int = 10): DataFrame =
+    graft.Caches.memoized(spark, dir, s"ir:postings_big_$replicas") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+        .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+          when(col("r") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" zz"), expr("repeat('x', r)")))
+            .as("text"))
+        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .repartition(col("term"))
+    }
+
+  /** BM25 over the ×10 corpus — hash-gated like the fixture tier (the
+    * inflation is pure SQL, so DuckDB replays corpus, index, and ranking
+    * end to end; the dedup big tiers can't say that — their oracles
+    * would be quadratic — which is why this one rides the exact gate).
+    * Paired with ir_bm25 in the bench `scaling` block.
+    */
+  def bm25Big(spark: SparkSession, dir: String, replicas: Int = 10,
+              terms: Seq[String] = Seq("spark", "table", "merge"),
+              topN: Int = 20): DataFrame =
+    bm25OverPostings(bigPostings(spark, dir, replicas), terms, 1.2, 0.75, topN)
 
   /** One doc-sharded postings artifact — the per-ingest-batch half of an
     * INCREMENTAL index lifecycle: at 100 TB nobody rebuilds the index per
@@ -586,10 +631,15 @@ object InvertedIndex {
           UNION
           SELECT doc_id FROM dw WHERE term = 'merge')"""
 
-  private lazy val bm25OracleSql =
+  /** The bm25 ranking replay parameterized over its document source —
+    * `documents` for the fixture tier, the ×10 inflation subquery for
+    * ir_bm25_big (same ranking SQL either way, so the two tiers are
+    * gated by the identical oracle arithmetic).
+    */
+  private def bm25OracleSqlFrom(docs: String) =
     s"""WITH post AS MATERIALIZED (
           SELECT term, doc_id, count(*) AS tf
-          FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+          FROM (SELECT doc_id, unnest($tokSql) AS term FROM $docs)
           GROUP BY term, doc_id),
         dl AS MATERIALIZED (
           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id),
@@ -612,6 +662,17 @@ object InvertedIndex {
             FROM post p JOIN qt q USING (term) JOIN dl d USING (doc_id) CROSS JOIN st
             GROUP BY p.doc_id))
         WHERE rank <= 20"""
+
+  private lazy val bm25OracleSql = bm25OracleSqlFrom("documents")
+
+  /** The ×10 inflated corpus as a pure-SQL source (mirrors
+    * [[bigPostings]]' perturbation token for token).
+    */
+  private val bigDocsSql =
+    """(SELECT doc_id * 10 + r AS doc_id,
+               CASE WHEN r = 0 THEN text
+                    ELSE text || ' zz' || repeat('x', CAST(r AS INT)) END AS text
+        FROM documents, unnest(generate_series(0, 9)) t(r))"""
 
   private lazy val mltOracleSql =
     s"""WITH post AS MATERIALIZED (
@@ -725,6 +786,7 @@ object InvertedIndex {
     "ir_boolean" -> ((s, d) => booleanQuery(s, d, demoQuery)),
     "ir_retrieve" -> ((s, d) => retrieve(s, d, demoQuery)),
     "ir_bm25" -> ((s, d) => bm25(s, d)),
+    "ir_bm25_big" -> ((s, d) => bm25Big(s, d)),
     "ir_mlt" -> ((s, d) => moreLikeThis(s, d)),
     "ir_rank_eval" -> ((s, d) => rankEval(s, d)),
     "ir_phrase" -> ((s, d) => phraseQuery(s, d, demoPhrase)),
@@ -764,6 +826,7 @@ object InvertedIndex {
     // byte-identical to the in-session forms
     "ir_boolean_persisted" -> booleanOracleSql,
     "ir_bm25" -> bm25OracleSql,
+    "ir_bm25_big" -> bm25OracleSqlFrom(bigDocsSql),
     "ir_mlt" -> mltOracleSql,
     "ir_rank_eval" -> rankEvalOracleSql,
     "ir_bm25_persisted" -> bm25OracleSql,

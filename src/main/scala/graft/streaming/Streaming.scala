@@ -319,6 +319,36 @@ object Streaming {
         (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("ms_before"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution-pipeline
+    * form of [[intervalJoin]]: every purchase emits, null-padded when no
+    * click preceded it within the 6-hour window. In streaming mode the
+    * unmatched side is held in state and emitted with nulls only when the
+    * watermark passes the end of its join window (the purchase can no
+    * longer match a late click) — which is exactly why Spark requires
+    * watermarks on BOTH sides plus the event-time range predicate for
+    * outer stream-stream joins: the watermark is what makes "no match
+    * exists" decidable on an unbounded stream. On batch input the same
+    * plan is a plain LEFT JOIN with the range predicate — the shape the
+    * oracle replays; the real watermark-expiry path runs as an
+    * AvailableNow multi-batch stream in StreamingSpec.
+    */
+  def intervalJoinLeft(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 6 HOURS"),
+        "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("ms_before"))
+  }
+
   /** Stream-static enrichment join — the remaining Structured Streaming
     * join mode next to the stream-stream interval join: each event joins
     * a STATIC reference dimension (here the per-type weight config). A
@@ -530,6 +560,7 @@ object Streaming {
     "st_sessions_stateful" -> ((s, d) => sessionizeStateful(Tables.events(s, d)).toDF()),
     "st_dedup" -> ((s, d) => streamingDedup(Tables.events(s, d))),
     "st_interval_join" -> ((s, d) => intervalJoin(Tables.events(s, d))),
+    "st_interval_left" -> ((s, d) => intervalJoinLeft(Tables.events(s, d))),
     "st_sliding_rollup" -> ((s, d) => slidingRollup(Tables.events(s, d))),
     // SCALE tier: ×10 corpus, ×~10 window-key state space — hash-gated
     // batch execution here; the stream≡batch equivalence plus real
@@ -585,6 +616,15 @@ object Streaming {
          FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                FROM events WHERE event_type = 'purchase') p
          JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 6 HOUR""",
+    "st_interval_left" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+              epoch_ms(CAST(p.ts AS TIMESTAMP)) - epoch_ms(CAST(c.ts AS TIMESTAMP)) AS ms_before
+         FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
                FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 6 HOUR""",

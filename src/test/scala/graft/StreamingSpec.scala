@@ -139,6 +139,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("LEFT OUTER interval join: matches equal the inner join, nulls emit at watermark expiry") {
+    val stream = Streaming.intervalJoinLeft(Streaming.readEventStream(spark, sf))
+    val qname = "ivleft_test"
+    val q = stream.writeStream
+      .format("memory").queryName(qname)
+      .outputMode("append") // outer results append at watermark expiry
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("st-chk").toString)
+      .start()
+    assert(q.awaitTermination(120000), "stream did not terminate")
+    val got = spark.table(qname).collect()
+    val batch = Streaming.intervalJoinLeft(Tables.events(spark, sf)).collect()
+    def matched(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long, Long, Long)] =
+      rows.filterNot(_.isNullAt(1))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // matched pairs are exactly the inner join's, streaming or batch
+    assert(matched(got) == matched(batch))
+    assert(matched(got).nonEmpty)
+    // null-padded purchases: never a false null (a streamed null row must
+    // be unmatched in the batch join too) ...
+    val gotNull = got.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    val batchNull = batch.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(gotNull.subsetOf(batchNull))
+    // ... and the expiry path actually ran: every unmatched purchase
+    // whose join window closed strictly below the final watermark
+    // (min(max p_ts, max c_ts) − 2 h delay, with an extra hour of slack
+    // for the engine's eviction boundary) was null-emitted
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val ev = Tables.events(spark, sf)
+    def maxMs(t: String): Long = ev.filter(col("event_type") === t)
+      .agg(smax(col("ts"))).head().getTimestamp(0).getTime
+    val wmMs = math.min(maxMs("purchase"), maxMs("click")) - 2L * 3600 * 1000
+    val pTs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val mustExpire = batchNull.filter(id => pTs(id) < wmMs - 3600 * 1000L)
+    assert(mustExpire.nonEmpty, "fixture leaves no expirable unmatched purchase")
+    assert(mustExpire.subsetOf(gotNull),
+      s"${(mustExpire -- gotNull).size} expired unmatched purchases missing their null row")
+  }
+
   test("stream-static enrichment (file source, AvailableNow) equals the batch join") {
     val stream = Streaming.staticEnrich(Streaming.readEventStream(spark, sf))
     val qname = "enrich_test"
