@@ -160,6 +160,36 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Per-index-type mean recall@k — [[recallAtK]] widened into the
+    * quality dashboard a deployment tracks per index BUILD: one row per
+    * ANN variant (LSH, multiprobe LSH, IVF, IVF-PQ, SQ8), each the exact
+    * top-k hit rate of that index's ranking. Every ranking is a
+    * deterministic replay, so the whole table rides the hash gate: an
+    * index regression (a changed plane family, a broken codebook) shows
+    * up as a recall VALUE change the gate catches, not as a spec
+    * assertion someone has to re-run. Mean recall = Σ hits / (nQ·k),
+    * computed identically in both engines.
+    */
+  def recallTable(spark: SparkSession, dir: String,
+                  k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val ex = topK(spark, dir, k, nQueries).select(col("query_id"), col("vec_id"))
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "ivf"            -> topKIvf(spark, dir, k, nQueries),
+      "ivfpq"          -> topKIvfPq(spark, dir, k, nQueries),
+      "lsh"            -> topKLsh(spark, dir, k, nQueries),
+      "lsh_multiprobe" -> topKLshMultiprobe(spark, dir, k, nQueries),
+      "sq8"            -> topKSq(spark, dir, k, nQueries))
+    variants.map { case (name, ap) =>
+      ex.join(ap.select(col("query_id").as("qa"), col("vec_id").as("va")),
+          col("query_id") === col("qa") && col("vec_id") === col("va"), "left_outer")
+        .agg(count(lit(1)).as("k_total"),
+          sum(when(col("va").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .select(lit(name).as("index_type"), col("k_total"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("k_total").cast("double"), 6)
+            .as("mean_recall"))
+    }.reduce(_ unionByName _)
+  }
+
   private val SketchBits = 16
   private val SketchBands = 4
   private val SketchRows = 4
@@ -966,6 +996,7 @@ object Similarity {
     "sim_topk"         -> ((s, d) => topK(s, d)),
     "sim_mmr"          -> ((s, d) => mmr(s, d)),
     "sim_recall_at_k"  -> ((s, d) => recallAtK(s, d)),
+    "sim_recall_table" -> ((s, d) => recallTable(s, d)),
     // Both ANN variants are approximate RELATIVE TO exact top-k but
     // deterministic in themselves (md5-derived LSH planes / seed-vector
     // quantizer), so both carry full SQL oracles; recall vs the
@@ -1561,5 +1592,22 @@ object Similarity {
                   / CAST(count(*) AS DOUBLE), 6) AS recall
           FROM ex LEFT JOIN ap
             ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
-          GROUP BY ex.query_id""")
+          GROUP BY ex.query_id""",
+    // the per-index-type recall dashboard: each variant's already-exact
+    // ranking replay joined against the exact top-k, one row per index
+    "sim_recall_table" -> Seq(
+        "ivf" -> "sim_topk_ivf", "ivfpq" -> "sim_topk_ivfpq",
+        "lsh" -> "sim_topk_lsh", "lsh_multiprobe" -> "sim_topk_lsh_multiprobe",
+        "sq8" -> "sim_topk_sq")
+      .map { case (name, key) =>
+        s"""SELECT '$name' AS index_type,
+              CAST(count(*) AS BIGINT) AS k_total,
+              CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hit,
+              round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS mean_recall
+            FROM (SELECT * FROM (${baseOracles("sim_topk")}) t) ex
+            LEFT JOIN (SELECT * FROM (${baseOracles(key)}) t) ap
+              ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id"""
+      }.mkString(" UNION ALL "))
 }

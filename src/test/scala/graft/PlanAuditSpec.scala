@@ -315,6 +315,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ir_bm25" -> "1-row global corpus stats (N, avgdl) broadcast to every doc",
       "ir_ql_dirichlet" -> "1-row corpus token total (|C|) broadcast (bm25 stats shape)",
       "ir_bm25_persisted" -> "same bm25 plan served from the reloaded Parquet postings",
+      "ir_bm25_big" -> "same bm25 plan over the x10 postings (1-row stats broadcast)",
       "ir_hybrid_rrf" -> "1-row query embedding + bm25 stats broadcasts, both bounded",
       "pr_toprank" -> "1-row dangling-mass scalar broadcast per iteration",
       "pr_toprank_10k" -> "1-row dangling-mass scalar broadcast per iteration",
@@ -350,6 +351,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ir_rank_eval" -> "1-row metric aggregates (P@k, MRR, DCG, IDCG) crossJoined",
       "ev_hll_intersection" -> "1-row sketch estimates x 1-row exact counts crossJoin",
       "sim_recall_at_k" -> "joins the two allowlisted bounded rankings (sim_topk x sim_topk_lsh)",
+      "sim_recall_table" -> "joins five allowlisted bounded rankings against the exact top-k",
       "ml_nb_cv" -> "five per-fold V x C model grids (the ml_nb_train bound, once per fold)",
     )
     Caches.releaseAll()
