@@ -87,8 +87,87 @@ object RuntimeFilter {
         round(sum(col("rev")), 2).cast("double").as("revenue"))
   }
 
+  // ---- portable bloom-of-blooms sketched semi-join (op_bloom_merged) ----
+  //
+  // The serve-time composition the opaque-sketch queries can't gate:
+  // dedup ingestion keyed on a UNION of per-run bloom artifacts. Each
+  // historical ingest run persists ITS OWN bloom of the document
+  // fingerprints it saw; at serve time the runs' blooms merge word-wise
+  // (bit_or — the ev_countmin_merged mergeable-sketch pattern, OR instead
+  // of cell sum) and every incoming doc probes the merged filter. The
+  // bloom here is PORTABLE DATA, not Spark's opaque binary sketch: a
+  // (word_idx, bits) relation with md5-derived probe positions, so DuckDB
+  // replays build, per-run artifacts, merge, and every membership
+  // decision — false positives included — and the row rides the full
+  // hash gate (op_bloom_join / dedup_incremental_bloom gate only the
+  // FP-invisible exact join output).
+  //
+  // Sizing: 65536 bits (2048 x 32-bit words), K=3 probes — ~1e-7 FP at
+  // the 400-doc gate tier, ~0.5% at the 4k-doc bench tier; the merged
+  // table is <= 2048 rows regardless of corpus size (the O(bits) sketch
+  // property that makes this the 100 TB serve-time shape: the corpus
+  // never joins, only the sketch moves).
+
+  private val BloomBits = 65536L
+  private val BloomK = 3
+
+  /** K md5-derived probe bit positions for a fingerprint string — the
+    * repo's cross-engine hash convention (first 8 md5 hex chars as an
+    * integer), one seeded hash per probe.
+    */
+  private def probeBits(fp: Column): Column =
+    transform(sequence(lit(0), lit(BloomK - 1)),
+      j => pmod(
+        conv(substring(md5(concat(fp, lit(":"), j.cast("string"))), 1, 8), 16, 10)
+          .cast("long"),
+        lit(BloomBits)))
+
+  /** One run's bloom as a (w, bits) relation: 32-bit words (shift stays
+    * far from the sign bit, so both engines' BIGINT arithmetic agrees),
+    * word-wise bit_or build — associative, shuffle-order-free.
+    */
+  private def bloomTable(fps: DataFrame): DataFrame =
+    fps.select(explode(probeBits(col("fp"))).as("bit"))
+      .select((col("bit") / 32).cast("long").as("w"),
+        expr("shiftleft(1L, CAST(bit % 32 AS INT))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+
+  /** The registered query: three historical ingest runs (doc_id % 5 ≠ 0,
+    * split by doc_id % 3) each persist a bloom artifact; serve time
+    * merges them and probes EVERY document — (doc_id, maybe_seen, seen),
+    * where maybe_seen is the merged-bloom decision and seen the exact
+    * fingerprint membership. seen ⇒ maybe_seen by construction (blooms
+    * have no false negatives; the spec asserts it), and the word-wise OR
+    * makes merge-of-runs ≡ monolithic build (the ir_index_merged
+    * contract), which is why the oracle can rebuild one flat bloom.
+    */
+  def bloomServe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Caches.memoized(spark, dir, "op:bloom_serve_docs")(
+      Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("fp")))
+    val hist = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val runs = (0 to 2).map { r =>
+      graft.Caches.parquetArtifact(spark, dir, s"bloom_run$r")(
+        bloomTable(hist.where(pmod(col("doc_id"), lit(3)) === r)))
+    }
+    val merged = runs.reduce(_ unionByName _)
+      .groupBy(col("w")).agg(expr("bit_or(bits)").as("bits"))
+    val probes = docs
+      .select(col("doc_id"), explode(probeBits(col("fp"))).as("bit"))
+      .select(col("doc_id"), (col("bit") / 32).cast("long").as("w"),
+        expr("shiftleft(1L, CAST(bit % 32 AS INT))").as("m"))
+    val maybe = probes.join(broadcast(merged), Seq("w"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("bits").bitwiseAND(col("m")) =!= 0, lit(false)).as("hit"))
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("hit"), 1L).otherwise(0L)) === BloomK).as("maybe_seen"))
+    docs.join(maybe, Seq("doc_id"))
+      .join(hist.select(col("fp"), lit(true).as("s")).distinct(), Seq("fp"), "left_outer")
+      .select(col("doc_id"), col("maybe_seen"), coalesce(col("s"), lit(false)).as("seen"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "op_bloom_join" -> ((s, d) => bloomJoinRevenue(s, d))
+    "op_bloom_join" -> ((s, d) => bloomJoinRevenue(s, d)),
+    "op_bloom_merged" -> ((s, d) => bloomServe(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -101,6 +180,32 @@ object RuntimeFilter {
          WHERE o_orderpriority = '1-URGENT'
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
-         GROUP BY l_returnflag"""
+         GROUP BY l_returnflag""",
+    // full replay: probe positions, word build, merged membership — the
+    // per-run split is invisible to the values (OR is associative), so
+    // the oracle builds one flat bloom over the historical set
+    "op_bloom_merged" ->
+      """WITH docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         hist AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+         hbits AS (SELECT CAST('0x' || substring(md5(fp || ':' || CAST(j AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 65536 AS bit
+                   FROM hist, unnest([0, 1, 2]) t(j)),
+         bloom AS (SELECT bit // 32 AS w,
+                          bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS bits
+                   FROM hbits GROUP BY 1),
+         probes AS (SELECT doc_id,
+                      CAST('0x' || substring(md5(fp || ':' || CAST(j AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 65536 AS bit
+                    FROM docs, unnest([0, 1, 2]) t(j)),
+         hits AS (SELECT p.doc_id,
+                    coalesce((b.bits & (CAST(1 AS BIGINT) << CAST(p.bit % 32 AS INT))) <> 0,
+                             false) AS hit
+                  FROM probes p LEFT JOIN bloom b ON p.bit // 32 = b.w),
+         mb AS (SELECT doc_id,
+                  sum(CASE WHEN hit THEN 1 ELSE 0 END) = 3 AS maybe_seen
+                FROM hits GROUP BY doc_id)
+         SELECT d.doc_id, mb.maybe_seen,
+                d.fp IN (SELECT fp FROM hist) AS seen
+         FROM docs d JOIN mb USING (doc_id)"""
   )
 }

@@ -59,4 +59,23 @@ class RuntimeFilterSpec extends AnyFunSuite {
       assert(viaBloom == plain)
     } finally Caches.releaseAll()
   }
+
+  test("merged per-run blooms: no false negatives, sane false-positive rate") {
+    try {
+      val rows = RuntimeFilter.bloomServe(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+      // the bloom contract: every truly-seen fingerprint hits the merged
+      // filter (OR-merge cannot lose a bit any run set)
+      val falseNeg = rows.filter { case (_, maybe, seen) => seen && !maybe }
+      assert(falseNeg.isEmpty, s"false negatives: ${falseNeg.take(5).mkString(",")}")
+      // fixture sanity: historical docs (4/5 of the corpus) are seen,
+      // and at 65536 bits the unseen fifth mostly misses the filter
+      val unseen = rows.filter(!_._3)
+      assert(unseen.nonEmpty, "fixture has no unseen docs")
+      val fp = unseen.count(_._2)
+      assert(fp.toDouble / unseen.size < 0.2,
+        s"false-positive rate implausibly high: $fp of ${unseen.size}")
+      info(s"unseen=${unseen.size} false_positives=$fp")
+    } finally Caches.releaseAll()
+  }
 }
