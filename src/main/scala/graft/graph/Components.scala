@@ -142,17 +142,21 @@ object Components {
     * (each undirected edge emits one row from its larger endpoint), so
     * there is no blow-up to bound, [[smallStar]]'s min-aggregate is
     * duplicate-insensitive, and its final distinct restores set
-    * semantics for the round — while a distinct here would shuffle on
-    * (src, dst) only for smallStar to immediately re-shuffle the same
-    * rows on (src). Dropping it removed one exchange + one dedup per
-    * round from a loop the r8 audit judged scheduling-bound.
+    * semantics for the round.
+    *
+    * The per-node min table is NODE-sized and BROADCAST into the
+    * edge-sized join (the pr_hits finding: a truncated round leaf has no
+    * stats, so the unhinted join planned a SortMergeJoin that re-sorted
+    * the edge relation every round), so the only edge-sized exchange per
+    * full round is [[smallStar]]'s closing distinct. Valid while the
+    * node set fits the broadcast budget; a billion-node graph flips the
+    * hint back to the co-partitioned pw shape.
     */
   private def largeStar(e: DataFrame, pw: Pin): DataFrame = {
-    val sym = pw(e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
-      Seq(col("src")))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val mn = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
-    sym.join(mn, col("src") === col("u"))
+    sym.join(broadcast(mn), col("src") === col("u"))
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
   }
@@ -160,12 +164,12 @@ object Components {
   /** Input already oriented large→small (duplicates tolerated — see
     * [[largeStar]]), so Γ(v) here is exactly the smaller-neighbor set;
     * m ≤ u for every emitted (u, m) and the u = m self-loop is dropped.
-    * The one distinct per round lives here.
+    * The one distinct per round lives here ([[largeStar]]'s broadcast
+    * note: this distinct is the round's one edge-sized exchange).
     */
   private def smallStar(e: DataFrame, pw: Pin): DataFrame = {
-    val eP = pw(e, Seq(col("src")))
-    val mn = eP.groupBy(col("src")).agg(min(col("dst")).as("m"))
-    pw(eP.join(mn, "src")
+    val mn = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    pw(e.join(broadcast(mn), "src")
       .select(col("dst").as("src"), col("m").as("dst"))
       .union(mn.select(col("src"), col("m")))
       .where(col("src") =!= col("dst")),
