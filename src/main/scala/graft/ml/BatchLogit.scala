@@ -90,22 +90,30 @@ object BatchLogit {
     val ex = graft.Caches.memoized(spark, dir, "ml:gd_compressed")(compressed(spark, dir))
     // w0 = 0 for every feature that occurs — derived distributively; the
     // feature dimension is never collect()ed (r5 verdict ask 4)
-    // register the seed frame too: if training aborts before iteration 1
-    // completes, the loop's own unpersist never runs and an unregistered
-    // persist would leak past releaseAll
-    var w = graft.Caches.register(
-      ex.select(col("feature")).distinct()
-        .withColumn("w",
-          lit(new java.math.BigDecimal("0.000000")).cast("decimal(18,6)"))
-        .persist())
-    for (_ <- 1 to iterations) {
+    val w0 = ex.select(col("feature")).distinct()
+      .withColumn("w",
+        lit(new java.math.BigDecimal("0.000000")).cast("decimal(18,6)"))
+      .localCheckpoint(eager = false)
+    // ONE lazy plan for the whole training run (the pr_hits protocol):
+    // the weight frame is referenced twice per iteration, so the
+    // harness's lazy localCheckpoint cut is what keeps the plan bounded
+    // AND each round's model computed once; the r9 eager form paid eight
+    // count() actions plus their scheduling. Both the model and the
+    // per-doc score frame are BROADCAST into their joins — checkpointed
+    // leaves have no stats, so the unhinted plan re-sorted the
+    // corpus-sized compressed table per iteration for SortMergeJoins.
+    // The model broadcast is valid by definition (a model too big to
+    // broadcast has no business in full-batch GD); the SCORE broadcast
+    // is tier-bound (per-doc rows — drop that one hint at corpus scale
+    // and the gradient join degrades to the shuffle join, rest unchanged).
+    val trained = graft.graph.IterativeLoop.fixedBudget(w0, iterations) { (w, _) =>
       val scored = ex.join(broadcast(w), "feature")
         .groupBy(col("docid"), col("label"))
         .agg(sum(col("cnt") * col("w")).as("score")) // exact decimal sum, order-free
         .withColumn("prob",
           round(lit(1.0) / (lit(1.0) + exp(-col("score").cast("double"))), 6)
             .cast("decimal(9,6)"))
-      val grad = ex.join(scored.select(col("docid"), col("prob")), "docid")
+      val grad = ex.join(broadcast(scored.select(col("docid"), col("prob"))), "docid")
         .groupBy(col("feature"))
         .agg(sum(col("cnt") * (col("label") - col("prob"))).as("g")) // exact decimal sum
         // narrow BEFORE the Eta product: the wide sum type (38,6) times
@@ -116,24 +124,14 @@ object BatchLogit {
         .select(col("feature"), col("g").cast("decimal(18,6)").as("g"))
       // every w-feature occurs in ex, so the gradient join is inner —
       // exactly the oracle's `w JOIN g USING (feature)`
-      val next = w.join(grad, Seq("feature"))
+      w.join(grad, Seq("feature"))
         .select(col("feature"),
           round(col("w") + lit(Eta.bigDecimal) * col("g"), 6)
             .cast("decimal(18,6)").as("w"))
-      // plan truncation per round (the repo's iterative-loop rule): the
-      // weight frame is referenced twice per iteration, so carrying the
-      // analyzed plan forward would grow it 2^iterations; re-wrapping the
-      // RDD pins it to a bounded LogicalRDD while keeping lineage
-      val t = graft.Caches.register(
-        spark.createDataFrame(next.rdd, next.schema).persist())
-      t.count() // the one action per iteration: materializes the K-row model
-      w.unpersist()
-      w = t
     }
-    // the final round's persisted model backs the returned plan; it is
-    // release-tracked, never collected — the model leaves the cluster
-    // only if the CALLER broadcasts or writes it
-    w.select(col("feature"), col("w").cast("double").as("weight"))
+    // the returned plan is the lazy chain's head; the model never
+    // touches the driver unless the CALLER broadcasts or writes it
+    trained.select(col("feature"), col("w").cast("double").as("weight"))
   }
 
   // ---------------------------------------------------------------- oracle
