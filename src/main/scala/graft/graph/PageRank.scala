@@ -269,9 +269,16 @@ object PageRank {
           when(col("af"), col("a")).otherwise(col("b")).as("a"),
           when(col("af"), col("b")).otherwise(col("a")).as("b"))
     }
+    // the edge relation is ~10 MB at the 10k tier — right at the default
+    // autoBroadcast threshold, so AQE flipped the wedge joins between
+    // broadcast (fast) and sort-merge (2× slower) run to run (observed
+    // bimodal 2.5 s / 5.5 s). Pin the broadcast: the canonical edge set
+    // is the bounded side of both joins at this tier (the documented
+    // tier-bound hint — at billions of edges both joins stay shuffle
+    // equi-joins on their keys and the hint is the line to drop)
     val tri = und.toDF("a", "b")
-      .join(und.toDF("b2", "c"), col("b") === col("b2"))
-      .join(und.toDF("a3", "c3"),
+      .join(broadcast(und.toDF("b2", "c")), col("b") === col("b2"))
+      .join(broadcast(und.toDF("a3", "c3")),
         col("a") === col("a3") && col("c") === col("c3"))
       .select(col("a"), col("b"), col("c"))
     val perNode = tri
