@@ -335,6 +335,56 @@ object Temporal {
         round(percentile(col("value"), lit(0.9)), 6).as("p90"),
         round(percentile(col("value"), lit(0.99)), 6).as("p99"))
 
+  /** Quantile buckets per histogram: 512 unit-width buckets over the
+    * fixture's [0, ~500] value range, top bucket clamping the tail (the
+    * fixed-range tradeoff every histogram sketch makes; re-range for a
+    * different corpus).
+    */
+  private val QBuckets = 512L
+
+  private def valueHistogram(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        least(floor(col("value")), lit(QBuckets - 1)).cast("long").as("b"))
+      .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("n"))
+
+  /** MERGEABLE quantiles across ingest runs — the composition that
+    * completes the stored-sketch family (HLL union ev_hll_merged,
+    * Count-Min sum ev_countmin_merged, bloom OR op_bloom_merged): each
+    * "day" (epoch-day parity, the ev_countmin_merged split convention)
+    * persists a fixed-range equi-width VALUE HISTOGRAM as its own
+    * Parquet artifact; serve time merges them bucket-wise (histograms
+    * are linear — merged-day cells ≡ whole-corpus cells exactly, the CM
+    * linearity certificate) and answers p50/p90/p99 per event type by
+    * rank walk: smallest bucket whose cumulative count reaches
+    * ceil(q·n), reported at the bucket midpoint. Everything is integer
+    * arithmetic over ≤ 512·|types| rows, so the oracle replays the
+    * whole pipeline — split, merge, rank walk — and the row hash-gates
+    * the sketch DECISIONS, not just a bound. State is O(buckets) per
+    * run at any corpus size; the exact twin is ev_quantiles.
+    */
+  def quantilesMerged(spark: SparkSession, dir: String): DataFrame = {
+    def dayHist(parity: Int) =
+      graft.Caches.parquetArtifact(spark, dir, s"qhist_day_$parity")(
+        valueHistogram(Tables.events(spark, dir)
+          .where(pmod(datediff(to_date(col("ts")),
+            lit(java.sql.Date.valueOf("1970-01-01"))), lit(2)) === parity)))
+    val merged = dayHist(0).unionByName(dayHist(1))
+      .groupBy(col("event_type"), col("b")).agg(sum(col("n")).as("n"))
+    val tot = merged.groupBy(col("event_type")).agg(sum(col("n")).as("n_total"))
+    val cum = merged.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy(col("event_type")).orderBy(col("b"))))
+    def est(q: Double, name: String) =
+      cum.join(tot, Seq("event_type"))
+        .where(col("cum") >= ceil(lit(q) * col("n_total")))
+        .groupBy(col("event_type"))
+        .agg((min(col("b")).cast("double") + lit(0.5)).as(name))
+    tot.join(est(0.5, "p50_est"), Seq("event_type"))
+      .join(est(0.9, "p90_est"), Seq("event_type"))
+      .join(est(0.99, "p99_est"), Seq("event_type"))
+      .select(col("event_type"), col("n_total"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+  }
+
   /** The documented 100 TB approx drop-ins EXERCISED THROUGH THE ORACLE
     * GATE, not only in specs: per event type, the exact distinct-user
     * count and exact median ride alongside booleans asserting the sketch
@@ -697,6 +747,7 @@ object Temporal {
     "ev_histogram"      -> ((s, d) => valueHistogram(s, d)),
     "ev_type_pivot"     -> ((s, d) => typePivot(s, d)),
     "ev_quantiles"      -> ((s, d) => valueQuantiles(s, d)),
+    "ev_quantiles_merged" -> ((s, d) => quantilesMerged(s, d)),
     "ev_approx_bounds"  -> ((s, d) => approxBounds(s, d)),
     // per-day persisted HLL binaries, reopened + union-merged; exact
     // distinct + pinned bound boolean (see hllMerged)
@@ -974,6 +1025,26 @@ object Temporal {
            round(quantile_cont(value, 0.9), 6) AS p90,
            round(quantile_cont(value, 0.99), 6) AS p99
          FROM events GROUP BY event_type""",
+    // merged-histogram quantiles: the day split is invisible to the
+    // values (histograms are linear), so the oracle builds one flat
+    // histogram and replays the identical rank walk
+    "ev_quantiles_merged" ->
+      """WITH h AS (SELECT event_type,
+               CAST(least(floor(value), 511) AS BIGINT) AS b, count(*) AS n
+             FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total
+                 FROM h GROUP BY 1),
+         c AS (SELECT event_type, b,
+                 sum(n) OVER (PARTITION BY event_type ORDER BY b) AS cum
+               FROM h),
+         est AS (SELECT c.event_type,
+                   min(CASE WHEN cum >= ceil(0.5 * n_total) THEN b END) + 0.5 AS p50_est,
+                   min(CASE WHEN cum >= ceil(0.9 * n_total) THEN b END) + 0.5 AS p90_est,
+                   min(CASE WHEN cum >= ceil(0.99 * n_total) THEN b END) + 0.5 AS p99_est
+                 FROM c JOIN tot USING (event_type)
+                 GROUP BY c.event_type)
+         SELECT event_type, n_total, p50_est, p90_est, p99_est
+         FROM tot JOIN est USING (event_type)""",
     // the exact columns replayed; the sketch bounds pinned TRUE — the
     // hash gate fails iff Spark's HLL/positional sketch leaves its bound
     "ev_approx_bounds" ->

