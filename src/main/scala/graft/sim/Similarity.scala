@@ -247,6 +247,26 @@ object Similarity {
     topKLshOn(indexArtifact(spark, dir, "lsh_bands")(bandedSketches(spark, dir)),
       k, nQueries)
 
+  /** INCREMENTAL index update — the lifecycle op a daily ANN ingest
+    * runs: the historical corpus's band table is a persisted artifact
+    * (vec_id % 5 ≠ 0, "yesterday's index"), today's batch (vec_id % 5
+    * = 0) bands fresh, and serving probes the UNION. Banding is
+    * per-row — the index has no global state — so incremental ≡
+    * monolithic rebuild EXACTLY, which the gate proves by hashing
+    * against the same full-corpus oracle as sim_topk_lsh; per-batch
+    * ingest cost is O(batch), never O(corpus) — what makes a daily
+    * ingest affordable at 100 TB (contrast IVF/PQ, whose TRAINED
+    * quantizers drift and need periodic retrains — the train-on-sample
+    * split sim_topk_ivfpq_big already models).
+    */
+  def topKLshIncremental(spark: SparkSession, dir: String,
+                         k: Int = 3, nQueries: Int = 10): DataFrame = {
+    val hist = indexArtifact(spark, dir, "lsh_bands_hist")(
+      bandedSketches(spark, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0))
+    val batch = bandedSketches(spark, dir).filter(pmod(col("vec_id"), lit(5)) === 0)
+    topKLshOn(hist.unionByName(batch), k, nQueries)
+  }
+
   /** The LSH probe over an arbitrary banded-sketch table — shared by the
     * fixture tier ([[topKLsh]]) and the ×replicas measurement tier
     * ([[topKLshBig]]).
@@ -1015,6 +1035,7 @@ object Similarity {
     // reload → query); hash-gated against the identical oracles
     "sim_index_persist" -> ((s, d) => topKIvfPqPersisted(s, d)),
     "sim_lsh_persist"   -> ((s, d) => topKLshPersisted(s, d)),
+    "sim_lsh_incremental" -> ((s, d) => topKLshIncremental(s, d)),
     "sim_topk_ivf"     -> ((s, d) => topKIvf(s, d)),
     "sim_topk_filtered" -> ((s, d) => topKFiltered(s, d)),
     "dedup_embedding"  -> ((s, d) => embeddingDedupGroups(s, d)),
@@ -1579,6 +1600,9 @@ object Similarity {
   val oracles: Map[String, String] = baseOracles ++ Map(
     "sim_index_persist" -> baseOracles("sim_topk_ivfpq"),
     "sim_lsh_persist" -> baseOracles("sim_topk_lsh"),
+    // incremental append ≡ monolithic rebuild (banding is per-row), so
+    // the full-corpus ranking replay gates the union-served index
+    "sim_lsh_incremental" -> baseOracles("sim_topk_lsh"),
     // recall@k re-derives BOTH rankings (each already an exact replay)
     // and joins them — the measured ANN quality, as numbers under the
     // hash gate instead of a spec-side assertion
