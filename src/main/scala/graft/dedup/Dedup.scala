@@ -71,6 +71,26 @@ object Dedup {
         .withColumn("group_size", count(lit(1)).over(w))
     }
 
+  /** Exact dedup under TEXT NORMALIZATION — the standard
+    * normalize-before-fingerprint step a crawler pipeline runs ahead of
+    * [[exact]]: lowercase, collapse every whitespace run to one space,
+    * trim. Catches the trivial variants byte-exact dedup misses
+    * (re-wrapped, case-mangled, padding-whitespace copies) while the
+    * normalization is simple enough that both engines replay it
+    * byte-identically. Output carries the groups under BOTH
+    * fingerprints so the widening is visible as data: every
+    * norm-group is a union of raw-groups, never the reverse
+    * (normalization is a function of the raw text), asserted in spec.
+    */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("nfp"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("nfp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(wN))
+      .withColumn("group_size", count(lit(1)).over(wN))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     * explode distinct shingles, self-join on shingle, count shared, then
     * |A∩B| / (|A|+|B|−|A∩B|) ≥ minJaccard.
@@ -1196,6 +1216,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "dedup_exact"         -> ((s, d) => exact(s, d)),
+    "dedup_exact_norm"    -> ((s, d) => exactNormalized(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
     // the 100 TB skew guard ON and oracle-gated: stop shingles with
     // df > StopShingleDf leave the inverted index before the self-join
@@ -1250,6 +1271,14 @@ object Dedup {
       """SELECT doc_id, md5(text) AS fp,
                 min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
                 count(*) OVER (PARTITION BY md5(text)) AS group_size
+         FROM documents""",
+    // normalized fingerprint: lowercase, collapse whitespace runs, trim —
+    // DuckDB needs the 'g' flag for replace-all (Spark's default)
+    "dedup_exact_norm" ->
+      """SELECT doc_id, md5(text) AS fp,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS nfp,
+                min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS canonical_id,
+                count(*) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS group_size
          FROM documents""",
     "dedup_ngram_jaccard" -> jaccardOracle(0.2),
     "dedup_ngram_capped"  -> cappedJaccardOracle(0.2, StopShingleDf),

@@ -19,6 +19,20 @@ class DedupSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id")))
   }
 
+  test("normalized exact dedup REFINES raw dedup: every raw group maps into one norm group") {
+    val rows = Dedup.exactNormalized(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getAs[Long]("group_size")))
+    // normalization is a function of the raw text: equal raw fp ⇒ equal
+    // normalized fp, so norm groups are unions of raw groups
+    rows.groupBy(_._1).foreach { case (fp, g) =>
+      assert(g.map(_._2).distinct.length == 1, s"raw group $fp split across norm groups")
+    }
+    // and norm groups can only be at least as large as their raw groups
+    val rawSize = Dedup.exact(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getAs[Long]("group_size")).toMap
+    rows.foreach { case (fp, _, nSize) => assert(nSize >= rawSize(fp)) }
+  }
+
   test("minhash+LSH finds exactly the exact-jaccard pairs at 0.5") {
     val lsh = pairs(Dedup.minhashPairs(spark, sf))
     val exact = pairs(Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5))
