@@ -260,7 +260,10 @@ object Bench {
         ("pr_toprank", Seq.empty), ("pr_toprank_10k", Seq.empty)),
       ("ir_bm25_x10",
         ("ir_bm25", Seq("ir:postings")),
-        ("ir_bm25_big", Seq("ir:postings_big_10"))))
+        ("ir_bm25_big", Seq("ir:postings_big_10"))),
+      ("ir_phrase_x10",
+        ("ir_phrase", Seq("ir:positions")),
+        ("ir_phrase_big", Seq("ir:positions_big_10"))))
     val medianOf = results.map(r => r._1 -> r._2).toMap
     def coldCost(name: String, buildKeys: Seq[String]): Option[Double] =
       medianOf.get(name)

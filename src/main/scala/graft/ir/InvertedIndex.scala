@@ -226,6 +226,37 @@ object InvertedIndex {
               topN: Int = 20): DataFrame =
     bm25OverPostings(bigPostings(spark, dir, replicas), terms, 1.2, 0.75, topN)
 
+  /** ×`replicas` inflated POSITIONAL index — [[bigPostings]]' twin for
+    * the phrase/proximity family (same replica perturbation, so both
+    * big tiers describe the same corpus). Memoized corpus prep,
+    * term-clustered.
+    */
+  def bigPositions(spark: SparkSession, dir: String, replicas: Int = 10): DataFrame =
+    graft.Caches.memoized(spark, dir, s"ir:positions_big_$replicas") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+        .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+          when(col("r") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" zz"), expr("repeat('x', r)")))
+            .as("text"))
+        .select(col("doc_id"), posexplode(Text.tokenize(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .repartition(col("term"))
+    }
+
+  /** Exact phrase search over the ×10 corpus — closes the IR scale tier
+    * next to [[bm25Big]] (bm25 stresses long postings lists; phrase
+    * stresses long POSITION lists and the k-way doc join). Hash-gated:
+    * the inflation is pure SQL, so the oracle replays corpus, positional
+    * index, and intersection end to end.
+    */
+  def phraseBig(spark: SparkSession, dir: String, replicas: Int = 10,
+                phrase: Seq[String] = Seq("table", "hash")): DataFrame =
+    phraseOverPositions(bigPositions(spark, dir, replicas), phrase)
+
   /** One doc-sharded postings artifact — the per-ingest-batch half of an
     * INCREMENTAL index lifecycle: at 100 TB nobody rebuilds the index per
     * batch; each ingest run writes its own shard and serving merges them.
@@ -338,9 +369,14 @@ object InvertedIndex {
     * relation, joined on doc_id (k−1 joins for a k-word phrase — k is
     * query length, never corpus-sized), then a per-row array intersect.
     */
-  def phraseQuery(spark: SparkSession, dir: String, phrase: Seq[String]): DataFrame = {
+  def phraseQuery(spark: SparkSession, dir: String, phrase: Seq[String]): DataFrame =
+    phraseOverPositions(positionsRelation(spark, dir), phrase)
+
+  /** [[phraseQuery]]'s matching core over an EXPLICIT positional
+    * relation — shared with the ×10 measurement tier ([[phraseBig]]).
+    */
+  private def phraseOverPositions(pos: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty)
-    val pos = positionsRelation(spark, dir)
     val shifted = phrase.zipWithIndex.map { case (w, i) =>
       pos.filter(col("term") === w)
         .select(col("doc_id"),
@@ -790,6 +826,7 @@ object InvertedIndex {
     "ir_mlt" -> ((s, d) => moreLikeThis(s, d)),
     "ir_rank_eval" -> ((s, d) => rankEval(s, d)),
     "ir_phrase" -> ((s, d) => phraseQuery(s, d, demoPhrase)),
+    "ir_phrase_big" -> ((s, d) => phraseBig(s, d)),
     "ir_proximity" -> ((s, d) => proximityQuery(s, d, demoNear._1, demoNear._2, demoNear._3)),
     "ir_prefix" -> ((s, d) => prefixSearch(s, d, demoPrefix)),
     "ir_snippet" -> ((s, d) => snippetWindow(s, d, "spark", "table", "merge")),
@@ -846,6 +883,20 @@ object InvertedIndex {
             FROM (SELECT doc_id, toks,
                     unnest(generate_series(1, len(toks))) AS pos
                   FROM (SELECT doc_id, $tokSql AS toks FROM documents))),
+          p0 AS (SELECT doc_id, pos FROM tp WHERE term = 'table'),
+          p1 AS (SELECT doc_id, pos - 1 AS pos FROM tp WHERE term = 'hash'),
+          starts AS (
+            SELECT doc_id, pos FROM p0
+            INTERSECT
+            SELECT doc_id, pos FROM p1)
+          SELECT doc_id, count(*) AS n_matches, min(pos) AS first_pos
+          FROM starts GROUP BY doc_id""",
+    "ir_phrase_big" ->
+      s"""WITH tp AS (
+            SELECT doc_id, pos, toks[pos] AS term
+            FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks))) AS pos
+                  FROM (SELECT doc_id, $tokSql AS toks FROM $bigDocsSql))),
           p0 AS (SELECT doc_id, pos FROM tp WHERE term = 'table'),
           p1 AS (SELECT doc_id, pos - 1 AS pos FROM tp WHERE term = 'hash'),
           starts AS (
