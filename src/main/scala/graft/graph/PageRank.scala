@@ -670,9 +670,11 @@ object PageRank {
     }
     Components.labels(nodes(spark, dir, mod), oriented,
       // width tracks the edge working set, pr_toprank protocol: 4 for
-      // the 100-node oracle tier; 16 for the dense 10k tier (~600k
-      // edges — swept 8/16/32 at sf0.1: 8.4 / 7.1 / 11.2 s)
-      partitions = Some(if (mod <= 1000) 4 else 16), prepared = true)
+      // the 100-node oracle tier; 8 for the dense 10k tier (~600k
+      // edges) — re-swept after the r10 broadcast-min shape cut the
+      // per-round exchanges to one (8/16/32 at sf0.1: 5.4 / 6.2 / 6.7 s;
+      // the pre-broadcast sweep favored 16)
+      partitions = Some(if (mod <= 1000) 4 else 8), prepared = true)
       .select(col("id"), col("label").as("component_id"))
   }
 
