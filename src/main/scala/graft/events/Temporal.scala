@@ -385,6 +385,53 @@ object Temporal {
         col("p50_est"), col("p90_est"), col("p99_est"))
   }
 
+  /** WINDOWED histogram cells — the streaming half of the quantile
+    * sketch (the st_countmin windowedCells pattern): per 1-hour window
+    * and event type, the same fixed-range bucket counts
+    * [[valueHistogram]] builds, watermark-evicted. State per window is
+    * O(buckets·types) regardless of event volume — what makes per-hour
+    * latency percentiles stream-legal at any scale; a streaming query
+    * cannot chain a second aggregation in append mode, so the rank walk
+    * runs downstream over the EMITTED cells (exactly how the CM point
+    * queries serve from emitted sketch cells). Counts are associative,
+    * so the identical plan runs batch (the gate/oracle) and as an
+    * AvailableNow stream (StreamingSpec: stream ≡ batch exactly).
+    */
+  def windowedHistogram(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        least(floor(col("value")), lit(QBuckets - 1)).cast("long").as("b"))
+      .groupBy(col("w"), col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("b"), col("n"))
+
+  /** Per-hour p50/p90 from the windowed histogram cells — the
+    * observability query ("latency percentiles per hour per type") as
+    * the downstream rank walk over [[windowedHistogram]]'s output, per
+    * (window, type). Bounded arithmetic end to end: ≤ 512 cells per
+    * group, integer cum-sums, midpoints — the oracle replays cells and
+    * walk both.
+    */
+  def windowedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val cells = windowedHistogram(Tables.events(spark, dir))
+    val tot = cells.groupBy(col("window_start"), col("event_type"))
+      .agg(sum(col("n")).as("n_total"))
+    val cum = cells.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy(col("window_start"), col("event_type"))
+        .orderBy(col("b"))))
+    def est(q: Double, name: String) =
+      cum.join(tot, Seq("window_start", "event_type"))
+        .where(col("cum") >= ceil(lit(q) * col("n_total")))
+        .groupBy(col("window_start"), col("event_type"))
+        .agg((min(col("b")).cast("double") + lit(0.5)).as(name))
+    tot.join(est(0.5, "p50_est"), Seq("window_start", "event_type"))
+      .join(est(0.9, "p90_est"), Seq("window_start", "event_type"))
+      .select(col("window_start"), col("event_type"), col("n_total"),
+        col("p50_est"), col("p90_est"))
+  }
+
   /** The documented 100 TB approx drop-ins EXERCISED THROUGH THE ORACLE
     * GATE, not only in specs: per event type, the exact distinct-user
     * count and exact median ride alongside booleans asserting the sketch
@@ -748,6 +795,7 @@ object Temporal {
     "ev_type_pivot"     -> ((s, d) => typePivot(s, d)),
     "ev_quantiles"      -> ((s, d) => valueQuantiles(s, d)),
     "ev_quantiles_merged" -> ((s, d) => quantilesMerged(s, d)),
+    "st_windowed_quantiles" -> ((s, d) => windowedQuantiles(s, d)),
     "ev_approx_bounds"  -> ((s, d) => approxBounds(s, d)),
     // per-day persisted HLL binaries, reopened + union-merged; exact
     // distinct + pinned bound boolean (see hllMerged)
@@ -1045,6 +1093,26 @@ object Temporal {
                  GROUP BY c.event_type)
          SELECT event_type, n_total, p50_est, p90_est, p99_est
          FROM tot JOIN est USING (event_type)""",
+    // windowed cells + rank walk, both replayed; window = epoch-aligned
+    // 1-hour truncation of ts
+    "st_windowed_quantiles" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, CAST(least(floor(value), 511) AS BIGINT) AS b,
+               count(*) AS n
+             FROM events GROUP BY 1, 2, 3),
+         tot AS (SELECT window_start, event_type, CAST(sum(n) AS BIGINT) AS n_total
+                 FROM h GROUP BY 1, 2),
+         c AS (SELECT window_start, event_type, b,
+                 sum(n) OVER (PARTITION BY window_start, event_type ORDER BY b) AS cum
+               FROM h),
+         est AS (SELECT c.window_start, c.event_type,
+                   min(CASE WHEN cum >= ceil(0.5 * n_total) THEN b END) + 0.5 AS p50_est,
+                   min(CASE WHEN cum >= ceil(0.9 * n_total) THEN b END) + 0.5 AS p90_est
+                 FROM c JOIN tot USING (window_start, event_type)
+                 GROUP BY c.window_start, c.event_type)
+         SELECT window_start, event_type, n_total, p50_est, p90_est
+         FROM tot JOIN est USING (window_start, event_type)""",
     // the exact columns replayed; the sketch bounds pinned TRUE — the
     // hash gate fails iff Spark's HLL/positional sketch leaves its bound
     "ev_approx_bounds" ->

@@ -222,6 +222,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("windowed histogram cells (file source, AvailableNow) equal the batch sketch") {
+    val stream = graft.events.Temporal.windowedHistogram(
+      Streaming.readEventStream(spark, sf))
+    val q = stream.writeStream
+      .format("memory").queryName("qh_cells_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("st-chk").toString)
+      .start()
+    assert(q.awaitTermination(120000), "stream did not terminate")
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val got = cells(spark.table("qh_cells_test"))
+    // counts are associative: the incremental stream builds the exact
+    // same per-window histogram as the one-shot batch
+    val want = cells(graft.events.Temporal.windowedHistogram(Tables.events(spark, sf)))
+    assert(got == want)
+    assert(want.nonEmpty)
+    // state is O(buckets) per (window, type), never per event
+    got.keySet.groupBy(k => (k._1, k._2)).foreach { case (w, ks) =>
+      assert(ks.size <= 512, s"window $w bucket blowup") }
+  }
+
   test("windowed count-min cells (file source, AvailableNow) equal the batch sketch") {
     val stream = graft.functions.CountMin.windowedCells(
       Streaming.readEventStream(spark, sf))
