@@ -86,7 +86,11 @@ object Dedup {
     val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("nfp"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("fp"),
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("nfp"))
+        // explicit whitespace class, NOT \s: Java regex \s includes
+        // vertical tab, RE2's (the DuckDB oracle's) \s does not — the
+        // class below pins identical semantics in both engines (the
+        // oracle uses the same literal)
+        md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f\\x0B]+", " "))).as("nfp"))
       .withColumn("canonical_id", min(col("doc_id")).over(wN))
       .withColumn("group_size", count(lit(1)).over(wN))
   }
@@ -1273,12 +1277,14 @@ object Dedup {
                 count(*) OVER (PARTITION BY md5(text)) AS group_size
          FROM documents""",
     // normalized fingerprint: lowercase, collapse whitespace runs, trim —
-    // DuckDB needs the 'g' flag for replace-all (Spark's default)
+    // DuckDB needs the 'g' flag for replace-all (Spark's default); the
+    // whitespace class is pinned explicitly (same literal as the Spark
+    // side) because Java's \s and RE2's \s disagree on vertical tab
     "dedup_exact_norm" ->
       """SELECT doc_id, md5(text) AS fp,
-                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS nfp,
-                min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS canonical_id,
-                count(*) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS group_size
+                md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS nfp,
+                min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS canonical_id,
+                count(*) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS group_size
          FROM documents""",
     "dedup_ngram_jaccard" -> jaccardOracle(0.2),
     "dedup_ngram_capped"  -> cappedJaccardOracle(0.2, StopShingleDf),

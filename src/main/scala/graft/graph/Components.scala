@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared connected-components module: the alternating large-star /
@@ -33,11 +34,51 @@ import org.apache.spark.sql.functions._
   * |E| + |E'| = 2·|E ∪ E'| ⟺ E = E' (both sides are distinct sets, and
   * |E ∪ E'| ≥ max(|E|,|E'|) ≥ (|E|+|E'|)/2 with equality only when
   * E = E').
+  *
+  * ==Two physical shapes, one round semantics==
+  *
+  * The per-node minimum each star phase needs is computable two ways,
+  * and the right one is a function of DATA SHAPE, not taste — so both
+  * are implemented, dispatch is a parameter, and a spec holds them
+  * hash-equal on the same graph:
+  *
+  *  - [[Shape.CoPartitioned]] (default): `min(dst) OVER (PARTITION BY
+  *    src)` — ONE hash exchange on the phase key and the min is joined
+  *    back "for free" because the window reads the same partition it
+  *    aggregated. No broadcast, no node-count ceiling: this is the
+  *    billion-node shape, and at fixture scale it is ALSO the faster
+  *    one because a round is 3 stages instead of ~13 (measured on the
+  *    10k tier: 0.58 s vs 1.4 s per round — the r10 broadcast shape
+  *    paid two broadcast-build jobs plus their agg exchanges per round,
+  *    and at 10k rows per-stage scheduling latency dominates all data
+  *    cost).
+  *  - [[Shape.BroadcastMin]] (the r10 shape): aggregate the node-sized
+  *    min table, broadcast it into the edge-sized join. The edge set
+  *    crosses the wire ONCE per round (small-star's closing distinct)
+  *    instead of the window shape's twice — the right trade when edges
+  *    vastly outnumber nodes AND the node table fits the broadcast
+  *    budget (~10 MB per million nodes). On a billion-node graph the
+  *    broadcast is impossible and this shape is invalid — which is why
+  *    it is the opt-in, not the default.
   */
 object Components {
 
+  /** Physical shape of the per-round min computation — see class doc. */
+  sealed trait Shape
+  object Shape {
+    /** Window min over the phase key: co-partitioned, broadcast-free,
+      * valid at any node count. The scale-path default.
+      */
+    case object CoPartitioned extends Shape
+    /** Node-sized min tables broadcast into the edge join: one
+      * edge-sized exchange per round, valid only while the node set
+      * fits the broadcast budget.
+      */
+    case object BroadcastMin extends Shape
+  }
+
   /** Width-pinning hook: repartition on the downstream grouping columns
-    * so the groupBy / join / distinct that follows reuses the
+    * so the groupBy / window / distinct that follows reuses the
     * partitioning instead of adding an exchange at session width.
     */
   private type Pin = (DataFrame, Seq[Column]) => DataFrame
@@ -61,11 +102,14 @@ object Components {
     * tiers/reps) — so round 0 starts directly on it instead of
     * re-deriving orientation + distinct per call. The loop never
     * unpersists a prepared input: its lifecycle belongs to the caller's
-    * memo.
+    * memo. A non-prepared input IS loop-owned (`initOwned`), so the
+    * derived round-0 edge cache is dropped as soon as round 1
+    * supersedes it.
     */
   def labels(nodes: DataFrame, pairs: DataFrame,
              partitions: Option[Int] = None,
-             prepared: Boolean = false): DataFrame = {
+             prepared: Boolean = false,
+             shape: Shape = Shape.CoPartitioned): DataFrame = {
     val idCol = nodes.columns.head
     val pw: Pin = (df, cols) =>
       partitions.fold(df)(n => df.repartition(n, cols: _*))
@@ -95,8 +139,9 @@ object Components {
     // 64 dominates any feasible input.
     val e = IterativeLoop.converge[(Long, Long)](
       e0, maxRounds = 64, what = "components star loop",
-      initialProbe = Some(fingerprint(e0)))(
-      (cur, _) => smallStar(largeStar(cur, pw), pw))(
+      initialProbe = Some(fingerprint(e0)),
+      initOwned = !prepared)(
+      (cur, _) => round(cur, pw, shape))(
       fingerprint)(
       (prevFp, fp, cur, next) =>
         prevFp.contains(fp) && {
@@ -126,33 +171,77 @@ object Components {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** One full large-star + small-star round over an oriented edge frame —
-    * exposed for the physical-plan audit (PlanAuditSpec asserts the round
-    * is equi-join/aggregate-shaped, never a cross product).
+  /** One full large-star + small-star round in the requested shape,
+    * closed by the round's ONE set-semantics exchange: pin the width on
+    * the edge key pair and distinct (the distinct reuses the pinned
+    * partitioning, so it costs one exchange, not two).
     */
-  private[graft] def auditRound(e: DataFrame): DataFrame = {
-    val id: Pin = (df, _) => df
-    smallStar(largeStar(e, id), id)
+  private def round(e: DataFrame, pw: Pin, shape: Shape): DataFrame = {
+    val ss = shape match {
+      case Shape.CoPartitioned => smallStarWin(largeStarWin(e, pw), pw)
+      case Shape.BroadcastMin  => smallStarBc(largeStarBc(e, pw), pw)
+    }
+    pw(ss, Seq(col("src"), col("dst"))).distinct()
   }
 
-  /** Emitted edges keep dst < src (m ≤ u < v), so the orientation
-    * invariant holds without re-normalizing.
-    *
-    * NOT deduplicated on the way out: emission count is exactly |E|
-    * (each undirected edge emits one row from its larger endpoint), so
-    * there is no blow-up to bound, [[smallStar]]'s min-aggregate is
-    * duplicate-insensitive, and its final distinct restores set
-    * semantics for the round.
-    *
-    * The per-node min table is NODE-sized and BROADCAST into the
-    * edge-sized join (the pr_hits finding: a truncated round leaf has no
-    * stats, so the unhinted join planned a SortMergeJoin that re-sorted
-    * the edge relation every round), so the only edge-sized exchange per
-    * full round is [[smallStar]]'s closing distinct. Valid while the
-    * node set fits the broadcast budget; a billion-node graph flips the
-    * hint back to the co-partitioned pw shape.
+  /** One full round in each shape over an oriented edge frame — exposed
+    * for the physical-plan audit (PlanAuditSpec asserts the round is
+    * window/equi-join/aggregate-shaped, never a cross product).
     */
-  private def largeStar(e: DataFrame, pw: Pin): DataFrame = {
+  private[graft] def auditRound(e: DataFrame, shape: Shape = Shape.CoPartitioned): DataFrame = {
+    val id: Pin = (df, _) => df
+    round(e, id, shape)
+  }
+
+  // ---- co-partitioned (window) shape -------------------------------
+
+  /** Large-star, window shape: symmetrize, hash-partition on src once
+    * (the pw pin keeps the width on the working set), and read
+    * m = min(Γ(u) ∪ {u}) straight off the partition — the "join back to
+    * the min table" is free because every row already sits next to its
+    * key's minimum. Emitted edges keep dst < src (m ≤ u < v), so the
+    * orientation invariant holds without re-normalizing; emission count
+    * is exactly |E| (each undirected edge emits one row from its larger
+    * endpoint) and duplicates are tolerated downstream (min is
+    * duplicate-insensitive, small-star's closing distinct restores set
+    * semantics for the round).
+    */
+  private def largeStarWin(e: DataFrame, pw: Pin): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    pw(sym, Seq(col("src")))
+      .withColumn("m", least(col("src"), min(col("dst")).over(Window.partitionBy(col("src")))))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+  }
+
+  /** Small-star, window shape: input already oriented large→small
+    * (duplicates tolerated — see [[largeStarWin]]), so Γ(v) here is
+    * exactly the smaller-neighbor set and m = min(dst) over the src
+    * partition. Each row emits BOTH (u, m) and (v, m) — the self edge
+    * once per input row rather than once per node, which the round's
+    * one distinct collapses (trading ≤|E| duplicate rows for not
+    * needing a row_number sort or a second pass). The distinct is the
+    * round's one edge-sized set-semantics exchange in this shape too.
+    */
+  private def smallStarWin(e: DataFrame, pw: Pin): DataFrame = {
+    pw(e, Seq(col("src")))
+      .withColumn("m", min(col("dst")).over(Window.partitionBy(col("src"))))
+      .select(explode(array(
+        struct(col("dst").as("src"), col("m").as("dst")),
+        struct(col("src"), col("m").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .where(col("src") =!= col("dst"))
+  }
+
+  // ---- broadcast-min shape ------------------------------------------
+
+  /** Large-star, broadcast shape (see [[Shape.BroadcastMin]] for when
+    * this wins): the per-node min table is NODE-sized and BROADCAST
+    * into the edge-sized join (the pr_hits finding: a truncated round
+    * leaf has no stats, so the unhinted join planned a SortMergeJoin
+    * that re-sorted the edge relation every round).
+    */
+  private def largeStarBc(e: DataFrame, pw: Pin): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val mn = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
@@ -161,19 +250,15 @@ object Components {
       .select(col("dst").as("src"), col("m").as("dst"))
   }
 
-  /** Input already oriented large→small (duplicates tolerated — see
-    * [[largeStar]]), so Γ(v) here is exactly the smaller-neighbor set;
-    * m ≤ u for every emitted (u, m) and the u = m self-loop is dropped.
-    * The one distinct per round lives here ([[largeStar]]'s broadcast
-    * note: this distinct is the round's one edge-sized exchange).
+  /** Small-star, broadcast shape: the one distinct per round lives in
+    * the shared closing pin ([[largeStarBc]]'s broadcast note: this
+    * distinct is the round's one edge-sized exchange in this shape).
     */
-  private def smallStar(e: DataFrame, pw: Pin): DataFrame = {
+  private def smallStarBc(e: DataFrame, pw: Pin): DataFrame = {
     val mn = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
-    pw(e.join(broadcast(mn), "src")
+    e.join(broadcast(mn), "src")
       .select(col("dst").as("src"), col("m").as("dst"))
       .union(mn.select(col("src"), col("m")))
-      .where(col("src") =!= col("dst")),
-      Seq(col("src"), col("dst")))
-      .distinct()
+      .where(col("src") =!= col("dst"))
   }
 }

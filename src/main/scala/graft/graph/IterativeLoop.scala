@@ -71,27 +71,35 @@ object IterativeLoop {
     * diverge from the engine past it.
     *
     * `dropSuperseded=false` keeps every round's cache alive (for callers
-    * whose result references all rounds); the caller-owned `init` frame
-    * is never unpersisted either way. Returns the final state frame.
+    * whose result references all rounds); the `init` frame is treated as
+    * caller-owned (never unpersisted) unless `initOwned=true`, in which
+    * case it was persisted FOR this loop and is dropped like any other
+    * superseded round as soon as round 1 replaces it (a loop-derived
+    * round-0 cache otherwise stays resident for the whole run). Returns
+    * the final state frame.
     */
   def converge[S](init: DataFrame, maxRounds: Int, what: String,
                   initialProbe: Option[S] = None,
-                  dropSuperseded: Boolean = true)
+                  dropSuperseded: Boolean = true,
+                  initOwned: Boolean = false)
                  (step: (DataFrame, Int) => DataFrame)
                  (probe: DataFrame => S)
                  (onRound: (Option[S], S, DataFrame, DataFrame) => Boolean): DataFrame = {
     var cur = init
-    var owned = false // true once `cur` is a frame this loop persisted
+    var owned = initOwned // true once `cur` is a frame this loop persisted
     var prevProbe = initialProbe
     var round = 0
     var done = false
+    val trace = sys.env.contains("GRAFT_LOOP_TRACE")
     while (!done) {
       round += 1
       require(round <= maxRounds,
         s"$what exceeded $maxRounds rounds — the oracle's unroll depth would diverge")
+      val t0 = if (trace) System.nanoTime() else 0L
       val next = graft.Caches.register(
         org.apache.spark.sql.GraftExpr.truncated(step(cur, round)).persist())
       val p = probe(next)
+      if (trace) println(f"[loop-trace] $what round $round: ${(System.nanoTime() - t0) / 1e9}%.3f s probe=$p")
       done = onRound(prevProbe, p, cur, next)
       prevProbe = Some(p)
       if (owned && dropSuperseded) cur.unpersist()

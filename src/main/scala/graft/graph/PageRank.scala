@@ -587,6 +587,11 @@ object PageRank {
   def hits(spark: SparkSession, dir: String, mod: Long = 10000,
            k: Int = 20, partitions: Int = 16,
            iterations: Int = HitsIterations): DataFrame = {
+    // the a-frame is only assigned inside the power loop, so zero
+    // rounds would dereference a null frame at the final join (and an
+    // un-stepped init is not a HITS result anyway) — same round-budget
+    // discipline the convergence loops enforce
+    require(iterations >= 1, s"hits needs at least one iteration, got $iterations")
     // both phases join the edge relation, one on src and one on dst —
     // pre-partition a copy per key at the pinned tier width (the
     // components-10k protocol) so no iteration ever re-exchanges the
@@ -656,7 +661,8 @@ object PageRank {
     * dedup_groups technique); [[componentsSummary]] is the measurement
     * tier.
     */
-  def components(spark: SparkSession, dir: String, mod: Long = 100): DataFrame = {
+  def components(spark: SparkSession, dir: String, mod: Long = 100,
+                 shape: Components.Shape = Components.Shape.CoPartitioned): DataFrame = {
     // the oriented-distinct edge set is corpus prep (the und_$mod
     // contract triangles/linkPredict already follow): memoized per
     // (session, dir, mod) so both components tiers and all bench reps
@@ -671,10 +677,10 @@ object PageRank {
     Components.labels(nodes(spark, dir, mod), oriented,
       // width tracks the edge working set, pr_toprank protocol: 4 for
       // the 100-node oracle tier; 8 for the dense 10k tier (~600k
-      // edges) — re-swept after the r10 broadcast-min shape cut the
-      // per-round exchanges to one (8/16/32 at sf0.1: 5.4 / 6.2 / 6.7 s;
-      // the pre-broadcast sweep favored 16)
-      partitions = Some(if (mod <= 1000) 4 else 8), prepared = true)
+      // edges) — re-swept after the r11 co-partitioned window shape
+      // (4/8/16 at sf0.1, 5 reps quiet: 2.89 / 2.39 / 2.51 s)
+      partitions = Some(if (mod <= 1000) 4 else 8), prepared = true,
+      shape = shape)
       .select(col("id"), col("label").as("component_id"))
   }
 
@@ -687,8 +693,9 @@ object PageRank {
     * DuckDB (reach ≈ nodes × component size). The per-node label set is
     * additionally hash-gated at mod=100 through pr_components.
     */
-  def componentsSummary(spark: SparkSession, dir: String, mod: Long = 10000): DataFrame =
-    components(spark, dir, mod)
+  def componentsSummary(spark: SparkSession, dir: String, mod: Long = 10000,
+                        shape: Components.Shape = Components.Shape.CoPartitioned): DataFrame =
+    components(spark, dir, mod, shape)
       .groupBy(col("component_id")).agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_components"), max(col("sz")).as("max_size"),
         sum(col("sz")).as("n_nodes"))
