@@ -754,8 +754,17 @@ object Temporal {
     * type. Both engines truncate identically, so the gate compares the
     * same truncated sum.
     */
-  def ewma(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaEvents(Tables.events(spark, dir))
+
+  /** [[ewma]] over any events-shaped frame (event_type, ts, …) — split
+    * out so the spec can drive a >41-day-per-type series through the
+    * truncated closed form (the fixture calendar is 30 days, so the
+    * t−40 cutoff never fires at the gate) and pin it against the
+    * sequential recurrence.
+    */
+  private[graft] def ewmaEvents(ev: DataFrame): DataFrame = {
+    val daily = ev
       .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("t", row_number().over(

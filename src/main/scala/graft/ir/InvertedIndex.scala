@@ -672,7 +672,8 @@ object InvertedIndex {
     * ir_bm25_big (same ranking SQL either way, so the two tiers are
     * gated by the identical oracle arithmetic).
     */
-  private def bm25OracleSqlFrom(docs: String) =
+  private def bm25OracleSqlFrom(docs: String,
+                                terms: Seq[String] = Seq("spark", "table", "merge")) =
     s"""WITH post AS MATERIALIZED (
           SELECT term, doc_id, count(*) AS tf
           FROM (SELECT doc_id, unnest($tokSql) AS term FROM $docs)
@@ -682,7 +683,7 @@ object InvertedIndex {
         st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                       CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
         qt AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
-               WHERE term IN ('spark', 'table', 'merge') GROUP BY term)
+               WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY term)
         SELECT doc_id, score, rank FROM (
           SELECT doc_id, CAST(score_d AS DOUBLE) AS score,
                  row_number() OVER (ORDER BY score_d DESC, doc_id) AS rank
@@ -748,12 +749,12 @@ object InvertedIndex {
               FROM sc)
         WHERE rank <= 10"""
 
-  private lazy val rankEvalOracleSql =
-    s"""WITH ranked AS (SELECT * FROM ($bm25OracleSql) t),
+  private def rankEvalOracleSql(terms: Seq[String] = Seq("spark", "table", "merge")) =
+    s"""WITH ranked AS (SELECT * FROM (${bm25OracleSqlFrom("documents", terms)}) t),
         dw AS (SELECT DISTINCT doc_id, unnest($tokSql) AS term FROM documents),
         rel AS (SELECT doc_id FROM dw
-                WHERE term IN ('spark', 'table', 'merge')
-                GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+                WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")})
+                GROUP BY doc_id HAVING count(DISTINCT term) = ${terms.size}),
         nr AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
         j AS (SELECT r.doc_id, r.rank,
                 CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
@@ -825,6 +826,14 @@ object InvertedIndex {
     "ir_bm25_big" -> ((s, d) => bm25Big(s, d)),
     "ir_mlt" -> ((s, d) => moreLikeThis(s, d)),
     "ir_rank_eval" -> ((s, d) => rankEval(s, d)),
+    // ZERO-RELEVANT tier: one query term ('quorum') is out-of-vocabulary
+    // at every fixture SF, so the conjunctive qrel is empty — the
+    // n_relevant = 0 edge both engines must agree on (Spark's
+    // sequence(1, 0) is the DESCENDING [1, 0] while DuckDB's
+    // generate_series(1, 0) is empty; the n_relevant > 0 gate in
+    // rankEval makes the idcg intermediate NULL in both)
+    "ir_rank_eval_zerorel" -> ((s, d) =>
+      rankEval(s, d, terms = Seq("spark", "table", "quorum"))),
     "ir_phrase" -> ((s, d) => phraseQuery(s, d, demoPhrase)),
     "ir_phrase_big" -> ((s, d) => phraseBig(s, d)),
     "ir_proximity" -> ((s, d) => proximityQuery(s, d, demoNear._1, demoNear._2, demoNear._3)),
@@ -865,7 +874,8 @@ object InvertedIndex {
     "ir_bm25" -> bm25OracleSql,
     "ir_bm25_big" -> bm25OracleSqlFrom(bigDocsSql),
     "ir_mlt" -> mltOracleSql,
-    "ir_rank_eval" -> rankEvalOracleSql,
+    "ir_rank_eval" -> rankEvalOracleSql(),
+    "ir_rank_eval_zerorel" -> rankEvalOracleSql(Seq("spark", "table", "quorum")),
     "ir_bm25_persisted" -> bm25OracleSql,
     "ir_ql_dirichlet" -> qlDirichletOracleSql,
     "ir_retrieve" ->

@@ -25,6 +25,19 @@ object Maintenance {
         .withColumn("value",
           when(pmod(col("event_id"), lit(101L)) === 0, col("value") * 2)
             .otherwise(col("value")))
+        // PLANTED NULLs: v2 rows whose only change is a hashed column
+        // going NULL (props) or a value column going NULL (value — also
+        // the delta input), so the gate actually exercises the NULL
+        // fingerprint semantics the sentinel coalesce in [[snapshotDiff]]
+        // pins (concat_ws would silently SKIP a NULL arg while the
+        // oracle's || would NULL the whole hash — masked until a NULL
+        // exists to disagree on)
+        .withColumn("props",
+          when(pmod(col("event_id"), lit(109L)) === 0, lit(null).cast("string"))
+            .otherwise(col("props")))
+        .withColumn("value",
+          when(pmod(col("event_id"), lit(113L)) === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
       val inserts = Tables.events(spark, dir)
         .where(pmod(col("event_id"), lit(103L)) === 0)
         .withColumn("event_id", col("event_id") + 10000000L)
@@ -131,8 +144,9 @@ object Maintenance {
            FROM events),
          v2 AS (
            SELECT event_id, ts, user_id, event_type,
-             CASE WHEN event_id % 101 = 0 THEN value * 2 ELSE value END AS value,
-             props
+             CASE WHEN event_id % 113 = 0 THEN NULL
+                  WHEN event_id % 101 = 0 THEN value * 2 ELSE value END AS value,
+             CASE WHEN event_id % 109 = 0 THEN NULL ELSE props END AS props
            FROM events WHERE event_id % 97 <> 0
            UNION ALL
            SELECT event_id + 10000000, ts, user_id, event_type, value, props

@@ -517,13 +517,24 @@ object Streaming {
     val spark = df.sparkSession
     val exists = new java.io.File(path, "_SUCCESS").exists
     val prior = if (exists) Some(spark.read.parquet(path)) else None
-    // max over a ZERO-ROW state table is NULL — guard the fence read
-    // (a state table is empty only when every batch so far was empty,
-    // in which case re-applying an empty batch is a no-op anyway, so
-    // treating NULL as "not fenced" is safe as well as NPE-free)
-    val fenced = prior.exists(p =>
-      Option(p.agg(max(col("batch_id"))).head().get(0))
-        .exists(_.asInstanceOf[Long] >= batchId))
+    // The fence id rides BOTH the rows' batch_id column and a `_fence`
+    // sidecar (underscore-prefixed, so parquet readers skip it): a
+    // zero-row merge has no rows to carry the id, and max over a
+    // zero-row state table is NULL — without the sidecar an empty FIRST
+    // micro-batch would both NPE the fence read and silently drop its
+    // fence id, so the id is persisted unconditionally and the fence
+    // reads the max of whichever carriers survive.
+    val sidecar = new java.io.File(path, "_fence")
+    val fenced = exists && {
+      val fromRows = prior.flatMap(p =>
+        Option(p.agg(max(col("batch_id"))).head().get(0))
+          .map(_.asInstanceOf[Long]))
+      val fromSidecar =
+        if (sidecar.exists)
+          Some(java.nio.file.Files.readString(sidecar.toPath).trim.toLong)
+        else None
+      (fromRows ++ fromSidecar).maxOption.exists(_ >= batchId)
+    }
     if (fenced) return false
     val parts = prior match {
       case Some(p) => p.drop("batch_id").unionByName(userStatePartial(df))
@@ -533,6 +544,8 @@ object Streaming {
       .withColumn("batch_id", lit(batchId))
       .localCheckpoint(true)
     pinned.write.mode("overwrite").parquet(path)
+    // after the overwrite (which clears the directory), not before
+    java.nio.file.Files.writeString(sidecar.toPath, batchId.toString)
     true
   }
 

@@ -214,4 +214,18 @@ class IndexPersistenceSpec extends org.scalatest.funsuite.AnyFunSuite {
         assert(b.getAs[Double]("rrf") > s.getAs[Double]("rrf"))
     }
   }
+
+  test("rank eval with zero relevant docs: null metrics, no [1,0] idcg artifact") {
+    // 'quorum' is out-of-vocabulary at every fixture SF, so the
+    // conjunctive qrel is empty — n_relevant must be 0 and every
+    // relevance-derived metric NULL (not an idcg-of-1 ndcg from Spark's
+    // descending sequence(1, 0)), while p_at_k is a real 0.0 because the
+    // other terms still rank documents
+    val r = graft.ir.InvertedIndex.rankEval(spark, sf,
+      terms = Seq("spark", "table", "quorum")).head()
+    assert(r.getLong(0) == 0L, s"expected zero relevant docs, got ${r.getLong(0)}")
+    assert(r.getDouble(1) == 0.0, "p@k should be a real zero, ranked docs exist")
+    assert(r.isNullAt(2), "mrr must be NULL with no relevant docs")
+    assert(r.isNullAt(3), "ndcg must be NULL with no relevant docs")
+  }
 }

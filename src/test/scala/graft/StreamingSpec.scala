@@ -398,6 +398,56 @@ class StreamingSpec extends AnyFunSuite {
       st(Streaming.userState(f1.union(f2).union(f3))))
   }
 
+  test("keyed upsert sink: empty FIRST micro-batch persists its fence and does not crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = 1700000000000000L // µs
+    def evs(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("user_id", "event_id", "m", "event_type", "value")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(lit(base) + col("m") * 60L * 1000000L).as("ts"),
+          col("event_type"), col("value"))
+    val empty = evs(Seq.empty)
+    val f2 = evs(Seq((1L, 1L, 0L, "click", 1.25), (2L, 2L, 5L, "view", 2.0)))
+    // stream path: file 1 is a ZERO-ROW parquet, so micro-batch 0 is
+    // empty — the case that used to NPE the fence read (max(batch_id)
+    // over zero rows → NULL → getLong) and lose batch 0's fence id
+    val srcDir = java.nio.file.Files.createTempDirectory("st-upsert-empty-src")
+    empty.coalesce(1).write.mode("append").parquet(srcDir.toString)
+    Thread.sleep(20)
+    f2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+    val statePath = java.nio.file.Files.createTempDirectory("st-upsert-empty-state")
+      .resolve("state").toString
+    val q = Streaming.upsertStateSink(
+      spark.readStream.schema(f2.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+      statePath,
+      java.nio.file.Files.createTempDirectory("st-upsert-empty-chk").toString)
+    assert(q.awaitTermination(180000), "stream did not terminate")
+    def st(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getString(4), r.getDouble(5))).toSet
+    assert(st(Streaming.readUserState(spark, statePath)) ==
+      st(Streaming.userState(f2)), "state after empty-then-data batches drifted")
+    // the fence id survived the zero-row merge: the sidecar carries the
+    // LAST batch id, and redelivering either batch is a no-op
+    val fence = new java.io.File(statePath, "_fence")
+    assert(fence.exists, "fence sidecar not persisted")
+    assert(java.nio.file.Files.readString(fence.toPath).trim.toLong >= 1L)
+    assert(!Streaming.applyStateBatch(empty, batchId = 0L, statePath))
+    assert(!Streaming.applyStateBatch(f2, batchId = 1L, statePath))
+    // an empty first batch applied DIRECTLY (no rows anywhere yet) also
+    // persists its fence: batch 0 re-applied is fenced, not re-run
+    val statePath2 = java.nio.file.Files.createTempDirectory("st-upsert-empty2")
+      .resolve("state").toString
+    assert(Streaming.applyStateBatch(empty, batchId = 0L, statePath2))
+    assert(!Streaming.applyStateBatch(empty, batchId = 0L, statePath2),
+      "empty batch 0 must be fenced on redelivery")
+    assert(Streaming.applyStateBatch(f2, batchId = 1L, statePath2))
+    assert(st(Streaming.readUserState(spark, statePath2)) ==
+      st(Streaming.userState(f2)))
+  }
+
   test("multi-microbatch stitching: sessions spanning file boundaries equal the batch plan") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

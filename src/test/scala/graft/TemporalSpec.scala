@@ -277,4 +277,34 @@ class TemporalSpec extends AnyFunSuite {
     // whole-corpus histogram exactly (same contract as the CM merge)
     graft.Caches.releaseAll()
   }
+
+  test("ewma 40-lag truncation matches the sequential recurrence beyond day 41") {
+    // the fixture calendar is 30 days per type, so the gate never fires
+    // the t−40 cutoff — this series is 60 days, so days 42..60 DROP the
+    // oldest lags and the scaladoc's bound (dropped tail < 2^14·2^−40,
+    // strictly below the 6-dp grid) must hold against the untruncated
+    // sequential fold s_t = (x_t + s_{t−1})/2, s_1 = x_1
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val days = 60
+    val counts = (1 to days).map(t => ((t * 37) % 1000) + 1)
+    val ev = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)((java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString, "click"))
+    }.toDF("d", "event_type")
+      .select(col("event_type"), to_timestamp(col("d")).as("ts"))
+    val got = graft.events.Temporal.ewmaEvents(ev)
+      .orderBy("day").collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    assert(got.length == days)
+    // untruncated sequential fold: every term an exact power-of-two
+    // scaled integer, so the Double fold is exact
+    val seq = counts.map(_.toDouble).scanLeft(Option.empty[Double]) {
+      case (None, x)    => Some(x)
+      case (Some(s), x) => Some((x + s) / 2.0)
+    }.flatten
+    got.zip(seq).zipWithIndex.foreach { case (((day, g), s), i) =>
+      assert(math.abs(g - s) <= 6e-7,
+        s"day $day (t=${i + 1}): ewma $g vs sequential $s")
+    }
+  }
 }
