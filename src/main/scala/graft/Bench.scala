@@ -234,13 +234,18 @@ object Bench {
     // are charged to BOTH sides. Pairs whose members didn't run
     // (SPARK_GRAFT_ONLY) are skipped.
     val scalingPairs = Seq(
+      // "corpus:docs_big_10" is the SHARED ×10 corpus inflation (one memo
+      // serves the dedup big shingles and both IR big index builds); like
+      // train-on-base builds it is charged to every big side that scans it
       ("dedup_minhash_x10",
         ("dedup_minhash", Seq("dedup:shingles", "dedup:minhash_pairs_0.5")),
         ("dedup_minhash_big",
-          Seq("dedup:big_shingles_10", "dedup:big_h60_10", "dedup:big_permbands_10"))),
+          Seq("corpus:docs_big_10", "dedup:big_shingles_10",
+            "dedup:big_h60_10", "dedup:big_permbands_10"))),
       ("ngram_capped_x10",
         ("dedup_ngram_capped", Seq("dedup:shingles")),
-        ("dedup_ngram_capped_big", Seq("dedup:big_shingles_10", "dedup:big_ngram_ex_10"))),
+        ("dedup_ngram_capped_big",
+          Seq("corpus:docs_big_10", "dedup:big_shingles_10", "dedup:big_ngram_ex_10"))),
       ("ann_lsh_x10",
         ("sim_topk_lsh", Seq("sim:lsh_bands")),
         ("sim_topk_lsh_big", Seq("sim:lsh_bands_big"))),
@@ -258,12 +263,16 @@ object Bench {
         ("pr_components_10k", Seq("graph:oriented_10000"))),
       ("toprank_x120",
         ("pr_toprank", Seq.empty), ("pr_toprank_10k", Seq.empty)),
+      // the big BM25 tier serves postings as a PROJECTION of the big
+      // positional index (tf = position-list length), so its cold cost is
+      // the shared corpus inflation + the one positional build
       ("ir_bm25_x10",
         ("ir_bm25", Seq("ir:postings")),
-        ("ir_bm25_big", Seq("ir:postings_big_10"))),
+        ("ir_bm25_big",
+          Seq("corpus:docs_big_10", "ir:positions_big_10", "ir:postings_big_10"))),
       ("ir_phrase_x10",
         ("ir_phrase", Seq("ir:positions")),
-        ("ir_phrase_big", Seq("ir:positions_big_10"))))
+        ("ir_phrase_big", Seq("corpus:docs_big_10", "ir:positions_big_10"))))
     val medianOf = results.map(r => r._1 -> r._2).toMap
     def coldCost(name: String, buildKeys: Seq[String]): Option[Double] =
       medianOf.get(name)

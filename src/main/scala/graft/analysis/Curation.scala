@@ -400,9 +400,7 @@ object Curation {
   }
 
   private val tokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-       w -> w <> '')"""
+    graft.text.Text.TokSql
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_importance_sample" -> ((s, d) => importanceSample(s, d)),

@@ -301,9 +301,7 @@ object TextAnalysis {
   }
 
   private val tokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-       w -> w <> '')"""
+    graft.text.Text.TokSql
 
   /** [[winnow]] replay — shared with dedup's winnow-pair join. */
   private[graft] lazy val winnowOracleSql =
@@ -337,7 +335,9 @@ object TextAnalysis {
   def bpeTokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      size(split(col("text"), "\\s+")).as("n_ws"),
+      // explicit whitespace class (Text.WsRegex rationale): \s differs
+      // between Java and the oracle's RE2 on vertical tab
+      size(split(col("text"), Text.WsRegex)).as("n_ws"),
       size(expr("""regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"""))
         .as("n_bpe"))
 
@@ -566,8 +566,8 @@ object TextAnalysis {
                  round(total_tokens::DOUBLE / n_docs, 6) AS mean_doc_len
           FROM b, v""",
     "ta_bpe_tokens" ->
-      """SELECT doc_id,
-                len(string_split_regex(text, '\s+')) AS n_ws,
+      s"""SELECT doc_id,
+                len(string_split_regex(text, '${Text.WsSql}')) AS n_ws,
                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe
          FROM documents""",
     "ta_token_stats" ->

@@ -273,13 +273,10 @@ object Dedup {
     */
   private def bigShingles(spark: SparkSession, dir: String, replicas: Int): DataFrame =
     memoized(spark, dir, s"big_shingles_$replicas") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0), lit(replicas - 1))).as("r"))
-        .select((col("doc_id") * replicas + col("r")).as("doc_id"),
-          when(col("r") === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" zz"), expr("repeat('x', r)")))
-            .as("text"))
+      // inflation comes from the SHARED scale-tier corpus memo (one 10×
+      // text cache serves this scan and both IR big index builds — r10
+      // verdict ask 6); this build keeps only the shingle pass itself
+      Tables.documentsInflated(spark, dir, replicas)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
     }
@@ -721,11 +718,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .where(col("n_docs") >= minDocs)
 
+  /** Memoized corpus prep (r10 verdict ask 6 — the boilerplate build was
+    * the #2 ledger row largely from re-running this explode): the 8-gram
+    * passage relation is referenced by [[dupPassages]] per rep AND twice
+    * inside the [[boilerplate]] build (hot aggregate + membership probe);
+    * one tokenize+shingle pass now serves all of them.
+    */
   private def docPassages(spark: SparkSession, dir: String, n: Int): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.ArrayExprs.wordShingles(Text.tokenize(col("text")), n))
-          .as("passage"))
+    memoized(spark, dir, s"passages_$n") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.ArrayExprs.wordShingles(Text.tokenize(col("text")), n))
+            .as("passage"))
+    }
 
   /** Variable-length passage dedup via CONTENT-DEFINED chunking (r7
     * verdict ask 7): [[dupPassages]] fingerprints every sliding 8-gram —
@@ -906,9 +911,7 @@ object Dedup {
   }
 
   private val tokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-       w -> w <> '')"""
+    graft.text.Text.TokSql
 
   // Shared oracle CTE: distinct word-3-gram shingles per doc.
   private val shSql =

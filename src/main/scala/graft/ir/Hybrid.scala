@@ -79,9 +79,7 @@ object Hybrid {
   )
 
   private val tokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-       w -> w <> '')"""
+    graft.text.Text.TokSql
 
   val oracles: Map[String, String] = Map(
     // Replays both legs end to end: the ir_bm25 pipeline (identical CTE

@@ -107,8 +107,9 @@ object InvertedIndex {
   /** Retrieval incl. document fetch (`BooleanRetrievalCompressed.java:130-136`
     * seeks the collection by byte offset; here a join on the doc key).
     */
-  def retrieve(spark: SparkSession, dir: String, postfix: String): DataFrame =
-    booleanQuery(spark, dir, postfix)
+  def retrieve(spark: SparkSession, dir: String, postfix: String,
+               persisted: Boolean = false): DataFrame =
+    booleanQuery(spark, dir, postfix, persisted)
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
 
   /** BM25 ranked retrieval over the persisted index — the ranked
@@ -201,18 +202,21 @@ object InvertedIndex {
     * serving time), term-clustered like [[postingsRelation]].
     */
   def bigPostings(spark: SparkSession, dir: String, replicas: Int = 10): DataFrame =
+    // DERIVED from the positional index, not built separately: a term's
+    // tf IS its position-list length, so this build is a shuffle-free
+    // projection over the already-memoized [[bigPositions]] cache (term
+    // clustering preserved — projections don't move rows). The two big
+    // IR tiers previously ran tokenize+aggregate over the same 10× corpus
+    // twice (r10 verdict ask 6: 4.4 s of duplicate build); at 100 TB the
+    // same holds — one positional index serves both ranked and boolean
+    // retrieval, exactly as Lucene derives freqs from its positions file.
+    // Still memoized in its own right: bm25 scans postings three times
+    // per query (candidates, corpus stats, doc lengths), and a narrow
+    // int-column cache beats re-projecting the array column each scan.
     graft.Caches.memoized(spark, dir, s"ir:postings_big_$replicas") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0), lit(replicas - 1))).as("r"))
-        .select((col("doc_id") * replicas + col("r")).as("doc_id"),
-          when(col("r") === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" zz"), expr("repeat('x', r)")))
-            .as("text"))
-        .select(col("doc_id"), explode(Text.tokenize(col("text"))).as("term"))
-        .groupBy(col("term"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
-        .repartition(col("term"))
+      bigPositions(spark, dir, replicas)
+        .select(col("term"), col("doc_id"),
+          size(col("positions")).cast("long").as("tf"))
     }
 
   /** BM25 over the ×10 corpus — hash-gated like the fixture tier (the
@@ -233,13 +237,7 @@ object InvertedIndex {
     */
   def bigPositions(spark: SparkSession, dir: String, replicas: Int = 10): DataFrame =
     graft.Caches.memoized(spark, dir, s"ir:positions_big_$replicas") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0), lit(replicas - 1))).as("r"))
-        .select((col("doc_id") * replicas + col("r")).as("doc_id"),
-          when(col("r") === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" zz"), expr("repeat('x', r)")))
-            .as("text"))
+      Tables.documentsInflated(spark, dir, replicas)
         .select(col("doc_id"), posexplode(Text.tokenize(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("term"))
         .groupBy(col("term"), col("doc_id"))
@@ -541,7 +539,8 @@ object InvertedIndex {
         .mapToLong(java.nio.file.Files.size).sum()
       finally s.close()
     val rawTextBytes = Tables.documents(spark, dir)
-      .agg(sum(octet_length(col("text")))).head().getLong(0)
+      // coalesce: sum() over an empty corpus is NULL, and getLong would NPE
+      .agg(coalesce(sum(octet_length(col("text"))), lit(0L))).head().getLong(0)
     (indexBytes, rawTextBytes)
   }
 
@@ -652,9 +651,7 @@ object InvertedIndex {
   private val demoPrefix = "me"
 
   private val tokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-       w -> w <> '')"""
+    graft.text.Text.TokSql
 
   // shared by the in-session query and its persisted twin: the artifact
   // round-trip must be value-transparent, so one SQL serves both rows

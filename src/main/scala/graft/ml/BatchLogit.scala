@@ -137,9 +137,7 @@ object BatchLogit {
   // ---------------------------------------------------------------- oracle
 
   private val tokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-       w -> w <> '')"""
+    graft.text.Text.TokSql
 
   /** Chained-CTE replay of the full training run. */
   private def gdOracle(iterations: Int): String = {

@@ -173,9 +173,7 @@ object NaiveBayes {
   )
 
   private val tokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-       w -> w <> '')"""
+    graft.text.Text.TokSql
 
   /** The model-grid replay over a named docs relation — `documents` for
     * the train/apply gates, a fold CTE for cross-validation.

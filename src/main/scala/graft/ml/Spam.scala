@@ -418,9 +418,7 @@ object Spam {
     * no-ops via the coalesce guards.
     */
   private val tokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-       w -> w <> '')"""
+    graft.text.Text.TokSql
 
   /** The shared CTE chain replaying [[trainSeq]]: no "WITH" prefix and
     * no final SELECT, so callers can splice several chains (distinct

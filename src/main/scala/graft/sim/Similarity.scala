@@ -121,7 +121,13 @@ object Similarity {
           cosinePre(col("e1"), col("n1"), col("e2"), col("n2")).as("sim"))
         .persist())
     var selected = Vector.empty[(Long, Long, Double, Double)] // (rank, id, rel, mmr)
-    for (t <- 1 to MmrK) {
+    // candidate pool can be SMALLER than MmrK (tiny corpus, or an absent
+    // queryId leaves it empty): stop when a step finds nothing instead of
+    // head()-throwing on an empty 1-row pick — the result is simply all
+    // poolSize candidates ranked, the same rows the oracle's unrolled
+    // greedy steps produce
+    var exhausted = false
+    for (t <- 1 to MmrK if !exhausted) {
       val chosen = selected.map(_._2)
       val maxSim =
         if (chosen.isEmpty) cand.select(col("vec_id").as("v1"), lit(0.0).as("ms"))
@@ -133,8 +139,12 @@ object Similarity {
           round(lit(MmrLambda) * col("rel") -
             lit(1 - MmrLambda) * coalesce(col("ms"), lit(0.0)), 6).as("mmr"))
         .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-        .head()
-      selected :+= ((t.toLong, pick.getLong(0), pick.getDouble(1), pick.getDouble(2)))
+        .collect().headOption
+      pick match {
+        case Some(r) =>
+          selected :+= ((t.toLong, r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        case None => exhausted = true
+      }
     }
     selected.toDF("rank", "vec_id", "rel", "mmr")
   }

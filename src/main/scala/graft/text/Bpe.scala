@@ -210,9 +210,7 @@ object Bpe {
       .mkString("[", ", ", "]")
 
   private val tokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-       w -> w <> '')"""
+    graft.text.Text.TokSql
 
   private def encodeOracle: String =
     s"""SELECT doc_id, len(subs) AS n_subwords,

@@ -16,13 +16,35 @@ import graft.Tables
   */
 object Text {
 
+  /** Explicit whitespace class shared by the Spark tokenizer and every
+    * DuckDB oracle replay: Java regex `\s` includes vertical tab `\x0B`,
+    * RE2's (`[\t\n\f\r ]`) does not, so a document containing a VT would
+    * tokenize differently per engine if either side spelled `\s` (the
+    * r10 ADVICE finding — exactNormalized got the pin first; this
+    * generalizes it to the tokenizer itself). [[WsRegex]] is the
+    * Java/Spark spelling, [[WsSql]] the RE2/DuckDB one — the same
+    * character set, token for token. Identical behavior to `\s` on the
+    * Spark side (the class IS Java's \s), so no fixture hash moves.
+    */
+  val WsRegex = "[ \\t\\n\\r\\f\\x0B]+"
+  val WsSql   = """[ \t\n\r\f\x0B]+"""
+
+  /** THE DuckDB-side tokenizer, twin of [[tokenize]] — one definition
+    * (previously copied verbatim into ten modules' oracle builders, any
+    * of which could drift alone).
+    */
+  val TokSql: String =
+    s"""list_filter(list_transform(string_split_regex(text, '$WsSql'),
+       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$$)', '', 'g')),
+       w -> w <> '')"""
+
   /** Reference tokenizer (`util/Tokenizer.scala:8-12`, cloned at
     * `WordCount.java:47-49`): whitespace-split, lowercase, strip leading/
     * trailing non-`[a-z]`, drop empties.
     */
   def tokenize(c: Column): Column =
     filter(
-      transform(split(lower(c), "\\s+"),
+      transform(split(lower(c), WsRegex),
         w => regexp_replace(w, "(^[^a-z]+|[^a-z]+$)", "")),
       w => length(w) > 0)
 
@@ -203,9 +225,7 @@ object Text {
       .select(col("w1"), stripeString(col("stripe_map")).as("stripe"))
 
   private val tokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-       w -> regexp_replace(lower(w), '(^[^a-z]+|[^a-z]+$)', '', 'g')),
-       w -> w <> '')"""
+    graft.text.Text.TokSql
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_wordcount"      -> ((s, d) => wordCount(s, d)),

@@ -349,6 +349,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ir_mlt" -> "1-row corpus stats (N, avgdl) broadcast per query doc (the bm25 shape)",
       "op_join_estimate" -> "1-row sketch-estimate x 1-row exact-F2 crossJoin",
       "ir_rank_eval" -> "1-row metric aggregates (P@k, MRR, DCG, IDCG) crossJoined",
+      "ir_rank_eval_zerorel" -> "same rankEval plan over the out-of-vocabulary term list",
       "ev_hll_intersection" -> "1-row sketch estimates x 1-row exact counts crossJoin",
       "sim_recall_at_k" -> "joins the two allowlisted bounded rankings (sim_topk x sim_topk_lsh)",
       "sim_recall_table" -> "joins five allowlisted bounded rankings against the exact top-k",

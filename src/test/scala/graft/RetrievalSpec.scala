@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ir.{InvertedIndex, Retrieval}
+
+/** The interactive retrieval entry point (r10 verdict ask 7): the printed
+  * result set must equal the hash-gated ir_retrieve rows for a scripted
+  * query list — same evaluator, persisted index, presentation only. The
+  * scripted queries mirror the reference's console session shapes
+  * (`BooleanRetrievalCompressed.java:171-184`, golden result sets
+  * `assignment3.md:24-34`) over the fixture vocabulary.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private val scripted = Seq(
+    "spark table AND merge OR", // ir_retrieve's demo query
+    "spark",
+    "spark merge OR",
+    "spark table AND merge AND")
+
+  test("CLI result set equals ir_retrieve's rows for the scripted queries") {
+    scripted.foreach { q =>
+      val (rows, ms) = Retrieval.runQuery(spark, sf, q)
+      val expected = InvertedIndex.retrieve(spark, sf, q)
+        .collect()
+        .map(r => (r.getLong(r.fieldIndex("doc_id")),
+                   r.getString(r.fieldIndex("text"))))
+        .sortBy(_._1).toSeq
+      assert(rows == expected, s"CLI rows diverge from ir_retrieve for: $q")
+      // reference TreeSet iteration order: ascending doc id
+      assert(rows.map(_._1) == rows.map(_._1).sorted)
+      assert(ms >= 0)
+    }
+  }
+
+  test("rendered block: header, id TAB 80-char-truncated line, latency footer") {
+    val q = scripted.head
+    val (rows, ms) = Retrieval.runQuery(spark, sf, q)
+    assert(rows.nonEmpty) // the demo query is non-empty at every SF
+    val out = Retrieval.render(q, rows, ms)
+    assert(out.head == s"Query: $q")
+    assert(out.last == s"\nquery completed in $ms ms")
+    val body = out.tail.init
+    assert(body.size == rows.size)
+    body.zip(rows).foreach { case (line, (id, text)) =>
+      assert(line == s"$id\t${Retrieval.fetchLine(text)}")
+      val shown = line.split("\t", 2)(1)
+      assert(shown.length <= 83) // 80 chars + "..."
+      if (text.length > 80)
+        assert(shown == text.substring(0, 80) + "..." && shown.endsWith("..."))
+      else assert(shown == text)
+    }
+  }
+
+  test("fetchLine truncates exactly like the reference (:129-135)") {
+    assert(Retrieval.fetchLine("a" * 80) == "a" * 80)
+    assert(Retrieval.fetchLine("a" * 81) == "a" * 80 + "...")
+    assert(Retrieval.fetchLine("") == "")
+  }
+}
