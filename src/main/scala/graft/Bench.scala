@@ -259,10 +259,11 @@ object Bench {
       ("sessions_x10",
         ("st_sessions_stateful", Seq.empty), ("st_sessions_big", Seq.empty)),
       ("components_x120",
-        ("pr_components", Seq("graph:oriented_100")),
-        ("pr_components_10k", Seq("graph:oriented_10000"))),
+        ("pr_components", Seq("graph:edges_100", "graph:oriented_100")),
+        ("pr_components_10k", Seq("graph:edges_10000", "graph:oriented_10000"))),
       ("toprank_x120",
-        ("pr_toprank", Seq.empty), ("pr_toprank_10k", Seq.empty)),
+        ("pr_toprank", Seq("graph:edges_100")),
+        ("pr_toprank_10k", Seq("graph:edges_10000"))),
       // the big BM25 tier serves postings as a PROJECTION of the big
       // positional index (tf = position-list length), so its cold cost is
       // the shared corpus inflation + the one positional build

@@ -482,29 +482,33 @@ object TextAnalysis {
     // projection collapsing inlined the non-cheap array aliases into
     // every lambda reference — the tokenizer regex re-evaluated per
     // window-element comparison, ~600 s of CPU on 1500 docs (the same
-    // pathology repetition()'s comment records). Exploding grams and
-    // window positions into rows makes every subexpression evaluate
-    // exactly once, and the pick is an equi-join + keyed window.
+    // pathology repetition()'s comment records). Exploding grams into
+    // rows makes every subexpression evaluate exactly once.
     val tk = docs
       .where(size(col("toks")) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
     val grams = tk
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"), col("toks"), col("n"),
         explode(expr(s"sequence(0, n - $WinnowK)")).as("i"))
-      .select(col("doc_id"), col("i"),
+      .select(col("doc_id"), col("n"), col("i"),
         expr(s"""CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, $WinnowK))),
                  1, 8), 16, 10) AS BIGINT) % 2147483647""").as("h"))
-    val winPos = tk
-      .select(col("doc_id"),
-        explode(expr(s"sequence(0, n - ${WinnowK + WinnowW - 1})")).as("p"))
-      .select(col("doc_id"), col("p"),
-        explode(expr(s"sequence(p, p + ${WinnowW - 1})")).as("i"))
-    winPos.join(grams, Seq("doc_id", "i"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"), col("p"))
-          .orderBy(col("h").asc, col("i").desc)))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("i").cast("long").as("pos"), col("h").as("fp"))
+    // ONE sliding-window pass replaces the earlier explode(×W) + equi-join
+    // + row_number shape (that put W·|grams| rows through a shuffle join;
+    // this puts |grams| rows through one doc-keyed sort — measured the
+    // build's dominant cost, r11 ledger): each gram row is a window START
+    // p, the frame holds the window's W gram hashes, and
+    // min(struct(h, -i)) IS the winnowing pick — h ascending, ties to the
+    // RIGHTMOST position — because struct ordering is lexicographic.
+    // Trailing rows whose frame would be short are exactly the p the old
+    // winPos sequence never generated; the n-based filter drops them.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    grams
+      .withColumn("pick", min(struct(col("h"), (-col("i")).as("ni"))).over(w))
+      .where(col("i") <= col("n") - lit(WinnowK + WinnowW - 1))
+      .select(col("doc_id"), (-col("pick.ni")).cast("long").as("pos"),
+        col("pick.h").as("fp"))
       .distinct()
   }
 
