@@ -28,6 +28,13 @@ object Retrieval {
     */
   def runQuery(spark: SparkSession, dir: String,
                postfix: String): (Seq[(Long, String)], Long) = {
+    // index open happens OUTSIDE the timer, like the reference's
+    // initialize() before its timed runQuery
+    // (`BooleanRetrievalCompressed.java:171-184`): the persisted-index
+    // artifact memo builds on first touch, and charging that one-time
+    // construction to the first query's printed millis would misreport
+    // retrieval latency by orders of magnitude.
+    InvertedIndex.postingsRelationPersisted(spark, dir)
     val t0 = System.nanoTime()
     val rows = InvertedIndex.retrieve(spark, dir, postfix, persisted = true)
       .orderBy("doc_id")

@@ -70,8 +70,7 @@ object Bucketed {
     * serve, not the full fact table, when the join workload is known.
     */
   def bucketizeFacts(spark: SparkSession, dir: String, buckets: Int = 8): Unit = {
-    write(graft.Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+    write(graft.Tables.lineitem(spark, dir).select(col("l_orderkey")),
       dir, liTable(dir), "l_orderkey", buckets)
     write(graft.Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey")),

@@ -515,6 +515,7 @@ object Streaming {
     */
   def applyStateBatch(df: DataFrame, batchId: Long, path: String): Boolean = {
     val spark = df.sparkSession
+    recoverStage(path) // finish a crashed swap before reading the state
     val exists = new java.io.File(path, "_SUCCESS").exists
     val prior = if (exists) Some(spark.read.parquet(path)) else None
     // The fence id rides BOTH the rows' batch_id column and a `_fence`
@@ -523,7 +524,11 @@ object Streaming {
     // zero-row state table is NULL — without the sidecar an empty FIRST
     // micro-batch would both NPE the fence read and silently drop its
     // fence id, so the id is persisted unconditionally and the fence
-    // reads the max of whichever carriers survive.
+    // reads the max of whichever carriers survive. The sidecar parse is
+    // DEFENSIVE (Try, not toLong): the file travels inside the staged
+    // commit so it can't be half-written on the happy path, but a
+    // corrupted byte must degrade to "carrier absent" — the row fence
+    // still stands — not wedge every future batch on a parse throw.
     val sidecar = new java.io.File(path, "_fence")
     val fenced = exists && {
       val fromRows = prior.flatMap(p =>
@@ -531,7 +536,8 @@ object Streaming {
           .map(_.asInstanceOf[Long]))
       val fromSidecar =
         if (sidecar.exists)
-          Some(java.nio.file.Files.readString(sidecar.toPath).trim.toLong)
+          scala.util.Try(
+            java.nio.file.Files.readString(sidecar.toPath).trim.toLong).toOption
         else None
       (fromRows ++ fromSidecar).maxOption.exists(_ >= batchId)
     }
@@ -540,13 +546,59 @@ object Streaming {
       case Some(p) => p.drop("batch_id").unionByName(userStatePartial(df))
       case None    => userStatePartial(df)
     }
-    val pinned = mergeStates(parts)
+    // STAGED COMMIT, never an in-place overwrite: mode("overwrite") on
+    // the live directory first DELETES the prior state, so a write that
+    // dies mid-batch (disk full, executor loss) destroyed every earlier
+    // batch's aggregates and the fence with it — the redelivered batch
+    // then "rebuilt" state from itself alone, silently wrong. The merge
+    // is instead written to a sibling stage directory (reading the live
+    // files it merges from — no materialization copy needed), the fence
+    // id is sealed inside it, and only a COMPLETE stage (_SUCCESS +
+    // _fence) is swapped over the live dir via delete + atomic rename.
+    // Every crash window is covered: stage incomplete → discarded on the
+    // next call, live untouched; stage complete but unswapped (incl. a
+    // crash between the delete and the rename) → [[recoverStage]]
+    // finishes the promotion before the fence is read, so redelivery of
+    // the same batch is then fenced as applied.
+    val stage = stageDir(path)
+    deleteTree(stage)
+    mergeStates(parts)
       .withColumn("batch_id", lit(batchId))
-      .localCheckpoint(true)
-    pinned.write.mode("overwrite").parquet(path)
-    // after the overwrite (which clears the directory), not before
-    java.nio.file.Files.writeString(sidecar.toPath, batchId.toString)
+      .write.mode("overwrite").parquet(stage.getPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(stage, "_fence").toPath, batchId.toString)
+    promoteStage(stage, new java.io.File(path))
     true
+  }
+
+  private def stageDir(path: String) = new java.io.File(path + ".stage")
+
+  private def deleteTree(f: java.io.File): Unit = if (f.exists) {
+    Option(f.listFiles).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(); ()
+  }
+
+  /** Swap a complete stage over the live state dir. The rename is the
+    * commit point (atomic on a local filesystem; an object store would
+    * use a manifest pointer instead — same protocol, different rename).
+    */
+  private def promoteStage(stage: java.io.File, live: java.io.File): Unit = {
+    deleteTree(live)
+    require(stage.renameTo(live), s"state promote failed: $stage -> $live")
+  }
+
+  /** Crash recovery: a stage dir with BOTH completion markers is a
+    * committed batch whose swap didn't finish — finish it; anything less
+    * is a dead partial write — discard it (the checkpoint will redeliver
+    * its batch, and the untouched live state merges it cleanly).
+    */
+  private def recoverStage(path: String): Unit = {
+    val stage = stageDir(path)
+    if (!stage.exists) return
+    if (new java.io.File(stage, "_SUCCESS").exists &&
+        new java.io.File(stage, "_fence").exists)
+      promoteStage(stage, new java.io.File(path))
+    else deleteTree(stage)
   }
 
   /** The upsert sink: fold every micro-batch into the keyed state table. */

@@ -223,10 +223,17 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val e0 = Seq((2L, 1L), (3L, 1L), (4L, 2L)).toDF("src", "dst")
-    val round = graft.graph.Components.auditRound(e0)
-    val rp = plan(round)
-    assert(!rp.contains("CartesianProduct") && !rp.contains("BroadcastNestedLoopJoin"),
-      s"components round not join-shaped:\n$rp")
+    // BOTH physical shapes stay join-shaped: the co-partitioned default
+    // AND the broadcast-min opt-in (still live via componentsSummary —
+    // auditing only the default would let a regression in the broadcast
+    // round's join hide behind the shape switch)
+    Seq[graft.graph.Components.Shape](
+      graft.graph.Components.Shape.CoPartitioned,
+      graft.graph.Components.Shape.BroadcastMin).foreach { shape =>
+      val rp = plan(graft.graph.Components.auditRound(e0, shape))
+      assert(!rp.contains("CartesianProduct") && !rp.contains("BroadcastNestedLoopJoin"),
+        s"components round ($shape) not join-shaped:\n$rp")
+    }
     // PII scan/redact are narrow per-row regex maps: scan → project,
     // zero exchanges (the embarrassingly-parallel contract the scaladoc
     // claims)
