@@ -87,10 +87,20 @@ object PageRank {
   }
 
   /** Run personalized PageRank for the given sources; returns
-    * (id, rank_0.., one column per source).
+    * (id, rank_0.., one column per source) as double ranks.
     */
   def run(spark: SparkSession, dir: String, sources: Seq[Long], iterations: Int): DataFrame =
-    runOnGraph(nodes(spark, dir), edges(spark, dir), sources, iterations)
+    microsToRanks(
+      runOnGraph(nodes(spark, dir), edges(spark, dir), sources, iterations),
+      sources)
+
+  /** Convert the loop's micro-unit longs to double ranks: one exact
+    * int→double division per column — portable because both engines
+    * divide the same exact integers.
+    */
+  private def microsToRanks(df: DataFrame, sources: Seq[Long]): DataFrame =
+    df.select(col("id") +: sources.indices.map(i =>
+      (col(s"rank_$i").cast("double") / lit(1000000.0)).as(s"rank_$i")): _*)
 
   /** Core driver loop over an explicit (nodes, edges) graph. Mass sent to
     * a dst not in `nodes` vanishes and returns via the missing-mass
@@ -133,52 +143,77 @@ object PageRank {
       .repartition(p, col("dst")).persist())
     val n = graft.Caches.register(nodesDf.repartition(p, col("id")).persist())
 
+    // FIXED-POINT MICRO-UNITS (r11): the recurrence previously ran in
+    // per-iteration 6-dp-rounded doubles, but cross-engine
+    // `round(double, 6)` is NOT portable on short-decimal values — Spark
+    // rounds the shortest decimal rendering (BigDecimal.valueOf) while
+    // DuckDB rounds the binary value, and a quotient like
+    // 0.024699 / 6 = 0.0041165 sits exactly on the half boundary where
+    // the two split (observed: the sf0.001 10k tier drifted one grid
+    // step, node 105: 0.0538 vs 0.05379; the per-iteration double SUMS
+    // were additionally accumulation-order-sensitive). Integer
+    // micro-units (1.0 ≡ 1,000,000 — the mm_features integer-ppm
+    // technique) make every step exact in ANY engine: half-up integer
+    // division for the per-edge share and the α blend, plain long sums
+    // (order-free) for the receive and missing-mass aggregates. Rank
+    // columns are LONG micros throughout the loop; [[run]] and [[topK]]
+    // convert at the protocol edge with one exact int→double division.
     val rankCols = sources.indices.map(i => s"rank_$i")
     val init = n.select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
-      when(col("id") === s, 1.0).otherwise(0.0).as(s"rank_$i")
+      when(col("id") === s, lit(RankOne)).otherwise(lit(0L)).as(s"rank_$i")
     }: _*)
 
     IterativeLoop.fixedBudget(init, iterations, CheckpointEvery) { (ranks, _) =>
-      // Phase 1: distribute along edges; unreceiving nodes get 0. The
-      // rank frame broadcasts (see e's note); the join output keeps e's
-      // hash(dst, p), so the receive aggregation is exchange-free.
+      // Phase 1: distribute along edges — each out-edge gets the node's
+      // half-up integer share ((2a + b) DIV 2b = round(a/b) for a,b ≥ 0);
+      // unreceiving nodes get 0. The rank frame broadcasts (see e's
+      // note); the join output keeps e's hash(dst, p), so the receive
+      // aggregation is exchange-free.
       val contrib = e.join(broadcast(ranks), col("id") === col("src"))
         .select(col("dst") +:
-          rankCols.map(c => (col(c) / col("outdeg")).as(c)): _*)
+          rankCols.map(c =>
+            expr(s"($c * 2 + outdeg) DIV (outdeg * 2)").as(c)): _*)
       val received = contrib.groupBy(col("dst"))
         .agg(rankCols.map(c => sum(col(c)).as(c)).head,
           rankCols.map(c => sum(col(c)).as(c)).tail: _*)
-      // fp-portability contract (same as sim.KMeans): every derived
-      // quantity is rounded to 6 dp each iteration, so partial-aggregation
-      // merge order (Spark) vs left-to-right order (DuckDB) cannot drift
-      // the recurrence by an ulp — both engines stay on the same decimal
-      // grid and the oracle replays the rounds verbatim.
       // `joined` feeds BOTH the mass aggregate and phase 2 — without the
       // exchange the old shape left for ReuseExchange to dedupe, the lazy
       // cut is what keeps the edge join from executing twice per
       // iteration (the shared RDD is computed once at action time).
       val joined = n.join(received, col("id") === col("dst"), "left_outer")
         .select(col("id") +:
-          rankCols.map(c => round(coalesce(col(c), lit(0.0)), 6).as(c)): _*)
+          rankCols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
         .localCheckpoint(eager = false)
 
       // Missing (dangling) mass per source, clamped ≥ 0
       // (RunPersonalizedPageRankBasic.java:458-464) — a one-row global
       // aggregate broadcast back onto every node row: stays distributed,
-      // costs one broadcast of `sources.size` doubles.
+      // costs one broadcast of `sources.size` longs; the long sum is
+      // exact, so the total is accumulation-order-free.
       val missAggs = sources.indices.map(i =>
-        round(greatest(lit(0.0), lit(1.0) - sum(col(s"rank_$i"))), 6).as(s"miss_$i"))
+        greatest(lit(0L), lit(RankOne) - sum(col(s"rank_$i"))).as(s"miss_$i"))
       val mass = joined.agg(missAggs.head, missAggs.tail: _*)
 
-      // Phase 2: jump + re-injection at the source only (:341-352).
+      // Phase 2: jump + re-injection at the source only (:341-352) —
+      // α = 0.15 is exactly 2-dp, so the blend is the half-up integer
+      // percent form (x·85 + 50) DIV 100.
       joined.crossJoin(broadcast(mass))
         .select(col("id") +: sources.zipWithIndex.map { case (s, i) =>
           when(col("id") === s,
-            round(lit(Alpha) + lit(1 - Alpha) * (col(s"rank_$i") + col(s"miss_$i")), 6))
-            .otherwise(round(lit(1 - Alpha) * col(s"rank_$i"), 6)).as(s"rank_$i")
+            lit(AlphaMicros) +
+              expr(s"((rank_$i + miss_$i) * $OneMinusAlphaPct + 50) DIV 100"))
+            .otherwise(expr(s"(rank_$i * $OneMinusAlphaPct + 50) DIV 100"))
+            .as(s"rank_$i")
         }: _*)
     }
   }
+
+  /** One unit of rank mass in micro-units, and α's fixed-point forms —
+    * the protocol requires α on the 2-dp grid (0.15 is, reference :366).
+    */
+  private val RankOne = 1000000L
+  private val AlphaMicros = (Alpha * RankOne).toLong        // 150000
+  private val OneMinusAlphaPct = ((1 - Alpha) * 100).toLong // 85
 
   /** Lineage-cut cadence. The `joined` subtree appears twice per iteration
     * (under the mass aggregate and under the re-injection), so the logical
@@ -214,7 +249,11 @@ object PageRank {
       iterations, partitions = Some(partitions))
     val perSource = sources.zipWithIndex.map { case (s, i) =>
       ranked.select(lit(s).as("source"), col("id").as("node"),
-        round(col(s"rank_$i"), 5).as("rank"))
+        // 5-dp render in INTEGER space: half-up micros → tens-of-micros
+        // ((x+5) DIV 10), then ONE exact int→double division. A double
+        // round(x, 5) of a value like 0.036395 splits between engines
+        // (the micro-unit rationale on runOnGraph).
+        expr(s"CAST((rank_$i + 5) DIV 10 AS DOUBLE) / 100000").as("rank"))
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("rank").desc, col("node"))
@@ -765,36 +804,43 @@ object PageRank {
           srcs AS (SELECT CAST(source AS BIGINT) AS source
                    FROM (VALUES $srcVals) AS t(source)),
           r0 AS MATERIALIZED (SELECT s.source, n.id,
-                   CASE WHEN n.id = s.source THEN CAST(1.0 AS DOUBLE)
-                        ELSE CAST(0.0 AS DOUBLE) END AS rank
+                   CASE WHEN n.id = s.source THEN CAST(1000000 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS rank
                  FROM nodes n CROSS JOIN srcs s)""")
+    // fixed-point micro-unit replay of the loop (see runOnGraph's
+    // rationale): half-up integer shares, exact long sums — every step
+    // is integer arithmetic, identical in any engine
     for (i <- 1 to iterations) sb ++=
       s""",
           recv$i AS MATERIALIZED (
-            SELECT b.source, b.id, round(coalesce(x.m, CAST(0.0 AS DOUBLE)), 6) AS recv
+            SELECT b.source, b.id, CAST(coalesce(x.m, 0) AS BIGINT) AS recv
             FROM r${i - 1} b
             LEFT JOIN (SELECT r.source, e.dst AS id,
-                              sum(r.rank / d.outdeg) AS m
+                              CAST(sum((r.rank * 2 + d.outdeg) // (d.outdeg * 2))
+                                   AS BIGINT) AS m
                        FROM r${i - 1} r
                        JOIN e ON r.id = e.src JOIN deg d ON e.src = d.src
                        GROUP BY r.source, e.dst) x
               ON b.source = x.source AND b.id = x.id),
           miss$i AS MATERIALIZED (
             SELECT source,
-                   round(greatest(CAST(0.0 AS DOUBLE), 1.0 - sum(recv)), 6) AS miss
+                   CAST(greatest(0, 1000000 - sum(recv)) AS BIGINT) AS miss
             FROM recv$i GROUP BY source),
           r$i AS MATERIALIZED (
             SELECT rc.source, rc.id,
                    CASE WHEN rc.id = rc.source
-                        THEN round($Alpha + ${1 - Alpha} * (rc.recv + m.miss), 6)
-                        ELSE round(${1 - Alpha} * rc.recv, 6) END AS rank
+                        THEN 150000 + ((rc.recv + m.miss) * 85 + 50) // 100
+                        ELSE (rc.recv * 85 + 50) // 100 END AS rank
             FROM recv$i rc JOIN miss$i m ON rc.source = m.source)"""
+    // 5-dp render in integer space + one exact int->double division
+    // (mirrors topK; a double round at 5 dp splits between engines)
     sb ++=
       s"""
           SELECT source, node, rank FROM (
-            SELECT source, id AS node, round(rank, 5) AS rank,
+            SELECT source, id AS node,
+                   CAST((rank + 5) // 10 AS DOUBLE) / 100000 AS rank,
                    row_number() OVER (PARTITION BY source
-                                      ORDER BY round(rank, 5) DESC, id) AS rn
+                     ORDER BY (rank + 5) // 10 DESC, id) AS rn
             FROM r$iterations) WHERE rn <= $k"""
     sb.toString
   }

@@ -23,34 +23,33 @@ class PageRankSpec extends AnyFunSuite {
     * (RunPersonalizedPageRankBasic.java:257-265) and returns via the
     * missing-mass re-injection.
     */
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-
   private def referencePrOn(nodes: Seq[Long], edges: Seq[(Long, Long)],
                             source: Long, iters: Int): Map[Long, Double] = {
-    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    // fixed-point micro-unit protocol (mirrors PageRank.runOnGraph and
+    // the DuckDB oracle): 1.0 ≡ 1,000,000; half-up integer division for
+    // the per-edge share and the α blend; exact long sums — every step
+    // is integer arithmetic, so any engine replays it bit-for-bit
+    def hdiv(a: Long, b: Long): Long = (a * 2 + b) / (b * 2) // round(a/b), a,b ≥ 0
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    var rank = nodes.map(n => n -> (if (n == source) 1.0 else 0.0)).toMap
+    var rank = nodes.map(n => n -> (if (n == source) 1000000L else 0L)).toMap
     for (_ <- 1 to iters) {
-      val received = scala.collection.mutable.HashMap.empty[Long, Double]
-        .withDefaultValue(0.0)
+      val received = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
       rank.foreach { case (n, r) =>
-        adj.getOrElse(n, Nil).foreach(d => received(d) += r / outdeg(n))
+        adj.getOrElse(n, Nil).foreach(d => received(d) += hdiv(r, outdeg(n)))
       }
-      // fp-portability contract: every derived quantity rounds to 6 dp per
-      // iteration (mirrors PageRank.runOnGraph and the DuckDB oracle)
-      val recvR = nodes.map(n => n -> r6(received(n))).toMap
-      val total = nodes.map(recvR(_)).sum
-      val missing = r6(math.max(0.0, 1.0 - total))
+      val total = nodes.map(received(_)).sum
+      val missing = math.max(0L, 1000000L - total)
       rank = nodes.map { n =>
-        val base = recvR(n)
+        val base = received(n)
         val v =
-          if (n == source) r6(PageRank.Alpha + (1 - PageRank.Alpha) * (base + missing))
-          else r6((1 - PageRank.Alpha) * base)
+          if (n == source) 150000L + ((base + missing) * 85 + 50) / 100
+          else (base * 85 + 50) / 100
         n -> v
       }.toMap
     }
-    rank
+    rank.view.mapValues(_.toDouble / 1000000.0).toMap
   }
 
   test("distributed PageRank matches the scalar reference protocol to 5dp") {
@@ -89,8 +88,10 @@ class PageRankSpec extends AnyFunSuite {
     assert(nodes.toSet == Set(1L, 2L, 3L, 4L, 6L)) // 5 is referenced but unlisted
     assert(edges.toSet == Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 4L),
       (4L, 5L), (4L, 1L), (6L, 1L), (6L, 6L)))
+    // runOnGraph returns micro-unit longs; convert with the same exact
+    // division the protocol edge uses
     val got = PageRank.runOnGraph(nodesDf, edgesDf, Seq(1L), 8).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1) / 1000000.0).toMap
     val want = referencePrOn(nodes, edges, 1L, 8)
     assert(got.keySet == want.keySet) // node 5 must NOT appear
     got.foreach { case (id, r) => assert(math.abs(r - want(id)) < 1e-12, s"node $id") }
