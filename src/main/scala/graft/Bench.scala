@@ -261,9 +261,10 @@ object Bench {
       ("components_x120",
         ("pr_components", Seq("graph:edges_100", "graph:oriented_100")),
         ("pr_components_10k", Seq("graph:edges_10000", "graph:oriented_10000"))),
+      // toprank's prep is deliberately INLINE (see topK's scaladoc), so
+      // its cold cost lives entirely in the query median on both sides
       ("toprank_x120",
-        ("pr_toprank", Seq("graph:edges_100")),
-        ("pr_toprank_10k", Seq("graph:edges_10000"))),
+        ("pr_toprank", Seq.empty), ("pr_toprank_10k", Seq.empty)),
       // the big BM25 tier serves postings as a PROJECTION of the big
       // positional index (tf = position-list length), so its cold cost is
       // the shared corpus inflation + the one positional build

@@ -43,23 +43,32 @@ object PageRank {
   def edges(spark: SparkSession, dir: String, mod: Long = 100): DataFrame =
     // memoized per (dir, mod): the derivation is a 600k-row lineitem scan
     // + distinct at sf0.1, and EVERY graph family (pagerank, bfs/sssp,
-    // triangles, link prediction, hits, components) re-ran it privately —
-    // inside its own corpus-prep build or, worse, per bench rep (toprank
-    // ran the distinct three times per rep via nodes() + edges()). One
-    // cached base edge set per mod now feeds them all; downstream memos
-    // (und/oriented/hits copies) derive from the cache.
-    graft.Caches.memoized(spark, dir, s"graph:edges_$mod") {
-      Tables.lineitem(spark, dir)
-        .select(pmod(col("l_orderkey"), lit(mod)).as("src"),
-          pmod(col("l_partkey"), lit(mod)).as("dst"))
-        .where(col("src") =!= col("dst"))
-        .distinct()
-    }
+    // triangles, link prediction, hits, components) re-ran it privately
+    // inside its own corpus-prep build. One cached base edge set per mod
+    // now feeds them all; downstream memos (und/oriented/hits copies)
+    // derive from the cache. The personalized-PageRank LOOP is the one
+    // deliberate exception (see [[topK]]): its per-iteration planning
+    // measures faster against full-lineage inline prep than against a
+    // truncated memo leaf, so it derives from [[edgesUncached]].
+    graft.Caches.memoized(spark, dir, s"graph:edges_$mod")(
+      edgesUncached(spark, dir, mod))
+
+  private[graft] def edgesUncached(spark: SparkSession, dir: String, mod: Long): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(pmod(col("l_orderkey"), lit(mod)).as("src"),
+        pmod(col("l_partkey"), lit(mod)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
 
   def nodes(spark: SparkSession, dir: String, mod: Long = 100): DataFrame =
     edges(spark, dir, mod).select(col("src").as("id"))
       .union(edges(spark, dir, mod).select(col("dst").as("id")))
       .distinct()
+
+  private def nodesUncached(spark: SparkSession, dir: String, mod: Long): DataFrame = {
+    val e = edgesUncached(spark, dir, mod)
+    e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+  }
 
   /** Outdegree per node (dangling nodes absent ⇒ their mass vanishes, as
     * in the reference).
@@ -91,7 +100,8 @@ object PageRank {
     */
   def run(spark: SparkSession, dir: String, sources: Seq[Long], iterations: Int): DataFrame =
     microsToRanks(
-      runOnGraph(nodes(spark, dir), edges(spark, dir), sources, iterations),
+      runOnGraph(nodesUncached(spark, dir, 100), edgesUncached(spark, dir, 100),
+        sources, iterations),
       sources)
 
   /** Convert the loop's micro-unit longs to double ranks: one exact
@@ -245,7 +255,8 @@ object PageRank {
     // memoized truncated leaves even with prep rebuilt every rep — the
     // full cached plans give AQE/planning better information per
     // iteration than a truncated leaf, and the prep itself is ~1 s.
-    val ranked = runOnGraph(nodes(spark, dir, mod), edges(spark, dir, mod), sources,
+    val ranked = runOnGraph(nodesUncached(spark, dir, mod),
+      edgesUncached(spark, dir, mod), sources,
       iterations, partitions = Some(partitions))
     val perSource = sources.zipWithIndex.map { case (s, i) =>
       ranked.select(lit(s).as("source"), col("id").as("node"),
