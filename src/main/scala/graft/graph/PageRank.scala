@@ -7,17 +7,20 @@ import graft.Tables
 /** a4 personalized PageRank (`RunPersonalizedPageRankBasic.java`), rebuilt
   * as an iterative DataFrame driver loop.
   *
-  * Reference protocol, preserved exactly (in linear double arithmetic
-  * instead of log-domain floats — the log domain is a float-underflow
-  * workaround, not a semantic; the reference's own output precision is 5
-  * decimals, `ExtractTopPersonalizedPageRankNodes.java:166`):
+  * Reference protocol, preserved exactly — in linear FIXED-POINT
+  * micro-unit arithmetic (1.0 ≡ 1,000,000; see [[runOnGraph]] for why
+  * cross-engine double rounding forced this) instead of log-domain
+  * floats — the log domain is a float-underflow workaround, not a
+  * semantic; the reference's own output precision is 5 decimals,
+  * `ExtractTopPersonalizedPageRankNodes.java:166`):
   *  - multi-source: one rank per source per node; init rank=1 at source
   *    (`BuildPersonalizedPageRankRecords.java:111`);
-  *  - per iteration, each node sends rank/outdegree to its neighbors; mass
-  *    sent to dangling ends or nonexistent nodes vanishes (`:257-265`);
+  *  - per iteration, each node sends rank/outdegree to its neighbors
+  *    (half-up integer share); mass sent to dangling ends or nonexistent
+  *    nodes vanishes (`:257-265`);
   *  - missing mass m_i = max(0, 1 − Σ received_i) computed globally
-  *    (`:458-464`) — here an `agg(sum)` collected to the driver (the only
-  *    driver-side data transfer: one double per source);
+  *    (`:458-464`) — here a one-row `agg(sum)` broadcast back (the only
+  *    per-iteration global transfer: one long per source);
   *  - re-injection at the source only (`:341-352`):
   *    source: rank = α + (1−α)·(received + missing); others: (1−α)·received.
   *
@@ -146,7 +149,7 @@ object PageRank {
     // that re-sorted the edge cache — the pr_hits finding), the BHJ
     // output inherits e's hash(dst, p) partitioning, and the groupBy(dst)
     // runs with NO exchange. Valid while the rank frame fits the
-    // broadcast budget (node-count × (1+|sources|) doubles); a
+    // broadcast budget (node-count × (1+|sources|) longs); a
     // billion-node graph flips back to co-partitioned shuffle joins.
     val e = graft.Caches.register(edgesDf.join(outdeg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
@@ -222,8 +225,15 @@ object PageRank {
     * the protocol requires α on the 2-dp grid (0.15 is, reference :366).
     */
   private val RankOne = 1000000L
-  private val AlphaMicros = (Alpha * RankOne).toLong        // 150000
-  private val OneMinusAlphaPct = ((1 - Alpha) * 100).toLong // 85
+  // math.round, NOT .toLong: truncation only lands on the exact integer
+  // because 0.15·1e6 happens to round UP to 150000.0 in IEEE — a future
+  // α like 0.29 would silently truncate to an off-by-one constant. The
+  // requires pin that both fixed-point forms are exact.
+  private val AlphaMicros = math.round(Alpha * RankOne) // 150000
+  private val OneMinusAlphaPct = math.round((1 - Alpha) * 100) // 85
+  require(AlphaMicros % 10000 == 0 && OneMinusAlphaPct == 100 - AlphaMicros / 10000,
+    s"alpha must sit on the 2-dp grid with consistent fixed-point forms: " +
+      s"$AlphaMicros micros vs $OneMinusAlphaPct pct")
 
   /** Lineage-cut cadence. The `joined` subtree appears twice per iteration
     * (under the mass aggregate and under the re-injection), so the logical
@@ -815,7 +825,7 @@ object PageRank {
           srcs AS (SELECT CAST(source AS BIGINT) AS source
                    FROM (VALUES $srcVals) AS t(source)),
           r0 AS MATERIALIZED (SELECT s.source, n.id,
-                   CASE WHEN n.id = s.source THEN CAST(1000000 AS BIGINT)
+                   CASE WHEN n.id = s.source THEN CAST($RankOne AS BIGINT)
                         ELSE CAST(0 AS BIGINT) END AS rank
                  FROM nodes n CROSS JOIN srcs s)""")
     // fixed-point micro-unit replay of the loop (see runOnGraph's
@@ -835,13 +845,14 @@ object PageRank {
               ON b.source = x.source AND b.id = x.id),
           miss$i AS MATERIALIZED (
             SELECT source,
-                   CAST(greatest(0, 1000000 - sum(recv)) AS BIGINT) AS miss
+                   CAST(greatest(0, $RankOne - sum(recv)) AS BIGINT) AS miss
             FROM recv$i GROUP BY source),
           r$i AS MATERIALIZED (
             SELECT rc.source, rc.id,
                    CASE WHEN rc.id = rc.source
-                        THEN 150000 + ((rc.recv + m.miss) * 85 + 50) // 100
-                        ELSE (rc.recv * 85 + 50) // 100 END AS rank
+                        THEN $AlphaMicros +
+                             ((rc.recv + m.miss) * $OneMinusAlphaPct + 50) // 100
+                        ELSE (rc.recv * $OneMinusAlphaPct + 50) // 100 END AS rank
             FROM recv$i rc JOIN miss$i m ON rc.source = m.source)"""
     // 5-dp render in integer space + one exact int->double division
     // (mirrors topK; a double round at 5 dp splits between engines)

@@ -28,7 +28,10 @@ class PageRankSpec extends AnyFunSuite {
     // fixed-point micro-unit protocol (mirrors PageRank.runOnGraph and
     // the DuckDB oracle): 1.0 ≡ 1,000,000; half-up integer division for
     // the per-edge share and the α blend; exact long sums — every step
-    // is integer arithmetic, so any engine replays it bit-for-bit
+    // is integer arithmetic, so any engine replays it bit-for-bit. The
+    // 150000/85 constants are DELIBERATELY hardcoded (independent
+    // replica of α = 0.15); the loop's require pins its derived forms
+    // to the same grid, so drift fails loudly there.
     def hdiv(a: Long, b: Long): Long = (a * 2 + b) / (b * 2) // round(a/b), a,b ≥ 0
     val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -52,7 +55,7 @@ class PageRankSpec extends AnyFunSuite {
     rank.view.mapValues(_.toDouble / 1000000.0).toMap
   }
 
-  test("distributed PageRank matches the scalar reference protocol to 5dp") {
+  test("distributed PageRank reproduces the scalar fixed-point protocol exactly") {
     val edges = PageRank.edges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val sources = Seq(3L, 57L)
