@@ -145,10 +145,19 @@ object TextAnalysis {
     tok
       .join(broadcast(vocab), "w")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"), nll.cast("decimal(18,6)").as("nll"))
+      // per-token nll in exact MICRO-UNITS (the 6-dp decimal ×1e6 is an
+      // exact integer), so the per-doc average is integer arithmetic end
+      // to end: round(double_sum/count, 6) sat on the 7-dp half boundary
+      // where Spark (shortest-rendering HALF_UP) and DuckDB (binary)
+      // split — ta_kn_score demonstrably diverged at sf0.1, and this
+      // average is the same shape (the PageRank fixed-point rationale)
+      .select(col("doc_id"),
+        (nll.cast("decimal(18,6)") * lit(1000000)).cast("long").as("nll_u"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("nll")).cast("double") / count(lit(1)).cast("double"), 6)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_u")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        // half-up integer mean, then ONE exact int→double division
+        expr("CAST((s * 2 + n_tokens) DIV (n_tokens * 2) AS DOUBLE) / 1000000")
           .as("avg_nll"))
   }
 
@@ -292,11 +301,16 @@ object TextAnalysis {
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     bg.join(lm, Seq("w1", "w2"))
+      // micro-unit integer average (see perplexity's note): the double
+      // quotient round split between engines at sf0.1 — one doc's mean
+      // landed exactly on 3.4067535
       .select(col("doc_id"),
-        round(-log(col("p_kn")), 6).cast("decimal(18,6)").as("nll"))
+        (round(-log(col("p_kn")), 6).cast("decimal(18,6)") * lit(1000000))
+          .cast("long").as("nll_u"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("nll")).cast("double") / count(lit(1)).cast("double"), 6)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_u")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("CAST((s * 2 + n_bigrams) DIV (n_bigrams * 2) AS DOUBLE) / 1000000")
           .as("avg_nll"))
   }
 
@@ -551,10 +565,11 @@ object TextAnalysis {
         v AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
         SELECT doc_id, count(*) AS n_tokens,
-          round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+          CAST((sum(nll_u) * 2 + count(*)) // (count(*) * 2) AS DOUBLE)
+            / 1000000 AS avg_nll
         FROM (SELECT doc_id,
-                CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
-                     AS DECIMAL(18,6)) AS nll
+                CAST(CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                     AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS nll_u
               FROM tok JOIN v USING (w) CROSS JOIN t)
         GROUP BY doc_id"""
 
@@ -644,8 +659,9 @@ object TextAnalysis {
           bgd AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
                   FROM toksd, unnest(generate_series(1, len(w)-1)) AS t(i))
           SELECT doc_id, count(*) AS n_bigrams,
-                 round(CAST(sum(CAST(round(-ln(p_kn), 6) AS DECIMAL(18,6)))
-                       AS DOUBLE) / count(*), 6) AS avg_nll
+                 CAST((sum(CAST(CAST(round(-ln(p_kn), 6) AS DECIMAL(18,6))
+                                * 1000000 AS BIGINT)) * 2 + count(*))
+                      // (count(*) * 2) AS DOUBLE) / 1000000 AS avg_nll
           FROM bgd JOIN lm USING (w1, w2)
           GROUP BY doc_id""",
     "ta_entropy" ->
