@@ -34,18 +34,17 @@ object Caches {
   private val memo = scala.collection.mutable.HashMap
     .empty[(org.apache.spark.sql.SparkSession, String, String), DataFrame]
 
-  /** Bench instrumentation (r7 verdict ask 4): when set, a freshly built
-    * memo frame is materialized HERE — one action through the persisted
-    * plan, run by the inserting thread right after insertion, outside
-    * the object monitor — and the observer receives the key plus the
-    * build's EXCLUSIVE wall seconds (closure evaluation — which may span
-    * whole training loops or artifact writes — plus cache
-    * materialization, minus any nested memo builds, which report their
-    * own entries), so the build cost lands on a named `build:*` ledger
-    * row instead of whichever registry consumer happened to run first in
-    * sorted order (the r7 attribution instability: medians-of-3
-    * differing 2.3× on identical code). Production hosts leave it None:
-    * builds stay lazy and materialize under their first consumer.
+  /** Bench instrumentation (r7 verdict ask 4): when set, the observer
+    * receives each freshly built memo's key plus the build's EXCLUSIVE
+    * wall seconds (closure evaluation — which may span whole training
+    * loops or artifact writes — plus cache materialization, minus any
+    * nested memo builds, which report their own entries), so the build
+    * cost lands on a named `build:*` ledger row instead of whichever
+    * registry consumer happened to run first in sorted order (the r7
+    * attribution instability: medians-of-3 differing 2.3× on identical
+    * code). Materialization itself is UNCONDITIONAL (see [[memoized]]'s
+    * stats note) — the observer only decides whether the cost is
+    * reported on a named row.
     */
   @volatile private[graft] var buildObserver: Option[(String, Double) => Unit] = None
 
@@ -155,11 +154,28 @@ object Caches {
             }
           }
           // outside the monitor: materialization is an action spanning
-          // Spark jobs and must never run under the lock
-          if (inserted) buildObserver.foreach { obs =>
+          // Spark jobs and must never run under the lock.
+          //
+          // MEMOIZED-LEAF STATISTICS DISCIPLINE (r11 verdict ask 2, the
+          // pr_hits r9 / pr_triangles join-flap bug class): a lazy memo
+          // hands its FIRST consumer an unmaterialized InMemoryRelation,
+          // which reports the build plan's ESTIMATE stats (a LogicalRDD
+          // leaf carrying optimizedPlan.stats — for builds containing
+          // joins, a product estimate off by orders of magnitude), while
+          // every LATER consumer plans against the materialized cache's
+          // MEASURED batch sizes. Same query, two different physical
+          // plans depending on consumption order. Counting here — once,
+          // at build, through the just-persisted plan the first consumer
+          // would have materialized anyway — means every consumer
+          // including the first plans against measured stats, and two
+          // consecutive invocations of a memo-fed query plan
+          // identically (asserted by PlanAuditSpec).
+          if (inserted) {
             result.count() // materialize the persisted plan into the cache
-            totalSec = (System.nanoTime() - t0) / 1e9
-            obs(key, totalSec - childBuildSec.get())
+            buildObserver.foreach { obs =>
+              totalSec = (System.nanoTime() - t0) / 1e9
+              obs(key, totalSec - childBuildSec.get())
+            }
           } else buildObserver.foreach { obs =>
             // a build that LOST the insert race still spent real wall
             // time (its closure ran to completion before deferring), and

@@ -303,25 +303,65 @@ object PageRank {
     else full.repartition(n, col("id"))
   }
 
-  /** Per-node triangle participation (graph-extension beyond the
-    * reference's PageRank-only surface). DEGREE-ORDERED wedge
-    * enumeration: canonicalize each undirected edge low≺high under the
-    * total order (degree, id) and join (a,b)⋈(b,c) wedges back against
-    * (a,c) — every triangle materializes exactly once, no post-hoc
-    * division. Ordering by degree (ties on id) is the hub-skew guard:
-    * a node's wedge count is C(out-degree, 2), and under degree order a
-    * hub's out-edges go only to HIGHER-degree nodes, bounding out-degree
-    * at O(√|E|) — id order instead lets one hub with degree d put O(d²)
-    * wedges through a single join key. The per-node triangle count is
-    * canonical-order-invariant, so the oracle is unchanged. All joins
-    * stay equi-joins on node ids.
+  /** Physical shape of the triangle count's two adjacency joins — the
+    * Components.Shape pattern applied to [[triangles]] (what used to be
+    * an in-code comment "at billions of edges the hint is the line to
+    * drop" is now a dispatched parameter, both shapes gate-equal).
     */
-  def triangles(spark: SparkSession, dir: String, mod: Long = 100): DataFrame = {
-    // the canonical degree-ordered edge set is referenced on all THREE
-    // sides of the wedge-and-close join — memoized as corpus prep (the
-    // minhashBig contract: derivation computed once at ingest and stored;
-    // what the query measures is the join machinery), which also stops
-    // the distinct + two degree joins re-running per reference
+  sealed trait TriShape
+  object TriShape {
+    /** Broadcast the node-sized adjacency table into both edge joins:
+      * zero shuffles on the edge stream. Valid while the adjacency
+      * (one row per node with out-neighbors, Σ = |E| longs) fits the
+      * broadcast budget — the fixture tiers by orders of magnitude.
+      */
+    case object BroadcastAdjacency extends TriShape
+    /** Shuffle equi-joins on the edge endpoints: the billion-node scale
+      * path — edges and adjacency co-shuffle on the node id, nothing is
+      * collected anywhere.
+      */
+    case object ShuffleAdjacency extends TriShape
+  }
+
+  /** Node budget under which [[triangles]] defaults to the broadcast
+    * shape: adjacency rows are node-count-bounded, and 1M nodes ≈
+    * |E| longs ≲ tens of MB — the same envelope Components documents
+    * for its BroadcastMin opt-in. Above it the default flips to the
+    * shuffle shape with no caller change.
+    */
+  val TriangleBroadcastNodeLimit = 1000000L
+
+  /** Per-node triangle participation (graph-extension beyond the
+    * reference's PageRank-only surface) by DEGREE-ORDERED adjacency
+    * intersection: orient each undirected edge low≺high under the total
+    * order (degree, id); a triangle a≺b≺c then has oriented edges
+    * (a,b), (a,c), (b,c), so for each edge (a,b) the closing vertices
+    * are exactly N⁺(a) ∩ N⁺(b) — each triangle found once at its
+    * minimum edge, no post-hoc division. Ordering by degree (ties on
+    * id) is the hub-skew guard: a hub's out-edges go only to
+    * HIGHER-degree nodes, bounding out-degree at O(√|E|) — id order
+    * instead lets one hub with degree d hold a d-element list probed
+    * d times.
+    *
+    * Physically the intersection runs as `array_intersect` over the
+    * node-sized adjacency-list table joined onto the edge stream — NOT
+    * as the classic wedge self-join: the self-join shape broadcast the
+    * full EDGE list twice per run (596k-row hashed relations at the
+    * 10k/sf0.1 tier, measured 1.5–2 s of per-run broadcast build and
+    * the round's bimodal 2.4–4.7 s), while the adjacency table is
+    * node-sized (10k rows) and the wedge stream never materializes —
+    * per-edge work is one O(|N⁺(a)|+|N⁺(b)|) intersection inside
+    * codegen (measured 1.1–1.5 s, stable). Per-node attribution: edge
+    * (a,b) with k closing vertices contributes k to a, k to b, and 1
+    * to each closing c — one explode + sum, order-free.
+    */
+  def triangles(spark: SparkSession, dir: String, mod: Long = 100,
+                shape: Option[TriShape] = None): DataFrame = {
+    // the canonical degree-ordered edge set: memoized as corpus prep
+    // (the minhashBig contract: derivation computed once at ingest and
+    // stored; what the query measures is the join + intersection
+    // machinery), which also stops the distinct + two degree joins
+    // re-running per reference
     val und = graft.Caches.memoized(spark, dir, s"graph:und_$mod") {
       val und0 = edges(spark, dir, mod)
         .select(least(col("src"), col("dst")).as("a"),
@@ -338,21 +378,36 @@ object PageRank {
           when(col("af"), col("a")).otherwise(col("b")).as("a"),
           when(col("af"), col("b")).otherwise(col("a")).as("b"))
     }
-    // the edge relation is ~10 MB at the 10k tier — right at the default
-    // autoBroadcast threshold, so AQE flipped the wedge joins between
-    // broadcast (fast) and sort-merge (2× slower) run to run (observed
-    // bimodal 2.5 s / 5.5 s). Pin the broadcast: the canonical edge set
-    // is the bounded side of both joins at this tier (the documented
-    // tier-bound hint — at billions of edges both joins stay shuffle
-    // equi-joins on their keys and the hint is the line to drop)
-    val tri = und.toDF("a", "b")
-      .join(broadcast(und.toDF("b2", "c")), col("b") === col("b2"))
-      .join(broadcast(und.toDF("a3", "c3")),
-        col("a") === col("a3") && col("c") === col("c3"))
-      .select(col("a"), col("b"), col("c"))
-    val perNode = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    // node-sized oriented adjacency (sorted for deterministic memo
+    // content; the aggregate is order-free either way)
+    val adj = graft.Caches.memoized(spark, dir, s"graph:adj_$mod") {
+      und.groupBy(col("a").as("id"))
+        .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    }
+    val chosen = shape.getOrElse(
+      if (mod <= TriangleBroadcastNodeLimit) TriShape.BroadcastAdjacency
+      else TriShape.ShuffleAdjacency)
+    def side(df: DataFrame): DataFrame = chosen match {
+      case TriShape.BroadcastAdjacency => broadcast(df)
+      case TriShape.ShuffleAdjacency   => df
+    }
+    // every edge's low endpoint a has an out-list by construction ((a,b)
+    // itself is in it) — inner join; the high endpoint may have none —
+    // left join + empty-list coalesce
+    val withAdj = und.toDF("a", "b")
+      .join(side(adj.toDF("a", "na")), Seq("a"))
+      .join(side(adj.toDF("b", "nb")), Seq("b"), "left")
+      .select(col("a"), col("b"),
+        array_intersect(col("na"),
+          coalesce(col("nb"), array().cast("array<bigint>"))).as("cs"))
+    val perNode = withAdj
+      .select(explode(concat(
+        array(struct(col("a").as("id"), size(col("cs")).cast("long").as("n")),
+          struct(col("b").as("id"), size(col("cs")).cast("long").as("n"))),
+        transform(col("cs"), c => struct(c.as("id"), lit(1L).as("n"))))).as("s"))
+      .select(col("s.id").as("id"), col("s.n").as("n"))
+      .groupBy(col("id")).agg(sum(col("n")).as("n_triangles"))
+      .filter(col("n_triangles") > 0)
     nodes(spark, dir, mod).join(perNode, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }

@@ -155,6 +155,30 @@ class PageRankSpec extends AnyFunSuite {
     assert(sizes.sum == nodes.length)
   }
 
+  test("triangles: both adjacency shapes match a brute-force enumeration") {
+    // brute force: count triangles per node over the undirected distinct
+    // edge set (the canonical orientation must not change the counts)
+    val und = PageRank.edges(spark, sf).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .distinct
+    val nbrs = (und.map { case (a, b) => a -> b } ++ und.map { case (a, b) => b -> a })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    PageRank.nodes(spark, sf).collect().map(_.getLong(0)).foreach(n => want(n) = 0L)
+    for ((a, b) <- und; c <- nbrs(a) intersect nbrs(b) if a < b && b < c) {
+      want(a) += 1; want(b) += 1; want(c) += 1
+    }
+    // BOTH physical shapes (broadcast adjacency = fixture-tier default,
+    // shuffle adjacency = billion-node path) must be row-identical under
+    // the same oracle — the shape switch can never change results
+    Seq[PageRank.TriShape](PageRank.TriShape.BroadcastAdjacency,
+      PageRank.TriShape.ShuffleAdjacency).foreach { shape =>
+      val got = PageRank.triangles(spark, sf, shape = Some(shape)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want.toMap, s"shape $shape diverged from brute force")
+    }
+  }
+
   test("link prediction matches a brute-force common-neighbors replay") {
     val und = PageRank.edges(spark, sf, mod = 10000).collect()
       .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))

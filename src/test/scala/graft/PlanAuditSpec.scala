@@ -206,7 +206,7 @@ class PlanAuditSpec extends AnyFunSuite {
       maxShingleDf = Some(3L)))
     assert(!cp.contains("CartesianProduct"), s"capped jaccard cartesian:\n$cp")
     assert(!cp.contains("BroadcastNestedLoopJoin"), s"capped jaccard BNLJ:\n$cp")
-    // degree-ordered triangles: degree attach + wedge + closing joins are
+    // degree-ordered triangles: degree attach + both adjacency joins are
     // all equi-joins on node ids
     val tr = plan(graft.graph.PageRank.triangles(spark, sf))
     assert(!tr.contains("CartesianProduct"), s"triangles cartesian:\n$tr")
@@ -263,10 +263,14 @@ class PlanAuditSpec extends AnyFunSuite {
     })
     assert(!sk.contains("CartesianProduct"), s"skew tier cartesian:\n$sk")
     // triangle scale tier: identical join shapes at mod=10000 — the
-    // degree-order hub bound is what keeps the wedge key fan-in O(√E)
-    val t10 = plan(graft.graph.PageRank.triangles(spark, sf, mod = 10000))
-    assert(!t10.contains("CartesianProduct"), s"triangles_10k cartesian:\n$t10")
-    assert(!t10.contains("BroadcastNestedLoopJoin"), s"triangles_10k BNLJ:\n$t10")
+    // degree-order hub bound is what keeps per-edge intersection work
+    // O(√E); BOTH dispatch shapes stay join-shaped
+    Seq[Option[graft.graph.PageRank.TriShape]](None,
+      Some(graft.graph.PageRank.TriShape.ShuffleAdjacency)).foreach { sh =>
+      val t10 = plan(graft.graph.PageRank.triangles(spark, sf, mod = 10000, shape = sh))
+      assert(!t10.contains("CartesianProduct"), s"triangles_10k ($sh) cartesian:\n$t10")
+      assert(!t10.contains("BroadcastNestedLoopJoin"), s"triangles_10k ($sh) BNLJ:\n$t10")
+    }
     // approx-bounds: two independent hash-family aggregates joined on the
     // 5-row key — the percentile family must NOT share an aggregate with
     // the distincts (the fused form plans the distinct-Expand over the
@@ -516,6 +520,41 @@ class PlanAuditSpec extends AnyFunSuite {
     val expect = Tables.events(spark, sf)
       .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-02").count()
     assert(q.count() == expect && expect > 0)
+  }
+
+  test("triangles 10k tier: both adjacency joins broadcast in PRODUCTION memo mode") {
+    // production mode deliberately (no transparent bracket): this is the
+    // r11 flap class — the query-side join strategy must hold against
+    // the TRUNCATED memo leaves consumers actually plan with
+    Caches.releaseAll()
+    val p = plan(graft.graph.PageRank.triangles(spark, sf, mod = 10000))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"expected both adjacency joins broadcast, found $bhj:\n$p")
+    Caches.releaseAll()
+  }
+
+  test("memo-fed queries plan identically on consecutive invocations (stats discipline)") {
+    // the pr_hits r9 / pr_triangles r11 bug class: a LAZY memo hands its
+    // first consumer estimate stats and every later consumer measured
+    // stats, so the same query planned two different joins depending on
+    // consumption order. Caches.memoized now materializes at build; the
+    // plan chosen BEFORE any query executes must equal the plan chosen
+    // after (canonicalized: exprIds normalized).
+    Caches.releaseAll()
+    def canonical(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.executedPlan.canonicalized.toString
+    }
+    try {
+      Seq("pr_triangles_10k", "pr_hits", "dedup_groups").foreach { name =>
+        val cold = canonical(name) // memos build (and materialize) here
+        SparkEntry.queries(name)(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+        val warm = canonical(name)
+        assert(cold == warm,
+          s"$name planned differently cold vs warm:\nCOLD:\n$cold\nWARM:\n$warm")
+      }
+    } finally Caches.releaseAll()
   }
 
   test("range rewrite of the reference's string-prefix date semantics is exact") {
