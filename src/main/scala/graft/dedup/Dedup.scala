@@ -82,9 +82,35 @@ object Dedup {
     * norm-group is a union of raw-groups, never the reverse
     * (normalization is a function of the raw text), asserted in spec.
     */
-  def exactNormalized(spark: SparkSession, dir: String): DataFrame = {
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame =
+    exactNormalizedOn(normFixture(spark, dir))
+
+  /** Whitespace/case-mangled gate fixture for [[exactNormalized]] (the
+    * pii_scan injected-span technique): doc_ids divisible by 17 become
+    * copies of one boilerplate template that differ ONLY in case
+    * (÷34 → uppercase), trailing space runs, and planted form-feed /
+    * VERTICAL-TAB bytes — so the explicit `[ \t\n\r\f\x0B]+` class is
+    * hash-exercised by the gate (Java's \s includes \x0B, RE2's does
+    * not; a regression to \s flips the planted docs' nfp and the group
+    * rows), not merely present in the source. Replayed verbatim by the
+    * oracle's injection CTE. Pure per-row projection.
+    */
+  private[graft] def normFixture(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(
+          when(pmod(col("doc_id"), lit(34)) === 0,
+            lit("SHARED\u000BBOILER\t\tPLATE "))
+            .otherwise(lit("shared\u000Bboiler\t\tplate ")),
+          pmod(col("doc_id"), lit(3)).cast("string"),
+          expr("repeat(' ', CAST(doc_id % 4 AS INT))"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("\f\u000B"))
+            .otherwise(lit(""))))
+        .otherwise(col("text")).as("text"))
+
+  private[graft] def exactNormalizedOn(docs: DataFrame): DataFrame = {
     val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("nfp"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), md5(col("text")).as("fp"),
         // explicit whitespace class, NOT \s: Java regex \s includes
         // vertical tab, RE2's (the DuckDB oracle's) \s does not — the
@@ -1282,13 +1308,28 @@ object Dedup {
     // normalized fingerprint: lowercase, collapse whitespace runs, trim —
     // DuckDB needs the 'g' flag for replace-all (Spark's default); the
     // whitespace class is pinned explicitly (same literal as the Spark
-    // side) because Java's \s and RE2's \s disagree on vertical tab
+    // side) because Java's \s and RE2's \s disagree on vertical tab.
+    // The injection CTE replays [[normFixture]]: planted vertical-tab
+    // (chr(11)) / form-feed / tab / case variants whose nfp values flow
+    // through the hash gate, so a whitespace-class regression fails
+    // loudly instead of latently
     "dedup_exact_norm" ->
-      """SELECT doc_id, md5(text) AS fp,
+      """WITH docs AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 17 = 0 THEN
+                    (CASE WHEN doc_id % 34 = 0
+                          THEN 'SHARED' || chr(11) || 'BOILER' || chr(9) || chr(9) || 'PLATE '
+                          ELSE 'shared' || chr(11) || 'boiler' || chr(9) || chr(9) || 'plate ' END)
+                    || CAST(doc_id % 3 AS VARCHAR)
+                    || repeat(' ', CAST(doc_id % 4 AS INTEGER))
+                    || CASE WHEN doc_id % 2 = 0 THEN chr(12) || chr(11) ELSE '' END
+                  ELSE text END AS text
+           FROM documents)
+         SELECT doc_id, md5(text) AS fp,
                 md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS nfp,
                 min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS canonical_id,
                 count(*) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS group_size
-         FROM documents""",
+         FROM docs""",
     "dedup_ngram_jaccard" -> jaccardOracle(0.2),
     "dedup_ngram_capped"  -> cappedJaccardOracle(0.2, StopShingleDf),
     "dedup_ngram_skew"    -> skewOracle(0.2, SkewCap, 3),

@@ -58,7 +58,9 @@ object Retrieval {
   def render(postfix: String, rows: Seq[(Long, String)], ms: Long): Seq[String] =
     Seq(s"Query: $postfix") ++
       rows.map { case (id, line) => s"$id\t${fetchLine(line)}" } ++
-      Seq(s"\nquery completed in $ms ms")
+      // no space before the unit: the reference prints "Nms"
+      // (BooleanRetrievalCompressed.java:184)
+      Seq(s"\nquery completed in ${ms}ms")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Retrieval <fixtureDir> [postfix query...]")

@@ -510,8 +510,11 @@ object Streaming {
     * idempotent, so the fence is what makes in-checkpoint retries safe
     * (the transactional-commit trick, done with the batch id the
     * checkpoint already guarantees is stable). Returns true if applied.
-    * The merged state is pinned (localCheckpoint materializes it) BEFORE
-    * overwriting the files it was read from.
+    * The merge never overwrites the files it reads: it streams into a
+    * sibling STAGE directory, the fence id is sealed inside, and only a
+    * complete stage (_SUCCESS + _fence) is promoted over the live dir
+    * via delete + atomic rename (see the staged-commit note below and
+    * [[recoverStage]] for the crash windows).
     */
   def applyStateBatch(df: DataFrame, batchId: Long, path: String): Boolean = {
     val spark = df.sparkSession
@@ -591,13 +594,34 @@ object Streaming {
     * committed batch whose swap didn't finish — finish it; anything less
     * is a dead partial write — discard it (the checkpoint will redeliver
     * its batch, and the untouched live state merges it cleanly).
+    *
+    * The promotion compares fences first: within the protocol a stale
+    * complete stage cannot exist (the stage is written strictly after
+    * the live fence it supersedes), but a live dir RESTORED by an
+    * operator — rolled back from a backup, say — can legitimately sit
+    * beside an old complete stage, and promoting that stage would
+    * silently clobber the restore. Promote only when the stage fence is
+    * ≥ the live fence (or the live dir has no readable fence — the
+    * normal mid-swap crash, where live was already deleted); discard
+    * the stage otherwise.
     */
   private def recoverStage(path: String): Unit = {
     val stage = stageDir(path)
     if (!stage.exists) return
-    if (new java.io.File(stage, "_SUCCESS").exists &&
-        new java.io.File(stage, "_fence").exists)
-      promoteStage(stage, new java.io.File(path))
+    def fenceOf(dir: java.io.File): Option[Long] = {
+      val f = new java.io.File(dir, "_fence")
+      if (f.exists)
+        scala.util.Try(
+          java.nio.file.Files.readString(f.toPath).trim.toLong).toOption
+      else None
+    }
+    val live = new java.io.File(path)
+    val complete = new java.io.File(stage, "_SUCCESS").exists &&
+      new java.io.File(stage, "_fence").exists
+    val stale = complete &&
+      (for (s <- fenceOf(stage); l <- fenceOf(live)) yield s < l)
+        .getOrElse(false)
+    if (complete && !stale) promoteStage(stage, live)
     else deleteTree(stage)
   }
 

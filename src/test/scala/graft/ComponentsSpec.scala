@@ -105,6 +105,30 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-prepared star loop drops its round-0 edge cache once round 1 supersedes it") {
+    // the initOwned contract (IterativeLoop.scala): a NON-prepared input
+    // derives a loop-owned round-0 edge cache, and that frame must be
+    // unpersisted as soon as round 1 replaces it — a leak here keeps a
+    // full edge-set copy resident for the whole run at every tier
+    import spark.implicits._
+    Caches.releaseAll()
+    val pairs = Seq((2L, 1L), (3L, 1L), (4L, 2L), (6L, 5L)).toDF("x", "y")
+    val nodes = (1L to 6L).toDF("id")
+    // labels() runs the loop eagerly (per-round convergence probes)
+    val out = Components.labels(nodes, pairs, prepared = false).collect()
+    assert(out.nonEmpty)
+    val frames = Caches.snapshot._1
+    assert(frames.nonEmpty, "loop must register its caches")
+    // the first frame registered after the release is the loop-derived
+    // round-0 edge cache (labels registers it before converge starts)
+    assert(frames.head.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "round-0 edge cache must be unpersisted after round 1")
+    // while the FINAL round's frame is still live (released by the host)
+    assert(frames.last.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "final round frame should stay cached until releaseAll")
+    Caches.releaseAll()
+  }
+
   test("10k fixture tier runs hash-equal through both shapes") {
     // the pr_components_10k graph itself (mod-10000 events graph at the
     // test SF) pushed through both shapes: the one-row structural

@@ -23,14 +23,41 @@ class DedupSpec extends AnyFunSuite {
     val rows = Dedup.exactNormalized(spark, sf).collect()
       .map(r => (r.getString(1), r.getString(2), r.getAs[Long]("group_size")))
     // normalization is a function of the raw text: equal raw fp ⇒ equal
-    // normalized fp, so norm groups are unions of raw groups
+    // normalized fp, so norm groups are unions of raw groups (raw sizes
+    // computed over the same gate fixture the norm groups were)
     rows.groupBy(_._1).foreach { case (fp, g) =>
       assert(g.map(_._2).distinct.length == 1, s"raw group $fp split across norm groups")
     }
     // and norm groups can only be at least as large as their raw groups
-    val rawSize = Dedup.exact(spark, sf).collect()
-      .map(r => r.getString(1) -> r.getAs[Long]("group_size")).toMap
+    val rawSize = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     rows.foreach { case (fp, _, nSize) => assert(nSize >= rawSize(fp)) }
+  }
+
+  test("exact-norm gate fixture: planted vertical-tab docs collapse under the pinned class") {
+    import org.apache.spark.sql.functions.col
+    val fix = Dedup.normFixture(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val planted = fix.filter(_._1 % 17 == 0)
+    assert(planted.nonEmpty, "fixture must plant whitespace-mangled docs")
+    // the planted spans carry the characters Java's \s and RE2's \s
+    // disagree on — vertical tab in EVERY planted doc
+    planted.values.foreach { t =>
+      assert(t.contains('\u000B'), s"planted doc lost its vertical tab: ${t.take(40)}")
+    }
+    assert(planted.values.exists(_.contains('\f')), "no form feed planted")
+    assert(planted.values.exists(_.contains('\t')), "no tab planted")
+    // the docs differ raw (case/trailing whitespace) but normalize into
+    // exactly the 3 residue templates — norm-dedup WIDENS groups here
+    val norm = Dedup.exactNormalized(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getAs[Long]("group_size")))
+      .filter(_._1 % 17 == 0)
+    assert(norm.map(_._3).distinct.length == 3,
+      "planted docs must land in exactly 3 norm groups (doc_id % 3)")
+    assert(norm.map(_._2).distinct.length > 3,
+      "planted raw fingerprints must differ (case/whitespace variants)")
+    norm.foreach { case (id, _, _, gs) =>
+      assert(gs > 1, s"planted doc $id must sit in a widened norm group")
+    }
   }
 
   test("minhash+LSH finds exactly the exact-jaccard pairs at 0.5") {

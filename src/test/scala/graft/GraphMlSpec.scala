@@ -155,6 +155,21 @@ class PageRankSpec extends AnyFunSuite {
     assert(sizes.sum == nodes.length)
   }
 
+  test("hits rejects a zero-iteration budget loudly") {
+    // the a-frame is only assigned inside the power loop: zero rounds
+    // would dereference a null frame at the final join, and an
+    // un-stepped init is not a HITS result — pinned as a contract, not
+    // left to the NPE
+    val e = intercept[IllegalArgumentException] {
+      PageRank.hits(spark, sf, iterations = 0)
+    }
+    assert(e.getMessage.contains("at least one iteration"))
+    val e2 = intercept[IllegalArgumentException] {
+      PageRank.hits(spark, sf, iterations = -3)
+    }
+    assert(e2.getMessage.contains("at least one iteration"))
+  }
+
   test("triangles: both adjacency shapes match a brute-force enumeration") {
     // brute force: count triangles per node over the undirected distinct
     // edge set (the canonical orientation must not change the counts)

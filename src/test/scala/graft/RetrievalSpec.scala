@@ -41,7 +41,7 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows.nonEmpty) // the demo query is non-empty at every SF
     val out = Retrieval.render(q, rows, ms)
     assert(out.head == s"Query: $q")
-    assert(out.last == s"\nquery completed in $ms ms")
+    assert(out.last == s"\nquery completed in ${ms}ms") // reference: no space before the unit
     val body = out.tail.init
     assert(body.size == rows.size)
     body.zip(rows).foreach { case (line, (id, text)) =>

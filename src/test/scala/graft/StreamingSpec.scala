@@ -497,6 +497,25 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(new java.io.File(p2, "_fence").toPath, "")
     assert(Streaming.applyStateBatch(f2, 1L, p2) == false,
       "row fence must still reject redelivery under a corrupt sidecar")
+
+    // window 3 — STALE complete stage beside an operator-restored live
+    // dir (cannot arise within the protocol; can after a rollback from
+    // backup): recovery must compare fences and DISCARD the older stage
+    // instead of silently clobbering the restored state
+    val p3 = java.nio.file.Files.createTempDirectory("st-crash3").resolve("state").toString
+    val p3old = java.nio.file.Files.createTempDirectory("st-crash3-old")
+      .resolve("state").toString
+    assert(Streaming.applyStateBatch(f1, 0L, p3old)) // fence 0, f1 only
+    assert(Streaming.applyStateBatch(f1, 0L, p3))
+    assert(Streaming.applyStateBatch(f2, 1L, p3)) // live fence 1, f1+f2
+    val staleStage = new java.io.File(p3 + ".stage")
+    assert(new java.io.File(p3old).renameTo(staleStage), "test setup: old live -> stage")
+    val f3 = evs(Seq((2L, 4L, 9L, "view", 0.5)))
+    assert(Streaming.applyStateBatch(f3, 2L, p3))
+    assert(!staleStage.exists, "stale stage must be discarded, not promoted")
+    assert(st(Streaming.readUserState(spark, p3)) ==
+      st(Streaming.userState(f1.unionByName(f2).unionByName(f3))),
+      "restored live state was clobbered by the stale stage")
   }
 
   test("multi-microbatch stitching: sessions spanning file boundaries equal the batch plan") {
