@@ -162,8 +162,22 @@ object Bench {
       ticks > 10 && wallSec > 0 &&
         ticks.toDouble / (ncores * wallSec * 100.0) > 0.05
 
+    // Noisy-median escalation (r11 verdict ask 6): BENCH_r11 carried
+    // dedup_minhash_big at 2.7× its quiet-run median with nothing
+    // flagged — the per-rep steal test misses co-tenant contention that
+    // steals wall time without hypervisor-steal ticks. A query whose
+    // rep spread (max/min) exceeds 2×, or whose window rode a steal
+    // burst, now runs EXTRA reps (to `escReps`, default 5) so the
+    // median re-centers on the quiet mode; whatever stays noisy after
+    // escalation is reported in "spread_flagged"/"steal_flagged" — a
+    // round-over-round reader treats those rows as contention-suspect,
+    // not regressions.
+    val escReps = sys.env.getOrElse("SPARK_GRAFT_ESC_REPS", "5").toInt
+    def spreadSuspect(times: Seq[Double]): Boolean =
+      times.size > 1 && times.min > 0 && times.max / times.min > 2.0 &&
+        times.max - times.min > 0.2 // micro-query jitter is not contention
     val results = names.map { name =>
-      val runs = (1 to reps).map { _ =>
+      def oneRep(): (Double, Option[String], Long, Double) = {
         buildAccum = 0.0
         val s0 = stealJiffies()
         val t0 = System.nanoTime()
@@ -172,6 +186,12 @@ object Bench {
         val st = if (s0 < 0) -1L else stealJiffies() - s0
         (wall - buildAccum, err, st, wall)
       }
+      var runs = (1 to reps).toVector.map(_ => oneRep())
+      def stealSuspect = runs.exists(r => stealFlagged(r._4, r._3))
+      val escalate = reps > 1 && runs.forall(_._2.isEmpty) &&
+        (spreadSuspect(runs.map(_._1)) || stealSuspect)
+      if (escalate)
+        runs ++= (runs.size until escReps).map(_ => oneRep())
       // per-rep chronology on stderr (stdout carries ONLY the compact
       // line): the [min,max] spread can't distinguish "cold rep 1" from
       // "a warm rep degraded mid-run", which is exactly the signature
@@ -179,13 +199,16 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
         System.err.println(
           s"REPS $name: ${runs.map(r => f"${r._1}%.2f").mkString(" ")}" +
-            s" steal: ${runs.map(_._3).mkString(" ")}")
+            s" steal: ${runs.map(_._3).mkString(" ")}" +
+            (if (escalate) " (escalated)" else ""))
       val times = runs.map(_._1).sorted
       val median = times(times.length / 2)
       (name, median, times.head, times.last, runs.flatMap(_._2).headOption,
-        runs.map(_._3), runs.exists(r => stealFlagged(r._4, r._3)))
+        runs.map(_._3), stealSuspect, spreadSuspect(runs.map(_._1)), escalate)
     }
-    val flagged = results.collect { case (k, _, _, _, _, _, true) => k }
+    val flagged = results.collect { case (k, _, _, _, _, _, true, _, _) => k }
+    val spreadFlagged = results.collect { case (k, _, _, _, _, _, _, true, _) => k }
+    val escalated = results.collect { case (k, _, _, _, _, _, _, _, true) => k }
 
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -193,16 +216,19 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, med, _, _, _, _, _) => s"${q(k)}:$med" }.mkString("{", ",", "}")
-    val spread = results.map { case (k, _, mn, mx, _, _, _) => s"${q(k)}:[$mn,$mx]" }
+    val qs = results.map { case (k, med, _, _, _, _, _, _, _) => s"${q(k)}:$med" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(e), _, _) => s"${q(k)}:${q(e)}" }
+    val spread = results.map { case (k, _, mn, mx, _, _, _, _, _) => s"${q(k)}:[$mn,$mx]" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(e), _, _, _, _) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")
     // full-fidelity only: every rep's steal delta for every query (the
     // compact line carries just the flagged names)
-    val stealReps = results.map { case (k, _, _, _, _, st, _) =>
+    val stealReps = results.map { case (k, _, _, _, _, st, _, _, _) =>
       s"${q(k)}:[${st.mkString(",")}]" }.mkString("{", ",", "}")
     val flaggedJson = flagged.map(q).mkString("[", ",", "]")
+    val spreadFlaggedJson = spreadFlagged.map(q).mkString("[", ",", "]")
+    val escalatedJson = escalated.map(q).mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val loadEnd = loadAvg()
     val stealTicks = // run's stolen CPU in 10 ms ticks (−1 = unreadable)
@@ -284,7 +310,7 @@ object Bench {
         yield s"${q(fam)}:[${math.rint(t1 * 100) / 100},${math.rint(t10 * 100) / 100}]"
     }.mkString("{", ",", "}")
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"cpu_ticks":$cpuTicks,"steal_flagged":$flaggedJson,"steal_reps":$stealReps,"scaling":$scaling,"build_sec":$buildSec,"builds":$builds,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"cpu_ticks":$cpuTicks,"steal_flagged":$flaggedJson,"spread_flagged":$spreadFlaggedJson,"escalated":$escalatedJson,"steal_reps":$stealReps,"scaling":$scaling,"build_sec":$buildSec,"builds":$builds,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     // The full-fidelity record goes ONLY to target/bench.json — NOT to
     // stdout. The driver's BENCH artifact keeps the LAST ~2000 chars of
     // stdout (BENCH_r01..r05 all carry a 2000-char "tail", parsed:null):
@@ -322,7 +348,7 @@ object Bench {
         (if (dropped.nonEmpty)
           Seq(s""""_omitted_below":${dropped.size}""",
             s""""_thr_cs":${math.rint(thr * 100).toLong}""") else Nil) ++
-        kept.map { case (k, med, _, _, _, _, _) =>
+        kept.map { case (k, med, _, _, _, _, _, _, _) =>
           s"${q(k)}:${math.rint(med * scale).toLong}" })
         .mkString("{", ",", "}")
       val bos = new java.io.ByteArrayOutputStream()
@@ -341,7 +367,7 @@ object Bench {
       var used = 0
       var kept = 0
       var cut = false
-      sortedBySec.foreach { case (k, med, _, _, _, _, _) =>
+      sortedBySec.foreach { case (k, med, _, _, _, _, _, _, _) =>
         val ent = s"${q(k)}:${math.rint(med * 1000) / 1000}"
         // strict prefix cut, no best-fit backfill: "omitted_fastest"
         // must mean exactly the N fastest queries
@@ -365,6 +391,10 @@ object Bench {
         s""""cpu_ticks":$cpuTicks,"steal_flagged":${
           flagged.take(12).map(q).mkString("[", ",", "]")},""" +
         (if (flagged.length > 12) s""""steal_flagged_more":${flagged.length - 12},""" else "") +
+        s""""spread_flagged":${spreadFlagged.take(12).map(q).mkString("[", ",", "]")},""" +
+        (if (spreadFlagged.length > 12)
+          s""""spread_flagged_more":${spreadFlagged.length - 12},""" else "") +
+        (if (escalated.nonEmpty) s""""n_escalated":${escalated.length},""" else "") +
         s""""scaling":$scaling,""" +
         s""""build_sec":${math.rint(buildSec * 100) / 100},"builds":$topBuilds,""" +
         s""""queries":${entries.mkString("{", ",", "}")},""" +

@@ -299,11 +299,14 @@ object Dedup {
     */
   private def bigShingles(spark: SparkSession, dir: String, replicas: Int): DataFrame =
     memoized(spark, dir, s"big_shingles_$replicas") {
-      // inflation comes from the SHARED scale-tier corpus memo (one 10×
-      // text cache serves this scan and both IR big index builds — r10
-      // verdict ask 6); this build keeps only the shingle pass itself
-      Tables.documentsInflated(spark, dir, replicas)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      // derives from the SHARED tokenized scale-tier memo (one 10×
+      // tokenize pass serves this scan and the IR big index builds —
+      // r10 ask 6, tightened by r11 ask 3: the previous shared TEXT
+      // memo still made each consumer re-tokenize); this build keeps
+      // only the shingle pass itself
+      Text.tokensInflated(spark, dir, replicas)
+        .select(col("doc_id"),
+          graft.functions.ArrayExprs.wordShingles(col("tokens"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
     }
 

@@ -237,8 +237,12 @@ object InvertedIndex {
     */
   def bigPositions(spark: SparkSession, dir: String, replicas: Int = 10): DataFrame =
     graft.Caches.memoized(spark, dir, s"ir:positions_big_$replicas") {
-      Tables.documentsInflated(spark, dir, replicas)
-        .select(col("doc_id"), posexplode(Text.tokenize(col("text"))))
+      // the tokenize pass comes from the SHARED scale-tier token memo
+      // (r11 ask 3 — this build and the dedup big shingle scan each
+      // re-tokenized the inflated text); this build keeps only the
+      // positional aggregate + term clustering
+      Text.tokensInflated(spark, dir, replicas)
+        .select(col("doc_id"), posexplode(col("tokens")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("term"))
         .groupBy(col("term"), col("doc_id"))
         .agg(sort_array(collect_list(col("pos"))).as("positions"))

@@ -48,6 +48,42 @@ object Text {
         w => regexp_replace(w, "(^[^a-z]+|[^a-z]+$)", "")),
       w => length(w) > 0)
 
+  /** Tokenized ×`replicas` scale-tier corpus — the ONE tokenize pass
+    * shared by every big-tier index build (the IR positional index and
+    * the dedup shingle scan previously each re-tokenized the inflated
+    * TEXT memo: 2 × a 50k-doc tokenize per run, r11 verdict ask 3).
+    * Token-level inflation is EXACTLY [[graft.Tables.documentsInflated]]
+    * ∘ [[tokenize]]: the text perturbation appends ` zz` + `x`×r — a
+    * leading space then pure `[a-z]` — so under the reference tokenizer
+    * (whitespace-split, strip non-letter edges, drop empties) replica
+    * r > 0 gains exactly the single token `zz` + `x`×r and every base
+    * token is untouched; replica 0 is the base token list verbatim.
+    * Pinned by a spec (token-level ≡ tokenize(text-level) on the
+    * fixture) AND by the ir_*_big hash gates, whose DuckDB oracles
+    * still replay the TEXT-level inflation end to end.
+    */
+  def tokensInflated(spark: SparkSession, dir: String, replicas: Int): DataFrame =
+    // only the BASE tokenize is memoized: caching the ×10 token arrays
+    // measured 4 s of pure cache materialization (50k array rows),
+    // MORE than the tokenize it saved — while the inflation itself is
+    // an explode + array-concat cheap enough to recompute per consumer
+    // (each consumer's own memo materializes its derived index anyway)
+    tokensBase(spark, dir)
+      .select(col("doc_id"), col("tokens"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+      .select((col("doc_id") * replicas + col("r")).as("doc_id"),
+        when(col("r") === 0, col("tokens"))
+          .otherwise(concat(col("tokens"),
+            array(concat(lit("zz"), expr("repeat('x', r)")))))
+          .as("tokens"))
+
+  /** The fixture corpus tokenized once — base of [[tokensInflated]]. */
+  private def tokensBase(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "corpus:tokens_base") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tokenize(col("text")).as("tokens"))
+    }
+
   /** PMI-mapper token set (`PairsPMI.java:53-63`): first 100 non-empty
     * tokens of the line, distinct in first-occurrence order.
     */

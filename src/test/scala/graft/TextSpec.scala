@@ -89,4 +89,26 @@ class TextSpec extends AnyFunSuite {
       assert(keys.toSeq == keys.toSeq.sorted, s"unsorted stripe for ${r.getString(0)}")
     }
   }
+
+  test("token-level corpus inflation equals tokenize over text-level inflation") {
+    // the shared scale-tier token memo claims exact equivalence with
+    // tokenize(documentsInflated) — the property the big-tier index
+    // builds (and their hash gates, whose oracles replay the TEXT-level
+    // inflation) depend on
+    Caches.releaseAll()
+    try {
+      val byTok = Text.tokensInflated(spark, sf, 4).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val byText = Tables.documentsInflated(spark, sf, 4)
+        .select(col("doc_id"), Text.tokenize(col("text")).as("tokens")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(byTok == byText, "token-level inflation diverged from text-level")
+      // and the perturbation is visible: every replica r > 0 ends in its
+      // distinguishing token, replica 0 is the base verbatim
+      byTok.foreach { case (id, toks) =>
+        if (id % 4 != 0 && toks.nonEmpty)
+          assert(toks.last == "zz" + "x" * (id % 4).toInt, s"doc $id missing replica token")
+      }
+    } finally Caches.releaseAll()
+  }
 }
