@@ -314,6 +314,95 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** Every 5th doc is held out of KN-backoff training — unseen-bigram
+    * coverage is certain at every fixture tier (500 docs ⇒ 100 held-out
+    * docs, scores of genuinely novel bigrams).
+    */
+  private val KnHoldoutMod = 5
+
+  /** Cross-corpus Kneser-Ney scoring WITH the interpolated backoff path —
+    * the boundary [[knScore]] documents ("every doc bigram is an observed
+    * type; cross-corpus backoff is the boundary") made real: the LM
+    * trains on docs with doc_id % [[KnHoldoutMod]] ≠ 0 and scores the
+    * HELD-OUT split, whose bigrams are not all in-vocab. Per held-out
+    * bigram (w1, w2) against the train tables:
+    *
+    *   seen (w1,w2):  (c − D)/c(w1·) + λ(w1)·Pc(w2)   (interpolated KN)
+    *   unseen, seen w1:             λ(w1)·Pc(w2)      (D-discounted backoff)
+    *   unseen w1:                   Pc(w2)            (continuation only)
+    *
+    * λ(w1) = D·N1+(w1·)/c(w1·) is exactly the mass the discount D = 0.75
+    * reserved; Pc is the continuation distribution with add-one TYPE
+    * smoothing, Pc(w2) = (N1+(·w2) + 1)/(|B| + V₂ + 1) (V₂ = distinct
+    * continuations in train), so an out-of-vocab w2 gets the one-type
+    * floor and every branch is strictly positive — no −ln(0) anywhere.
+    * Output: (doc_id, n_bigrams, n_unseen, avg_nll); n_unseen > 0 rows
+    * prove the backoff path is exercised, not merely present.
+    *
+    * Unseen coverage is PLANTED, not hoped for (the dedup_exact_norm /
+    * pii_scan injected-fixture technique): the fixture generator's
+    * held-out docs turned out to share every bigram type with train at
+    * some tiers (sf0.1 mod-5: zero natural unseen types), so each
+    * held-out doc appends ` kn qz<doc_id>qz kn` — three tokens whose
+    * middle cannot exist in train — guaranteeing out-of-vocab w2,
+    * out-of-vocab w1, and unseen-pair-with-seen-prefix bigrams at every
+    * tier. Train docs are untouched (the injection hits only the split
+    * the LM never sees).
+    *
+    * Shape: train marginals are vocabulary-sized broadcasts, the type
+    * lookup is a keyed left join — the [[knScore]] plan with null-aware
+    * branches. fp: p is one +,*,/ double chain over integer-derived
+    * values (bit-identical in any IEEE engine), −ln re-rounds to 6 dp
+    * into the exact micro-unit mean (the [[perplexity]] protocol).
+    */
+  def knBackoffScore(spark: SparkSession, dir: String): DataFrame = {
+    val injected = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(KnHoldoutMod)) === 0,
+          concat(col("text"), lit(" kn qz"), col("doc_id").cast("string"),
+            lit("qz kn")))
+          .otherwise(col("text")).as("text"))
+    val bgAll = injected
+      .withColumn("toks", Text.tokenize(col("text")))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(0, size(toks)-2),
+                          i -> struct(toks[i] AS w1, toks[i+1] AS w2)) END"""))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val types = graft.Caches.memoized(spark, dir, "ta:kn_types_train")(
+      bgAll.where(pmod(col("doc_id"), lit(KnHoldoutMod)) =!= 0)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt")))
+    val byW1 = types.groupBy(col("w1"))
+      .agg(sum(col("cnt")).as("cw1"), count(lit(1)).as("nf"))
+    val byW2 = types.groupBy(col("w2")).agg(count(lit(1)).as("np"))
+    val consts = types.agg(count(lit(1)).as("nb"))
+      .crossJoin(byW2.agg(count(lit(1)).as("vc")))
+    val ho = bgAll.where(pmod(col("doc_id"), lit(KnHoldoutMod)) === 0)
+    val pc = (coalesce(col("np"), lit(0L)) + lit(1L)).cast("double") /
+      (col("nb") + col("vc") + lit(1L)).cast("double")
+    val lam = lit(0.75) * col("nf").cast("double") / col("cw1").cast("double")
+    val p = when(col("cnt").isNotNull,
+        (col("cnt").cast("double") - lit(0.75)) / col("cw1").cast("double") + lam * pc)
+      .when(col("cw1").isNotNull, lam * pc)
+      .otherwise(pc)
+    ho
+      .join(types, Seq("w1", "w2"), "left")
+      .join(broadcast(byW1), Seq("w1"), "left")
+      .join(broadcast(byW2), Seq("w2"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        when(col("cnt").isNull, lit(1L)).otherwise(lit(0L)).as("unseen"),
+        (round(-log(p), 6).cast("decimal(18,6)") * lit(1000000))
+          .cast("long").as("nll_u"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("unseen")).as("n_unseen"),
+        sum(col("nll_u")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        expr("CAST((s * 2 + n_bigrams) DIV (n_bigrams * 2) AS DOUBLE) / 1000000")
+          .as("avg_nll"))
+  }
+
   private val tokSql =
     graft.text.Text.TokSql
 
@@ -543,6 +632,7 @@ object TextAnalysis {
     "ta_entropy"     -> ((s, d) => entropy(s, d)),
     "ta_ppl_buckets" -> ((s, d) => pplBuckets(s, d)),
     "ta_kn_score"    -> ((s, d) => knScore(s, d)),
+    "ta_kn_backoff"  -> ((s, d) => knBackoffScore(s, d)),
   )
 
   private lazy val knOracleSql =
@@ -664,6 +754,52 @@ object TextAnalysis {
                       // (count(*) * 2) AS DOUBLE) / 1000000 AS avg_nll
           FROM bgd JOIN lm USING (w1, w2)
           GROUP BY doc_id""",
+    // the full chained-CTE replay of knBackoffScore: train split, type
+    // table, marginals, add-one-type continuation, three-branch CASE —
+    // the p arithmetic mirrors the Spark expression op for op
+    "ta_kn_backoff" ->
+      s"""WITH inj AS (SELECT doc_id,
+                 CASE WHEN doc_id % $KnHoldoutMod = 0
+                      THEN text || ' kn qz' || CAST(doc_id AS VARCHAR) || 'qz kn'
+                      ELSE text END AS text
+               FROM documents),
+          tk AS (SELECT doc_id, $tokSql AS w FROM inj),
+          bgall AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                    FROM tk, unnest(generate_series(1, len(w)-1)) AS t(i)),
+          types AS (SELECT w1, w2, count(*) AS cnt FROM bgall
+                    WHERE doc_id % $KnHoldoutMod <> 0 GROUP BY w1, w2),
+          m1 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cw1, count(*) AS nf
+                 FROM types GROUP BY w1),
+          m2 AS (SELECT w2, count(*) AS np FROM types GROUP BY w2),
+          consts AS (SELECT (SELECT count(*) FROM types) AS nb,
+                            (SELECT count(*) FROM m2) AS vc),
+          sc AS (SELECT doc_id,
+                   CASE WHEN t.cnt IS NULL THEN 1 ELSE 0 END AS unseen,
+                   CAST(CAST(round(-ln(
+                     CASE
+                       WHEN t.cnt IS NOT NULL THEN
+                         (CAST(t.cnt AS DOUBLE) - 0.75) / CAST(m1.cw1 AS DOUBLE)
+                         + (0.75 * CAST(m1.nf AS DOUBLE) / CAST(m1.cw1 AS DOUBLE))
+                           * (CAST(coalesce(m2.np, 0) + 1 AS DOUBLE)
+                              / CAST(nb + vc + 1 AS DOUBLE))
+                       WHEN m1.cw1 IS NOT NULL THEN
+                         (0.75 * CAST(m1.nf AS DOUBLE) / CAST(m1.cw1 AS DOUBLE))
+                           * (CAST(coalesce(m2.np, 0) + 1 AS DOUBLE)
+                              / CAST(nb + vc + 1 AS DOUBLE))
+                       ELSE CAST(coalesce(m2.np, 0) + 1 AS DOUBLE)
+                              / CAST(nb + vc + 1 AS DOUBLE)
+                     END), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS nll_u
+                 FROM bgall b
+                 LEFT JOIN types t USING (w1, w2)
+                 LEFT JOIN m1 USING (w1)
+                 LEFT JOIN m2 USING (w2)
+                 CROSS JOIN consts
+                 WHERE b.doc_id % $KnHoldoutMod = 0)
+          SELECT doc_id, count(*) AS n_bigrams,
+                 CAST(sum(unseen) AS BIGINT) AS n_unseen,
+                 CAST((sum(nll_u) * 2 + count(*)) // (count(*) * 2) AS DOUBLE)
+                   / 1000000 AS avg_nll
+          FROM sc GROUP BY doc_id""",
     "ta_entropy" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
           t AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS w FROM tok),

@@ -726,6 +726,65 @@ class AnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("KN backoff scoring matches a scalar replay and exercises unseen bigrams") {
+    import org.apache.spark.sql.functions.col
+    // scalar twin: tokenize via the library expression (the tokenizer is
+    // spec'd elsewhere), then replay the train/held-out split, the KN
+    // tables, and the three-branch backoff in plain Scala doubles —
+    // identical op order to the Catalyst expression
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.text.Text.tokenize(col("text")).as("t")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        // replay the held-out injection (` kn qz<id>qz kn` = 3 tokens)
+        val base = r.getSeq[String](1)
+        id -> (if (id % 5 == 0) base ++ Seq("kn", s"qz${id}qz", "kn") else base)
+      }.toMap
+    def bigrams(ws: Seq[String]) = ws.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))).toSeq
+    val train = toks.filter(_._1 % 5 != 0).values.flatMap(bigrams).toSeq
+    val cnt = train.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cw1 = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nf = cnt.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val np = cnt.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nb = cnt.size.toLong
+    val vc = np.size.toLong
+    def round6(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+    val want = toks.filter(_._1 % 5 == 0).collect {
+      case (id, ws) if bigrams(ws).nonEmpty =>
+        val bgs = bigrams(ws)
+        val nllU = bgs.map { case (w1, w2) =>
+          val pc = (np.getOrElse(w2, 0L) + 1).toDouble / (nb + vc + 1).toDouble
+          val p =
+            if (cnt.contains((w1, w2)))
+              (cnt((w1, w2)) - 0.75) / cw1(w1).toDouble +
+                (0.75 * nf(w1).toDouble / cw1(w1).toDouble) * pc
+            else if (cw1.contains(w1))
+              (0.75 * nf(w1).toDouble / cw1(w1).toDouble) * pc
+            else pc
+          round6(-math.log(p)).movePointRight(6).longValueExact()
+        }.sum
+        val n = bgs.size.toLong
+        val unseen = bgs.count(b => !cnt.contains(b)).toLong
+        id -> (n, unseen, (nllU * 2 + n) / (n * 2) / 1e6)
+    }
+    val got = TextAnalysis.knBackoffScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want, "backoff scores diverged from the scalar replay")
+    // the planted spans must light up ALL THREE branches at every tier:
+    // unseen bigrams at all, an unseen pair whose PREFIX is in-vocab
+    // (the D-discounted backoff branch), an out-of-vocab prefix (the
+    // continuation-only branch), and plain seen bigrams
+    assert(got.values.map(_._2).sum > 0, "no unseen bigram exercised")
+    assert(got.values.exists(v => v._2 < v._1), "no seen bigram in the held-out split")
+    val heldBgs = toks.filter(_._1 % 5 == 0).values.flatMap(bigrams)
+    assert(heldBgs.exists(b => !cnt.contains(b) && cw1.contains(b._1)),
+      "no unseen-pair-with-seen-prefix bigram (backoff branch dead)")
+    assert(heldBgs.exists(b => !cw1.contains(b._1)),
+      "no out-of-vocab-prefix bigram (continuation branch dead)")
+  }
+
   test("repetition ratio matches a scalar trigram replay") {
     val toks = Tables.documents(spark, sf).collect().map { r =>
       r.getAs[Long]("doc_id") ->
