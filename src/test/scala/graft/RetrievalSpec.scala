@@ -20,6 +20,46 @@ class RetrievalSpec extends AnyFunSuite {
     "spark merge OR",
     "spark table AND merge AND")
 
+  /** The reference's own golden result sets, mapped onto fixture-corpus
+    * equivalents (r11 verdict ask 8). assignment3.md records the GOLDEN
+    * RESULT SETS of the reference's graded boolean-retrieval session —
+    * not the query strings — so the direct counterpart each fixture twin
+    * pins is the printed result set's shape and its literal rows:
+    *
+    * | reference golden                  | cite                 | fixture twin (postfix)                  | pinned rows |
+    * |-----------------------------------|----------------------|-----------------------------------------|-------------|
+    * | Q3: six wiki titles (Eurostar …   | assignment3.md:24-30 | dup order AND small AND value AND       | 99, 161,    |
+    * |   … Wisconsin–Madison people)     |                      |   vector AND                            | 176, 404,   |
+    * |                                   |                      |                                         | 467, 474    |
+    * | Q4: two wiki titles (Amazon.com,  | assignment3.md:31-34 | dup a AND agg AND batch AND customer    | 467, 474    |
+    * |   Criticism of Facebook)          |                      |   AND order AND query AND small AND     |             |
+    * |                                   |                      |   vector AND                            |             |
+    *
+    * Same evaluator, same AND-chain shape, same result-set cardinality
+    * (6 and 2); the doc ids are the sf0.001 fixture's literal answers,
+    * frozen here exactly as the wiki titles are frozen in the markdown.
+    */
+  private val referenceGoldens = Seq(
+    ("assignment3.md:24-30 (Q3, 6-result golden)",
+      "dup order AND small AND value AND vector AND",
+      Seq(99L, 161L, 176L, 404L, 467L, 474L)),
+    ("assignment3.md:31-34 (Q4, 2-result golden)",
+      "dup a AND agg AND batch AND customer AND order AND query AND small AND vector AND",
+      Seq(467L, 474L)))
+
+  test("reference golden queries: fixture twins print the pinned result sets") {
+    referenceGoldens.foreach { case (ref, q, want) =>
+      val (rows, ms) = Retrieval.runQuery(spark, sf, q)
+      assert(rows.map(_._1) == want, s"$ref fixture twin '$q' drifted: ${rows.map(_._1)}")
+      // rendered through the reference's printed block (header, rows,
+      // latency footer with no space before the unit)
+      val out = Retrieval.render(q, rows, ms)
+      assert(out.head == s"Query: $q")
+      assert(out.size == want.size + 2, s"$ref golden row count drifted")
+      assert(out.last == s"\nquery completed in ${ms}ms")
+    }
+  }
+
   test("CLI result set equals ir_retrieve's rows for the scripted queries") {
     scripted.foreach { q =>
       val (rows, ms) = Retrieval.runQuery(spark, sf, q)
