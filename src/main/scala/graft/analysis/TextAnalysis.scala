@@ -137,8 +137,9 @@ object TextAnalysis {
     graft.Caches.memoized(spark, dir, "ta:ppl")(perplexityUncached(spark, dir))
 
   private def perplexityUncached(spark: SparkSession, dir: String): DataFrame = {
-    val tok = withToks(spark, dir)
-      .select(col("doc_id"), explode(col("toks")).as("w"))
+    // build-side: from the shared per-run tokenize memo (r11 ask 3)
+    val tok = Text.tokensBase(spark, dir)
+      .select(col("doc_id"), explode(col("tokens")).as("w"))
     val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
     val nll = round(-log(col("cnt").cast("double") / col("total").cast("double")), 6)
@@ -222,7 +223,7 @@ object TextAnalysis {
     */
   def kneserNey(spark: SparkSession, dir: String): DataFrame = {
     val types = graft.Caches.memoized(spark, dir, "ta:kn_bigram_types")(
-      withToks(spark, dir)
+      Text.tokensBase(spark, dir).withColumnRenamed("tokens", "toks")
         .select(explode(expr(
           """CASE WHEN size(toks) < 2 THEN array()
              ELSE transform(sequence(0, size(toks)-2),
@@ -572,8 +573,8 @@ object TextAnalysis {
     graft.Caches.memoized(spark, dir, "ta:winnow")(winnowUncached(spark, dir))
 
   private def winnowUncached(spark: SparkSession, dir: String): DataFrame =
-    winnowOn(Tables.documents(spark, dir)
-      .withColumn("toks", Text.tokenize(col("text"))))
+    // build-side: from the shared per-run tokenize memo (r11 ask 3)
+    winnowOn(Text.tokensBase(spark, dir).withColumnRenamed("tokens", "toks"))
 
   /** [[winnow]] over an explicit (doc_id, toks) frame — the
     * frame-parameterized core the guarantee spec drives directly.

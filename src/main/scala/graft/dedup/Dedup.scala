@@ -51,8 +51,11 @@ object Dedup {
 
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "shingles") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      // from the shared per-run tokenize memo (r11 ask 3): this build
+      // keeps only the shingle construction
+      Text.tokensBase(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.ArrayExprs.wordShingles(col("tokens"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
     }
 
@@ -755,9 +758,10 @@ object Dedup {
     */
   private def docPassages(spark: SparkSession, dir: String, n: Int): DataFrame =
     memoized(spark, dir, s"passages_$n") {
-      Tables.documents(spark, dir)
+      // from the shared per-run tokenize memo (r11 ask 3)
+      Text.tokensBase(spark, dir)
         .select(col("doc_id"),
-          explode(graft.functions.ArrayExprs.wordShingles(Text.tokenize(col("text")), n))
+          explode(graft.functions.ArrayExprs.wordShingles(col("tokens"), n))
             .as("passage"))
     }
 

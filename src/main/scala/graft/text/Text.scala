@@ -77,8 +77,13 @@ object Text {
             array(concat(lit("zz"), expr("repeat('x', r)")))))
           .as("tokens"))
 
-  /** The fixture corpus tokenized once — base of [[tokensInflated]]. */
-  private def tokensBase(spark: SparkSession, dir: String): DataFrame =
+  /** The fixture corpus tokenized once — base of [[tokensInflated]] and
+    * of the dedup shingle/passage scans (one tokenize pass per run for
+    * every build-side consumer; query-side operators like wordCount keep
+    * tokenizing from the scan, because there the tokenizer IS the
+    * measured work).
+    */
+  private[graft] def tokensBase(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.memoized(spark, dir, "corpus:tokens_base") {
       Tables.documents(spark, dir)
         .select(col("doc_id"), tokenize(col("text")).as("tokens"))
