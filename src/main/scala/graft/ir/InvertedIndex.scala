@@ -237,15 +237,31 @@ object InvertedIndex {
     */
   def bigPositions(spark: SparkSession, dir: String, replicas: Int = 10): DataFrame =
     graft.Caches.memoized(spark, dir, s"ir:positions_big_$replicas") {
-      // the tokenize pass comes from the SHARED scale-tier token memo
-      // (r11 ask 3 — this build and the dedup big shingle scan each
-      // re-tokenized the inflated text); this build keeps only the
-      // positional aggregate + term clustering
-      Text.tokensInflated(spark, dir, replicas)
-        .select(col("doc_id"), posexplode(col("tokens")))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("term"))
+      // DERIVED from the base positional index, not re-aggregated from
+      // tokens (r11 ask 3, one step past the shared-tokenize memo): the
+      // token-level inflation appends exactly one token to replica
+      // r > 0, so the replica's positional rows are the base doc's rows
+      // verbatim plus one ((appended term) → [len+1]) row — an explode
+      // + remap + union over ~index-row-count rows instead of a
+      // collect_list over every token occurrence of the ×10 corpus.
+      // The closing groupBy MERGES, not assumes: if an appended term
+      // ever collided with a base-vocabulary term, its position lists
+      // coalesce into one sorted row (equivalence spec at replicas = 3;
+      // the ir_*_big hash gates replay the whole chain from TEXT).
+      val reps = positionsRelation(spark, dir)
+        .select(col("term"), col("doc_id"), col("positions"),
+          explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+        .select(col("term"),
+          (col("doc_id") * replicas + col("r")).as("doc_id"), col("positions"))
+      val extra = Text.tokensBase(spark, dir)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("len"),
+          explode(sequence(lit(1), lit(replicas - 1))).as("r"))
+        .select(concat(lit("zz"), expr("repeat('x', r)")).as("term"),
+          (col("doc_id") * replicas + col("r")).as("doc_id"),
+          array(col("len") + 1).as("positions"))
+      reps.unionByName(extra)
         .groupBy(col("term"), col("doc_id"))
-        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .agg(sort_array(flatten(collect_list(col("positions")))).as("positions"))
         .repartition(col("term"))
     }
 

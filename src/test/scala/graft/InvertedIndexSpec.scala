@@ -228,4 +228,26 @@ class IndexPersistenceSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.isNullAt(2), "mrr must be NULL with no relevant docs")
     assert(r.isNullAt(3), "ndcg must be NULL with no relevant docs")
   }
+
+  test("derived big positional index equals a direct re-aggregation of the inflated tokens") {
+    // bigPositions is DERIVED (base index × replicas + one appended-term
+    // row each) — assert it equals the definitional form: posexplode +
+    // groupBy over the inflated token stream
+    Caches.releaseAll()
+    try {
+      val got = InvertedIndex.bigPositions(spark, sf, replicas = 3).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+      val want = graft.text.Text.tokensInflated(spark, sf, 3)
+        .select(col("doc_id"), posexplode(col("tokens")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+      assert(got == want, "derived big positional index diverged from the definition")
+      // the appended replica terms really are indexed at len+1
+      assert(got.keys.exists(_._1 == "zzx"), "replica token missing from the index")
+    } finally Caches.releaseAll()
+  }
 }
