@@ -141,26 +141,49 @@ object NaiveBayes {
     val classFold = graft.Caches.memoized(spark, dir, "ml:nb_classfold")(
       Tables.documents(spark, dir).withColumn("fold", foldExpr)
         .groupBy(col("lang"), col("fold")).agg(count(lit(1)).as("n_docs")))
-    val perFold = (0 until CvFolds).map { f =>
-      val model = nbModelFrom(
-        tfAll.where(col("fold") =!= f).drop("fold"),
-        classFold.where(col("fold") =!= f)
-          .groupBy(col("lang")).agg(sum(col("n_docs")).as("n_docs")))
-        .select(col("lang").as("cand"), col("token").as("w"),
-          col("loglik"), col("logprior"))
-      val scored = tfAll.where(col("fold") === f).drop("fold")
-        .join(broadcast(model), Seq("w"))
-        .groupBy(col("doc_id"), col("lang"), col("cand"))
-        .agg((first(col("logprior")) + sum(col("tf") * col("loglik"))).as("score"))
-      scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))))
-        .where(col("rn") === 1)
-        .agg(count(lit(1)).as("n_test"),
-          sum(when(col("cand") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
-        .select(lit(f.toLong).as("fold"), col("n_test"), col("n_correct"))
-    }
-    perFold.reduce(_ unionByName _)
+    // ALL FIVE MODELS IN ONE PLAN, fold as a grouping column: the
+    // per-fold-subplan form unioned 5 independent model+score+window
+    // pipelines — ~35 shuffle stages of kilobyte data whose scheduling
+    // overhead WAS the query (3.5 s/rep for a 31-word vocabulary).
+    // Each train row instead replicates to every model fold except its
+    // own (CvFolds−1 copies of a vocabulary-bounded relation), so each
+    // aggregate/window below runs ONCE with `mfold` prepended to its
+    // key — identical arithmetic per (mfold, …) group, one-sixth the
+    // stages. Scores stay exact decimals; same argmax; same output.
+    val trainFolds = explode(expr(
+      s"filter(sequence(0, ${CvFolds - 1}), f -> f != fold)")).as("mfold")
+    val trainTf = tfAll.select(col("*"), trainFolds).drop("fold")
+    val cellCnt = trainTf.groupBy(col("mfold"), col("lang"), col("w"))
+      .agg(sum(col("tf")).as("cnt"))
+    val classTotal = cellCnt.groupBy(col("mfold"), col("lang"))
+      .agg(sum(col("cnt")).as("total"))
+    val vocab = cellCnt.select(col("mfold"), col("w")).distinct()
+    val vsize = vocab.groupBy(col("mfold")).agg(count(lit(1)).as("v"))
+    val classDocs = classFold.select(col("lang"), col("n_docs"), trainFolds)
+      .groupBy(col("mfold"), col("lang")).agg(sum(col("n_docs")).as("n_docs"))
+    val nDocs = classDocs.groupBy(col("mfold")).agg(sum(col("n_docs")).as("n"))
+    val model = classTotal.join(vocab, Seq("mfold"))
+      .join(cellCnt, Seq("mfold", "lang", "w"), "left_outer")
+      .na.fill(0L, Seq("cnt"))
+      .join(broadcast(vsize), Seq("mfold"))
+      .join(broadcast(classDocs.join(nDocs, Seq("mfold"))), Seq("mfold", "lang"))
+      .select(col("mfold").as("fold"), col("lang").as("cand"), col("w"),
+        expr("""CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(total + v AS DOUBLE)), 6)
+                AS DECIMAL(18,6))""").as("loglik"),
+        expr("""CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                AS DECIMAL(18,6))""").as("logprior"))
+    val scored = tfAll
+      .join(broadcast(model), Seq("fold", "w"))
+      .groupBy(col("fold"), col("doc_id"), col("lang"), col("cand"))
+      .agg((first(col("logprior")) + sum(col("tf") * col("loglik"))).as("score"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fold"), col("doc_id"))
+          .orderBy(col("score").desc, col("cand"))))
+      .where(col("rn") === 1)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("cand") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
       .select(col("fold"), col("n_test"), col("n_correct"),
         round(col("n_correct").cast("double") / col("n_test").cast("double"), 6)
           .as("accuracy"))

@@ -345,6 +345,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ta_importance_sample" -> "1-row LM totals (T, R, V) broadcast (bm25 stats shape)",
       "ta_kneser_ney" -> "1-row bigram-type-count (|B|) broadcast (bm25 stats shape)",
       "ta_kn_score" -> "inherits ta_kneser_ney's 1-row |B| broadcast through the LM join",
+      "ta_kn_backoff" -> "1-row (|B|, V2) train-constant broadcast (bm25 stats shape)",
       "ev_decay_score" -> "1-row corpus horizon (max day) broadcast",
       "ta_perplexity" -> "1-row global token total broadcast (bm25 stats shape)",
       "ta_ppl_buckets" -> "1-row histogram total + 1-row tertile cutoffs broadcast",
@@ -364,7 +365,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "ev_hll_intersection" -> "1-row sketch estimates x 1-row exact counts crossJoin",
       "sim_recall_at_k" -> "joins the two allowlisted bounded rankings (sim_topk x sim_topk_lsh)",
       "sim_recall_table" -> "joins five allowlisted bounded rankings against the exact top-k",
-      "ml_nb_cv" -> "five per-fold V x C model grids (the ml_nb_train bound, once per fold)",
+      "ml_nb_cv" -> "one fold-keyed V x C model grid (r12: the five per-fold subplans fused; entry kept in case the mfold equi-join ever degrades to BNLJ at the 5-row key)",
     )
     Caches.releaseAll()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
