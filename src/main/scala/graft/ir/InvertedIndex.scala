@@ -642,12 +642,19 @@ object InvertedIndex {
       .join(rel.withColumn("is_rel", lit(1L)), Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("is_rel"))
     val nRel = rel.agg(count(lit(1)).as("n_relevant"))
-    val pk = ranked.where(col("rank") <= k)
-      .agg((sum(col("is_rel")).cast("double") / k).as("p_at_k"))
-    val mrr = ranked.where(col("is_rel") === 1)
-      .agg(round(lit(1.0) / min(col("rank")).cast("double"), 6).as("mrr"))
-    val dcg = ranked.where(col("rank") <= k && col("is_rel") === 1)
-      .agg(sum(expr("CAST(round(1.0 / log2(CAST(rank AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))"))
+    // ONE conditional-aggregate pass over `ranked` for P@k, MRR, and DCG:
+    // the separate-branch form crossJoined three aggregates that each
+    // re-evaluated the whole bm25 subtree (~9 postings scans per run —
+    // Catalyst shares exchanges, not arbitrary subplans). Conditional
+    // sums/mins over the same rows are value-identical: a global agg
+    // over zero matching rows yields the same NULLs the filtered
+    // branches produced (the zerorel twin pins that case).
+    val metrics = ranked.agg(
+      (sum(when(col("rank") <= k, col("is_rel"))).cast("double") / k).as("p_at_k"),
+      round(lit(1.0) /
+        min(when(col("is_rel") === 1, col("rank"))).cast("double"), 6).as("mrr"),
+      sum(when(col("rank") <= k && col("is_rel") === 1,
+        expr("CAST(round(1.0 / log2(CAST(rank AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))")))
         .as("dcg"))
     // Gate the ideal-rank sequence on n_relevant > 0: Spark's
     // sequence(1, 0) yields the DESCENDING [1, 0] (an idcg of 1 after the
@@ -658,8 +665,7 @@ object InvertedIndex {
       .select(explode(expr(s"sequence(1, least(n_relevant, ${k}L))")).as("r"))
       .agg(sum(expr("CAST(round(1.0 / log2(CAST(r AS DOUBLE) + 1.0), 6) AS DECIMAL(18,6))"))
         .as("idcg"))
-    nRel.crossJoin(broadcast(pk)).crossJoin(broadcast(mrr))
-      .crossJoin(broadcast(dcg)).crossJoin(broadcast(idcg))
+    nRel.crossJoin(broadcast(metrics)).crossJoin(broadcast(idcg))
       .select(col("n_relevant"), round(col("p_at_k"), 6).as("p_at_k"), col("mrr"),
         round(col("dcg").cast("double") / col("idcg").cast("double"), 6).as("ndcg_at_k"))
   }
