@@ -162,6 +162,15 @@ object PageRank {
       .select(col("src"), col("dst"), col("outdeg"))
       .repartition(p, col("dst")).persist())
     val n = graft.Caches.register(nodesDf.repartition(p, col("id")).persist())
+    runOnPrepared(e, n, sources, iterations)
+  }
+
+  /** The loop body over an ALREADY-placed (edges⋈outdeg, nodes) pair —
+    * [[runOnGraph]] minus the prep, for callers whose pair lives in a
+    * cross-query memo (the [[topK]] registry path).
+    */
+  private def runOnPrepared(e: DataFrame, n: DataFrame,
+                            sources: Seq[Long], iterations: Int): DataFrame = {
 
     // FIXED-POINT MICRO-UNITS (r11): the recurrence previously ran in
     // per-iteration 6-dp-rounded doubles, but cross-engine
@@ -266,15 +275,23 @@ object PageRank {
            partitions: Int = 4): DataFrame = {
     // oracle-tier fixture graph is ~100 nodes: size the iteration
     // shuffles to the working set (callers pass a wider value for the
-    // 10k measurement tier). The (edges ⋈ outdeg, nodes) prep stays
-    // INLINE per call, not memoized: an A/B at sf0.1 measured the loop
-    // ~1.2 s/rep FASTER against the inline persisted pair than against
-    // memoized truncated leaves even with prep rebuilt every rep — the
-    // full cached plans give AQE/planning better information per
-    // iteration than a truncated leaf, and the prep itself is ~1 s.
-    val ranked = runOnGraph(nodesUncached(spark, dir, mod),
-      edgesUncached(spark, dir, mod), sources,
-      iterations, partitions = Some(partitions))
+    // 10k measurement tier). The (edges ⋈ outdeg, nodes) prep is
+    // memoized PER (mod, width) — r11 kept it inline because memoized
+    // truncated leaves measured ~1.2 s/rep slower, but that A/B predates
+    // the r12 stats discipline: leaves then carried estimate stats and
+    // destabilized the per-iteration planning; with measured
+    // InMemoryRelation stats the memo pair plans identically and stops
+    // re-deriving + re-persisting two frames per rep (which also
+    // accumulated full-plan CacheManager entries for the whole run).
+    val e = graft.Caches.memoized(spark, dir, s"graph:pr_e_${mod}_$partitions") {
+      val ed = edgesUncached(spark, dir, mod)
+      ed.join(ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+        .repartition(partitions, col("dst"))
+    }
+    val n = graft.Caches.memoized(spark, dir, s"graph:pr_n_${mod}_$partitions")(
+      nodesUncached(spark, dir, mod).repartition(partitions, col("id")))
+    val ranked = runOnPrepared(e, n, sources, iterations)
     val perSource = sources.zipWithIndex.map { case (s, i) =>
       ranked.select(lit(s).as("source"), col("id").as("node"),
         // 5-dp render in INTEGER space: half-up micros → tens-of-micros
