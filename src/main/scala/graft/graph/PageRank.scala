@@ -576,24 +576,35 @@ object PageRank {
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
     }
-    bfsOnGraph(nodes(spark, dir, mod), und, sources)
+    // the symmetric adjacency is memoized per (mod, width) too (the
+    // topK r12 rationale: stop re-shuffling + re-persisting prep per
+    // rep and accumulating full-plan CacheManager entries)
+    val sym = graft.Caches.memoized(spark, dir, s"graph:bfs_sym_$mod") {
+      und.select(col("a").as("v"), col("b").as("n"))
+        .union(und.select(col("b").as("v"), col("a").as("n")))
+        .repartition(16, col("n"))
+    }
+    bfsOnGraph(nodes(spark, dir, mod), und, sources, preparedSym = Some(sym))
   }
 
   /** [[bfs]] over explicit (nodes, canonical undirected edges) frames —
     * the graph-parameterized core the hand-graph spec drives directly.
     */
   def bfsOnGraph(nodesDf: DataFrame, und: DataFrame,
-                 sources: Seq[Long], partitions: Int = 16): DataFrame = {
+                 sources: Seq[Long], partitions: Int = 16,
+                 preparedSym: Option[DataFrame] = None): DataFrame = {
     val spark = und.sparkSession
     import spark.implicits._
     // adjacency cached partitioned by the DISTINCT key n (the ssspOnGraph
     // prep note): the node-sized frontier and labeled set broadcast into
     // the expansion join / anti-join, so each wave costs zero shuffles of
-    // the edge set and the distinct reuses hash(n, partitions)
-    val sym = graft.Caches.register(
+    // the edge set and the distinct reuses hash(n, partitions).
+    // `preparedSym`: the registry path hands in a memoized copy instead
+    // (built once per run); the inline register stays for spec callers.
+    val sym = preparedSym.getOrElse(graft.Caches.register(
       und.select(col("a").as("v"), col("b").as("n"))
         .union(und.select(col("b").as("v"), col("a").as("n")))
-        .repartition(partitions, col("n")).persist())
+        .repartition(partitions, col("n")).persist()))
     // labels accumulate as a union of ≤MaxHops persisted round leaves, so
     // superseded frontiers must NOT be dropped (dropSuperseded = false)
     var labeled = graft.Caches.register(
@@ -653,14 +664,21 @@ object PageRank {
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
     }
-    ssspOnGraph(nodes(spark, dir, mod), und, sources)
+    val wadj = graft.Caches.memoized(spark, dir, s"graph:sssp_wadj_$mod") {
+      und.select(col("a").as("v"), col("b").as("n"))
+        .union(und.select(col("b").as("v"), col("a").as("n")))
+        .withColumn("w", edgeWeight(col("v"), col("n")))
+        .repartition(16, col("n"))
+    }
+    ssspOnGraph(nodes(spark, dir, mod), und, sources, preparedWadj = Some(wadj))
   }
 
   /** [[sssp]] over explicit (nodes, canonical undirected edges) frames —
     * the graph-parameterized core the hand-graph spec drives directly.
     */
   def ssspOnGraph(nodesDf: DataFrame, und: DataFrame,
-                  sources: Seq[Long], partitions: Int = 16): DataFrame = {
+                  sources: Seq[Long], partitions: Int = 16,
+                  preparedWadj: Option[DataFrame] = None): DataFrame = {
     val spark = und.sparkSession
     import spark.implicits._
     // inline persisted prep (the topK protocol), partitioned by the
@@ -671,11 +689,11 @@ object PageRank {
     // hash(n, partitions), and the min-by-destination aggregate runs with
     // no exchange. Broadcast validity: the frontier is at most node-sized
     // — beyond broadcast budget, flip back to co-partitioned joins.
-    val wadj = graft.Caches.register(
+    val wadj = preparedWadj.getOrElse(graft.Caches.register(
       und.select(col("a").as("v"), col("b").as("n"))
         .union(und.select(col("b").as("v"), col("a").as("n")))
         .withColumn("w", edgeWeight(col("v"), col("n")))
-        .repartition(partitions, col("n")).persist())
+        .repartition(partitions, col("n")).persist()))
     // FRONTIER Bellman-Ford: only edges out of nodes whose distance
     // improved last round are relaxed (any future improvement must
     // propagate from an improved node, so frontier-empty == the plain
