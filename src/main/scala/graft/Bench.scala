@@ -142,6 +142,14 @@ object Bench {
     // as "warmup_sec" so that shared-infrastructure cost stays visible
     // in the artifact instead of silently vanishing from every row.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // also warm the vectorized parquet reader + regex/array codegen
+    // paths OUTSIDE the ledger: the first memo build of the run (the
+    // shared tokenize memo since r12) was absorbing ~2-3 s of pure JVM
+    // cold start as if it were build cost
+    graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.text.Text.tokenize(org.apache.spark.sql.functions.col("text"))))
+      .limit(1000).collect()
     val warm0 = System.nanoTime()
     materialize(names.head)
     // builds the warmup triggered are in the ledger, not in warmup_sec

@@ -813,10 +813,19 @@ object Dedup {
 
   private def boilerplateUncached(spark: SparkSession, dir: String,
                                   n: Int, minDocs: Int): DataFrame = {
+    // the hot aggregate and membership probe key on (xxhash64, length)
+    // instead of the passage STRING — the exact keying the dupPassages
+    // scaladoc prescribes for 100 TB, adopted here because this build
+    // only needs per-doc counts, never the passage text: the hot shuffle
+    // moves 16-byte keys instead of ~100-byte 8-gram strings. Collisions
+    // would need equal xxhash64 at equal length (vanishing; and the
+    // string-keyed oracle would fail the gate loudly if one ever landed)
     val pass = docPassages(spark, dir, n)
-    val hot = pass.groupBy(col("passage")).agg(count(lit(1)).as("nd"))
+      .select(col("doc_id"), xxhash64(col("passage")).as("ph"),
+        length(col("passage")).as("pl"))
+    val hot = pass.groupBy(col("ph"), col("pl")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= minDocs)
-    pass.join(hot, Seq("passage"), "left")
+    pass.join(hot, Seq("ph", "pl"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_passages"), count(col("nd")).as("n_boiler"))
       .select(col("doc_id"), col("n_passages"), col("n_boiler"),
