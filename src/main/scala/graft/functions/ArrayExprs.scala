@@ -502,6 +502,63 @@ object ArrayExprs {
   def signSketch(v: Column, bits: Int): Column =
     GraftExpr.column(SignSketch(GraftExpr.expression(v), bits))
 
+  /** All (d1 < d2, hamming ≤ maxHamming) pairs within one LSH band
+    * bucket — input array<struct<doc_id:long, simhash:long>> from a
+    * per-(band, value) collect_list, output the SURVIVING pairs only as
+    * array<struct<d1, d2, hamming:int>>. Replaces the bucket self-JOIN,
+    * which materialized every candidate as a join output row before the
+    * hamming filter could drop it (15M rows ≈ 4.6 s at the sf0.1 tier,
+    * where correlated simhash bits make band buckets thousands deep);
+    * the loop does the same 15M XOR+popcounts in-place and emits the
+    * ~6% survivors. Work stays O(bucket²) either way — a corpus-scale
+    * hot bucket needs the df-cap/salting treatment (the ngramSkew tier)
+    * under BOTH forms, so this changes constants, not the scale story.
+    */
+  case class HammingPairs(child: Expression, maxHamming: Int)
+    extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("d1", LongType, nullable = false),
+      StructField("d2", LongType, nullable = false),
+      StructField("hamming", IntegerType, nullable = false))), containsNull = false)
+    override def prettyName: String = "hamming_pairs"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val st = arr.getStruct(i, 2)
+        ids(i) = st.getLong(0); hs(i) = st.getLong(1)
+        i += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val ham = java.lang.Long.bitCount(hs(i) ^ hs(j))
+          if (ham <= maxHamming && ids(i) != ids(j)) {
+            val (d1, d2) =
+              if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+            out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](d1, d2, ham))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def hammingPairs(ds: Column, maxHamming: Int): Column =
+    GraftExpr.column(HammingPairs(GraftExpr.expression(ds), maxHamming))
+
   def signSketchMd5(v: Column, bits: Int): Column =
     GraftExpr.column(SignSketchMd5(GraftExpr.expression(v), bits))
 
