@@ -106,6 +106,11 @@ object Tbl {
           col("l_returnflag"), col("l_linestatus"),
           date_format(col("l_shipdate"), "yyyy-MM-dd"),
           lit("1996-01-01"), lit("1996-01-01"), lit("NONE"), lit("MAIL"), lit("x")))
+        // widen the write (the parquet scan yields ~5 input partitions,
+        // serializing a 60 MB text render behind 5 tasks); the scanner
+        // globs the directory, and row order is immaterial to every
+        // consumer (aggregates + the sort-before-hash gate)
+        .repartition(16)
         .write.mode("overwrite").text(s"$root/lineitem.tbl")
       table(spark, root, "lineitem")
     }
