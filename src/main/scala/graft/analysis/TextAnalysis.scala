@@ -576,36 +576,64 @@ object TextAnalysis {
     // build-side: from the shared per-run tokenize memo (r11 ask 3)
     winnowOn(Text.tokensBase(spark, dir).withColumnRenamed("tokens", "toks"))
 
+  /** PRODUCTION-family winnow: same algorithm, gram hash =
+    * `xxhash64(concat_ws(' ', gram))` (one 64-bit mix) instead of the
+    * md5 → hex → conv round the oracle replays — the
+    * minhashBigPortable dual-family split (r12 verdict task 1): the md5
+    * family exists so DuckDB can regenerate every fingerprint (the
+    * ta_winnow / dedup_winnow_pairs gates); a 100 TB ingest keeps this
+    * cheaper family, whose pair-set agreement with the md5 family on
+    * the fixture is spec-pinned (CurationSpec), as is the hash formula
+    * itself against the declarative xxhash64 twin.
+    */
+  def winnowXx(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "ta:winnow_xx") {
+      winnowOn(Text.tokensBase(spark, dir).withColumnRenamed("tokens", "toks"),
+        useMd5 = false)
+    }
+
   /** [[winnow]] over an explicit (doc_id, toks) frame — the
     * frame-parameterized core the guarantee spec drives directly.
+    * One NATIVE per-row pass ([[graft.functions.ArrayExprs.WinnowFps]]):
+    * gram hashing and the w-window rightmost-min picks happen inside a
+    * single expression eval, so the plan is scan → project → explode —
+    * shuffle-free (the r12 form exploded |corpus tokens| gram rows into
+    * a doc-keyed window SORT and evaluated
+    * `conv(substr(md5(concat_ws(...))))` per gram row — the #1
+    * build-ledger cost, 33.9 s in the contended r12 driver run).
+    * Value-equality with the declarative relational form is spec-pinned
+    * (CurationSpec) and the sf0.01 DuckDB gate replays the md5 arithmetic
+    * end-to-end.
     */
-  def winnowOn(docs: DataFrame): DataFrame = {
+  def winnowOn(docs: DataFrame, useMd5: Boolean = true): DataFrame =
+    docs
+      .where(size(col("toks")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"),
+        explode(graft.functions.ArrayExprs.winnowFps(
+          col("toks"), WinnowK, WinnowW, useMd5)).as("pk"))
+      .select(col("doc_id"), col("pk.pos").as("pos"), col("pk.fp").as("fp"))
+
+  /** The r12 DECLARATIVE relational winnow — kept as the spec
+    * cross-check for [[winnowOn]]'s native expression (CurationSpec asserts
+    * row-set equality on the fixture for both hash families; the sf0.01
+    * oracle gate re-derives the md5 family independently in DuckDB).
+    */
+  private[graft] def winnowDeclarative(docs: DataFrame, useMd5: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // RELATIONAL form, not nested array lambdas: a first draft computed
-    // the gram-hash array and folded each window in-row, and Catalyst's
-    // projection collapsing inlined the non-cheap array aliases into
-    // every lambda reference — the tokenizer regex re-evaluated per
-    // window-element comparison, ~600 s of CPU on 1500 docs (the same
-    // pathology repetition()'s comment records). Exploding grams into
-    // rows makes every subexpression evaluate exactly once.
     val tk = docs
       .where(size(col("toks")) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    val hashSql =
+      if (useMd5)
+        s"""CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, $WinnowK))),
+            1, 8), 16, 10) AS BIGINT) % 2147483647"""
+      else s"xxhash64(concat_ws(' ', slice(toks, i + 1, $WinnowK)))"
     val grams = tk
       .select(col("doc_id"), col("toks"), col("n"),
         explode(expr(s"sequence(0, n - $WinnowK)")).as("i"))
-      .select(col("doc_id"), col("n"), col("i"),
-        expr(s"""CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, $WinnowK))),
-                 1, 8), 16, 10) AS BIGINT) % 2147483647""").as("h"))
-    // ONE sliding-window pass replaces the earlier explode(×W) + equi-join
-    // + row_number shape (that put W·|grams| rows through a shuffle join;
-    // this puts |grams| rows through one doc-keyed sort — measured the
-    // build's dominant cost, r11 ledger): each gram row is a window START
-    // p, the frame holds the window's W gram hashes, and
-    // min(struct(h, -i)) IS the winnowing pick — h ascending, ties to the
-    // RIGHTMOST position — because struct ordering is lexicographic.
-    // Trailing rows whose frame would be short are exactly the p the old
-    // winPos sequence never generated; the n-based filter drops them.
+      .select(col("doc_id"), col("n"), col("i"), expr(hashSql).as("h"))
+    // min(struct(h, -i)) is the winnowing pick — h ascending, ties to
+    // the RIGHTMOST position — because struct ordering is lexicographic
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, WinnowW - 1)
     grams

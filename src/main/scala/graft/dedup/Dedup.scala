@@ -84,8 +84,20 @@ object Dedup {
     * fingerprints so the widening is visible as data: every
     * norm-group is a union of raw-groups, never the reverse
     * (normalization is a function of the raw text), asserted in spec.
+    *
+    * PURE over the real corpus (r12 ADVICE): the whitespace-mangled gate
+    * fixture lives ONLY in the dedup_exact_norm registry binding (and its
+    * oracle's matching injection CTE) — an earlier revision routed this
+    * production entry point through [[normFixture]], silently replacing
+    * ~6% of every caller's documents with synthetic boilerplate.
     */
   def exactNormalized(spark: SparkSession, dir: String): DataFrame =
+    exactNormalizedOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** The gate-registered form: [[exactNormalizedOn]] over the planted
+    * whitespace/case fixture, mirroring the oracle's injection CTE.
+    */
+  private[graft] def exactNormalizedGate(spark: SparkSession, dir: String): DataFrame =
     exactNormalizedOn(normFixture(spark, dir))
 
   /** Whitespace/case-mangled gate fixture for [[exactNormalized]] (the
@@ -1256,9 +1268,24 @@ object Dedup {
     * memo.
     */
   def winnowPairs(spark: SparkSession, dir: String,
-                  minShared: Int = 3, dfCap: Int = 50): DataFrame = {
-    val fps = graft.analysis.TextAnalysis.winnow(spark, dir)
-      .select(col("doc_id"), col("fp")).distinct()
+                  minShared: Int = 3, dfCap: Int = 50): DataFrame =
+    winnowPairsOn(graft.analysis.TextAnalysis.winnow(spark, dir), minShared, dfCap)
+
+  /** [[winnowPairs]] on the PRODUCTION xxhash64 fingerprint family
+    * ([[graft.analysis.TextAnalysis.winnowXx]]) — what a 100 TB ingest
+    * runs. Family agreement is spec-pinned (CurationSpec "winnow hash
+    * families agree"): both families detect every true near-dup pair
+    * exactly (the winnowing guarantee is family-independent); only
+    * n_shared-threshold-boundary pairs may flip, because which gram
+    * wins a window is a hash-order question.
+    */
+  def winnowPairsXx(spark: SparkSession, dir: String,
+                    minShared: Int = 3, dfCap: Int = 50): DataFrame =
+    winnowPairsOn(graft.analysis.TextAnalysis.winnowXx(spark, dir), minShared, dfCap)
+
+  private[graft] def winnowPairsOn(fpsIn: DataFrame,
+                                   minShared: Int, dfCap: Int): DataFrame = {
+    val fps = fpsIn.select(col("doc_id"), col("fp")).distinct()
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") > dfCap).select(col("fp"))
     val cold = fps.join(hot, Seq("fp"), "left_anti")
@@ -1272,7 +1299,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "dedup_exact"         -> ((s, d) => exact(s, d)),
-    "dedup_exact_norm"    -> ((s, d) => exactNormalized(s, d)),
+    "dedup_exact_norm"    -> ((s, d) => exactNormalizedGate(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
     // the 100 TB skew guard ON and oracle-gated: stop shingles with
     // df > StopShingleDf leave the inverted index before the self-join

@@ -559,6 +559,112 @@ object ArrayExprs {
   def hammingPairs(ds: Column, maxHamming: Int): Column =
     GraftExpr.column(HammingPairs(GraftExpr.expression(ds), maxHamming))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003) of a
+    * token array, in ONE per-row pass: hash every k-gram, slide a
+    * w-hash window, keep each window's RIGHTMOST minimal hash, emit the
+    * DISTINCT (gram position, fingerprint) picks as
+    * array<struct<pos:long, fp:long>>.
+    *
+    * Replaces the explode-grams → per-gram md5 SQL → doc-keyed
+    * window-sort pipeline, which put |corpus tokens| rows through a
+    * shuffle and evaluated `conv(substr(md5(concat_ws(...))))` per gram
+    * — the #1 build-ledger row (r12 verdict task 1). This form is
+    * per-row and shuffle-free: the 100 TB cost is one scan, no exchange.
+    *
+    * Two hash families, selected by `useMd5`:
+    *  - `true` (the ORACLE family): fp = first 8 hex chars of
+    *    md5(space-joined gram) parsed base-16, mod 2147483647 — exactly
+    *    `CAST(conv(substr(md5(concat_ws(' ', gram)), 1, 8), 16, 10) AS
+    *    BIGINT) % 2147483647`, which DuckDB replays token for token
+    *    (the ta_winnow / dedup_winnow_pairs gates).
+    *  - `false` (the PRODUCTION family): fp = xxhash64(space-joined
+    *    gram, seed 42) — identical to Spark's
+    *    `xxhash64(concat_ws(' ', gram))`, one 64-bit mix instead of a
+    *    full md5 round per gram. Spec-pinned against the declarative
+    *    form and against the md5 family's pair set (the
+    *    minhashBigPortable dual-family pattern).
+    *
+    * Tie-break: within a window, equal minimal hashes pick the LATER
+    * gram (`<=` while scanning ascending positions), matching the
+    * declarative `min(struct(h, -i))` and the oracle's
+    * `ORDER BY h ASC, i DESC LIMIT 1`.
+    */
+  case class WinnowFps(child: Expression, k: Int, w: Int, useMd5: Boolean)
+    extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && w >= 1)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "winnow_fps"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val g = n - k + 1 // gram count
+      if (g < w) return new GenericArrayData(Array.empty[Any])
+      val md = if (useMd5) java.security.MessageDigest.getInstance("MD5") else null
+      val hs = new Array[Long](g)
+      var i = 0
+      while (i < g) {
+        // space-joined gram bytes, built once (the declarative twin's
+        // concat_ws(' ', slice(toks, i+1, k)))
+        var len = k - 1
+        var j = 0
+        while (j < k) { len += toks.getUTF8String(i + j).numBytes(); j += 1 }
+        val bytes = new Array[Byte](len)
+        var off = 0
+        j = 0
+        while (j < k) {
+          if (j > 0) { bytes(off) = ' '; off += 1 }
+          val t = toks.getUTF8String(i + j)
+          t.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+          off += t.numBytes()
+          j += 1
+        }
+        hs(i) =
+          if (useMd5) {
+            val d = md.digest(bytes)
+            // first 8 hex chars = first 4 digest bytes, unsigned
+            val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+              ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+            v % 2147483647L
+          } else
+            XXH64.hashUnsafeBytes(bytes,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+        i += 1
+      }
+      // slide the w-window; picks dedup via LinkedHashSet (output order
+      // is first-pick but no consumer depends on it: winnow() explodes
+      // and the gates sort)
+      val picks = new java.util.LinkedHashSet[Long]()
+      val fpOf = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      var p = 0
+      while (p <= g - w) {
+        var best = p
+        var j = p + 1
+        while (j < p + w) { if (hs(j) <= hs(best)) best = j; j += 1 }
+        if (picks.add(best.toLong)) fpOf.put(best.toLong, hs(best))
+        p += 1
+      }
+      val out = new Array[Any](picks.size)
+      val it = picks.iterator()
+      var o = 0
+      while (it.hasNext) {
+        val pos = it.next()
+        out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](pos, fpOf.get(pos).longValue()))
+        o += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def winnowFps(toks: Column, k: Int, w: Int, useMd5: Boolean): Column =
+    GraftExpr.column(WinnowFps(GraftExpr.expression(toks), k, w, useMd5))
+
   def signSketchMd5(v: Column, bits: Int): Column =
     GraftExpr.column(SignSketchMd5(GraftExpr.expression(v), bits))
 

@@ -253,13 +253,21 @@ object InvertedIndex {
           explode(sequence(lit(0), lit(replicas - 1))).as("r"))
         .select(col("term"),
           (col("doc_id") * replicas + col("r")).as("doc_id"), col("positions"))
-      val extra = Text.tokensBase(spark, dir)
-        .select(col("doc_id"), size(col("tokens")).cast("long").as("len"),
-          explode(sequence(lit(1), lit(replicas - 1))).as("r"))
-        .select(concat(lit("zz"), expr("repeat('x', r)")).as("term"),
-          (col("doc_id") * replicas + col("r")).as("doc_id"),
-          array(col("len") + 1).as("positions"))
-      reps.unionByName(extra)
+      // replicas = 1 means "no perturbed copies": sequence(1, 0) is
+      // Spark's DESCENDING [1, 0] (the rankEval footgun), which would
+      // emit spurious appended-token rows colliding with real doc_ids —
+      // so the appended-term branch only exists when there ARE replicas
+      // (r12 ADVICE)
+      val withExtra = if (replicas <= 1) reps else {
+        val extra = Text.tokensBase(spark, dir)
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("len"),
+            explode(sequence(lit(1), lit(replicas - 1))).as("r"))
+          .select(concat(lit("zz"), expr("repeat('x', r)")).as("term"),
+            (col("doc_id") * replicas + col("r")).as("doc_id"),
+            array(col("len") + 1).as("positions"))
+        reps.unionByName(extra)
+      }
+      withExtra
         .groupBy(col("term"), col("doc_id"))
         .agg(sort_array(flatten(collect_list(col("positions")))).as("positions"))
         .repartition(col("term"))

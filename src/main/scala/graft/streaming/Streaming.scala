@@ -616,10 +616,16 @@ object Streaming {
       else None
     }
     val live = new java.io.File(path)
+    // a stage whose _fence exists but doesn't PARSE is incomplete, not
+    // committed (r12 ADVICE): promoting it would clobber live state with
+    // a dir whose fence can never participate in batch dedup, and the
+    // restore-staleness comparison below would silently default to
+    // "fresh". fenceOf(stage).isDefined is therefore part of "complete".
+    val stageFence = fenceOf(stage)
     val complete = new java.io.File(stage, "_SUCCESS").exists &&
-      new java.io.File(stage, "_fence").exists
+      stageFence.isDefined
     val stale = complete &&
-      (for (s <- fenceOf(stage); l <- fenceOf(live)) yield s < l)
+      (for (s <- stageFence; l <- fenceOf(live)) yield s < l)
         .getOrElse(false)
     if (complete && !stale) promoteStage(stage, live)
     else deleteTree(stage)

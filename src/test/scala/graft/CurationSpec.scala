@@ -249,4 +249,73 @@ class CurationSpec extends AnyFunSuite {
     val f3 = fps.filter(_._1 == 3L).map(_._3).toSet
     assert((f1 intersect f3).isEmpty, "disjoint docs share a fingerprint")
   }
+
+  test("native winnow equals the declarative relational form, BOTH hash families") {
+    import org.apache.spark.sql.functions.col
+    import graft.analysis.TextAnalysis
+    // the whole fixture corpus, not a toy: every doc length/duplicate
+    // shape the generator plants goes through both implementations
+    val docs = graft.text.Text.tokensBase(spark, sf).withColumnRenamed("tokens", "toks")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (md5 <- Seq(true, false)) {
+      val native = rows(TextAnalysis.winnowOn(docs, useMd5 = md5))
+      val decl = rows(TextAnalysis.winnowDeclarative(docs, useMd5 = md5))
+      assert(native.nonEmpty, s"family md5=$md5 produced no fingerprints")
+      assert(native == decl,
+        s"family md5=$md5: native picks diverge from the declarative window form")
+    }
+  }
+
+  test("winnow hash families agree: truth coverage exact, disagreement only at the threshold") {
+    // the dual-family contract (r12 verdict task 1, the
+    // minhashBigPortable precedent). Winnowing's guarantee — any shared
+    // run ≥ k+w−1 tokens yields ≥1 shared fingerprint — holds under ANY
+    // hash family, but the COUNT of shared picks is family-dependent
+    // (which gram wins a window is a hash-order question), so the
+    // n_shared ≥ minShared cut can flip borderline pairs between
+    // families. The pinned contract is therefore: (1) every true
+    // near-dup pair (exact n-gram Jaccard ≥ 0.5 — long shared runs) is
+    // detected by BOTH families; (2) the family pair sets agree on ≥80%
+    // (Jaccard) of detections; (3) every family-only pair sits AT the
+    // threshold boundary in its detecting family — never a deep
+    // disagreement.
+    Caches.releaseAll()
+    try {
+      import graft.dedup.Dedup
+      val minShared = 3
+      def nShared(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // minShared = 1 exposes the full count map; the registered cut is
+      // re-applied below
+      val md5All = nShared(Dedup.winnowPairs(spark, sf, minShared = 1))
+      val xxAll = nShared(Dedup.winnowPairsXx(spark, sf, minShared = 1))
+      val md5Pairs = md5All.filter(_._2 >= minShared).keySet
+      val xxPairs = xxAll.filter(_._2 >= minShared).keySet
+      assert(md5Pairs.nonEmpty, "fixture must contain winnow-detectable near-dups")
+      // (1) guarantee-backed truth coverage, family-independent: every
+      // true near-dup pair shares ≥1 fingerprint under EITHER family
+      // (the guarantee bounds presence per shared run, not pick counts —
+      // a short true dup can sit below the registered n_shared cut)
+      val truth = Dedup.ngramJaccardPairs(spark, sf, minJaccard = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.nonEmpty, "fixture must plant exact near-dups")
+      assert(truth.subsetOf(md5All.keySet),
+        s"md5 family missed true pairs: ${truth -- md5All.keySet}")
+      assert(truth.subsetOf(xxAll.keySet),
+        s"xx family missed true pairs: ${truth -- xxAll.keySet}")
+      // (2) bulk agreement
+      val inter = (md5Pairs intersect xxPairs).size.toDouble
+      val union = (md5Pairs union xxPairs).size.toDouble
+      assert(inter / union >= 0.8,
+        f"family pair-set Jaccard ${inter / union}%.2f < 0.8")
+      // (3) disagreements are threshold-boundary only
+      for (p <- md5Pairs -- xxPairs)
+        assert(md5All(p) <= minShared + 1 && xxAll.getOrElse(p, 0L) >= minShared - 2,
+          s"deep family disagreement at $p: md5=${md5All(p)} xx=${xxAll.get(p)}")
+      for (p <- xxPairs -- md5Pairs)
+        assert(xxAll(p) <= minShared + 1 && md5All.getOrElse(p, 0L) >= minShared - 2,
+          s"deep family disagreement at $p: xx=${xxAll(p)} md5=${md5All.get(p)}")
+    } finally Caches.releaseAll()
+  }
 }

@@ -23,14 +23,31 @@ class DedupSpec extends AnyFunSuite {
     val rows = Dedup.exactNormalized(spark, sf).collect()
       .map(r => (r.getString(1), r.getString(2), r.getAs[Long]("group_size")))
     // normalization is a function of the raw text: equal raw fp ⇒ equal
-    // normalized fp, so norm groups are unions of raw groups (raw sizes
-    // computed over the same gate fixture the norm groups were)
+    // normalized fp, so norm groups are unions of raw groups (checked on
+    // the PURE production form — no fixture injection)
     rows.groupBy(_._1).foreach { case (fp, g) =>
       assert(g.map(_._2).distinct.length == 1, s"raw group $fp split across norm groups")
     }
     // and norm groups can only be at least as large as their raw groups
     val rawSize = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     rows.foreach { case (fp, _, nSize) => assert(nSize >= rawSize(fp)) }
+  }
+
+  test("exactNormalized production API is PURE: fingerprints match the raw corpus, no fixture") {
+    import org.apache.spark.sql.functions.{col, md5}
+    // r12 ADVICE: the production entry point must fingerprint the REAL
+    // documents — the planted boilerplate belongs only to the registry
+    // binding (exactNormalizedGate). Raw fp of every doc must equal
+    // md5(text) of the untouched corpus row.
+    val rawFp = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaApi = Dedup.exactNormalized(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(viaApi.nonEmpty)
+    viaApi.foreach { case (id, fp) =>
+      assert(fp == rawFp(id), s"doc $id fingerprinted fixture text, not corpus text")
+    }
   }
 
   test("exact-norm gate fixture: planted vertical-tab docs collapse under the pinned class") {
@@ -48,7 +65,7 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.values.exists(_.contains('\t')), "no tab planted")
     // the docs differ raw (case/trailing whitespace) but normalize into
     // exactly the 3 residue templates — norm-dedup WIDENS groups here
-    val norm = Dedup.exactNormalized(spark, sf).collect()
+    val norm = Dedup.exactNormalizedGate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getAs[Long]("group_size")))
       .filter(_._1 % 17 == 0)
     assert(norm.map(_._3).distinct.length == 3,

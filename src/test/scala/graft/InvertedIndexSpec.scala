@@ -250,4 +250,20 @@ class IndexPersistenceSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(got.keys.exists(_._1 == "zzx"), "replica token missing from the index")
     } finally Caches.releaseAll()
   }
+
+  test("bigPositions with replicas = 1 is the base index: no descending-sequence ghost rows") {
+    // r12 ADVICE: sequence(1, replicas-1) at replicas = 1 is Spark's
+    // DESCENDING [1, 0] — the appended-term branch must not exist at all,
+    // or ghost rows with remapped doc_ids collide with real docs
+    Caches.releaseAll()
+    try {
+      val got = InvertedIndex.bigPositions(spark, sf, replicas = 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+      val base = InvertedIndex.positionsRelation(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+      assert(got == base, "replicas=1 must be the identity inflation")
+      assert(!got.keys.exists(_._1.startsWith("zz")),
+        "appended-term ghost rows leaked into the replicas=1 index")
+    } finally Caches.releaseAll()
+  }
 }

@@ -516,6 +516,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(st(Streaming.readUserState(spark, p3)) ==
       st(Streaming.userState(f1.unionByName(f2).unionByName(f3))),
       "restored live state was clobbered by the stale stage")
+
+    // window 4 — complete-LOOKING stage (_SUCCESS present) whose _fence
+    // doesn't parse (r12 ADVICE): an unparseable fence can't participate
+    // in batch dedup or the staleness comparison, so recovery must treat
+    // the stage as incomplete and DISCARD it — never promote it over a
+    // live dir carrying a valid fence
+    val p4 = java.nio.file.Files.createTempDirectory("st-crash4").resolve("state").toString
+    assert(Streaming.applyStateBatch(f1, 0L, p4))
+    assert(Streaming.applyStateBatch(f2, 1L, p4)) // live fence 1
+    val junkStage = new java.io.File(p4 + ".stage")
+    junkStage.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(junkStage, "_SUCCESS").toPath, "")
+    java.nio.file.Files.writeString(
+      new java.io.File(junkStage, "_fence").toPath, "not-a-batch-id")
+    val f4b = evs(Seq((3L, 5L, 12L, "view", 4.0)))
+    assert(Streaming.applyStateBatch(f4b, 2L, p4))
+    assert(!junkStage.exists, "unparseable-fence stage must be discarded")
+    assert(st(Streaming.readUserState(spark, p4)) ==
+      st(Streaming.userState(f1.unionByName(f2).unionByName(f4b))),
+      "live state was clobbered by the unparseable-fence stage")
   }
 
   test("multi-microbatch stitching: sessions spanning file boundaries equal the batch plan") {
