@@ -48,6 +48,21 @@ object Caches {
     */
   @volatile private[graft] var buildObserver: Option[(String, Double) => Unit] = None
 
+  /** Hypervisor-steal probe for build windows (r12 verdict task 3): when
+    * a host sets this (Bench does, to the /proc/stat steal reader), each
+    * memo build ALSO reports the steal ticks that fell inside its own
+    * wall window via [[buildStealObserver]], so a contended build row
+    * can be recognized and re-timed instead of publishing a poisoned
+    * number. None (the default) costs nothing.
+    */
+  @volatile private[graft] var stealProbe: Option[() => Long] = None
+
+  /** Companion to [[buildObserver]]: (key, stealTicksInBuildWindow).
+    * Fired just before the time observer for the same build; only when
+    * [[stealProbe]] is set.
+    */
+  @volatile private[graft] var buildStealObserver: Option[(String, Long) => Unit] = None
+
   /** Total seconds of memo builds completed so far within the CURRENT
     * build's closure on this thread — what the enclosing build subtracts
     * to report exclusive time (nested ledger rows must not double-count
@@ -133,7 +148,11 @@ object Caches {
         val parentChildSec = childBuildSec.get()
         childBuildSec.set(0.0)
         val t0 = System.nanoTime()
+        val steal0 = stealProbe.map(_.apply())
         var totalSec = 0.0
+        def reportSteal(): Unit =
+          for (p <- stealProbe; obs <- buildStealObserver)
+            obs(key, p() - steal0.getOrElse(0L))
         try {
           val built = build // outside the lock — build may recurse here
           val df =
@@ -174,6 +193,7 @@ object Caches {
             result.count() // materialize the persisted plan into the cache
             buildObserver.foreach { obs =>
               totalSec = (System.nanoTime() - t0) / 1e9
+              reportSteal()
               obs(key, totalSec - childBuildSec.get())
             }
           } else buildObserver.foreach { obs =>
