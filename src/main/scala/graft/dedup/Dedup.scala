@@ -312,7 +312,7 @@ object Dedup {
     * sf0.1). The per-rep measurement keeps the LSH-specific work:
     * signatures, band join, candidate distinct, exact verify.
     */
-  private def bigShingles(spark: SparkSession, dir: String, replicas: Int): DataFrame =
+  private[graft] def bigShingles(spark: SparkSession, dir: String, replicas: Int): DataFrame =
     memoized(spark, dir, s"big_shingles_$replicas") {
       // derives from the SHARED tokenized scale-tier memo (one 10×
       // tokenize pass serves this scan and the IR big index builds —
@@ -401,26 +401,66 @@ object Dedup {
     * Same one-row summary schema as [[minhashBig]]:
     * (n_docs, n_candidates, n_pairs).
     */
-  def minhashBigPortable(spark: SparkSession, dir: String, replicas: Int = 10,
-                         minJaccard: Double = 0.5): DataFrame = {
-    val sh = bigShingles(spark, dir, replicas)
-    // distinct 60-bit md5 shingle hashes: feeds the signature AND both
-    // exact-verify sides (set Jaccard is hash-invariant, and any 60-bit
-    // collision is applied identically by the oracle, which computes
-    // the same md5 values — so the gate stays exact, not approximate)
-    val hs = memoized(spark, dir, s"big_h60_$replicas") {
-      sh.select(col("doc_id"),
+  /** Distinct 60-bit md5 shingle hashes of the ×replicas corpus: feeds
+    * the signature AND both exact-verify sides (set Jaccard is
+    * hash-invariant, and any 60-bit collision is applied identically by
+    * the oracle, which computes the same md5 values — so the gates stay
+    * exact, not approximate). Shared by [[minhashBigPortable]] and
+    * [[bigPortablePairs]].
+    */
+  private def bigH60(spark: SparkSession, dir: String, replicas: Int): DataFrame =
+    memoized(spark, dir, s"big_h60_$replicas") {
+      bigShingles(spark, dir, replicas).select(col("doc_id"),
         graft.functions.ArrayExprs.md5Long60Array(col("sh")).as("hl"))
     }
+
+  /** Portable mod-p band keys of the ×replicas corpus (16×4 Horner fold
+    * over the [[graft.functions.ArrayExprs.MinHashPermSig]] signature) —
+    * the LSH candidate-join key table. Shared like [[bigH60]].
+    */
+  private def bigPermBands(spark: SparkSession, dir: String, replicas: Int): DataFrame = {
     val keyExpr = hornerKey(k => s"element_at(sig, b * $RowsPerBand + $k)")
-    val bands = memoized(spark, dir, s"big_permbands_$replicas") {
-      hs.select(col("doc_id"),
+    memoized(spark, dir, s"big_permbands_$replicas") {
+      bigH60(spark, dir, replicas).select(col("doc_id"),
           graft.functions.ArrayExprs.minhashPermSig(col("hl"), NumHashes).as("sig"))
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, ${Bands - 1}), " +
             s"b -> struct(b AS band, $keyExpr AS key))")).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     }
+  }
+
+  /** VERIFIED near-dup pair set of the ×replicas corpus under the
+    * portable family: LSH band candidates, exact set-Jaccard ≥
+    * minJaccard on the 60-bit hash sets. The pair-graph input to
+    * [[graft.analysis.Curation.curateBig]]'s component stage; memoized
+    * because the banding memos already carry the heavy state and the
+    * pair set itself is small.
+    */
+  private[graft] def bigPortablePairs(spark: SparkSession, dir: String,
+                                      replicas: Int = 10,
+                                      minJaccard: Double = 0.5): DataFrame =
+    memoized(spark, dir, s"big_portable_pairs_${replicas}_$minJaccard") {
+      val hs = bigH60(spark, dir, replicas)
+      val bands = bigPermBands(spark, dir, replicas)
+      val cand = bands.toDF("d1", "band", "key")
+        .join(bands.toDF("d2", "band2", "key2"),
+          col("band") === col("band2") && col("key") === col("key2"))
+        .where(col("d1") < col("d2"))
+        .select(col("d1"), col("d2")).distinct()
+      cand
+        .join(hs.toDF("d1", "h1"), "d1")
+        .join(hs.toDF("d2", "h2"), "d2")
+        .where(size(array_intersect(col("h1"), col("h2"))).cast("double") /
+          size(array_union(col("h1"), col("h2"))).cast("double") >= minJaccard)
+        .select(col("d1"), col("d2"))
+    }
+
+  def minhashBigPortable(spark: SparkSession, dir: String, replicas: Int = 10,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val sh = bigShingles(spark, dir, replicas)
+    val hs = bigH60(spark, dir, replicas)
+    val bands = bigPermBands(spark, dir, replicas)
     val cand = bands.toDF("d1", "band", "key")
       .join(bands.toDF("d2", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
@@ -605,6 +645,22 @@ object Dedup {
 
   private val HamBands = 10 // maxHamming 9 ⇒ 10 disjoint 6-bit blocks
 
+  /** Registered band-bucket df cap for [[simhashPairs]]: ABOVE the
+    * largest (band, value) bucket at every fixture tier (sf0.01 max 213,
+    * sf0.1 max ~2.3k), so the gated result stays EXACT while the guard
+    * machinery itself runs in every plan (r12 verdict task 2 — the
+    * guard must live in code, not commentary). A real corpus sets this
+    * to its boilerplate tolerance; [[simhashCapped]] measures a cap
+    * that genuinely prunes.
+    */
+  val SimhashBucketCap = 4000L
+
+  /** Cap for the MEASURED tier (dedup_simhash_capped): below the
+    * fixture's max bucket (213 at sf0.01), so the gate hash-verifies the
+    * guard actually dropping buckets, not idling.
+    */
+  val SimhashCappedTier = 100L
+
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming — EXACT, via
     * pigeonhole banding: split the 60 bits into maxHamming+1 disjoint
     * blocks; any pair within hamming ≤ maxHamming agrees on ≥1 whole
@@ -612,30 +668,83 @@ object Dedup {
     * an equi-join on the block key instead of the n² nested loop — then
     * verified with the real hamming distance. Same result set, and the
     * join shape survives a 1000× corpus.
+    *
+    * HOT-BUCKET GUARD: pairs are enumerated inside each (band, value)
+    * bucket by the native [[graft.functions.ArrayExprs.HammingPairs]]
+    * loop over a `collect_list` aggregate — one shuffle of the 10·n
+    * block rows, survivors-only output (the bucket self-JOIN form
+    * materialized every candidate as a join row first: 15M rows ≈ 4.6 s
+    * at sf0.1) — which lands each bucket in ONE aggregate row. A
+    * corpus-scale boilerplate bucket would make that row O(bucket)
+    * memory and O(bucket²) CPU in a single task, so buckets with
+    * df > bucketCap are dropped BEFORE the aggregate (count + semi-join,
+    * the winnowPairs dfCap pattern): the aggregate row is bounded at
+    * bucketCap by construction (spec-asserted with a planted hot
+    * bucket). Same trade as every df cap here: pairs whose ONLY
+    * agreeing band is dropped are lost — boilerplate clusters a
+    * near-dup pipeline caps deliberately.
     */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 9): DataFrame = {
-    require(maxHamming == HamBands - 1, "banding fixed at 10×6 bits")
-    val s = simhash(spark, dir)
-    val blocks = s.select(col("doc_id"), col("simhash"),
-      explode(expr(s"transform(sequence(0, ${HamBands - 1}), " +
-        "b -> struct(b AS blk, shiftright(simhash, b*6) & 63 AS bval))")).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.bval").as("bval"))
-    // pairs enumerated INSIDE each band bucket by the native
-    // [[graft.functions.ArrayExprs.HammingPairs]] loop (one shuffle of
-    // the 10·n block rows, survivors-only output) — the bucket
-    // self-join form materialized every candidate as a join row before
-    // the hamming filter saw it: 15M rows ≈ 4.6 s at sf0.1, where the
-    // tiny fixture vocabulary correlates simhash bits and band buckets
-    // run thousands deep. Work is O(bucket²) under both forms (see the
-    // expression's scale note); the global distinct still collapses
-    // pairs matching in several bands.
-    blocks
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 9,
+                   bucketCap: Long = SimhashBucketCap): DataFrame =
+    simhashPairsOn(simhash(spark, dir), maxHamming, bucketCap)
+
+  /** [[simhashPairs]] over an explicit (doc_id, simhash) frame — the
+    * core the planted-hot-bucket spec drives directly.
+    */
+  private[graft] def simhashPairsOn(sim: DataFrame, maxHamming: Int,
+                                    bucketCap: Long): DataFrame = {
+    val kept = keptBlocks(sim, maxHamming, bucketCap)
+    kept
       .groupBy(col("blk"), col("bval"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
       .select(explode(
         graft.functions.ArrayExprs.hammingPairs(col("ds"), maxHamming)).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hamming").as("hamming"))
       .distinct()
+  }
+
+  /** Band-block rows of a (doc_id, simhash) frame with the df cap
+    * applied: explode the 10 6-bit blocks, count each (band, value)
+    * bucket, and semi-join away the over-cap buckets so no downstream
+    * aggregate ever sees them.
+    */
+  private[graft] def keptBlocks(sim: DataFrame, maxHamming: Int,
+                                bucketCap: Long): DataFrame = {
+    require(maxHamming == HamBands - 1, "banding fixed at 10×6 bits")
+    val blocks = sim.select(col("doc_id"), col("simhash"),
+      explode(expr(s"transform(sequence(0, ${HamBands - 1}), " +
+        "b -> struct(b AS blk, shiftright(simhash, b*6) & 63 AS bval))")).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.bval").as("bval"))
+    val ok = blocks.groupBy(col("blk"), col("bval"))
+      .agg(count(lit(1)).as("df")).where(col("df") <= bucketCap)
+      .select(col("blk"), col("bval"))
+    blocks.join(ok, Seq("blk", "bval"), "left_semi")
+  }
+
+  /** Measured capped tier — the dedup_ngram_skew discipline for the
+    * simhash family: run [[simhashPairsOn]]'s exact machinery with a cap
+    * that genuinely prunes at fixture scale, and report the guard doing
+    * its job as a hash-gated one-row summary: total buckets, buckets
+    * dropped by the cap, the largest SURVIVING bucket (= the proven
+    * bound on any pair-enumeration aggregate row), and the pair count
+    * that remains. The oracle replays simhash, banding, cap, and pair
+    * verification end to end.
+    */
+  def simhashCapped(spark: SparkSession, dir: String, maxHamming: Int = 9,
+                    bucketCap: Long = SimhashCappedTier): DataFrame = {
+    val sim = simhash(spark, dir)
+    val blocks = sim.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${HamBands - 1}), " +
+        "b -> struct(b AS blk, shiftright(simhash, b*6) & 63 AS bval))")).as("bk"))
+      .select(col("bk.blk").as("blk"), col("bk.bval").as("bval"))
+    val dfStats = blocks.groupBy(col("blk"), col("bval"))
+      .agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_buckets"),
+        count(when(col("df") > bucketCap, 1)).as("n_buckets_dropped"),
+        max(when(col("df") <= bucketCap, col("df"))).as("max_kept_bucket"))
+    val pairs = simhashPairsOn(sim, maxHamming, bucketCap)
+      .agg(count(lit(1)).as("n_pairs"))
+    dfStats.crossJoin(pairs)
   }
 
   /** Near-dup group resolution: connected components over the
@@ -728,10 +837,18 @@ object Dedup {
     // broadcast + per-doc overlap aggregate run once per registry run
     memoized(spark, dir, "contamination")(contaminationUncached(spark, dir))
 
-  private def contaminationUncached(spark: SparkSession, dir: String): DataFrame = {
+  private def contaminationUncached(spark: SparkSession, dir: String): DataFrame =
+    contaminationOn(docShingles(spark, dir))
+
+  /** [[contamination]] over an arbitrary (doc_id, sh) shingle frame —
+    * the frame-parameterized core the ×10 composition tier
+    * ([[graft.analysis.Curation.curateBig]]) drives with the inflated
+    * shingle scan.
+    */
+  private[graft] def contaminationOn(shingles: DataFrame): DataFrame = {
     val bucket = expr(
       "pmod(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10), 100)")
-    val tagged = docShingles(spark, dir).withColumn("bucket", bucket)
+    val tagged = shingles.withColumn("bucket", bucket)
     val evalKeys = tagged.where(col("bucket") >= 90)
       .select(explode(col("sh")).as("s"))
       .select(xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
@@ -1072,14 +1189,21 @@ object Dedup {
     * hash-compared. The Horner key expression is emitted by the SAME
     * [[hornerKey]] builder the Spark lambda uses.
     */
-  private def minhashBigOracle(minJ: Double, replicas: Int): String = {
+  /** The shared CTE chain of the portable-family big tier — inflation
+    * arithmetic, tokenize+shingle, 60-bit md5 base hashes, mod-p
+    * permutation signature, Horner band keys, and the DISTINCT
+    * band-candidate join — reused verbatim by [[minhashBigOracle]] and
+    * the pipeline_curate_big oracle (Curation.scala), so the two gates
+    * can never drift apart on the LSH replay.
+    */
+  private[graft] def portableBandCtes(replicas: Int): String = {
     val sigExpr =
       s"""[list_min(list_transform(hl, h ->
             ((((i+1) * 2654435761) % $PortP) * (h % $PortP)
               + ((i+1) * 97531) % $PortP) % $PortP))
           for i in generate_series(0, ${NumHashes - 1})]"""
     val keyExpr = hornerKey(k => s"sg[b * $RowsPerBand + $k]")
-    s"""WITH inflated AS (
+    s"""inflated AS (
           SELECT doc_id * $replicas + r AS doc_id,
                  CASE WHEN r = 0 THEN text
                       ELSE text || ' zz' || repeat('x', r) END AS text
@@ -1100,7 +1224,11 @@ object Dedup {
         cand AS (
           SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
           FROM bands x JOIN bands y
-            ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+            ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)"""
+  }
+
+  private def minhashBigOracle(minJ: Double, replicas: Int): String = {
+    s"""WITH ${portableBandCtes(replicas)},
         ver AS (
           SELECT len(list_intersect(h1.hl, h2.hl))::DOUBLE /
                  len(list_distinct(h1.hl || h2.hl)) AS j
@@ -1318,6 +1446,9 @@ object Dedup {
     "dedup_ngram_capped_big" -> ((s, d) => ngramCappedBig(s, d)),
     "dedup_simhash"       -> ((s, d) => simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    // the hot-bucket guard measured doing its job: cap below the
+    // fixture's max bucket, one-row summary (see simhashCapped)
+    "dedup_simhash_capped" -> ((s, d) => simhashCapped(s, d, bucketCap = SimhashCappedTier)),
     "dedup_groups"        -> ((s, d) => dupGroups(s, d)),
     "dedup_group_sizes"   -> ((s, d) => groupSizeHistogram(s, d)),
     "dedup_keep_best"     -> ((s, d) => keepBest(s, d)),
@@ -1439,6 +1570,40 @@ object Dedup {
                  bit_count(xor(a.simhash, b.simhash)) AS hamming
           FROM sim a JOIN sim b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 9""",
+    // full replay of the CAPPED simhash tier: simhash → 10×6-bit band
+    // blocks → bucket df cap → candidate pairs within kept buckets →
+    // hamming verify, reduced to the one-row guard summary
+    "dedup_simhash_capped" ->
+      s"""WITH hs AS (
+            SELECT doc_id, list_transform($tokSql,
+              w -> CAST('0x' || substr(md5(w), 2, 15) AS BIGINT)) AS hl
+            FROM documents),
+          sim AS (
+            SELECT doc_id, CAST(list_sum(
+              [CASE WHEN list_sum(list_transform(hl,
+                      h -> ((h // (2**j)::BIGINT) % 2) * 2 - 1)) > 0
+                    THEN (2**j)::BIGINT ELSE 0 END
+               for j in generate_series(0, ${SimBits - 1})]) AS BIGINT) AS simhash
+            FROM hs),
+          blocks AS (
+            SELECT doc_id, simhash, j AS blk,
+                   (simhash // (2**(6*j))::BIGINT) % 64 AS bval
+            FROM sim, generate_series(0, ${HamBands - 1}) t(j)),
+          bdf AS (SELECT blk, bval, count(*) AS df
+                  FROM blocks GROUP BY blk, bval),
+          kept AS (SELECT b.doc_id, b.simhash, b.blk, b.bval
+                   FROM blocks b JOIN bdf USING (blk, bval)
+                   WHERE bdf.df <= $SimhashCappedTier),
+          pr AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                 FROM kept a JOIN kept b
+                   ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 9)
+          SELECT (SELECT count(*) FROM bdf) AS n_buckets,
+                 (SELECT count(*) FROM bdf WHERE df > $SimhashCappedTier)
+                   AS n_buckets_dropped,
+                 (SELECT max(df) FROM bdf WHERE df <= $SimhashCappedTier)
+                   AS max_kept_bucket,
+                 (SELECT count(*) FROM pr) AS n_pairs""",
     "dedup_contamination" ->
       s"""WITH $shSql,
           b AS (SELECT doc_id, s,

@@ -270,6 +270,38 @@ class DedupSpec extends AnyFunSuite {
     assert(coverage >= 0.6, s"simhash coverage of planted dups: $coverage")
   }
 
+  test("simhash hot-bucket guard: planted boilerplate bucket is dropped, aggregate row bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // PLANTED hot bucket (r12 verdict task 2): 200 docs with the SAME
+    // simhash — every band bucket they form runs 200 deep, the exact
+    // boilerplate shape that would land in ONE collect_list row — plus
+    // one true near-dup pair (hamming 1) and one far doc
+    val hot = (1L to 200L).map(d => (d, 0x0F0F0F0F0F0F0F0L))
+    val nearA = (1001L, 0x123456789ABCDEFL)
+    val nearB = (1002L, 0x123456789ABCDFFL) // flips one bit of block 1
+    val far = (2001L, 0x7FFABCD12345678L)
+    val sim = (hot :+ nearA :+ nearB :+ far).toDF("doc_id", "simhash")
+    val cap = 50L
+    // 1) the guard bounds every surviving bucket at the cap — the
+    //    collect_list aggregate row can never exceed it
+    val keptSizes = Dedup.keptBlocks(sim, maxHamming = 9, bucketCap = cap)
+      .groupBy(col("blk"), col("bval")).count().collect().map(_.getLong(2))
+    assert(keptSizes.nonEmpty && keptSizes.max <= cap,
+      s"kept bucket exceeded the cap: ${keptSizes.max}")
+    // 2) hot-bucket pairs are gone (the 200-doc cluster contributed
+    //    19900 pairs uncapped), the true near-dup pair survives via its
+    //    9 agreeing under-cap buckets
+    val got = Dedup.simhashPairsOn(sim, maxHamming = 9, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1001L, 1002L)),
+      s"capped pairs should be exactly the planted near-dup: $got")
+    // 3) uncapped (cap above the hot bucket) the machinery is exact:
+    //    all C(200,2) hot pairs + the near-dup pair
+    val uncapped = Dedup.simhashPairsOn(sim, maxHamming = 9, bucketCap = 4000L).count()
+    assert(uncapped == 200L * 199 / 2 + 1, s"uncapped pair count: $uncapped")
+  }
+
   test("dup groups equal scalar union-find over the pair graph") {
     val pairList = pairs(Dedup.minhashPairs(spark, sf))
     val got = Dedup.dupGroups(spark, sf).collect()

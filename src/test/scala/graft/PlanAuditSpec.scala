@@ -320,6 +320,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // (releaseAll below guarantees a cold start).
     val bnljAllowed: Map[String, String] = Map(
       "dedup_minhash_big" -> "1-row x 1-row summary crossJoin (n_docs x counts)",
+      "dedup_simhash_capped" -> "1-row bucket-df stats x 1-row pair count crossJoin",
+      "pipeline_curate_big" -> "seven 1-row stage-survivor aggregates crossJoined into the summary row",
       "dedup_ngram_capped_big" -> "1-row x 1-row summary crossJoin (n_docs x counts)",
       "dedup_ngram_skew" -> "1-row x 1-row summary crossJoins (docs x stats x pairs)",
       "ev_hll_merged" -> "1-row exact-distinct x 1-row merged-sketch estimate crossJoin",
