@@ -60,9 +60,17 @@ object TextAnalysis {
     * `pass` flags docs a pipeline would keep. Deterministic arithmetic
     * only, so the oracle can replicate it exactly.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOn(withToks(spark, dir))
+
+  /** [[qualityScore]] over an arbitrary frame carrying (doc_id, toks) —
+    * the frame-parameterized core the ×10 composition tier
+    * ([[graft.analysis.Curation.curateBig]]) drives with the inflated
+    * token scan.
+    */
+  private[graft] def qualityScoreOn(toksFrame: DataFrame): DataFrame = {
     val stopArr = array(StopWords.map(lit): _*)
-    withToks(spark, dir)
+    toksFrame
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         round(size(array_intersect_count(col("toks"), stopArr)).cast("double") /
           size(col("toks")).cast("double"), 6).as("stop_ratio"),
