@@ -387,10 +387,11 @@ object PageRank {
     // machinery), which also stops the distinct + two degree joins
     // re-running per reference
     val und = graft.Caches.memoized(spark, dir, s"graph:und_$mod") {
-      val und0 = edges(spark, dir, mod)
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
+      // derive from the SHARED plain undirected memo (the link-predict
+      // family builds the same distinct edge set — r13: one
+      // least/greatest + distinct pass per (dir, mod), not one per
+      // family)
+      val und0 = undPlain(spark, dir, mod)
       val deg = und0.select(col("a").as("id")).union(und0.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       und0
@@ -485,14 +486,24 @@ object PageRank {
     * replays scores exactly. Centers always have deg ≥ 2 (a wedge needs
     * two spokes), so 1/ln(deg) is finite everywhere it is evaluated.
     */
-  private def cnCandidates(spark: SparkSession, dir: String, mod: Long,
-                           nQueries: Long): (DataFrame, DataFrame) = {
-    val und = graft.Caches.memoized(spark, dir, s"graph:und_plain_$mod") {
+  /** The plain undirected distinct edge set, memoized once per
+    * (session, dir, mod) — the shared base of link prediction, BFS,
+    * SSSP, AND the triangles family's degree-ordered edges (r13: four
+    * consumers previously derived it independently, three sharing one
+    * inline memo and triangles re-running the least/greatest + distinct
+    * scan inside its own build).
+    */
+  private def undPlain(spark: SparkSession, dir: String, mod: Long): DataFrame =
+    graft.Caches.memoized(spark, dir, s"graph:und_plain_$mod") {
       edges(spark, dir, mod)
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
     }
+
+  private def cnCandidates(spark: SparkSession, dir: String, mod: Long,
+                           nQueries: Long): (DataFrame, DataFrame) = {
+    val und = undPlain(spark, dir, mod)
     val sym = und.select(col("a").as("v"), col("b").as("n"))
       .union(und.select(col("b").as("v"), col("a").as("n")))
     val degW = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -570,12 +581,7 @@ object PageRank {
           sources: Seq[Long] = Seq(1L, 57L), mod: Long = 10000): DataFrame = {
     // same memo key + derivation as cnCandidates: one oriented-distinct
     // edge set per (session, dir, mod) serves link prediction AND bfs
-    val und = graft.Caches.memoized(spark, dir, s"graph:und_plain_$mod") {
-      edges(spark, dir, mod)
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-    }
+    val und = undPlain(spark, dir, mod)
     // the symmetric adjacency is memoized per (mod, width) too (the
     // topK r12 rationale: stop re-shuffling + re-persisting prep per
     // rep and accumulating full-plan CacheManager entries)
@@ -658,12 +664,7 @@ object PageRank {
     */
   def sssp(spark: SparkSession, dir: String,
            sources: Seq[Long] = Seq(1L, 57L), mod: Long = 10000): DataFrame = {
-    val und = graft.Caches.memoized(spark, dir, s"graph:und_plain_$mod") {
-      edges(spark, dir, mod)
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-    }
+    val und = undPlain(spark, dir, mod)
     val wadj = graft.Caches.memoized(spark, dir, s"graph:sssp_wadj_$mod") {
       und.select(col("a").as("v"), col("b").as("n"))
         .union(und.select(col("b").as("v"), col("a").as("n")))

@@ -100,17 +100,20 @@ object Tbl {
   def lineitemViaTbl(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.memoized(spark, dir, "artifact:lineitem_tbl") {
       val root = graft.Caches.artifactBase(dir).resolve("tbl").toString
-      graft.Tables.lineitem(spark, dir).select(concat_ws("|",
+      graft.Tables.lineitem(spark, dir)
+        // widen BEFORE rendering (the parquet scan yields ~5 input
+        // partitions; with the repartition above the render, the
+        // concat_ws of 16 columns per row — the CPU of this build — ran
+        // 5-way and only the finished strings fanned out to 16 writers).
+        // The scanner globs the directory, and row order is immaterial
+        // to every consumer (aggregates + the sort-before-hash gate)
+        .repartition(16)
+        .select(concat_ws("|",
           col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
           col("l_returnflag"), col("l_linestatus"),
           date_format(col("l_shipdate"), "yyyy-MM-dd"),
           lit("1996-01-01"), lit("1996-01-01"), lit("NONE"), lit("MAIL"), lit("x")))
-        // widen the write (the parquet scan yields ~5 input partitions,
-        // serializing a 60 MB text render behind 5 tasks); the scanner
-        // globs the directory, and row order is immaterial to every
-        // consumer (aggregates + the sort-before-hash gate)
-        .repartition(16)
         .write.mode("overwrite").text(s"$root/lineitem.tbl")
       table(spark, root, "lineitem")
     }

@@ -39,6 +39,62 @@ class LayoutSpec extends AnyFunSuite {
       s"hour-query buckets: day=$bDay hour=$bHour z=$bZ")
   }
 
+  test("persisted z-order: one file per bucket, footer stats ARE the envelope, pruning matches") {
+    import scala.jdk.CollectionConverters._
+    val r = Layout.zorderFilePruning(spark, sf).collect().head
+    val root = new java.io.File(Layout.zorderFilesPath(sf))
+    assert(root.exists, "zorder artifact not written")
+    // exactly ONE data file per (layout, f) bucket directory — the
+    // premise that makes per-file footer stats equal per-bucket envelopes
+    val layoutDirs = root.listFiles().filter(_.isDirectory)
+    assert(layoutDirs.map(_.getName).sorted.toSeq ==
+      Seq("layout=day", "layout=hour", "layout=z"))
+    val dataFiles = for {
+      ld <- layoutDirs; fd <- ld.listFiles().filter(_.isDirectory)
+    } yield {
+      val pq = fd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(pq.length == 1, s"${fd.getPath}: expected 1 data file, found ${pq.length}")
+      (ld.getName, pq.head)
+    }
+    assert(dataFiles.nonEmpty)
+    // REAL footer statistics of the z layout (ParquetFileReader, the
+    // same min/max a pruning scan consults): recompute box-a's
+    // files-touched from the footers alone — must equal the query's
+    // read-back-row computation
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    var touchedA = 0L
+    dataFiles.filter(_._1 == "layout=z").foreach { case (_, pf) =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pf.getAbsolutePath), conf))
+      try {
+        var md = Int.MaxValue
+        var xd = Int.MinValue
+        reader.getFooter.getBlocks.asScala.foreach { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == "d").get.getStatistics
+          assert(st != null && !st.isEmpty, s"${pf.getName}: no d stats in footer")
+          md = math.min(md, st.genericGetMin.asInstanceOf[Number].intValue)
+          xd = math.max(xd, st.genericGetMax.asInstanceOf[Number].intValue)
+        }
+        if (xd >= 10 && md <= 19) touchedA += 1
+      } finally reader.close()
+    }
+    assert(touchedA == r.getAs[Long]("a_z_files"),
+      s"footer-derived pruning ($touchedA) != query's (${r.getAs[Long]("a_z_files")})")
+    // the z-order claim holds on REAL file envelopes too: z beats each
+    // single-axis layout on that layout's off-axis box
+    assert(r.getAs[Long]("a_z_files") < r.getAs[Long]("a_hour_files"),
+      s"z ${r.getAs[Long]("a_z_files")} !< hour-major ${r.getAs[Long]("a_hour_files")} on day box")
+    assert(r.getAs[Long]("b_z_files") < r.getAs[Long]("b_day_files"),
+      s"z ${r.getAs[Long]("b_z_files")} !< day-major ${r.getAs[Long]("b_day_files")} on hour box")
+    info(s"files touched — day box: day=${r.getAs[Long]("a_day_files")} " +
+      s"hour=${r.getAs[Long]("a_hour_files")} z=${r.getAs[Long]("a_z_files")}; " +
+      s"hour box: day=${r.getAs[Long]("b_day_files")} " +
+      s"hour=${r.getAs[Long]("b_hour_files")} z=${r.getAs[Long]("b_z_files")}")
+  }
+
   test("compaction: file count drops to ceil(bytes/target), rows preserved") {
     import graft.operators.Compact
     val compacted = Compact.compactedEvents(spark, sf)
