@@ -122,27 +122,40 @@ object Bench {
     // rebuild at end of run (see the retime pass below) so the ledger
     // row publishes a quiet number instead of a poisoned one
     val buildSteal = scala.collection.mutable.HashMap.empty[String, Long]
-    val buildWall = scala.collection.mutable.HashMap.empty[String, Double]
+    // the build's FULL closure window (children included) — the wall
+    // that matches the steal delta's window; the LEDGER keeps exclusive
+    // seconds (buildObserver's value), which must never be flagged
+    // against full-window steal (a parent of a long child chain would
+    // over-flag on ticks that fell inside its children)
+    val buildFullWall = scala.collection.mutable.HashMap.empty[String, Double]
     val buildConsumer = scala.collection.mutable.HashMap.empty[String, String]
     var currentQuery = "warmup"
     var retiming = false
+    // retime mode may rebuild a flagged key's WHOLE memo chain; only
+    // the flagged keys publish their rebuild time — an unflagged chain
+    // member's first (cold) build number must not be replaced by its
+    // warm rebuild, or retimed runs would read lower than quiet ones
+    var retimeKeys: Set[String] = Set.empty
     var buildAccum = 0.0
     Caches.stealProbe = Some(() => stealJiffies())
-    Caches.buildStealObserver = Some { (key, st) =>
-      if (!retiming) buildSteal(key) = buildSteal.getOrElse(key, 0L) + st
-      else buildSteal(s"retime:$key") = st
+    Caches.buildStealObserver = Some { (key, st, fullWall) =>
+      if (!retiming) {
+        buildSteal(key) = buildSteal.getOrElse(key, 0L) + st
+        buildFullWall(key) = buildFullWall.getOrElse(key, 0.0) + fullWall
+      } else if (retimeKeys.contains(key)) {
+        buildSteal(s"retime:$key") = st
+        buildFullWall(s"retime:$key") = fullWall
+      }
     }
     Caches.buildObserver = Some { (key, sec) =>
       if (!retiming) {
         buildLedger(key) = buildLedger.getOrElse(key, 0.0) + sec
-        buildWall(key) = buildWall.getOrElse(key, 0.0) + sec
         buildConsumer.getOrElseUpdate(key, currentQuery)
         buildAccum += sec
-      } else {
+      } else if (retimeKeys.contains(key)) {
         // retime pass: a QUIET rebuild replaces the flagged row; a
         // rebuild that rode another burst keeps the smaller of the two
         // (and the key stays flagged — see buildsStillFlagged)
-        buildWall(s"retime:$key") = sec
         if (buildLedger.contains(key) && sec < buildLedger(key))
           buildLedger(key) = sec
       }
@@ -189,6 +202,11 @@ object Bench {
         graft.text.Text.tokenize(org.apache.spark.sql.functions.col("text"))))
       .limit(1000).collect()
     val warm0 = System.nanoTime()
+    // the warmup materializes the first sorted query, so builds it
+    // triggers must record THAT query as their consumer — a literal
+    // "warmup" consumer would make the retime pass below a silent no-op
+    // for those keys (materialize("warmup") just errors out)
+    currentQuery = names.head
     materialize(names.head)
     // builds the warmup triggered are in the ledger, not in warmup_sec
     val warmupSec = (System.nanoTime() - warm0) / 1e9 - buildAccum
@@ -279,17 +297,18 @@ object Bench {
     // skip this entirely.
     val flaggedBuildKeys = buildLedger.keys.filter { k =>
       buildSteal.getOrElse(k, 0L) > 10 &&
-        stealFlagged(buildWall.getOrElse(k, 0.0), buildSteal.getOrElse(k, 0L))
+        stealFlagged(buildFullWall.getOrElse(k, 0.0), buildSteal.getOrElse(k, 0L))
     }.toVector
     if (flaggedBuildKeys.nonEmpty) {
       retiming = true
+      retimeKeys = flaggedBuildKeys.toSet
       Caches.releaseAll()
       flaggedBuildKeys.flatMap(buildConsumer.get).distinct.sorted
         .foreach(qn => materialize(qn))
       retiming = false
     }
     val buildsStillFlagged = flaggedBuildKeys.filter { k =>
-      buildWall.get(s"retime:$k") match {
+      buildFullWall.get(s"retime:$k") match {
         case Some(w) => stealFlagged(w, buildSteal.getOrElse(s"retime:$k", 0L))
         case None => true // consumer unknown or rebuild never fired
       }
@@ -400,7 +419,11 @@ object Bench {
             "dedup:contamination", "dedup:passages_8",
             "dedup:boilerplate_8_2", "pii:scan_raw")),
         ("pipeline_curate_big",
-          Seq("corpus:docs_big_10", "dedup:big_shingles_10", "dedup:big_h60_10",
+          // tokens_base is charged to BOTH sides (the train-on-base
+          // rule): the big side's quality/shingle stages derive from it
+          // through tokensInflated
+          Seq("corpus:tokens_base", "corpus:docs_big_10",
+            "dedup:big_shingles_10", "dedup:big_h60_10",
             "dedup:big_permbands_10", "dedup:big_portable_pairs_10_0.5",
             "curate:big_groups_10", "curate:big_contamination_10"))))
     val medianOf = results.map(r => r._1 -> r._2).toMap
@@ -422,7 +445,10 @@ object Bench {
       if (stealTicks >= 0 && cpuTicks > 0)
         math.rint(stealTicks.toDouble / cpuTicks * 1000) / 1000
       else -1.0
-    val runValid = stealRatio < 0.10
+    // unmeasurable steal (ratio −1, off-Linux) must NOT read as a
+    // validity certificate: a run is valid only when steal was MEASURED
+    // below the bar (caution over false confidence)
+    val runValid = stealRatio >= 0 && stealRatio < 0.10
     val noQuietJson = noQuietRep.map(q).mkString("[", ",", "]")
     val buildsFlaggedJson = buildsStillFlagged.map(k => q("build:" + k))
       .mkString("[", ",", "]")

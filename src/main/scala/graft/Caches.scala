@@ -57,11 +57,16 @@ object Caches {
     */
   @volatile private[graft] var stealProbe: Option[() => Long] = None
 
-  /** Companion to [[buildObserver]]: (key, stealTicksInBuildWindow).
-    * Fired just before the time observer for the same build; only when
-    * [[stealProbe]] is set.
+  /** Companion to [[buildObserver]]:
+    * (key, stealTicksInBuildWindow, fullWindowWallSec). The steal delta
+    * spans the build's WHOLE closure — nested child builds included —
+    * so the matching wall time here is the full window too, NOT the
+    * exclusive seconds the time observer reports (flagging exclusive
+    * time against full-window steal over-flagged parents of long build
+    * chains). Fired just before the time observer for the same build;
+    * only when [[stealProbe]] is set.
     */
-  @volatile private[graft] var buildStealObserver: Option[(String, Long) => Unit] = None
+  @volatile private[graft] var buildStealObserver: Option[(String, Long, Double) => Unit] = None
 
   /** Total seconds of memo builds completed so far within the CURRENT
     * build's closure on this thread — what the enclosing build subtracts
@@ -152,7 +157,7 @@ object Caches {
         var totalSec = 0.0
         def reportSteal(): Unit =
           for (p <- stealProbe; obs <- buildStealObserver)
-            obs(key, p() - steal0.getOrElse(0L))
+            obs(key, p() - steal0.getOrElse(0L), (System.nanoTime() - t0) / 1e9)
         try {
           val built = build // outside the lock — build may recurse here
           val df =

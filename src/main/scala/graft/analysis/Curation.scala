@@ -319,15 +319,30 @@ object Curation {
     }.where(col("dirty_frac") < 0.5).select(col("doc_id"))
     val piiFree = Pii.scanOn(docs)
       .where(!col("has_pii")).select(col("doc_id"))
-    val survivors = q.join(exactCanon, "doc_id").join(nearCanon, "doc_id")
-      .join(clean, "doc_id").join(piiFree, "doc_id")
-    docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(q.agg(count(lit(1)).as("n_q_pass")))
-      .crossJoin(exactCanon.agg(count(lit(1)).as("n_exact_canon")))
-      .crossJoin(nearCanon.agg(count(lit(1)).as("n_near_canon")))
-      .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
-      .crossJoin(piiFree.agg(count(lit(1)).as("n_pii_free")))
-      .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+    // ONE flags frame, ONE aggregate: each stage subplan feeds exactly
+    // one left join, so the per-stage counts AND the survivor count
+    // come out of a single pass — the first draft crossJoined per-stage
+    // aggregates with a separate survivors join, evaluating the
+    // unmemoized stage scans (quality tokenize, md5 window, PII
+    // regexes) twice per bench rep
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.withColumn(name, lit(1))
+    val flags = docs.select(col("doc_id"))
+      .join(flag(q, "f_q"), Seq("doc_id"), "left")
+      .join(flag(exactCanon, "f_exact"), Seq("doc_id"), "left")
+      .join(flag(nearCanon, "f_near"), Seq("doc_id"), "left")
+      .join(flag(clean, "f_clean"), Seq("doc_id"), "left")
+      .join(flag(piiFree, "f_pii"), Seq("doc_id"), "left")
+    flags.agg(
+      count(lit(1)).as("n_docs"),
+      count(col("f_q")).as("n_q_pass"),
+      count(col("f_exact")).as("n_exact_canon"),
+      count(col("f_near")).as("n_near_canon"),
+      count(col("f_clean")).as("n_clean"),
+      count(col("f_pii")).as("n_pii_free"),
+      count(when(col("f_q").isNotNull && col("f_exact").isNotNull &&
+        col("f_near").isNotNull && col("f_clean").isNotNull &&
+        col("f_pii").isNotNull, 1)).as("n_survivors"))
   }
 
   /** Leakage-free train/val/test split: every document inherits the

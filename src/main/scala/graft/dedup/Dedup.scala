@@ -441,36 +441,39 @@ object Dedup {
                                       replicas: Int = 10,
                                       minJaccard: Double = 0.5): DataFrame =
     memoized(spark, dir, s"big_portable_pairs_${replicas}_$minJaccard") {
-      val hs = bigH60(spark, dir, replicas)
-      val bands = bigPermBands(spark, dir, replicas)
-      val cand = bands.toDF("d1", "band", "key")
-        .join(bands.toDF("d2", "band2", "key2"),
-          col("band") === col("band2") && col("key") === col("key2"))
-        .where(col("d1") < col("d2"))
-        .select(col("d1"), col("d2")).distinct()
-      cand
-        .join(hs.toDF("d1", "h1"), "d1")
-        .join(hs.toDF("d2", "h2"), "d2")
-        .where(size(array_intersect(col("h1"), col("h2"))).cast("double") /
-          size(array_union(col("h1"), col("h2"))).cast("double") >= minJaccard)
+      portableCandJaccard(
+        bigH60(spark, dir, replicas), bigPermBands(spark, dir, replicas))
+        .where(col("j") >= minJaccard)
         .select(col("d1"), col("d2"))
     }
 
-  def minhashBigPortable(spark: SparkSession, dir: String, replicas: Int = 10,
-                         minJaccard: Double = 0.5): DataFrame = {
-    val sh = bigShingles(spark, dir, replicas)
-    val hs = bigH60(spark, dir, replicas)
-    val bands = bigPermBands(spark, dir, replicas)
+  /** The ONE portable cand + exact-verify block: DISTINCT band-bucket
+    * candidate pairs joined back to their 60-bit hash sets, each with
+    * its exact set Jaccard — (d1, d2, j). Shared by
+    * [[minhashBigPortable]] (aggregates it per rep — the tier measures
+    * this join) and [[bigPortablePairs]] (filters it once into the
+    * curate composition's pair graph), so a threshold or join-shape
+    * change can never apply to one and silently miss the other.
+    */
+  private def portableCandJaccard(hs: DataFrame, bands: DataFrame): DataFrame = {
     val cand = bands.toDF("d1", "band", "key")
       .join(bands.toDF("d2", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
       .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    val verified = cand
+    cand
       .join(hs.toDF("d1", "h1"), "d1")
       .join(hs.toDF("d2", "h2"), "d2")
-      .select((size(array_intersect(col("h1"), col("h2"))).cast("double") /
-        size(array_union(col("h1"), col("h2"))).cast("double")).as("j"))
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("h1"), col("h2"))).cast("double") /
+          size(array_union(col("h1"), col("h2"))).cast("double")).as("j"))
+  }
+
+  def minhashBigPortable(spark: SparkSession, dir: String, replicas: Int = 10,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val sh = bigShingles(spark, dir, replicas)
+    val verified = portableCandJaccard(
+      bigH60(spark, dir, replicas), bigPermBands(spark, dir, replicas))
       .agg(count(lit(1)).as("n_candidates"),
         count(when(col("j") >= minJaccard, 1)).as("n_pairs"))
     sh.agg(count(lit(1)).as("n_docs")).crossJoin(verified)

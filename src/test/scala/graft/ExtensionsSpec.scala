@@ -270,6 +270,23 @@ class DedupSpec extends AnyFunSuite {
     assert(coverage >= 0.6, s"simhash coverage of planted dups: $coverage")
   }
 
+  test("registered simhash cap has real headroom at the GATE tier (exactness is measured)") {
+    import org.apache.spark.sql.functions.col
+    // the dedup_simhash_pairs exactness claim rests on the registered
+    // cap sitting ABOVE every fixture bucket; measure it at the sf0.01
+    // gate tier instead of trusting the scaladoc's recorded numbers —
+    // a fixture regeneration that deepened buckets past the cap would
+    // silently drop pairs and fail the oracle with no hint why
+    val maxBucket = Dedup.keptBlocks(
+      Dedup.simhash(spark, "/root/testdata/sf0.01"),
+      maxHamming = 9, bucketCap = Long.MaxValue)
+      .groupBy(col("blk"), col("bval")).count()
+      .agg(org.apache.spark.sql.functions.max(col("count"))).head().getLong(0)
+    assert(maxBucket * 4 <= Dedup.SimhashBucketCap,
+      s"gate-tier max bucket $maxBucket leaves <4x headroom under cap ${Dedup.SimhashBucketCap}")
+    Caches.releaseAll() // drop the sf0.01 simhash memo built for this probe
+  }
+
   test("simhash hot-bucket guard: planted boilerplate bucket is dropped, aggregate row bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
