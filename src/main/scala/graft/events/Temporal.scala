@@ -215,12 +215,22 @@ object Temporal {
         col("value").cast("decimal(12,2)").as("v"))
     val stats = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
-        sum((col("v") * col("v")).cast("decimal(38,4)")).as("ss"))
+        sum((col("v") * col("v")).cast("decimal(38,4)")).as("ss"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
     val mean = col("s").cast("double") / col("n").cast("double")
     val variance = col("ss").cast("double") / col("n").cast("double") - mean * mean
+    // ZERO-VARIANCE GUARD (the madZscores discipline): a constant-valued
+    // type makes the z denominator 0, where the engines diverge (Spark's
+    // non-ANSI 0/0 → NULL, DuckDB's IEEE → NaN); and fp cancellation can
+    // leave `variance` a tiny NEGATIVE for a nearly-constant type, where
+    // sqrt diverges (Spark NaN, DuckDB error). min≠max is the exact,
+    // overflow-free positivity test; the double `variance > 0` conjunct
+    // (identical fp both sides) covers the cancellation corner. Both
+    // engines emit NULL z for such types, mirrored in the oracle.
     ev.join(broadcast(stats), "event_type")
       .select(col("event_id"), col("event_type"),
-        round((col("v").cast("double") - mean) / sqrt(variance), 6).as("z"))
+        when(col("mn") =!= col("mx") && variance > 0,
+          round((col("v").cast("double") - mean) / sqrt(variance), 6)).as("z"))
   }
 
   /** Distinct-count aggregate: users per event type (the reference's only
@@ -342,7 +352,11 @@ object Temporal {
     */
   private val QBuckets = 512L
 
-  private def valueHistogram(ev: DataFrame): DataFrame =
+  // renamed from a valueHistogram OVERLOAD (review finding): the public
+  // valueHistogram(spark, dir) buckets width-50 unclamped while this one
+  // is unit-width clamped at 511 — same name, different semantics was a
+  // silent mix-up trap
+  private def unitHistogram(ev: DataFrame): DataFrame =
     ev.select(col("event_type"),
         least(floor(col("value")), lit(QBuckets - 1)).cast("long").as("b"))
       .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("n"))
@@ -365,30 +379,45 @@ object Temporal {
   def quantilesMerged(spark: SparkSession, dir: String): DataFrame = {
     def dayHist(parity: Int) =
       graft.Caches.parquetArtifact(spark, dir, s"qhist_day_$parity")(
-        valueHistogram(Tables.events(spark, dir)
+        unitHistogram(Tables.events(spark, dir)
           .where(pmod(datediff(to_date(col("ts")),
             lit(java.sql.Date.valueOf("1970-01-01"))), lit(2)) === parity)))
     val merged = dayHist(0).unionByName(dayHist(1))
       .groupBy(col("event_type"), col("b")).agg(sum(col("n")).as("n"))
-    val tot = merged.groupBy(col("event_type")).agg(sum(col("n")).as("n_total"))
-    val cum = merged.withColumn("cum",
-      sum(col("n")).over(Window.partitionBy(col("event_type")).orderBy(col("b"))))
-    def est(q: Double, name: String) =
-      cum.join(tot, Seq("event_type"))
-        .where(col("cum") >= ceil(lit(q) * col("n_total")))
-        .groupBy(col("event_type"))
-        .agg((min(col("b")).cast("double") + lit(0.5)).as(name))
-    tot.join(est(0.5, "p50_est"), Seq("event_type"))
-      .join(est(0.9, "p90_est"), Seq("event_type"))
-      .join(est(0.99, "p99_est"), Seq("event_type"))
+    rankWalk(merged, Seq("event_type"),
+      Seq(0.5 -> "p50_est", 0.9 -> "p90_est", 0.99 -> "p99_est"))
       .select(col("event_type"), col("n_total"),
         col("p50_est"), col("p90_est"), col("p99_est"))
+  }
+
+  /** The ONE histogram rank walk, shared by [[quantilesMerged]] and
+    * [[windowedQuantiles]] (review finding: the tot/cum/est block was
+    * duplicated with only the grouping keys differing — a boundary or
+    * midpoint fix applied to one would silently skip the other). And it
+    * is SINGLE-PASS now: cum and total both come from windows over the
+    * same partitioning (one shuffle of the cells) and every quantile is
+    * a conditional min in ONE aggregate — the previous shape re-joined
+    // cells per quantile, re-evaluating the full cells aggregate ~5x.
+    */
+  private def rankWalk(cells: DataFrame, keys: Seq[String],
+                       qs: Seq[(Double, String)]): DataFrame = {
+    val wCum = Window.partitionBy(keys.map(col): _*).orderBy(col("b"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val c = cells
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("n_total", sum(col("n")).over(wAll))
+    val ests = qs.map { case (q, name) =>
+      (min(when(col("cum") >= ceil(lit(q) * col("n_total")), col("b")))
+        .cast("double") + lit(0.5)).as(name)
+    }
+    c.groupBy(keys.map(col): _*)
+      .agg(max(col("n_total")).as("n_total"), ests: _*)
   }
 
   /** WINDOWED histogram cells — the streaming half of the quantile
     * sketch (the st_countmin windowedCells pattern): per 1-hour window
     * and event type, the same fixed-range bucket counts
-    * [[valueHistogram]] builds, watermark-evicted. State per window is
+    * [[unitHistogram]] builds, watermark-evicted. State per window is
     * O(buckets·types) regardless of event volume — what makes per-hour
     * latency percentiles stream-legal at any scale; a streaming query
     * cannot chain a second aggregation in append mode, so the rank walk
@@ -414,23 +443,12 @@ object Temporal {
     * group, integer cum-sums, midpoints — the oracle replays cells and
     * walk both.
     */
-  def windowedQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val cells = windowedHistogram(Tables.events(spark, dir))
-    val tot = cells.groupBy(col("window_start"), col("event_type"))
-      .agg(sum(col("n")).as("n_total"))
-    val cum = cells.withColumn("cum",
-      sum(col("n")).over(Window.partitionBy(col("window_start"), col("event_type"))
-        .orderBy(col("b"))))
-    def est(q: Double, name: String) =
-      cum.join(tot, Seq("window_start", "event_type"))
-        .where(col("cum") >= ceil(lit(q) * col("n_total")))
-        .groupBy(col("window_start"), col("event_type"))
-        .agg((min(col("b")).cast("double") + lit(0.5)).as(name))
-    tot.join(est(0.5, "p50_est"), Seq("window_start", "event_type"))
-      .join(est(0.9, "p90_est"), Seq("window_start", "event_type"))
+  def windowedQuantiles(spark: SparkSession, dir: String): DataFrame =
+    rankWalk(windowedHistogram(Tables.events(spark, dir)),
+      Seq("window_start", "event_type"),
+      Seq(0.5 -> "p50_est", 0.9 -> "p90_est"))
       .select(col("window_start"), col("event_type"), col("n_total"),
         col("p50_est"), col("p90_est"))
-  }
 
   /** The documented 100 TB approx drop-ins EXERCISED THROUGH THE ORACLE
     * GATE, not only in specs: per event type, the exact distinct-user
@@ -540,15 +558,27 @@ object Temporal {
           .otherwise(raise_error(concat(
             lit("ev_moments: |value| >= 1e5 exceeds the DECIMAL(38,8) v^4 envelope: "),
             col("v").cast("string")))).as("v"))
+      // v2 at DECIMAL(18,4), NOT (20,4): v² < 10¹⁰ needs only 14
+      // digits, and 18 is the widest operand for which v2·v2 stays
+      // inside BOTH engines' 38-digit multiply — at (20,4) Spark's
+      // precision-loss rule HALF_UP-rounded v⁴ to 6 dp while DuckDB's
+      // width-40 multiply fell back to DOUBLE, two different inexact
+      // values (they happened to agree after the final 6-dp round on
+      // the fixture; the exactness claim was false)
       .select(col("event_type"), col("v"),
-        (col("v") * col("v")).cast("decimal(20,4)").as("v2"))
+        (col("v") * col("v")).cast("decimal(18,4)").as("v2"))
       .select(col("event_type"), col("v"), col("v2"),
         (col("v2") * col("v")).cast("decimal(28,6)").as("v3"),
-        (col("v2") * col("v2")).cast("decimal(38,8)").as("v4"))
+        // one operand widened to (19,4): DuckDB's INT64-backed
+        // DECIMAL(18) multiply raises on overflow instead of promoting;
+        // a width-19 operand forces the INT128 path in DuckDB while
+        // Spark types the product (38,8) exactly — no precision loss
+        (col("v2").cast("decimal(19,4)") * col("v2")).cast("decimal(38,8)").as("v4"))
     val agg = powered.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("v")).as("s1"), sum(col("v2")).as("s2"),
-      sum(col("v3")).as("s3"), sum(col("v4")).as("s4"))
+      sum(col("v3")).as("s3"), sum(col("v4")).as("s4"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
     val nD = col("n").cast("double")
     val mean = col("s1").cast("double") / nD
     val m2 = col("s2").cast("double") / nD - mean * mean
@@ -557,11 +587,17 @@ object Temporal {
     val m4 = col("s4").cast("double") / nD - lit(4.0) * mean * (col("s3").cast("double") / nD) +
       lit(6.0) * mean * mean * (col("s2").cast("double") / nD) -
       lit(3.0) * mean * mean * mean * mean
+    // constant-type guard (the zscores discipline): m2 = 0 makes
+    // skew/kurt 0/0 — NULL in non-ANSI Spark, NaN in DuckDB — so both
+    // engines emit NULL explicitly; stddev of a constant type is a true
+    // 0. min≠max is the exact test, the double m2 > 0 conjunct covers
+    // fp cancellation on a near-constant type.
+    val varPos = col("mn") =!= col("mx") && m2 > 0
     agg.select(col("event_type"), col("n"),
       round(mean, 6).as("mean"),
-      round(sqrt(m2), 6).as("stddev"),
-      round(m3 / pow(m2, 1.5), 6).as("skewness"),
-      round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
+      when(varPos, round(sqrt(m2), 6)).otherwise(lit(0.0)).as("stddev"),
+      when(varPos, round(m3 / pow(m2, 1.5), 6)).as("skewness"),
+      when(varPos, round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis_excess"))
   }
 
   /** Exponentially time-decayed per-user activity score — the standard
@@ -657,12 +693,26 @@ object Temporal {
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
         hour(col("ts")).cast("long").as("hr"))
       .agg(count(lit(1)).as("cnt"))
+    // variance positivity via min≠max on the daily counts, NOT the
+    // integer product n·Σc² > (Σc)² — the product overflows BIGINT once
+    // a cell family's total count reaches ~3e9, where non-ANSI Spark
+    // silently wraps (guard flips) while DuckDB raises: the engines
+    // would fail DIFFERENTLY, the exact failure mode the moments
+    // envelope exists to prevent. min≠max is the same exact test at any
+    // scale; the double `var > 0` conjunct covers fp cancellation (and
+    // keeps sqrt's argument positive in both engines). Σc² itself sums
+    // per-cell squares into DECIMAL so a huge single cell can't wrap.
     val base = cells.groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("s"),
-        sum(col("cnt") * col("cnt")).as("ss"))
+        sum((col("cnt").cast("decimal(19,0)") * col("cnt"))
+          .cast("decimal(38,0)")).as("ss"),
+        min(col("cnt")).as("mn"), max(col("cnt")).as("mx"))
     cells.join(broadcast(base), Seq("event_type", "hr"))
       .select(col("event_type"), col("day"), col("hr"), col("cnt"),
-        expr("""CASE WHEN n_days * ss > s * s THEN
+        expr("""CASE WHEN mn <> mx AND
+                     CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) > 0 THEN
                   round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
                         / sqrt(CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
                                - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
@@ -728,11 +778,19 @@ object Temporal {
       .agg(count(lit(1)).as("n_both"))
       .crossJoin(a.agg(countDistinct(col("user_id")).as("n_a")))
       .crossJoin(b.agg(countDistinct(col("user_id")).as("n_b")))
+    // the documented bound IS the sum of the three per-sketch bounds —
+    // max(5, 10%·|X|) each for A, B, and A∪B (union cardinality from
+    // inclusion-exclusion on the exact counts); the earlier
+    // 3·max(5, 10%·max(|A|,|B|)) shorthand under-allowed the union term
+    // for near-disjoint sets, so a within-spec estimate could trip the
+    // pinned TRUE spuriously
+    val unionN = (col("n_a") + col("n_b") - col("n_both")).cast("double")
     exact.crossJoin(broadcast(est))
       .select(col("n_a"), col("n_b"), col("n_both"),
         (abs(col("est_both") - col("n_both").cast("double")) <=
-          lit(3.0) * greatest(lit(5.0),
-            greatest(col("n_a"), col("n_b")).cast("double") * 0.10)).as("hll_ok"))
+          greatest(lit(5.0), col("n_a").cast("double") * 0.10) +
+          greatest(lit(5.0), col("n_b").cast("double") * 0.10) +
+          greatest(lit(5.0), unionN * 0.10)).as("hll_ok"))
   }
 
   /** Exponential smoothing of daily volume per event type (EWMA,
@@ -821,24 +879,28 @@ object Temporal {
     "ev_moments" ->
       """WITH p AS (
            SELECT event_type, v,
-                  CAST(v * v AS DECIMAL(20,4)) AS v2
+                  CAST(v * v AS DECIMAL(18,4)) AS v2
            FROM (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events)),
          p2 AS (
            SELECT event_type, v, v2,
                   CAST(v2 * v AS DECIMAL(28,6)) AS v3,
-                  CAST(v2 * v2 AS DECIMAL(38,8)) AS v4
+                  CAST(CAST(v2 AS DECIMAL(19,4)) * v2 AS DECIMAL(38,8)) AS v4
            FROM p),
          ag AS (
            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                  sum(v) AS s1, sum(v2) AS s2, sum(v3) AS s3, sum(v4) AS s4
+                  sum(v) AS s1, sum(v2) AS s2, sum(v3) AS s3, sum(v4) AS s4,
+                  min(v) AS mn, max(v) AS mx
            FROM p2 GROUP BY event_type)
          SELECT event_type, n,
                 round(mean, 6) AS mean,
-                round(sqrt(m2), 6) AS stddev,
-                round(m3 / pow(m2, 1.5), 6) AS skewness,
-                round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+                CASE WHEN mn <> mx AND m2 > 0
+                     THEN round(sqrt(m2), 6) ELSE 0.0 END AS stddev,
+                CASE WHEN mn <> mx AND m2 > 0
+                     THEN round(m3 / pow(m2, 1.5), 6) END AS skewness,
+                CASE WHEN mn <> mx AND m2 > 0
+                     THEN round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis_excess
          FROM (
-           SELECT event_type, n, mean,
+           SELECT event_type, n, mean, mn, mx,
                   CAST(s2 AS DOUBLE) / nd - mean * mean AS m2,
                   CAST(s3 AS DOUBLE) / nd - 3.0 * mean * (CAST(s2 AS DOUBLE) / nd)
                     + 2.0 * mean * mean * mean AS m3,
@@ -847,7 +909,7 @@ object Temporal {
                     - 3.0 * mean * mean * mean * mean AS m4
            FROM (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
                         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-                        s2, s3, s4
+                        s2, s3, s4, mn, mx
                  FROM ag))""",
     "ev_seasonal_anomaly" ->
       """WITH cells AS (
@@ -856,22 +918,24 @@ object Temporal {
            FROM events GROUP BY 1, 2, 3),
          base AS (
            SELECT event_type, hr, count(*) AS n_days,
-             CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS ss
-           FROM cells GROUP BY event_type, hr)
+             CAST(sum(cnt) AS BIGINT) AS s,
+             sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))) AS ss,
+             min(cnt) AS mn, max(cnt) AS mx
+           FROM cells GROUP BY event_type, hr),
+         zt AS (
+           SELECT event_type, day, hr, cnt, mn, mx,
+             CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
+               - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) AS var,
+             CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS dev
+           FROM cells JOIN base USING (event_type, hr))
          SELECT event_type, day, hr, cnt,
-           CASE WHEN n_days * ss > s * s THEN
-             round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-                   / sqrt(CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
-                          - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-                            * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))), 6)
-           END AS z,
-           coalesce(abs(CASE WHEN n_days * ss > s * s THEN
-             round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-                   / sqrt(CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)
-                          - (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
-                            * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))), 6)
-           END) > 2.0, false) AS anomaly
-         FROM cells JOIN base USING (event_type, hr)""",
+           CASE WHEN mn <> mx AND var > 0
+                THEN round(dev / sqrt(var), 6) END AS z,
+           coalesce(abs(CASE WHEN mn <> mx AND var > 0
+                             THEN round(dev / sqrt(var), 6) END) > 2.0,
+                    false) AS anomaly
+         FROM zt""",
     "ev_running_total" ->
       """WITH e AS (SELECT event_id, user_id,
                epoch_ms(CAST(ts AS TIMESTAMP)) AS t_ms,
@@ -1057,14 +1121,20 @@ object Temporal {
       """WITH e AS (SELECT event_id, event_type,
                CAST(value AS DECIMAL(12,2)) AS v FROM events),
          st AS (SELECT event_type, count(*) AS n, sum(v) AS s,
-                  sum(CAST(v * v AS DECIMAL(38,4))) AS ss
-                FROM e GROUP BY event_type)
+                  sum(CAST(v * v AS DECIMAL(38,4))) AS ss,
+                  min(v) AS mn, max(v) AS mx
+                FROM e GROUP BY event_type),
+         stv AS (SELECT event_type, n, s, mn, mx,
+                   CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+                 FROM st)
          SELECT event_id, e.event_type,
-           round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
-                 sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
-                      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS z
-         FROM e JOIN st USING (event_type)""",
+           CASE WHEN mn <> mx AND var > 0 THEN
+             round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+                   sqrt(var), 6)
+           END AS z
+         FROM e JOIN stv USING (event_type)""",
     "ev_histogram" ->
       """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
          FROM events GROUP BY event_type, bucket""",

@@ -229,19 +229,26 @@ object Similarity {
     * serves both, the build-once/query-many split again.
     */
   private def bandedSketches(spark: SparkSession, dir: String): DataFrame =
-    graft.Caches.memoized(spark, dir, "sim:lsh_bands") {
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"), signSketch(col("embedding")).as("sk"))
-        .select(col("vec_id"), col("embedding"),
-          explode(transform(sequence(lit(0), lit(SketchBands - 1)),
-            b => struct(b.as("band"),
-              (0 until SketchRows).map(i =>
-                element_at(col("sk"), b * SketchRows + lit(i + 1)) * lit(1 << i))
-                .reduce(_ + _).as("key"))))
-            .as("bk"))
-        .select(col("vec_id"), col("embedding"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-    }
+    graft.Caches.memoized(spark, dir, "sim:lsh_bands")(
+      bandRows(Tables.embeddings(spark, dir)))
+
+  /** Sketch → 4-bit band keys over an arbitrary (vec_id, embedding)
+    * frame — the ONE banding block (the fixture memo and the ×10 tier
+    * previously carried verbatim copies; a band-key change applied to
+    * one would have silently desynchronized the tiers and the oracles).
+    */
+  private def bandRows(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), col("embedding"), signSketch(col("embedding")).as("sk"))
+      .select(col("vec_id"), col("embedding"),
+        explode(transform(sequence(lit(0), lit(SketchBands - 1)),
+          b => struct(b.as("band"),
+            (0 until SketchRows).map(i =>
+              element_at(col("sk"), b * SketchRows + lit(i + 1)) * lit(1 << i))
+              .reduce(_ + _).as("key"))))
+          .as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
 
   def topKLsh(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame =
     topKLshOn(bandedSketches(spark, dir), k, nQueries)
@@ -281,18 +288,37 @@ object Similarity {
     * fixture tier ([[topKLsh]]) and the ×replicas measurement tier
     * ([[topKLshBig]]).
     */
-  private def topKLshOn(bands: DataFrame, k: Int, nQueries: Int): DataFrame =
-    lshRerank(
-      bands.filter(col("vec_id") < nQueries).toDF("query_id", "qe", "band", "key")
-        .join(bands.toDF("vec_id", "ce", "band2", "key2"),
-          col("band") === col("band2") && col("key") === col("key2") &&
-            col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("qe"), col("vec_id"), col("ce"))
-        .distinct(), k)
+  private def topKLshOn(bands: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    // candidates dedupe on the ID PAIR only (the embeddingDedupGroups
+    // lean shape — embeddings never ride the distinct exchange), then
+    // vectors come back by key WITH precomputed norms so the re-rank
+    // costs 1 dot per pair instead of 3 (cosinePre is bit-identical to
+    // cosine — sqrt(dot(v,v)) is the same double per row or per pair)
+    val idPairs = bands.select(col("vec_id").as("query_id"), col("band"), col("key"))
+      .where(col("query_id") < nQueries)
+      .join(bands.select(col("vec_id"), col("band").as("band2"), col("key").as("key2")),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    lshRerank(fetchBack(idPairs, bands), k)
+  }
+
+  /** Join the deduped (query_id, vec_id) candidates back to their
+    * vectors + norms — the fetch-back half of the lean probe shape.
+    */
+  private def fetchBack(idPairs: DataFrame, bands: DataFrame): DataFrame = {
+    val vecs = withNorm(
+      bands.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id"))
+    idPairs
+      .join(vecs.toDF("query_id", "qe", "qn"), "query_id")
+      .join(vecs.toDF("vec_id", "ce", "cn"), "vec_id")
+  }
 
   private def lshRerank(cand: DataFrame, k: Int): DataFrame =
     cand
-      .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos"))
+      .select(col("query_id"), col("vec_id"),
+        cosinePre(col("qe"), col("qn"), col("ce"), col("cn")).as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
       .where(col("rank") <= k)
@@ -311,17 +337,18 @@ object Similarity {
   def topKLshMultiprobe(spark: SparkSession, dir: String,
                         k: Int = 3, nQueries: Int = 10): DataFrame = {
     val bands = bandedSketches(spark, dir)
-    val probes = bands.filter(col("vec_id") < nQueries)
-      .toDF("query_id", "qe", "band", "key0")
-      .select(col("query_id"), col("qe"), col("band"),
+    val probes = bands.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band"),
         explode(array((Seq(0) ++ (0 until SketchRows).map(1 << _)).map(m =>
-          col("key0").bitwiseXOR(lit(m))): _*)).as("key"))
-    lshRerank(
-      probes.join(bands.toDF("vec_id", "ce", "band2", "key2"),
-          col("band") === col("band2") && col("key") === col("key2") &&
-            col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("qe"), col("vec_id"), col("ce"))
-        .distinct(), k)
+          col("key").bitwiseXOR(lit(m))): _*)).as("key"))
+    val idPairs = probes
+      .join(bands.select(col("vec_id"),
+        col("band").as("band2"), col("key").as("key2")),
+        col("band") === col("band2") && col("key") === col("key2") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    lshRerank(fetchBack(idPairs, bands), k)
   }
 
   private val BigReplicas = 10
@@ -354,19 +381,8 @@ object Similarity {
     * end.
     */
   def topKLshBig(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10): DataFrame = {
-    val bands = graft.Caches.memoized(spark, dir, "sim:lsh_bands_big") {
-      val e = inflatedEmbeddings(spark, dir)
-      e.select(col("vec_id"), col("embedding"), signSketch(col("embedding")).as("sk"))
-        .select(col("vec_id"), col("embedding"),
-          explode(transform(sequence(lit(0), lit(SketchBands - 1)),
-            b => struct(b.as("band"),
-              (0 until SketchRows).map(i =>
-                element_at(col("sk"), b * SketchRows + lit(i + 1)) * lit(1 << i))
-                .reduce(_ + _).as("key"))))
-            .as("bk"))
-        .select(col("vec_id"), col("embedding"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-    }
+    val bands = graft.Caches.memoized(spark, dir, "sim:lsh_bands_big")(
+      bandRows(inflatedEmbeddings(spark, dir)))
     topKLshOn(bands, k, nQueries)
   }
 
