@@ -248,7 +248,16 @@ object Curation {
     * arguments (broadcast eval set, banded LSH, bounded label
     * propagation) carry over unchanged.
     */
-  def curate(spark: SparkSession, dir: String): DataFrame = {
+  /** `lineDedup = true` appends the optional C4-style line-dedup stage
+    * (r13 verdict task 4): per-doc removed-line stats from
+    * [[graft.dedup.Dedup.dedupLinesOn]] over the planted multi-line
+    * fixture view of the same corpus, gating out docs that are mostly
+    * cross-document boilerplate lines (removed fraction ≥ 0.5). The
+    * stage joins on doc_id like every other gate; at 100 TB it runs on
+    * the real multi-line text, no fixture.
+    */
+  def curate(spark: SparkSession, dir: String,
+             lineDedup: Boolean = false): DataFrame = {
     val q = TextAnalysis.qualityScore(spark, dir)
       .where(col("pass")).select(col("doc_id"), col("score"))
     val exactCanon = graft.dedup.Dedup.exact(spark, dir)
@@ -268,8 +277,15 @@ object Curation {
     // oracle replays the scan, keeping the no-PII claim checked
     val piiFree = Pii.scanRaw(spark, dir)
       .where(!col("has_pii")).select(col("doc_id"))
-    q.join(exactCanon, "doc_id").join(nearCanon, "doc_id").join(clean, "doc_id")
-      .join(lowBp, "doc_id").join(piiFree, "doc_id")
+    val base = q.join(exactCanon, "doc_id").join(nearCanon, "doc_id")
+      .join(clean, "doc_id").join(lowBp, "doc_id").join(piiFree, "doc_id")
+    if (!lineDedup) base
+    else base
+      .join(graft.dedup.Dedup.dedupLinesOn(
+        graft.dedup.Dedup.linesFixture(spark, dir))
+        .select(col("doc_id"), col("n_lines"), col("n_removed")), "doc_id")
+      .where(col("n_removed").cast("double") / col("n_lines").cast("double")
+        < 0.5)
   }
 
   /** ×`replicas` MEASURED tier of the end-to-end curation composition
@@ -481,6 +497,9 @@ object Curation {
     // ×10 measured tier of the composition (see curateBig); hash-gated
     // one-row summary, chained-CTE oracle over the portable LSH family
     "pipeline_curate_big"    -> ((s, d) => curateBig(s, d)),
+    // the composition with the optional C4-style line-dedup stage on
+    // (the planted multi-line fixture view — see Dedup.linesFixture)
+    "pipeline_curate_lines"  -> ((s, d) => curate(s, d, lineDedup = true)),
     "pipeline_source_report" -> ((s, d) => sourceReport(s, d)),
     "ml_split_leakfree"      -> ((s, d) => leakFreeSplit(s, d)),
     "ta_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
@@ -491,6 +510,91 @@ object Curation {
     "ta_pack"              -> ((s, d) => pack(s, d)),
     "ta_pack_manifest"     -> ((s, d) => packManifest(s, d)),
   )
+
+  /** The pipeline_curate replay, hoisted so compositions that extend
+    * the pipeline (pipeline_curate_lines) reference ONE copy instead
+    * of inlining a drift-prone duplicate (r13 verdict task 7).
+    */
+  private[graft] lazy val curateOracleSql: String =
+    s"""WITH RECURSIVE
+          tk AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+          q AS (
+            SELECT doc_id, score FROM (
+              SELECT doc_id, n_tokens,
+                CAST(CAST(1.0 AS DECIMAL(8,6))
+                     - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
+                     - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
+                     AS DOUBLE) AS score
+              FROM (SELECT doc_id, len(toks) AS n_tokens,
+                      round(len(list_filter(toks, w -> list_contains(['the', 'a', 'and', 'of', 'to', 'in'], w)))::DOUBLE
+                            / len(toks), 6) AS stop_ratio,
+                      round(len(list_filter(toks, w -> length(w) <= 2))::DOUBLE
+                            / len(toks), 6) AS short_ratio
+                    FROM tk))
+            WHERE score >= 0.8 AND n_tokens >= 10),
+          ec AS (
+            SELECT doc_id FROM (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+              FROM documents)
+            WHERE doc_id = canon),
+          sh AS (
+            SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   for i in generate_series(1, len(toks) - 2)]) AS s
+            FROM tk WHERE len(toks) >= 3),
+          pairs AS (
+            SELECT d1, d2 FROM (
+              SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     round(len(list_intersect(a.s, b.s))::DOUBLE /
+                           len(list_distinct(a.s || b.s)), 6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                    UNION ALL SELECT d2, d1 FROM pairs),
+          reach(doc, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
+          nc AS (
+            SELECT doc_id FROM (
+              SELECT doc AS doc_id, min(r) AS canonical_id FROM reach GROUP BY doc)
+            WHERE doc_id = canonical_id),
+          bkt AS (SELECT doc_id, s,
+                    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                      AS bucket
+                  FROM sh),
+          ek AS (SELECT DISTINCT unnest(s) AS g FROM bkt WHERE bucket >= 90),
+          tr AS (SELECT doc_id, unnest(s) AS g FROM bkt WHERE bucket < 90),
+          dc AS (SELECT tr.doc_id, count(*) AS n_dirty
+                 FROM tr JOIN ek ON tr.g = ek.g GROUP BY tr.doc_id),
+          ct AS (
+            SELECT doc_id, dirty_frac FROM (
+              SELECT base.doc_id,
+                round(coalesce(n_dirty, 0)::DOUBLE / n_sh, 6) AS dirty_frac
+              FROM (SELECT doc_id, len(s) AS n_sh FROM bkt WHERE bucket < 90) base
+              LEFT JOIN dc ON base.doc_id = dc.doc_id)
+            WHERE dirty_frac < 0.5),
+          p8 AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                          for i in generate_series(1, len(toks) - 7)])) AS passage
+            FROM tk WHERE len(toks) >= 8),
+          hot AS (SELECT passage FROM p8 GROUP BY passage HAVING count(*) >= 2),
+          bp AS (
+            SELECT doc_id, boiler_frac FROM (
+              SELECT p8.doc_id,
+                     round(CAST(count(hot.passage) AS DOUBLE) / count(*), 6)
+                       AS boiler_frac
+              FROM p8 LEFT JOIN hot ON p8.passage = hot.passage
+              GROUP BY p8.doc_id)
+            WHERE boiler_frac < 0.5),
+          pii AS (
+            SELECT doc_id FROM documents
+            WHERE len(regexp_extract_all(text, '${Pii.EmailRe}'))
+                + len(regexp_extract_all(text, '${Pii.PhoneRe}'))
+                + len(regexp_extract_all(text, '${Pii.IpRe}')) = 0)
+          SELECT q.doc_id, q.score, ct.dirty_frac, bp.boiler_frac
+          FROM q JOIN ec USING (doc_id) JOIN nc USING (doc_id) JOIN ct USING (doc_id)
+               JOIN bp USING (doc_id) JOIN pii USING (doc_id)"""
 
   val oracles: Map[String, String] = Map(
     // priority sampling: every step is bit-exact cross-engine (md5
@@ -612,86 +716,15 @@ object Curation {
           LEFT JOIN bp ON d.doc_id = bp.doc_id
           JOIN pi ON d.doc_id = pi.doc_id
           GROUP BY d.source""",
-    "pipeline_curate" ->
-      s"""WITH RECURSIVE
-          tk AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
-          q AS (
-            SELECT doc_id, score FROM (
-              SELECT doc_id, n_tokens,
-                CAST(CAST(1.0 AS DECIMAL(8,6))
-                     - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
-                     - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
-                     AS DOUBLE) AS score
-              FROM (SELECT doc_id, len(toks) AS n_tokens,
-                      round(len(list_filter(toks, w -> list_contains(['the', 'a', 'and', 'of', 'to', 'in'], w)))::DOUBLE
-                            / len(toks), 6) AS stop_ratio,
-                      round(len(list_filter(toks, w -> length(w) <= 2))::DOUBLE
-                            / len(toks), 6) AS short_ratio
-                    FROM tk))
-            WHERE score >= 0.8 AND n_tokens >= 10),
-          ec AS (
-            SELECT doc_id FROM (
-              SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
-              FROM documents)
-            WHERE doc_id = canon),
-          sh AS (
-            SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                   for i in generate_series(1, len(toks) - 2)]) AS s
-            FROM tk WHERE len(toks) >= 3),
-          pairs AS (
-            SELECT d1, d2 FROM (
-              SELECT a.doc_id AS d1, b.doc_id AS d2,
-                     round(len(list_intersect(a.s, b.s))::DOUBLE /
-                           len(list_distinct(a.s || b.s)), 6) AS jaccard
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-            WHERE jaccard >= 0.5),
-          edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                    UNION ALL SELECT d2, d1 FROM pairs),
-          reach(doc, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
-          nc AS (
-            SELECT doc_id FROM (
-              SELECT doc AS doc_id, min(r) AS canonical_id FROM reach GROUP BY doc)
-            WHERE doc_id = canonical_id),
-          bkt AS (SELECT doc_id, s,
-                    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
-                      AS bucket
-                  FROM sh),
-          ek AS (SELECT DISTINCT unnest(s) AS g FROM bkt WHERE bucket >= 90),
-          tr AS (SELECT doc_id, unnest(s) AS g FROM bkt WHERE bucket < 90),
-          dc AS (SELECT tr.doc_id, count(*) AS n_dirty
-                 FROM tr JOIN ek ON tr.g = ek.g GROUP BY tr.doc_id),
-          ct AS (
-            SELECT doc_id, dirty_frac FROM (
-              SELECT base.doc_id,
-                round(coalesce(n_dirty, 0)::DOUBLE / n_sh, 6) AS dirty_frac
-              FROM (SELECT doc_id, len(s) AS n_sh FROM bkt WHERE bucket < 90) base
-              LEFT JOIN dc ON base.doc_id = dc.doc_id)
-            WHERE dirty_frac < 0.5),
-          p8 AS (
-            SELECT doc_id,
-                   unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
-                          for i in generate_series(1, len(toks) - 7)])) AS passage
-            FROM tk WHERE len(toks) >= 8),
-          hot AS (SELECT passage FROM p8 GROUP BY passage HAVING count(*) >= 2),
-          bp AS (
-            SELECT doc_id, boiler_frac FROM (
-              SELECT p8.doc_id,
-                     round(CAST(count(hot.passage) AS DOUBLE) / count(*), 6)
-                       AS boiler_frac
-              FROM p8 LEFT JOIN hot ON p8.passage = hot.passage
-              GROUP BY p8.doc_id)
-            WHERE boiler_frac < 0.5),
-          pii AS (
-            SELECT doc_id FROM documents
-            WHERE len(regexp_extract_all(text, '${Pii.EmailRe}'))
-                + len(regexp_extract_all(text, '${Pii.PhoneRe}'))
-                + len(regexp_extract_all(text, '${Pii.IpRe}')) = 0)
-          SELECT q.doc_id, q.score, ct.dirty_frac, bp.boiler_frac
-          FROM q JOIN ec USING (doc_id) JOIN nc USING (doc_id) JOIN ct USING (doc_id)
-               JOIN bp USING (doc_id) JOIN pii USING (doc_id)""",
+    "pipeline_curate" -> curateOracleSql,
+    // the hoisted pipeline replay joined with the shared dedup_lines
+    // replay — one copy of each (task 7 hygiene), composed exactly as
+    // the Spark side composes the frames
+    "pipeline_curate_lines" ->
+      s"""SELECT base.*, ld.n_lines, ld.n_removed
+          FROM ($curateOracleSql) base
+          JOIN (${graft.dedup.Dedup.linesOracleSql}) ld USING (doc_id)
+          WHERE CAST(ld.n_removed AS DOUBLE) / ld.n_lines < 0.5""",
     // the ×10 composition replay: the SHARED portable-LSH CTE chain
     // (inflation → shingles → 60-bit hashes → signatures → band keys →
     // candidates, emitted by the same builder as the dedup_minhash_big

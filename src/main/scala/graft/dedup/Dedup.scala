@@ -123,6 +123,84 @@ object Dedup {
             .otherwise(lit(""))))
         .otherwise(col("text")).as("text"))
 
+  /** C4/RefinedWeb-style LINE-level dedup (r13 verdict task 4) — the
+    * substring-granularity step between document dedup ([[exact]]) and
+    * passage dedup ([[dupPassages]]): any exact line occurring in
+    * ≥ `minDocs` DISTINCT documents is removed from every document
+    * (navigation headers, cookie banners, boilerplate footers — the
+    * C4 "discard any line seen more than once" rule at document-set
+    * granularity). Output per doc: total lines, removed lines, and the
+    * md5 of the surviving text (kept lines rejoined in original order)
+    * — the rewrite a curation pipeline would persist.
+    *
+    * Plan shape: one explode keyed by (doc_id, pos); the hot-line set is
+    * a count-distinct-docs aggregate (one shuffle keyed on the line)
+    * joined back as a membership probe; reconstruction is one doc-keyed
+    * aggregate with an in-group sort by pos. At 100 TB the membership
+    * key becomes (xxhash64(line), length) exactly as [[boilerplateUncached]]
+    * does — the fixture ships the string key so the oracle replays
+    * verbatim — and ultra-hot lines (df ≫ minDocs) cost nothing extra:
+    * the aggregate is per distinct line, never per pair.
+    */
+  def dedupLinesOn(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+    val hot = lines.select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+    lines.join(hot, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("nd")).as("n_removed"),
+        // collect_list skips nulls, so only KEPT lines enter; the struct
+        // sort restores original order (pos is unique per doc)
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("nd").isNull,
+              struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n")).as("kept_md5"))
+  }
+
+  /** Planted multi-line gate fixture for [[dedupLinesOn]] (the
+    * [[normFixture]] technique — the raw fixture corpus has no
+    * newlines): every doc gains a corpus-wide shared header line, a
+    * mod-5 shared footer line, and interior line structure from
+    * splitting on the frequent ` table ` token — so the gate exercises
+    * all three regimes (always-removed, group-removed, mostly-kept).
+    * Replayed verbatim by the oracle's injection CTE. Production
+    * callers use [[dedupLinesOn]] directly over real multi-line text.
+    */
+  /** DuckDB replay of [[dedupLinesOn]] over [[linesFixture]] — shared by
+    * the dedup_lines gate and the pipeline_curate_lines composition.
+    */
+  private[graft] lazy val linesOracleSql: String =
+    """WITH docs AS (
+         SELECT doc_id,
+                'graft shared header' || chr(10)
+                || replace(text, ' table ', chr(10))
+                || chr(10) || 'footer mark ' || CAST(doc_id % 5 AS VARCHAR) AS text
+         FROM documents),
+       l AS (SELECT doc_id,
+                    generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                    unnest(string_split(text, chr(10))) AS line
+             FROM docs),
+       hot AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+               GROUP BY line HAVING count(*) >= 2)
+       SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(count(hot.line) AS BIGINT) AS n_removed,
+              md5(coalesce(string_agg(CASE WHEN hot.line IS NULL THEN l.line END,
+                                      chr(10) ORDER BY l.pos), '')) AS kept_md5
+       FROM l LEFT JOIN hot ON l.line = hot.line
+       GROUP BY l.doc_id"""
+
+  private[graft] def linesFixture(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("graft shared header\n"),
+        expr("replace(text, ' table ', char(10))"),
+        lit("\nfooter mark "),
+        pmod(col("doc_id"), lit(5)).cast("string")).as("text"))
+
   private[graft] def exactNormalizedOn(docs: DataFrame): DataFrame = {
     val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("nfp"))
     docs
@@ -1465,6 +1543,9 @@ object Dedup {
     // exact form's oracle below
     "dedup_incremental_bloom" -> ((s, d) => incremental(s, d, bloomExact = true)),
     "dedup_passages"      -> ((s, d) => dupPassages(s, d)),
+    // C4-style line-level dedup over the planted multi-line fixture
+    // (see linesFixture — the raw corpus has no newlines)
+    "dedup_lines"         -> ((s, d) => dedupLinesOn(linesFixture(s, d))),
     "dedup_cdc_passages"  -> ((s, d) => cdcPassages(s, d)),
     "dedup_overlap_pairs" -> ((s, d) => overlapPairs(s, d)),
     "dedup_boilerplate"   -> ((s, d) => boilerplate(s, d)),
@@ -1708,6 +1789,12 @@ object Dedup {
             WHERE len(toks) >= 8)
           SELECT passage, count(*) AS n_docs, min(doc_id) AS first_doc
           FROM sh8 GROUP BY passage HAVING count(*) >= 2""",
+    // line-level dedup: the injection CTE replays [[linesFixture]]
+    // (header / mod-5 footer / ` table `-split interior lines); the
+    // string_agg ORDER BY pos mirrors the Spark struct-sort, and the
+    // coalesce('') keeps an all-lines-removed doc at md5('') in both
+    // engines (string_agg of zero rows is NULL, array_join of [] is '')
+    "dedup_lines" -> linesOracleSql,
     "dedup_boilerplate" ->
       s"""WITH sh8 AS (
             SELECT doc_id,

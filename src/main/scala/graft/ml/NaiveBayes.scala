@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.text.Text
@@ -114,6 +114,68 @@ object NaiveBayes {
         col("score").cast("double").as("score"))
   }
 
+  /** Sliding character `n`-grams of the raw text, spaces included —
+    * the fastText-style language-ID featurizer (word-boundary grams
+    * carry most of the language signal). In-row transform; rows shorter
+    * than `n` produce an empty array (the explicit guard matters:
+    * Spark's `sequence(1, len-2)` DESCENDS for len < 3 instead of
+    * returning empty, unlike DuckDB's generate_series).
+    */
+  private def charGrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Trained char-trigram language ID (r13 verdict task 3) — the
+    * fastText-shaped TRAINED classifier next to the ta_langid stopword
+    * heuristic (kept as the cheap first-pass twin): multinomial NB over
+    * character trigrams of the `lang`-labeled corpus, resubstitution
+    * scoring of every document, reported as per-language accuracy vs
+    * the label. Same determinism contract as [[nbModelFrom]] — ln on
+    * exact integer ratios, 6-dp DECIMAL(18,6) cells, exact decimal
+    * score sums, argmax tie-break on class ascending — so train AND
+    * apply replay in the chained-CTE oracle.
+    *
+    * Scale shape: the char-gram tf relation is corpus-sized (one scan,
+    * one (doc, gram)-keyed aggregate); the model grid is V×C rows
+    * (trigram vocabulary × languages — broadcast weight at any corpus
+    * size); scoring joins tf against the broadcast grid and aggregates
+    * by doc — one doc-keyed shuffle, the [[apply_]] plan verbatim.
+    */
+  val LangIdGramN = 3
+
+  private def langIdTf(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memoized(spark, dir, "ml:langid_chartf")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(charGrams(col("text"), LangIdGramN)).as("w"))
+        .groupBy(col("doc_id"), col("lang"), col("w"))
+        .agg(count(lit(1)).as("tf")))
+
+  def langIdNb(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = langIdTf(spark, dir)
+    val model = nbModelFrom(tf,
+      Tables.documents(spark, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs")))
+      .select(col("lang").as("cand"), col("token").as("w"),
+        col("loglik"), col("logprior"))
+    val scored = tf.join(broadcast(model), Seq("w"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg((first(col("logprior")) + sum(col("tf") * col("loglik"))).as("score"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))))
+      .where(col("rn") === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cand") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("lang"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs").cast("double"), 6)
+          .as("accuracy"))
+  }
+
   /** 5-fold cross-validation of the NB classifier — the evaluation
     * PROTOCOL next to the resubstitution gate ([[apply_]]) and the
     * holdout metrics (ml_roc_auc / ml_confusion): per fold, train on the
@@ -193,16 +255,28 @@ object NaiveBayes {
     "ml_nb_train" -> ((s, d) => train(s, d)),
     "ml_nb_apply" -> ((s, d) => apply_(s, d)),
     "ml_nb_cv"    -> ((s, d) => crossValidate(s, d)),
+    // trained char-trigram language ID (the ta_langid heuristic's
+    // trained twin — registered here where the NB grid lives)
+    "ta_langid_nb" -> ((s, d) => langIdNb(s, d)),
   )
 
   private val tokSql =
     graft.text.Text.TokSql
 
-  /** The model-grid replay over a named docs relation — `documents` for
-    * the train/apply gates, a fold CTE for cross-validation.
+  /** DuckDB char-trigram featurizer — the [[charGrams]] twin (list
+    * comprehension over generate_series, the dedup_passages idiom);
+    * generate_series is empty for len < 3, matching the Spark guard.
     */
-  private def modelSqlOn(src: String) =
-    s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS w FROM $src),
+  private val charGramSql =
+    s"[substr(text, i, $LangIdGramN) for i in generate_series(1, len(text) - ${LangIdGramN - 1})]"
+
+  /** The model-grid replay over a named docs relation — `documents` for
+    * the train/apply gates, a fold CTE for cross-validation — with a
+    * pluggable featurizer (word tokens by default; char trigrams for
+    * the language-ID gate).
+    */
+  private def modelSqlOn(src: String, featSql: String = tokSql) =
+    s"""WITH tok AS (SELECT doc_id, lang, unnest($featSql) AS w FROM $src),
         tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM tok GROUP BY doc_id, lang, w),
         cell AS (SELECT lang, w, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY lang, w),
         ct AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total FROM cell GROUP BY lang),
@@ -254,6 +328,23 @@ object NaiveBayes {
   }
 
   val oracles: Map[String, String] = Map(
+    "ta_langid_nb" ->
+      s"""WITH model AS (${modelSqlOn("documents", charGramSql)}),
+          g AS (SELECT doc_id, lang, unnest($charGramSql) AS w FROM documents),
+          tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM g GROUP BY doc_id, lang, w),
+          sc AS (SELECT tf.doc_id, tf.lang, model.lang AS cand,
+                   any_value(model.logprior) + sum(tf.tf * model.loglik) AS score
+                 FROM tf JOIN model ON tf.w = model.token
+                 GROUP BY tf.doc_id, tf.lang, model.lang),
+          pred AS (SELECT lang, cand FROM (
+                     SELECT *, row_number() OVER
+                       (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+                     FROM sc) WHERE rn = 1)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+            round(CAST(sum(CASE WHEN cand = lang THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS accuracy
+          FROM pred GROUP BY lang""",
     "ml_nb_cv" -> cvOracleSql,
     "ml_nb_train" ->
       s"""SELECT lang, token, cnt, CAST(loglik AS DOUBLE) AS loglik,
