@@ -15,20 +15,32 @@ import org.apache.spark.sql.SparkSession
   * with zero quiet reps falls back to all reps and is listed in
   * `"no_quiet_rep"`). The raw [min, max] stays under `"spread"` —
   * single-shot times on an iterative registry swing by multiple seconds
-  * run-over-run, which made round-over-round deltas unreadable. Cross-query
-  * memo caches persist across reps (as across queries); a memo BUILD is
-  * forced and timed at build time via `Caches.buildObserver` and charged
-  * to a named `build:*` ledger row (`"builds"`/`"build_sec"`), with that
-  * time subtracted from the consuming query's elapsed — so per-query
-  * medians measure the query plan, not index-construction luck-of-order.
+  * run-over-run, which made round-over-round deltas unreadable.
+  *
+  * Phases (r13 verdict tasks 1-2): after JVM warmup, a PREBUILD phase
+  * materializes every registry query once on a bounded concurrent pool,
+  * so all cross-query memo builds happen there, overlapped — `build_sec`
+  * is that phase's WALL (plus stray rep-time builds), the run's true
+  * build cost, while `builds`/`builds_excl_sec` keep per-key EXCLUSIVE
+  * seconds for attribution (Caches' per-thread child-chain accounting;
+  * a thread waiting out a sibling's in-flight build books the wait as
+  * child time). Timed reps then run serially against hot memos.
   * A build whose window was steal-flagged gets ONE timed rebuild at end
   * of run (memos dropped, its consumer re-materialized) and publishes
   * the smaller time; keys still dirty after that are listed in
-  * `"builds_steal_flagged"`. Finally the RUN self-describes: when
-  * machine-wide stolen ticks exceed 10% of the JVM's own cpu ticks,
-  * `"run_valid":false` — no per-query number in such an artifact should
-  * be read as a regression (BENCH_r12 rode 54% steal and every row read
-  * high; nothing in the line said so).
+  * `"builds_steal_flagged"`.
+  *
+  * Contention self-description is two-sensor: hypervisor steal
+  * (`/proc/stat`) catches host-side theft; a fixed-work CPU probe
+  * ([[AmbientProbe]]) bracketing every rep catches CO-TENANT load that
+  * steals wall time with zero steal ticks (the r12 dedup_minhash_big
+  * 2.7× blind spot). A rep flagged by either sensor drops out of the
+  * quiet median; flagged queries are listed in `"steal_flagged"` /
+  * `"ambient_flagged"`. The RUN self-describes: `"run_valid":false`
+  * when stolen ticks exceed 10% of the JVM's own cpu ticks OR over 25%
+  * of all reps were ambient-flagged — no per-query number in such an
+  * artifact should be read as a regression (BENCH_r12 rode 54% steal
+  * and every row read high; nothing in the line said so).
   */
 object Bench {
   /** 1-minute load average from /proc/loadavg (-1.0 off-Linux). Recorded
@@ -114,7 +126,10 @@ object Bench {
     // time — so per-query medians measure the query's own plan, not
     // whichever consumer ran first in sorted order (the r7 attribution
     // instability: pr_components_10k 6.1 vs 14.2 s on identical code).
-    // Bench runs queries serially, so plain vars suffice.
+    // Since r14 builds run CONCURRENTLY in the prebuild phase, so every
+    // observer mutation takes `ledgerLock` and the consumer tag is a
+    // ThreadLocal.
+    val ledgerLock = new Object
     val buildLedger = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // per-build contention forensics (r12 verdict task 3): the steal
     // ticks inside each build's own wall window, plus which query's
@@ -129,35 +144,41 @@ object Bench {
     // over-flag on ticks that fell inside its children)
     val buildFullWall = scala.collection.mutable.HashMap.empty[String, Double]
     val buildConsumer = scala.collection.mutable.HashMap.empty[String, String]
-    var currentQuery = "warmup"
-    var retiming = false
+    val currentQuery = new ThreadLocal[String] {
+      override def initialValue: String = "prebuild"
+    }
+    @volatile var retiming = false
     // retime mode may rebuild a flagged key's WHOLE memo chain; only
     // the flagged keys publish their rebuild time — an unflagged chain
     // member's first (cold) build number must not be replaced by its
     // warm rebuild, or retimed runs would read lower than quiet ones
-    var retimeKeys: Set[String] = Set.empty
+    @volatile var retimeKeys: Set[String] = Set.empty
     var buildAccum = 0.0
     Caches.stealProbe = Some(() => stealJiffies())
     Caches.buildStealObserver = Some { (key, st, fullWall) =>
-      if (!retiming) {
-        buildSteal(key) = buildSteal.getOrElse(key, 0L) + st
-        buildFullWall(key) = buildFullWall.getOrElse(key, 0.0) + fullWall
-      } else if (retimeKeys.contains(key)) {
-        buildSteal(s"retime:$key") = st
-        buildFullWall(s"retime:$key") = fullWall
+      ledgerLock.synchronized {
+        if (!retiming) {
+          buildSteal(key) = buildSteal.getOrElse(key, 0L) + st
+          buildFullWall(key) = buildFullWall.getOrElse(key, 0.0) + fullWall
+        } else if (retimeKeys.contains(key)) {
+          buildSteal(s"retime:$key") = st
+          buildFullWall(s"retime:$key") = fullWall
+        }
       }
     }
     Caches.buildObserver = Some { (key, sec) =>
-      if (!retiming) {
-        buildLedger(key) = buildLedger.getOrElse(key, 0.0) + sec
-        buildConsumer.getOrElseUpdate(key, currentQuery)
-        buildAccum += sec
-      } else if (retimeKeys.contains(key)) {
-        // retime pass: a QUIET rebuild replaces the flagged row; a
-        // rebuild that rode another burst keeps the smaller of the two
-        // (and the key stays flagged — see buildsStillFlagged)
-        if (buildLedger.contains(key) && sec < buildLedger(key))
-          buildLedger(key) = sec
+      ledgerLock.synchronized {
+        if (!retiming) {
+          buildLedger(key) = buildLedger.getOrElse(key, 0.0) + sec
+          buildConsumer.getOrElseUpdate(key, currentQuery.get)
+          buildAccum += sec
+        } else if (retimeKeys.contains(key)) {
+          // retime pass: a QUIET rebuild replaces the flagged row; a
+          // rebuild that rode another burst keeps the smaller of the two
+          // (and the key stays flagged — see buildsStillFlagged)
+          if (buildLedger.contains(key) && sec < buildLedger(key))
+            buildLedger(key) = sec
+        }
       }
     }
 
@@ -192,6 +213,7 @@ object Bench {
     // whatever cross-query memo builds it triggers — timed and reported
     // as "warmup_sec" so that shared-infrastructure cost stays visible
     // in the artifact instead of silently vanishing from every row.
+    val warm0 = System.nanoTime()
     spark.range(1000000).selectExpr("sum(id)").collect()
     // also warm the vectorized parquet reader + regex/array codegen
     // paths OUTSIDE the ledger: the first memo build of the run (the
@@ -201,15 +223,65 @@ object Bench {
       .select(org.apache.spark.sql.functions.explode(
         graft.text.Text.tokenize(org.apache.spark.sql.functions.col("text"))))
       .limit(1000).collect()
-    val warm0 = System.nanoTime()
-    // the warmup materializes the first sorted query, so builds it
-    // triggers must record THAT query as their consumer — a literal
-    // "warmup" consumer would make the retime pass below a silent no-op
-    // for those keys (materialize("warmup") just errors out)
-    currentQuery = names.head
-    materialize(names.head)
-    // builds the warmup triggered are in the ledger, not in warmup_sec
-    val warmupSec = (System.nanoTime() - warm0) / 1e9 - buildAccum
+    val warmupSec = (System.nanoTime() - warm0) / 1e9
+
+    // Co-tenant probe calibration (r13 verdict task 1): the baseline is
+    // the min of several fixed-work probes at run start, tightened by
+    // every later probe (see AmbientProbe's scaladoc) — flags are
+    // computed AFTER the run against the global min, so a contended
+    // start cannot hide later contention.
+    val probeCalib = AmbientProbe.calibrate()
+    @volatile var probeMin = probeCalib
+
+    // PREBUILD phase (r13 verdict task 2): materialize every registry
+    // query ONCE, concurrently on a bounded pool, BEFORE any timed rep.
+    // All cross-query memo builds land here — overlapped, so the ~110
+    // small builds (avg 0.8 s, scheduler-latency-bound: a 32-partition
+    // shuffle of kilobytes idles most of the box) stop serializing, and
+    // every timed rep then runs against hot memos: per-query medians
+    // measure the query plan with zero build-attribution noise. The
+    // ledger still books per-build EXCLUSIVE seconds per key (the
+    // Caches child-chain accounting works per thread; a thread that
+    // waits out a sibling's in-flight build books the wait as child
+    // time, never as its own build). `build_sec` is now this phase's
+    // WALL — the run's true build cost — while `builds_excl_sec`
+    // carries the old sum-of-rows quantity.
+    val prebuildPar = sys.env.getOrElse("SPARK_GRAFT_BUILD_PAR", "8").toInt
+    val pre0 = System.nanoTime()
+    val prePool = java.util.concurrent.Executors.newFixedThreadPool(prebuildPar)
+    try {
+      names.map { n =>
+        prePool.submit(new Runnable {
+          def run(): Unit = {
+            currentQuery.set(n)
+            // prebuild errors are not recorded: the timed rep below
+            // reports the same error attributably
+            materialize(n)
+          }
+        })
+      }.foreach(_.get())
+    } finally prePool.shutdown()
+    val prebuildSec = (System.nanoTime() - pre0) / 1e9
+    // Drain the post-prebuild cleanup storm in the UNTIMED gap: the
+    // phase leaves hundreds of dead shuffles/broadcasts whose
+    // ContextCleaner reclamation fires at the first major GC — which
+    // otherwise lands minutes into the timed reps and stalled a
+    // contiguous block of queries at 5-25× their quiet medians (first
+    // full-run r14: ev_approx_bounds..ev_countmin, probes quiet, steal
+    // quiet — blocked on cleanup I/O, not CPU). Two forced GCs with a
+    // settle gap push reference processing + cleaner RPCs through now.
+    System.gc()
+    Thread.sleep(2000)
+    System.gc()
+    Thread.sleep(2000)
+    // exclusive-rows sum at the phase boundary: whatever the ledger
+    // gains AFTER this point fired inside a timed rep (stray build) and
+    // belongs in build_sec on top of the phase wall
+    val ledgerAfterPrebuild = ledgerLock.synchronized(buildLedger.values.sum)
+    // one probe over the phase boundary: a contended prebuild inflates
+    // ledger rows the same way a contended rep inflates a median
+    val prebuildProbe = AmbientProbe.checkedProbe(probeMin)
+    probeMin = math.min(probeMin, prebuildProbe)
 
     // Steal-burst flagging (r8 verdict ask 6): the r8 driver artifact was
     // taken at 20× the quiet-window steal and three queries read 3-8×
@@ -240,21 +312,37 @@ object Bench {
     def spreadSuspect(times: Seq[Double]): Boolean =
       times.size > 1 && times.min > 0 && times.max / times.min > 2.0 &&
         times.max - times.min > 0.2 // micro-query jitter is not contention
-    val results = names.map { name =>
-      currentQuery = name
-      def oneRep(): (Double, Option[String], Long, Double) = {
+    case class Rep(time: Double, err: Option[String], steal: Long,
+                   wall: Double, pBefore: Double, pAfter: Double)
+    // the probe BRACKETING a rep: the one taken after the previous rep
+    // (or phase) and the one taken after this rep — a burst anywhere in
+    // the rep's window hits at least one of them
+    var lastProbe = prebuildProbe
+    val raw = names.map { name =>
+      currentQuery.set(name)
+      def oneRep(): Rep = {
         buildAccum = 0.0
+        val pb = lastProbe
         val s0 = stealJiffies()
         val t0 = System.nanoTime()
         val err = materialize(name)
         val wall = (System.nanoTime() - t0) / 1e9
         val st = if (s0 < 0) -1L else stealJiffies() - s0
-        (wall - buildAccum, err, st, wall)
+        val pa = AmbientProbe.checkedProbe(probeMin)
+        probeMin = math.min(probeMin, pa)
+        lastProbe = pa
+        Rep(wall - buildAccum, err, st, wall, pb, pa)
       }
+      // provisional ambient test for ESCALATION only (min-so-far
+      // baseline); the published flags re-test against the run-global
+      // min after the loop
+      def ambientSusp(r: Rep): Boolean =
+        math.min(r.pBefore, r.pAfter) > AmbientProbe.FlagRatio * probeMin
       var runs = (1 to reps).toVector.map(_ => oneRep())
-      def stealSuspect = runs.exists(r => stealFlagged(r._4, r._3))
-      val escalate = reps > 1 && runs.forall(_._2.isEmpty) &&
-        (spreadSuspect(runs.map(_._1)) || stealSuspect)
+      def stealSuspect = runs.exists(r => stealFlagged(r.wall, r.steal))
+      val escalate = reps > 1 && runs.forall(_.err.isEmpty) &&
+        (spreadSuspect(runs.map(_.time)) || stealSuspect ||
+          runs.exists(ambientSusp))
       if (escalate)
         runs ++= (runs.size until escReps).map(_ => oneRep())
       // per-rep chronology on stderr (stdout carries ONLY the compact
@@ -263,30 +351,50 @@ object Bench {
       // that matters when chasing in-context variance
       if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
         System.err.println(
-          s"REPS $name: ${runs.map(r => f"${r._1}%.2f").mkString(" ")}" +
-            s" steal: ${runs.map(_._3).mkString(" ")}" +
+          s"REPS $name: ${runs.map(r => f"${r.time}%.2f").mkString(" ")}" +
+            s" steal: ${runs.map(_.steal).mkString(" ")}" +
+            s" probe: ${runs.map(r => f"${r.pAfter}%.3f").mkString(" ")}" +
             (if (escalate) " (escalated)" else ""))
-      // QUIET-REP median (r12 verdict task 3): the r12 escalation
-      // machinery labeled contaminated reps but still averaged them
-      // into the published median — BENCH_r12 rode 54% steal and every
-      // row read high. A rep whose own window was steal-flagged is now
-      // EXCLUDED from the median; only if every rep was dirty does the
-      // median fall back to all reps (and n_quiet says so: 0).
-      val quiet = runs.filter(r => !stealFlagged(r._4, r._3))
-      val pool = if (quiet.nonEmpty) quiet else runs
-      val times = pool.map(_._1).sorted
-      val median = times(times.length / 2)
-      val allTimes = runs.map(_._1).sorted
-      (name, median, allTimes.head, allTimes.last, runs.flatMap(_._2).headOption,
-        runs.map(_._3), stealSuspect, spreadSuspect(runs.map(_._1)), escalate,
-        quiet.size, runs.size)
+      (name, runs, stealSuspect, spreadSuspect(runs.map(_.time)), escalate)
     }
-    val flagged = results.collect { case r if r._7 => r._1 }
-    val spreadFlagged = results.collect { case r if r._8 => r._1 }
-    val escalated = results.collect { case r if r._9 => r._1 }
+    // Ambient flag (r13 verdict task 1), decided against the RUN-GLOBAL
+    // min probe: a rep flags only when BOTH bracketing probes read hot —
+    // a sustained burst (the multi-minute kind this box exhibits) holds
+    // every probe hot, while idle-box probe noise (GC pauses, scheduler
+    // quanta — measured at ~10% of single shots even at the 1.5× bar
+    // before retries) is uncorrelated across the rep's two brackets.
+    // The 3 ms absolute floor keeps micro-jitter on a fast box from
+    // flagging (same spirit as the 10-tick steal floor).
+    def ambientFlagged(r: Rep): Boolean = {
+      val p = math.min(r.pBefore, r.pAfter)
+      p > AmbientProbe.FlagRatio * probeMin && p - probeMin > 0.003
+    }
+    case class Res(name: String, median: Double, tMin: Double, tMax: Double,
+                   err: Option[String], stealReps: Seq[Long],
+                   stealSusp: Boolean, spreadSusp: Boolean, escalated: Boolean,
+                   nQuiet: Int, nReps: Int, ambientSusp: Boolean,
+                   probes: Seq[Double])
+    val results = raw.map { case (name, runs, stealSusp, spreadSusp, esc) =>
+      // QUIET-REP median (r12 verdict task 3, extended r14): a rep whose
+      // window was steal-flagged OR ambient-flagged is EXCLUDED from the
+      // median; only if every rep was dirty does the median fall back to
+      // all reps (and n_quiet says so: 0).
+      val quiet = runs.filter(r => !stealFlagged(r.wall, r.steal) && !ambientFlagged(r))
+      val pool = if (quiet.nonEmpty) quiet else runs
+      val times = pool.map(_.time).sorted
+      val allTimes = runs.map(_.time).sorted
+      Res(name, times(times.length / 2), allTimes.head, allTimes.last,
+        runs.flatMap(_.err).headOption, runs.map(_.steal),
+        stealSusp, spreadSusp, esc, quiet.size, runs.size,
+        runs.exists(ambientFlagged), runs.map(_.pAfter))
+    }
+    val flagged = results.collect { case r if r.stealSusp => r.name }
+    val spreadFlagged = results.collect { case r if r.spreadSusp => r.name }
+    val escalated = results.collect { case r if r.escalated => r.name }
+    val ambientFlaggedQs = results.collect { case r if r.ambientSusp => r.name }
     // queries whose EVERY rep rode a burst: their medians are still
     // contaminated (no quiet rep existed to re-center on)
-    val noQuietRep = results.collect { case r if r._10 == 0 => r._1 }
+    val noQuietRep = results.collect { case r if r.nQuiet == 0 => r.name }
 
     // Retime pass for steal-flagged BUILD rows (r12 verdict task 3):
     // builds run once per ledger key, so the query-rep quiet-median
@@ -320,32 +428,44 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map(r => s"${q(r._1)}:${r._2}")
+    val qs = results.map(r => s"${q(r.name)}:${r.median}")
       .mkString("{", ",", "}")
-    val spread = results.map(r => s"${q(r._1)}:[${r._3},${r._4}]")
+    val spread = results.map(r => s"${q(r.name)}:[${r.tMin},${r.tMax}]")
       .mkString("{", ",", "}")
-    val errs = results.collect { case r if r._5.isDefined => s"${q(r._1)}:${q(r._5.get)}" }
+    val errs = results.collect { case r if r.err.isDefined => s"${q(r.name)}:${q(r.err.get)}" }
       .mkString("{", ",", "}")
     // full-fidelity only: every rep's steal delta for every query (the
     // compact line carries just the flagged names)
     val stealReps = results.map(r =>
-      s"${q(r._1)}:[${r._6.mkString(",")}]").mkString("{", ",", "}")
+      s"${q(r.name)}:[${r.stealReps.mkString(",")}]").mkString("{", ",", "}")
     // full-fidelity only: quiet reps per query ([n_quiet, n_total] —
     // the published median pools only the quiet ones)
     val quietReps = results.map(r =>
-      s"${q(r._1)}:[${r._10},${r._11}]").mkString("{", ",", "}")
+      s"${q(r.name)}:[${r.nQuiet},${r.nReps}]").mkString("{", ",", "}")
+    // full-fidelity only: every rep's trailing probe seconds (divide by
+    // probe_calib for the contention factor of each window)
+    val probeReps = results.map(r =>
+      s"${q(r.name)}:[${r.probes.map(p => math.rint(p * 1e4) / 1e4).mkString(",")}]")
+      .mkString("{", ",", "}")
     val flaggedJson = flagged.map(q).mkString("[", ",", "]")
     val spreadFlaggedJson = spreadFlagged.map(q).mkString("[", ",", "]")
     val escalatedJson = escalated.map(q).mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val ambientJson = ambientFlaggedQs.map(q).mkString("[", ",", "]")
+    val total = results.map(_.median).sum
     val loadEnd = loadAvg()
     val stealTicks = // run's stolen CPU in 10 ms ticks (−1 = unreadable)
       if (stealStart < 0) -1L else stealJiffies() - stealStart
     val cpuTicks = // run's OWN cpu in 10 ms ticks (−1 = unreadable)
       if (cpuStart < 0) -1L else cpuJiffies() - cpuStart
     // memo-build ledger: cost charged to named build:* rows, no longer
-    // inside any query's median. value + build_sec ≈ the run's real work.
-    val buildSec = buildLedger.values.sum
+    // inside any query's median. Since r14 `build_sec` is the PREBUILD
+    // PHASE'S WALL plus any stray build seconds that still fired inside
+    // timed reps (≈0 — prebuild leaves every memo hot): the run's true
+    // build cost, which the concurrent pool compresses below the
+    // serialized sum. The old sum-of-exclusive-rows quantity stays
+    // published as `builds_excl_sec` (row-level attribution unchanged).
+    val buildsExclSec = buildLedger.values.sum
+    val buildSec = prebuildSec + math.max(0.0, buildsExclSec - ledgerAfterPrebuild)
     val builds = buildLedger.toSeq.sortBy(-_._2)
       .map { case (k, s) => s"${q("build:" + k)}:${math.rint(s * 100) / 100}" }
       .mkString("{", ",", "}")
@@ -426,7 +546,7 @@ object Bench {
             "dedup:big_shingles_10", "dedup:big_h60_10",
             "dedup:big_permbands_10", "dedup:big_portable_pairs_10_0.5",
             "curate:big_groups_10", "curate:big_contamination_10"))))
-    val medianOf = results.map(r => r._1 -> r._2).toMap
+    val medianOf = results.map(r => r.name -> r.median).toMap
     def coldCost(name: String, buildKeys: Seq[String]): Option[Double] =
       medianOf.get(name)
         .map(_ + buildKeys.flatMap(buildLedger.get).sum)
@@ -445,15 +565,30 @@ object Bench {
       if (stealTicks >= 0 && cpuTicks > 0)
         math.rint(stealTicks.toDouble / cpuTicks * 1000) / 1000
       else -1.0
+    // Ambient validity fold (r13 verdict task 1): the probe-based twin
+    // of the steal bar. ambient_ratio = the share of ALL reps whose
+    // windows rode co-tenant contention; when over a quarter of the
+    // run's reps were contended, per-query medians are systemically
+    // suspect even where a quiet rep existed — the artifact says so.
+    val nRepsTotal = results.map(_.nReps).sum
+    val nRepsAmbient = raw.map(_._2.count(ambientFlagged)).sum
+    val ambientRatio =
+      if (nRepsTotal > 0) math.rint(nRepsAmbient.toDouble / nRepsTotal * 1000) / 1000
+      else 0.0
     // unmeasurable steal (ratio −1, off-Linux) must NOT read as a
     // validity certificate: a run is valid only when steal was MEASURED
-    // below the bar (caution over false confidence)
-    val runValid = stealRatio >= 0 && stealRatio < 0.10
+    // below the bar (caution over false confidence). Since r14 validity
+    // also requires the ambient-rep share under 25%.
+    val runValid = stealRatio >= 0 && stealRatio < 0.10 && ambientRatio < 0.25
     val noQuietJson = noQuietRep.map(q).mkString("[", ",", "]")
     val buildsFlaggedJson = buildsStillFlagged.map(k => q("build:" + k))
       .mkString("[", ",", "]")
+    val probeCalibR = math.rint(probeCalib * 1e4) / 1e4
+    val probeMinR = math.rint(probeMin * 1e4) / 1e4
+    val prebuildAmbient =
+      prebuildProbe > AmbientProbe.FlagRatio * probeMin && prebuildProbe - probeMin > 0.003
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_query":${q(names.head)},"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"cpu_ticks":$cpuTicks,"steal_ratio":$stealRatio,"run_valid":$runValid,"steal_flagged":$flaggedJson,"spread_flagged":$spreadFlaggedJson,"escalated":$escalatedJson,"no_quiet_rep":$noQuietJson,"builds_steal_flagged":$buildsFlaggedJson,"steal_reps":$stealReps,"quiet_reps":$quietReps,"scaling":$scaling,"build_sec":$buildSec,"builds":$builds,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"cpu_ticks":$cpuTicks,"steal_ratio":$stealRatio,"probe_calib":$probeCalibR,"probe_min":$probeMinR,"ambient_ratio":$ambientRatio,"run_valid":$runValid,"steal_flagged":$flaggedJson,"spread_flagged":$spreadFlaggedJson,"ambient_flagged":$ambientJson,"escalated":$escalatedJson,"no_quiet_rep":$noQuietJson,"builds_steal_flagged":$buildsFlaggedJson,"steal_reps":$stealReps,"quiet_reps":$quietReps,"probe_reps":$probeReps,"scaling":$scaling,"build_sec":$buildSec,"prebuild_par":$prebuildPar,"prebuild_ambient":$prebuildAmbient,"builds_excl_sec":${math.rint(buildsExclSec * 100) / 100},"builds":$builds,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     // The full-fidelity record goes ONLY to target/bench.json — NOT to
     // stdout. The driver's BENCH artifact keeps the LAST ~2000 chars of
     // stdout (BENCH_r01..r05 all carry a 2000-char "tail", parsed:null):
@@ -486,12 +621,12 @@ object Bench {
     // (centiseconds). BEST_COMPRESSION buys ~6% over the default level.
     // scripts/bench_history.py reverses all of this.
     def gzOf(scale: Int, thr: Double): String = {
-      val (kept, dropped) = results.partition(_._2 >= thr)
+      val (kept, dropped) = results.partition(_.median >= thr)
       val m = (Seq(s""""_scale":$scale""") ++
         (if (dropped.nonEmpty)
           Seq(s""""_omitted_below":${dropped.size}""",
             s""""_thr_cs":${math.rint(thr * 100).toLong}""") else Nil) ++
-        kept.map { r => val (k, med) = (r._1, r._2)
+        kept.map { r => val (k, med) = (r.name, r.median)
           s"${q(k)}:${math.rint(med * scale).toLong}" })
         .mkString("{", ",", "}")
       val bos = new java.io.ByteArrayOutputStream()
@@ -502,7 +637,7 @@ object Bench {
       gz.close()
       java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     }
-    val sortedBySec = results.sortBy(-_._2)
+    val sortedBySec = results.sortBy(-_.median)
     // assemble at a given plain-map budget, optionally carrying a
     // compressed full-map payload
     def assemble(mapBudget: Int, gzPayload: String): String = {
@@ -510,7 +645,7 @@ object Bench {
       var used = 0
       var kept = 0
       var cut = false
-      sortedBySec.foreach { r => val (k, med) = (r._1, r._2)
+      sortedBySec.foreach { r => val (k, med) = (r.name, r.median)
         val ent = s"${q(k)}:${math.rint(med * 1000) / 1000}"
         // strict prefix cut, no best-fit backfill: "omitted_fastest"
         // must mean exactly the N fastest queries
@@ -519,19 +654,20 @@ object Bench {
         } else cut = true
       }
       val omitted = results.length - kept
-      val omittedSec = math.rint(sortedBySec.drop(kept).map(_._2).sum * 1000) / 1000
+      val omittedSec = math.rint(sortedBySec.drop(kept).map(_.median).sum * 1000) / 1000
       // heaviest builds by name (the attribution-relevant ones, r7 ask
       // 4); the long tail rides in build_sec and the full record's map
       val topBuilds = buildLedger.toSeq.filter(_._2 >= 0.25).sortBy(-_._2).take(4)
         .map { case (k, s) => s"${q("build:" + k)}:${math.rint(s * 100) / 100}" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","reps":$reps,""" +
-        s""""sf":"$sfDir","n_queries":${results.length},"n_errors":${results.count(_._5.isDefined)},""" +
+        s""""sf":"$sfDir","n_queries":${results.length},"n_errors":${results.count(_.err.isDefined)},""" +
         s""""load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,""" +
         // flagged list capped in-window (a fully-contended run could name
         // every query and starve the line of medians); the full record
         // carries all names plus per-rep deltas
-        s""""cpu_ticks":$cpuTicks,"steal_ratio":$stealRatio,"run_valid":$runValid,""" +
+        s""""cpu_ticks":$cpuTicks,"steal_ratio":$stealRatio,""" +
+        s""""probe_calib":$probeCalibR,"ambient_ratio":$ambientRatio,"run_valid":$runValid,""" +
         (if (noQuietRep.nonEmpty) s""""n_no_quiet_rep":${noQuietRep.length},""" else "") +
         (if (buildsStillFlagged.nonEmpty)
           s""""builds_steal_flagged":$buildsFlaggedJson,""" else "") +
@@ -541,9 +677,13 @@ object Bench {
         s""""spread_flagged":${spreadFlagged.take(12).map(q).mkString("[", ",", "]")},""" +
         (if (spreadFlagged.length > 12)
           s""""spread_flagged_more":${spreadFlagged.length - 12},""" else "") +
+        s""""ambient_flagged":${ambientFlaggedQs.take(12).map(q).mkString("[", ",", "]")},""" +
+        (if (ambientFlaggedQs.length > 12)
+          s""""ambient_flagged_more":${ambientFlaggedQs.length - 12},""" else "") +
         (if (escalated.nonEmpty) s""""n_escalated":${escalated.length},""" else "") +
         s""""scaling":$scaling,""" +
-        s""""build_sec":${math.rint(buildSec * 100) / 100},"builds":$topBuilds,""" +
+        s""""build_sec":${math.rint(buildSec * 100) / 100},""" +
+        s""""builds_excl_sec":${math.rint(buildsExclSec * 100) / 100},"builds":$topBuilds,""" +
         s""""queries":${entries.mkString("{", ",", "}")},""" +
         s""""omitted_fastest":$omitted,"omitted_sec":$omittedSec,""" +
         (if (gzPayload.nonEmpty) s""""queries_gz_b64":"$gzPayload",""" else "") +

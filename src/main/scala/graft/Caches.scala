@@ -124,12 +124,47 @@ object Caches {
     finally auditLock.readLock().unlock()
   }
 
+  /** Per-key build mutex (r13 verdict task 2): under a CONCURRENT host
+    * (Bench's parallel prebuild phase), two threads requesting the same
+    * cold memo must not both run the build — the insert-race fallback
+    * below keeps correctness but duplicates whole Spark jobs and books
+    * the loser's seconds on a `discarded:` ledger row. The second
+    * requester instead waits on the key's monitor and reads the
+    * winner's entry. Monitors are reentrant (a build recursing into its
+    * own key re-enters), the memo dependency graph is a DAG (recursive
+    * child builds take CHILD keys only — no lock cycles), and the map
+    * is bounded by the number of distinct memo keys.
+    */
+  private val keyLocks = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String), Object]()
+
   private def memoizedLocked(spark: org.apache.spark.sql.SparkSession, dir: String, key: String)
               (build: => DataFrame): DataFrame = {
     val k = (spark, dir, key)
     synchronized(memo.get(k)) match {
       case Some(df) => df
       case None =>
+        val keyLock = keyLocks.computeIfAbsent(k, _ => new Object)
+        val w0 = System.nanoTime()
+        keyLock.synchronized {
+          synchronized(memo.get(k)) match {
+            case Some(df) =>
+              // another thread built this key while we waited: the wait
+              // was that build's time, not ours — book it as child time
+              // so an ENCLOSING build's exclusive seconds don't absorb a
+              // sibling thread's whole build (the ledger would
+              // double-count the key otherwise)
+              childBuildSec.set(childBuildSec.get() + (System.nanoTime() - w0) / 1e9)
+              df
+            case None => buildAndInsert(k, key)(build)
+          }
+        }
+    }
+  }
+
+  private def buildAndInsert(
+      k: (org.apache.spark.sql.SparkSession, String, String), key: String)
+      (build: => DataFrame): DataFrame = {
         // Truncate the build's lineage to a LogicalRDD leaf BEFORE
         // persisting. A memoized frame is an index by contract — its
         // consumers reach it only through this accessor, never by
@@ -218,7 +253,6 @@ object Caches {
           // the parent (if any) sees this build's FULL time as child time
           childBuildSec.set(parentChildSec + totalSec)
         }
-    }
   }
 
   /** Write-once-per-(session, dir) Parquet ARTIFACT: builds `src`,
