@@ -519,27 +519,16 @@ object Curation {
     s"""WITH RECURSIVE
           tk AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
           q AS (
-            SELECT doc_id, score FROM (
-              SELECT doc_id, n_tokens,
-                CAST(CAST(1.0 AS DECIMAL(8,6))
-                     - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
-                     - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
-                     AS DOUBLE) AS score
-              FROM (SELECT doc_id, len(toks) AS n_tokens,
-                      round(len(list_filter(toks, w -> list_contains(['the', 'a', 'and', 'of', 'to', 'in'], w)))::DOUBLE
-                            / len(toks), 6) AS stop_ratio,
-                      round(len(list_filter(toks, w -> length(w) <= 2))::DOUBLE
-                            / len(toks), 6) AS short_ratio
-                    FROM tk))
-            WHERE score >= 0.8 AND n_tokens >= 10),
+            SELECT doc_id, score
+            FROM (${TextAnalysis.qualityCteSql("tk")})
+            WHERE pass),
           ec AS (
             SELECT doc_id FROM (
               SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
               FROM documents)
             WHERE doc_id = canon),
           sh AS (
-            SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                   for i in generate_series(1, len(toks) - 2)]) AS s
+            SELECT doc_id, ${graft.OracleSql.shingle3("toks")} AS s
             FROM tk WHERE len(toks) >= 3),
           pairs AS (
             SELECT d1, d2 FROM (
@@ -559,7 +548,7 @@ object Curation {
               SELECT doc AS doc_id, min(r) AS canonical_id FROM reach GROUP BY doc)
             WHERE doc_id = canonical_id),
           bkt AS (SELECT doc_id, s,
-                    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                    ${graft.OracleSql.md5Bucket()}
                       AS bucket
                   FROM sh),
           ek AS (SELECT DISTINCT unnest(s) AS g FROM bkt WHERE bucket >= 90),
@@ -605,8 +594,7 @@ object Curation {
       s"""WITH pri AS (
             SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
                    (CAST(n_chars AS DOUBLE) * 4294967296.0) /
-                   CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                        + 1 AS DOUBLE) AS q
+                   CAST(${graft.OracleSql.md5U32("doc_id")} + 1 AS DOUBLE) AS q
             FROM documents),
           topk1 AS (SELECT * FROM pri ORDER BY q DESC, doc_id LIMIT ${PriorityK + 1}),
           bnd AS (SELECT q AS tau, doc_id AS tau_doc
@@ -652,25 +640,15 @@ object Curation {
                   CAST('0x' || substring(md5(CAST(canonical_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
                     AS bucket
                 FROM lab)""",
-    // quality score CTE verbatim from the pipeline_curate oracle (pass
-    // flag kept instead of filtered), exact-dup via the fingerprint
-    // window, contamination spliced in as a nested-WITH subquery from
-    // the already-green dedup_contamination oracle
+    // quality via the shared qualityCteSql (pass flag kept instead of
+    // filtered), exact-dup via the fingerprint window, contamination
+    // spliced in as a nested-WITH subquery from the already-green
+    // dedup_contamination oracle
     "pipeline_source_report" ->
       s"""WITH tk AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
           qs AS (
-            SELECT doc_id, score, (score >= 0.8 AND n_tokens >= 10) AS pass FROM (
-              SELECT doc_id, n_tokens,
-                CAST(CAST(1.0 AS DECIMAL(8,6))
-                     - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
-                     - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
-                     AS DOUBLE) AS score
-              FROM (SELECT doc_id, len(toks) AS n_tokens,
-                      round(len(list_filter(toks, w -> list_contains(['the', 'a', 'and', 'of', 'to', 'in'], w)))::DOUBLE
-                            / len(toks), 6) AS stop_ratio,
-                      round(len(list_filter(toks, w -> length(w) <= 2))::DOUBLE
-                            / len(toks), 6) AS short_ratio
-                    FROM tk))),
+            SELECT doc_id, score, pass
+            FROM (${TextAnalysis.qualityCteSql("tk")})),
           ex AS (
             SELECT doc_id,
                    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
@@ -752,26 +730,16 @@ object Curation {
             WHERE doc_id = canon),
           tk AS (SELECT doc_id, $tokSql AS toks FROM inflated),
           q AS (
-            SELECT doc_id FROM (
-              SELECT doc_id, n_tokens,
-                CAST(CAST(1.0 AS DECIMAL(8,6))
-                     - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
-                     - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
-                     AS DOUBLE) AS score
-              FROM (SELECT doc_id, len(toks) AS n_tokens,
-                      round(len(list_filter(toks, w -> list_contains(['the', 'a', 'and', 'of', 'to', 'in'], w)))::DOUBLE
-                            / len(toks), 6) AS stop_ratio,
-                      round(len(list_filter(toks, w -> length(w) <= 2))::DOUBLE
-                            / len(toks), 6) AS short_ratio
-                    FROM tk))
-            WHERE score >= 0.8 AND n_tokens >= 10),
+            SELECT doc_id
+            FROM (${TextAnalysis.qualityCteSql("tk")})
+            WHERE pass),
           ec AS (
             SELECT doc_id FROM (
               SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
               FROM inflated)
             WHERE doc_id = canon),
           bkt AS (SELECT doc_id, s,
-                    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                    ${graft.OracleSql.md5Bucket()}
                       AS bucket
                   FROM sh),
           ek AS (SELECT DISTINCT unnest(s) AS g FROM bkt WHERE bucket >= 90),
@@ -854,8 +822,7 @@ object Curation {
             SELECT bucket, doc_id, n,
               row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
             FROM (SELECT
-                    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                      % $PackBuckets AS bucket,
+                    ${graft.OracleSql.md5Bucket("doc_id", PackBuckets)} AS bucket,
                     doc_id, len($tokSql) AS n
                   FROM documents)),
           packed(bucket, rn, doc_id, n, bin, fill) AS (

@@ -91,6 +91,29 @@ object TextAnalysis {
   private def array_intersect_count(toks: Column, stops: Column): Column =
     filter(toks, w => array_contains(stops, w))
 
+  /** Shared DuckDB replay of [[qualityScoreOn]] over a (doc_id, toks)
+    * relation — the quality CTE that had drifted into four verbatim
+    * copies (ta_quality, pipeline_curate, pipeline_curate_big,
+    * pipeline_source_report; r13 verdict task 7 discipline). Emits the
+    * full column set (n_tokens, ratios, score, pass); consumers project
+    * or filter. OracleFragmentsSpec pins the decimal blend to this one
+    * definition.
+    */
+  private[graft] def qualityCteSql(tkRel: String): String =
+    s"""SELECT doc_id, n_tokens, stop_ratio, short_ratio, score,
+               (score >= 0.8 AND n_tokens >= 10) AS pass
+        FROM (SELECT doc_id, n_tokens, stop_ratio, short_ratio,
+                CAST(CAST(1.0 AS DECIMAL(8,6))
+                     - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
+                     - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
+                     AS DOUBLE) AS score
+              FROM (SELECT doc_id, len(toks) AS n_tokens,
+                      round(len(list_filter(toks, w -> list_contains(${sqlList(StopWords)}, w)))::DOUBLE
+                            / len(toks), 6) AS stop_ratio,
+                      round(len(list_filter(toks, w -> length(w) <= 2))::DOUBLE
+                            / len(toks), 6) AS short_ratio
+                    FROM $tkRel))"""
+
   private val EnStop = Seq("the", "a", "of", "and")
   private val EsStop = Seq("el", "la", "de", "y", "los")
 
@@ -737,22 +760,7 @@ object TextAnalysis {
                        ELSE [] END AS tris
                 FROM (SELECT doc_id, $tokSql AS toks FROM documents))""",
     "ta_quality" ->
-      s"""SELECT doc_id, n_tokens, stop_ratio, short_ratio,
-                 CAST(CAST(1.0 AS DECIMAL(8,6))
-                      - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
-                      - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
-                      AS DOUBLE) AS score,
-                 (CAST(CAST(1.0 AS DECIMAL(8,6))
-                      - abs(CAST(stop_ratio AS DECIMAL(8,6)) - CAST(0.1 AS DECIMAL(8,6)))
-                      - CAST(short_ratio AS DECIMAL(8,6)) * CAST(0.5 AS DECIMAL(8,6))
-                      AS DOUBLE) >= 0.8
-                  AND n_tokens >= 10) AS pass
-          FROM (SELECT doc_id, len(toks) AS n_tokens,
-                  round(len(list_filter(toks, w -> list_contains(${sqlList(StopWords)}, w)))::DOUBLE
-                        / len(toks), 6) AS stop_ratio,
-                  round(len(list_filter(toks, w -> length(w) <= 2))::DOUBLE
-                        / len(toks), 6) AS short_ratio
-                FROM (SELECT doc_id, $tokSql AS toks FROM documents))""",
+      qualityCteSql(s"(SELECT doc_id, $tokSql AS toks FROM documents)"),
     "ta_langid" ->
       s"""SELECT doc_id, score_en, score_es,
                  CASE WHEN score_en >= score_es AND score_en > 0 THEN 'en'

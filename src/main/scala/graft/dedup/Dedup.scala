@@ -162,15 +162,6 @@ object Dedup {
           "\n")).as("kept_md5"))
   }
 
-  /** Planted multi-line gate fixture for [[dedupLinesOn]] (the
-    * [[normFixture]] technique — the raw fixture corpus has no
-    * newlines): every doc gains a corpus-wide shared header line, a
-    * mod-5 shared footer line, and interior line structure from
-    * splitting on the frequent ` table ` token — so the gate exercises
-    * all three regimes (always-removed, group-removed, mostly-kept).
-    * Replayed verbatim by the oracle's injection CTE. Production
-    * callers use [[dedupLinesOn]] directly over real multi-line text.
-    */
   /** DuckDB replay of [[dedupLinesOn]] over [[linesFixture]] — shared by
     * the dedup_lines gate and the pipeline_curate_lines composition.
     */
@@ -194,6 +185,15 @@ object Dedup {
        FROM l LEFT JOIN hot ON l.line = hot.line
        GROUP BY l.doc_id"""
 
+  /** Planted multi-line gate fixture for [[dedupLinesOn]] (the
+    * [[normFixture]] technique — the raw fixture corpus has no
+    * newlines): every doc gains a corpus-wide shared header line, a
+    * mod-5 shared footer line, and interior line structure from
+    * splitting on the frequent ` table ` token — so the gate exercises
+    * all three regimes (always-removed, group-removed, mostly-kept).
+    * Replayed verbatim by the oracle's injection CTE. Production
+    * callers use [[dedupLinesOn]] directly over real multi-line text.
+    */
   private[graft] def linesFixture(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("doc_id"),
       concat(lit("graft shared header\n"),
@@ -332,10 +332,12 @@ object Dedup {
     * pairs) is safe for the fixture corpus, whose planted dups are ≥0.9.
     */
   /** (doc_id, band, key) LSH bucket rows for a shingle frame — the
-    * banded-signature derivation shared by [[minhashPairs]] (self-join)
-    * and [[incremental]] (batch⋈corpus join).
+    * banded-signature derivation shared by [[minhashPairs]] (self-join),
+    * [[incremental]] (batch⋈corpus join), and the streaming-curation
+    * index updater ([[graft.streaming.Streaming]]), which appends each
+    * micro-batch's kept-doc band rows to the live index.
     */
-  private def bandBuckets(sh: DataFrame): DataFrame =
+  private[graft] def bandBuckets(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
       .select(col("doc_id"), explode(transform(sequence(lit(0), lit(Bands - 1)),
         b => struct(b.as("band"),
@@ -1105,8 +1107,11 @@ object Dedup {
 
   /** The corpus-side fp set — split membership is a pure function of
     * doc_id (content-stable md5 bucket), so the filter is narrow.
+    * `private[graft]`: the streaming-curation sink
+    * ([[graft.streaming.Streaming]]) serves the same index to its
+    * micro-batches.
     */
-  private def corpusFpsFrame(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusFpsFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(md5(col("text")).as("fp"), expr(bucketExpr).as("bucket"))
       .where(col("bucket") < 90).select(col("fp")).distinct()
@@ -1114,13 +1119,34 @@ object Dedup {
   /** Corpus shingle sets (doc_id, sh) — narrow filter on the memoized
     * shingle scan; the candidate-verify side of the corpus index.
     */
-  private def corpusShFrame(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusShFrame(spark: SparkSession, dir: String): DataFrame =
     docShingles(spark, dir).withColumn("bucket", expr(bucketExpr))
       .where(col("bucket") < 90).drop("bucket")
 
   /** The corpus LSH band index (doc_id, band, key). */
-  private def corpusBandsFrame(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusBandsFrame(spark: SparkSession, dir: String): DataFrame =
     bandBuckets(corpusShFrame(spark, dir))
+
+  /** Shingle frame straight from an arbitrary (doc_id, text) frame — the
+    * un-memoized twin of [[docShingles]] for inputs that exist only for
+    * one pass (a streaming micro-batch, where memoizing by (session, dir)
+    * would serve batch 0's shingles to every later batch).
+    */
+  private[graft] def shinglesOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.ArrayExprs.wordShingles(
+          Text.tokenize(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** The batch-side slice of the live table (md5 bucket ≥ 90) — the
+    * "new data" both [[incremental]] and the streaming-curation spec
+    * ingest, exposed so the spec can stream EXACTLY the rows the
+    * hash-gated batch form processes.
+    */
+  private[graft] def ingestBatchFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), expr(bucketExpr).as("bucket"))
+      .where(col("bucket") >= 90)
 
   /** The ingestion core over EXPLICIT corpus-index relations —
     * `corpusFps` (fp), `corpusBands` (doc_id, band, key), `corpusSh`
@@ -1132,10 +1158,27 @@ object Dedup {
                             corpusFps: DataFrame, corpusBands: DataFrame,
                             corpusSh: DataFrame, minJaccard: Double,
                             bloomExact: Boolean): DataFrame = {
-    val batch = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), expr(bucketExpr).as("bucket"))
-      .where(col("bucket") >= 90)
+    // batch shingles ride the memoized corpus-wide shingle scan (narrow
+    // bucket filter) — the batch is a slice of the live table here, so
+    // the scan is shared with every other dedup consumer in the run
+    val batchSh = docShingles(spark, dir).withColumn("bucket", expr(bucketExpr))
+      .where(col("bucket") >= 90).drop("bucket")
+    incrementalBatchOn(ingestBatchFrame(spark, dir), batchSh,
+      corpusFps, corpusBands, corpusSh, minJaccard, bloomExact)
+  }
 
+  /** The ingestion core over an EXPLICIT batch — `batchDocs` (doc_id,
+    * text) and its shingle frame `batchSh` (doc_id, sh) — against the
+    * corpus-index relations. [[incrementalOn]] feeds it the bucket-split
+    * slices; the streaming-curation sink feeds it one micro-batch at a
+    * time ([[graft.streaming.Streaming]]'s foreachBatch), which is why
+    * the batch side is a parameter and not a scan of the live table.
+    */
+  private[graft] def incrementalBatchOn(batchDocs: DataFrame, batchSh: DataFrame,
+                                        corpusFps: DataFrame, corpusBands: DataFrame,
+                                        corpusSh: DataFrame, minJaccard: Double,
+                                        bloomExact: Boolean): DataFrame = {
+    val batch = batchDocs
     val batchFps = batch.select(col("doc_id"), md5(col("text")).as("fp"))
     val exactProbe =
       if (bloomExact)
@@ -1146,8 +1189,6 @@ object Dedup {
       .join(corpusFps, Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_dup"))
 
-    val batchSh = docShingles(spark, dir).withColumn("bucket", expr(bucketExpr))
-      .where(col("bucket") >= 90).drop("bucket")
     val cand = bandBuckets(batchSh).toDF("doc_id", "band", "key")
       .join(corpusBands.toDF("cid", "band2", "key2"),
         col("band") === col("band2") && col("key") === col("key2"))
@@ -1175,8 +1216,7 @@ object Dedup {
   // Shared oracle CTE: distinct word-3-gram shingles per doc.
   private val shSql =
     s"""sh AS (
-          SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                 for i in generate_series(1, len(w) - 2)]) AS s
+          SELECT doc_id, ${graft.OracleSql.shingle3("w")} AS s
           FROM (SELECT doc_id, $tokSql AS w FROM documents)
           WHERE len(w) >= 3)"""
 
@@ -1235,8 +1275,7 @@ object Dedup {
                  chr(CAST(97 + (doc_id % 200) % 26 AS INTEGER)) || ' network' AS text
           FROM documents, generate_series(0, ${replicas - 1}) AS t(r)),
         sh AS (
-          SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                 for i in generate_series(1, len(w) - 2)]) AS s
+          SELECT doc_id, ${graft.OracleSql.shingle3("w")} AS s
           FROM (SELECT doc_id, $tokSql AS w FROM inflated)
           WHERE len(w) >= 3),
         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -1290,8 +1329,7 @@ object Dedup {
                       ELSE text || ' zz' || repeat('x', r) END AS text
           FROM documents, generate_series(0, ${replicas - 1}) AS t(r)),
         sh AS (
-          SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                 for i in generate_series(1, len(w) - 2)]) AS s
+          SELECT doc_id, ${graft.OracleSql.shingle3("w")} AS s
           FROM (SELECT doc_id, $tokSql AS w FROM inflated)
           WHERE len(w) >= 3),
         hs AS (
@@ -1332,8 +1370,7 @@ object Dedup {
                       ELSE text || ' zz' || repeat('x', r) END AS text
           FROM documents, generate_series(0, ${replicas - 1}) AS t(r)),
         sh AS (
-          SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                 for i in generate_series(1, len(w) - 2)]) AS s
+          SELECT doc_id, ${graft.OracleSql.shingle3("w")} AS s
           FROM (SELECT doc_id, $tokSql AS w FROM inflated)
           WHERE len(w) >= 3),
         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -1691,7 +1728,7 @@ object Dedup {
     "dedup_contamination" ->
       s"""WITH $shSql,
           b AS (SELECT doc_id, s,
-                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                  ${graft.OracleSql.md5Bucket()}
                     AS bucket
                 FROM sh),
           ek AS (SELECT DISTINCT unnest(s) AS g FROM b WHERE bucket >= 90),
@@ -1728,10 +1765,17 @@ object Dedup {
     "dedup_incremental_bloom" -> incrementalOracle,
   ) ++ oraclesTail
 
-  private lazy val incrementalOracle: String =
-      s"""WITH $shSql,
+  /** The incremental-ingestion CTE chain (batch / corpus split, exact
+    * fp membership, LSH-verified near-dup) WITHOUT its final SELECT —
+    * shared by [[incrementalOracle]] and the streaming-curation oracle
+    * ([[graft.streaming.Streaming]], st_curate), which appends a quality
+    * CTE before its own projection. One definition, per the
+    * OracleFragmentsSpec discipline.
+    */
+  private[graft] lazy val incrementalCteBody: String =
+      s"""$shSql,
           b AS (SELECT doc_id,
-                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                  ${graft.OracleSql.md5Bucket()}
                     AS bucket
                 FROM documents),
           batch AS (SELECT doc_id FROM b WHERE bucket >= 90),
@@ -1746,7 +1790,10 @@ object Dedup {
                  JOIN batch USING (doc_id)
                  JOIN sh c ON round(len(list_intersect(a.s, c.s))::DOUBLE /
                                     len(list_distinct(a.s || c.s)), 6) >= 0.5
-                 JOIN corpus co ON c.doc_id = co.doc_id)
+                 JOIN corpus co ON c.doc_id = co.doc_id)"""
+
+  private lazy val incrementalOracle: String =
+      s"""WITH $incrementalCteBody
           SELECT batch.doc_id,
                  ex.doc_id IS NOT NULL AS exact_dup,
                  nr.doc_id IS NOT NULL AS near_dup,

@@ -121,10 +121,7 @@ object Hybrid {
                      row_number() OVER (ORDER BY cos DESC, doc_id) AS drank
               FROM (
                 SELECT a.vec_id AS doc_id,
-                       round(list_sum(list_transform(list_zip(a.embedding, q.qe),
-                               p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
-                         (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-                          sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+                       ${graft.OracleSql.cos6("a.embedding", "q.qe")} AS cos
                 FROM en a CROSS JOIN qv q
                 WHERE a.vec_id <> 0))
             WHERE drank <= 20)

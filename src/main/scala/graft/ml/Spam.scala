@@ -667,8 +667,7 @@ object Spam {
                            w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % $numFeatures)) AS feature
                   FROM (SELECT doc_id, $tokSql AS toks FROM documents
                         WHERE doc_id >= $steps
-                          AND ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                              % 100 >= 90))
+                          AND ${graft.OracleSql.md5Bucket()} >= 90))
             GROUP BY docid, label, feature),
           sc AS (SELECT o.docid, o.label,
                         sum(o.cnt * coalesce(w.w, CAST(0 AS DECIMAL(18,9)))) AS score_d

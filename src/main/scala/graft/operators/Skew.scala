@@ -168,12 +168,12 @@ object Skew {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_custkey""",
     "ml_hash_split" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
                 CASE WHEN bucket < 80 THEN 'train'
                      WHEN bucket < 90 THEN 'val'
                      ELSE 'test' END AS split
          FROM (SELECT doc_id,
-                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                 ${graft.OracleSql.md5Bucket()}
                    AS bucket
                FROM documents)""",
   )

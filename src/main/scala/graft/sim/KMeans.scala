@@ -191,7 +191,7 @@ object KMeans {
                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
                        round(list_sum(list_transform(list_zip(e.embedding, c.cent),
                                p -> p[1]::DOUBLE * p[2]))
-                         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                         / (${graft.OracleSql.l2norm("e.embedding")}
                             * sqrt(list_sum(list_transform(c.cent, x -> x * x)))), 6) DESC,
                        c.cell) AS rk
               FROM ${p}e e CROSS JOIN ${p}c${i - 1} c) WHERE rk = 1),

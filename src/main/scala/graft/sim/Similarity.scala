@@ -984,10 +984,7 @@ object Similarity {
   }
 
   private val cosSql =
-    """round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-         p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
-       (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-        sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)"""
+    graft.OracleSql.cos6("a.embedding", "b.embedding")
 
   /** [[mmr]] replay: candidate pool + pairwise cosines, then the k greedy
     * steps unrolled (each = one argmax CTE over the not-yet-selected
@@ -1089,7 +1086,7 @@ object Similarity {
           corpus AS MATERIALIZED ($corpusSql),
           en AS MATERIALIZED (
             SELECT vec_id, embedding,
-                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                   ${graft.OracleSql.l2norm("embedding")} AS nrm
             FROM corpus),
           c AS MATERIALIZED (
             SELECT cell, cent AS ce,
@@ -1128,9 +1125,7 @@ object Similarity {
                        round(list_sum(list_transform(
                                list_zip(e2.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub], cb.cent),
                                z -> z[1]::DOUBLE * z[2]))
-                         / (sqrt(list_sum(list_transform(
-                              e2.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub],
-                              x -> x::DOUBLE * x::DOUBLE)))
+                         / (${graft.OracleSql.l2norm(s"e2.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub]")}
                             * sqrt(cb.cn2)), 6) DESC,
                        cb.cell) AS rk
               FROM (SELECT vec_id, embedding FROM corpus $codeFilter) e2
@@ -1233,7 +1228,7 @@ object Similarity {
             GROUP BY j),
           e AS MATERIALIZED (
             SELECT vec_id, embedding,
-                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                   ${graft.OracleSql.l2norm("embedding")} AS nrm
             FROM embeddings),
           sk AS MATERIALIZED (
             SELECT vec_id, any_value(embedding) AS embedding, any_value(nrm) AS nrm,
@@ -1266,7 +1261,7 @@ object Similarity {
             GROUP BY j),
           e AS MATERIALIZED (
             SELECT vec_id, embedding,
-                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                   ${graft.OracleSql.l2norm("embedding")} AS nrm
             FROM embeddings),
           sk AS MATERIALIZED (
             SELECT vec_id, any_value(embedding) AS embedding, any_value(nrm) AS nrm,
@@ -1311,7 +1306,7 @@ object Similarity {
             GROUP BY j),
           e AS MATERIALIZED (
             SELECT vec_id, embedding,
-                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                   ${graft.OracleSql.l2norm("embedding")} AS nrm
             FROM base),
           sk AS MATERIALIZED (
             SELECT vec_id, any_value(embedding) AS embedding, any_value(nrm) AS nrm,
@@ -1349,7 +1344,7 @@ object Similarity {
             GROUP BY j),
           e AS MATERIALIZED (
             SELECT vec_id, embedding,
-                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                   ${graft.OracleSql.l2norm("embedding")} AS nrm
             FROM embeddings),
           sk AS MATERIALIZED (
             SELECT vec_id, list(CASE WHEN round(dotv, 6) > 0 THEN 1 ELSE 0 END ORDER BY j) AS sk
@@ -1398,7 +1393,7 @@ object Similarity {
             GROUP BY j),
           e AS MATERIALIZED (
             SELECT vec_id, embedding,
-                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                   ${graft.OracleSql.l2norm("embedding")} AS nrm
             FROM embeddings),
           sk AS MATERIALIZED (
             SELECT vec_id, any_value(embedding) AS embedding, any_value(nrm) AS nrm,
@@ -1438,7 +1433,7 @@ object Similarity {
       s""",
           en AS MATERIALIZED (
             SELECT vec_id, embedding,
-                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                   ${graft.OracleSql.l2norm("embedding")} AS nrm
             FROM e),
           c AS MATERIALIZED (
             SELECT cell, cent AS ce,
@@ -1494,16 +1489,14 @@ object Similarity {
                        round(list_sum(list_transform(
                                list_zip(e.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub], cb.cent),
                                z -> z[1]::DOUBLE * z[2]))
-                         / (sqrt(list_sum(list_transform(
-                              e.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub],
-                              x -> x::DOUBLE * x::DOUBLE)))
+                         / (${graft.OracleSql.l2norm(s"e.embedding[cb.m*$PqSub+1:(cb.m+1)*$PqSub]")}
                             * sqrt(cb.cn2)), 6) DESC,
                        cb.cell) AS rk
               FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $MaxExactVectors) e
                    CROSS JOIN cb) WHERE rk = 1),
           q AS MATERIALIZED (
             SELECT vec_id AS query_id, embedding AS qe,
-                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS qn
+                   ${graft.OracleSql.l2norm("embedding")} AS qn
             FROM embeddings WHERE vec_id < 10),
           lut AS MATERIALIZED (
             SELECT q.query_id, q.qn, cb.m, cb.cell,
@@ -1547,7 +1540,7 @@ object Similarity {
       s""",
           en AS MATERIALIZED (
             SELECT vec_id, embedding,
-                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                   ${graft.OracleSql.l2norm("embedding")} AS nrm
             FROM e),
           c AS MATERIALIZED (
             SELECT cell, cent AS ce,
@@ -1583,7 +1576,7 @@ object Similarity {
       s""",
           en AS MATERIALIZED (
             SELECT vec_id, embedding, label,
-                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                   ${graft.OracleSql.l2norm("embedding")} AS nrm
             FROM embeddings),
           c AS MATERIALIZED (
             SELECT cell, cent AS ce,

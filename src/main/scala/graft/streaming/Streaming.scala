@@ -646,6 +646,175 @@ object Streaming {
   def readUserState(spark: SparkSession, path: String): DataFrame =
     finishState(spark.read.parquet(path))
 
+  /** One micro-batch of the STREAMING CURATION pipeline (r13 verdict
+    * task 8): quality gate + exact-fingerprint membership (bloom-pruned,
+    * the dedup_incremental_bloom runtime filter) + LSH band-bucket
+    * near-dup candidates with exact-Jaccard verify — all against the
+    * CORPUS INDEX relations (`corpusFps`, `corpusBands`, `corpusSh`:
+    * persistable artifacts of the previous corpus build, exactly the
+    * dedup_incremental machinery). Emits one verdict row per batch doc;
+    * `keep` = passes quality AND novel both ways.
+    *
+    * State lives in the INDEX, not in the stream engine: every batch is
+    * curated independently against static relations, so the composition
+    * needs no watermark or state store — the verdict is a pure function
+    * of (batch rows, index), which also makes redelivery naturally
+    * idempotent (the sink still partitions by batch_id per the
+    * [[exactlyOnceSink]] landing contract). A deployment that must also
+    * dedup the stream against ITSELF appends each batch's kept fps/bands
+    * to the index between triggers — the incremental-dedup ingestion
+    * loop, O(batch) per step; the gate here pins the order-independent
+    * batch-vs-corpus core those loops are built from.
+    */
+  def curateMicroBatch(mb: DataFrame, corpusFps: DataFrame,
+                       corpusBands: DataFrame, corpusSh: DataFrame,
+                       minJaccard: Double = 0.5): DataFrame = {
+    val verdicts = graft.dedup.Dedup.incrementalBatchOn(
+      mb, graft.dedup.Dedup.shinglesOn(mb),
+      corpusFps, corpusBands, corpusSh, minJaccard, bloomExact = true)
+    val q = graft.analysis.TextAnalysis.qualityScoreOn(
+        mb.select(col("doc_id"), graft.text.Text.tokenize(col("text")).as("toks")))
+      .select(col("doc_id"), col("pass").as("quality_pass"))
+    verdicts.drop("keep").join(q, "doc_id")
+      .select(col("doc_id"), col("quality_pass"), col("exact_dup"), col("near_dup"),
+        (col("quality_pass") && !col("exact_dup") && !col("near_dup")).as("keep"))
+  }
+
+  /** Batch execution of [[curateMicroBatch]] over the WHOLE ingestion
+    * split as one batch (the registry/hash-gate form): identical code,
+    * corpus index served from the live table's bucket < 90 slice. The
+    * multi-micro-batch ≡ batch equivalence — an AvailableNow file stream
+    * of the same split in several files, one foreachBatch verdict write
+    * per trigger — is pinned in StreamingSpec.
+    */
+  def curateIngest(spark: SparkSession, dir: String): DataFrame =
+    curateMicroBatch(
+      graft.dedup.Dedup.ingestBatchFrame(spark, dir),
+      graft.dedup.Dedup.corpusFpsFrame(spark, dir),
+      graft.dedup.Dedup.corpusBandsFrame(spark, dir),
+      graft.dedup.Dedup.corpusShFrame(spark, dir))
+
+  private def corpusIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    (graft.dedup.Dedup.corpusFpsFrame(spark, dir),
+      graft.dedup.Dedup.corpusBandsFrame(spark, dir),
+      graft.dedup.Dedup.corpusShFrame(spark, dir))
+
+  /** Batch 0 / batch 1 of the SELF-UPDATING sequential tier
+    * ([[curateSequentialIngest]]): the ingestion split cut by doc_id
+    * parity, batch 1 additionally carrying PLANTED intra-stream
+    * duplicates — the two smallest batch-0 KEPT docs cloned exactly
+    * (doc_id + 900000) and near (" zz zz" suffix ⇒ two extra tokens,
+    * Jaccard ≈ n/(n+2) ≫ 0.9 against the seed; doc_id + 910000). The
+    * plants' only duplicates are batch-0 kept docs — never the corpus —
+    * so their dup flags hold iff the index update between the two steps
+    * is load-bearing. Returned alongside batch 0's verdicts so callers
+    * don't re-run step 0.
+    */
+  private[graft] def seqParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (fps, bands, sh) = corpusIndex(spark, dir)
+    val batch = graft.dedup.Dedup.ingestBatchFrame(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val b0 = batch.where(pmod(col("doc_id"), lit(2)) === 0)
+    val v0 = curateMicroBatch(b0, fps, bands, sh)
+    val kept0 = b0.join(v0.where(col("keep")).select("doc_id"), "doc_id")
+    val seeds = kept0.orderBy(col("doc_id")).limit(2)
+    val b1 = batch.where(pmod(col("doc_id"), lit(2)) === 1)
+      .unionByName(seeds.select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      .unionByName(seeds.select((col("doc_id") + 910000L).as("doc_id"),
+        concat(col("text"), lit(" zz zz")).as("text")))
+    (b0, b1, v0)
+  }
+
+  /** SELF-UPDATING streaming curation, the two-step sequential form:
+    * batch 0 curates against the corpus index, its KEPT docs' fp / band
+    * / shingle rows are appended to the index, and batch 1 curates
+    * against the union — so batch 1's verdicts see batch 0, the
+    * incremental-dedup ingestion loop ([[curateMicroBatch]]'s scaladoc)
+    * executed rather than described. O(batch) per step: each update
+    * appends only the kept docs' index rows; nothing corpus-sized moves.
+    * Hash-gated with planted intra-stream dups (see [[seqParts]]) so the
+    * index update is provably consulted; the oracle replays both steps
+    * as chained CTEs (exact-Jaccard near set — the LSH-recall-1-on-
+    * fixture assumption every dedup_incremental oracle shares). The
+    * live multi-trigger twin is [[curateStatefulSink]], proven ≡ this
+    * form in StreamingSpec.
+    */
+  def curateSequentialIngest(spark: SparkSession, dir: String): DataFrame = {
+    val (fps, bands, sh) = corpusIndex(spark, dir)
+    val (b0, b1, v0) = seqParts(spark, dir)
+    val kept0 = b0.join(v0.where(col("keep")).select("doc_id"), "doc_id")
+    val ksh = graft.dedup.Dedup.shinglesOn(kept0)
+    val fps1 = fps.unionByName(kept0.select(md5(col("text")).as("fp"))).distinct()
+    val bands1 = bands.unionByName(graft.dedup.Dedup.bandBuckets(ksh))
+    val sh1 = sh.unionByName(ksh)
+    v0.unionByName(curateMicroBatch(b1, fps1, bands1, sh1))
+  }
+
+  /** The self-updating curation stream: per trigger, verdicts land
+    * batch_id-partitioned (the [[exactlyOnceSink]] contract), then the
+    * batch's KEPT docs' fp / band / shingle rows are APPENDED to the
+    * live index directory, which the next trigger reads fresh. Verdicts
+    * are computed and WRITTEN before the index update (the update reads
+    * the landed verdicts back, never racing a path it writes). Index
+    * appends are verdict-idempotent by construction — membership is a
+    * semi-join, candidates and near-dups are DISTINCT-folded — so a
+    * redelivered batch re-appending its kept rows cannot change any
+    * later verdict; only the index's byte size pays for the duplicate
+    * rows (a production compactor folds them, op_compact).
+    */
+  def curateStatefulSink(stream: DataFrame, indexDir: String, outPath: String,
+                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        val spark = mb.sparkSession
+        curateMicroBatch(mb,
+            spark.read.parquet(s"$indexDir/fps"),
+            spark.read.parquet(s"$indexDir/bands"),
+            spark.read.parquet(s"$indexDir/sh"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        val kept = mb.join(
+          spark.read.parquet(outPath)
+            .where(col("batch_id") === batchId && col("keep"))
+            .select("doc_id"), "doc_id")
+        kept.select(md5(col("text")).as("fp"))
+          .write.mode("append").parquet(s"$indexDir/fps")
+        val ksh = graft.dedup.Dedup.shinglesOn(kept)
+        ksh.write.mode("append").parquet(s"$indexDir/sh")
+        graft.dedup.Dedup.bandBuckets(ksh)
+          .write.mode("append").parquet(s"$indexDir/bands")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The curation stream: one [[curateMicroBatch]] per trigger, landed
+    * under the [[exactlyOnceSink]] contract (dynamic overwrite of the
+    * batch's own partition — redelivered batches replace, never append).
+    */
+  def curateStreamSink(stream: DataFrame, corpusFps: DataFrame,
+                       corpusBands: DataFrame, corpusSh: DataFrame,
+                       path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        curateMicroBatch(mb, corpusFps, corpusBands, corpusSh)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_user_state" -> ((s, d) => userState(Tables.events(s, d))),
     "st_static_enrich" -> ((s, d) => staticEnrich(Tables.events(s, d))),
@@ -664,8 +833,24 @@ object Streaming {
     // STATEFUL scale tier: the flatMapGroupsWithState path at ×10 keys —
     // the sliding tier stresses windowed-agg state, this one the custom
     // per-key session state (user remap keeps every group bounded at its
-    // original size while the group COUNT scales ×10)
+    // original size while the group COUNT scales ×10).
+    // Slope note (r13 verdict task 6): the r13 driver artifact read the
+    // sessions_x10 cold slope at 5.4× (0.45→2.42 s, 7.7% steal) — that
+    // was contention, not plan cost: the quiet run_valid r14 bench reads
+    // [0.26, 0.85] ≈ 3.3× for ×10 keys (bench_history/bench_r14_local),
+    // in line with every earlier quiet round (r10 1.12 s, r11 1.23 s,
+    // r12 1.04 s big-tier medians). The residual >1× is the per-key fold
+    // itself — groups are mapped once per key, so ×10 keys is ×10 group
+    // invocations against a fixed ~0.2 s plan+exchange floor.
     "st_sessions_big" -> ((s, d) => sessionizeStateful(inflatedEvents(s, d)).toDF()),
+    // streaming curation (r13 verdict task 8): batch execution of the
+    // per-micro-batch quality + bloom-exact + LSH-near composition; the
+    // AvailableNow multi-micro-batch ≡ batch proof is in StreamingSpec
+    "st_curate" -> ((s, d) => curateIngest(s, d)),
+    // the SELF-UPDATING two-step form: batch 1 curates against corpus ∪
+    // batch 0's kept docs, planted intra-stream dups prove the index
+    // update is consulted; live multi-trigger twin in StreamingSpec
+    "st_curate_seq" -> ((s, d) => curateSequentialIngest(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -755,5 +940,90 @@ object Streaming {
                FROM events, generate_series(0, 9) AS t(r),
                             unnest(generate_series(0, 1)) AS u(j))
          GROUP BY 1, 2""",
+    // the incremental-ingestion CTE chain (shared with dedup_incremental*)
+    // plus the shared quality CTE — the composition's replay references
+    // both owners, never inlines (OracleFragmentsSpec)
+    "st_curate" ->
+      s"""WITH ${graft.dedup.Dedup.incrementalCteBody},
+          q AS (${graft.analysis.TextAnalysis.qualityCteSql(
+            s"(SELECT doc_id, ${graft.text.Text.TokSql} AS toks FROM documents)")})
+          SELECT batch.doc_id,
+                 q.pass AS quality_pass,
+                 ex.doc_id IS NOT NULL AS exact_dup,
+                 nr.doc_id IS NOT NULL AS near_dup,
+                 (q.pass AND ex.doc_id IS NULL AND nr.doc_id IS NULL) AS keep
+          FROM batch
+          JOIN q ON batch.doc_id = q.doc_id
+          LEFT JOIN ex ON batch.doc_id = ex.doc_id
+          LEFT JOIN nr ON batch.doc_id = nr.doc_id""",
+    // chained-CTE replay of BOTH sequential steps: step-0 verdicts over
+    // the corpus index, kept-0 derived, the planted clones injected
+    // (seeds = 2 smallest kept docs, the seqParts protocol), step-1
+    // verdicts over corpus ∪ kept-0 (UNION-folded fp set, shingle-set
+    // union); near sets are exact-Jaccard (the LSH-recall-1-on-fixture
+    // assumption shared with every dedup_incremental oracle)
+    "st_curate_seq" -> {
+      val jacc = (a: String, c: String) =>
+        s"""round(len(list_intersect($a.s, $c.s))::DOUBLE /
+                  len(list_distinct($a.s || $c.s)), 6) >= 0.5"""
+      s"""WITH bkt AS (SELECT doc_id, ${graft.OracleSql.md5Bucket()} AS bucket
+                       FROM documents),
+          corpus AS (SELECT doc_id FROM bkt WHERE bucket < 90),
+          batchd AS (SELECT d.doc_id, d.text FROM documents d
+                     JOIN bkt USING (doc_id) WHERE bucket >= 90),
+          corpus_fp AS (SELECT DISTINCT md5(d.text) AS fp FROM documents d
+                        JOIN corpus c ON d.doc_id = c.doc_id),
+          corpus_sh AS (
+            SELECT doc_id, ${graft.OracleSql.shingle3("toks")} AS s
+            FROM (SELECT d.doc_id, ${graft.text.Text.TokSql} AS toks
+                  FROM documents d JOIN corpus c ON d.doc_id = c.doc_id)
+            WHERE len(toks) >= 3),
+          b0 AS (SELECT doc_id, text FROM batchd WHERE doc_id % 2 = 0),
+          tk0 AS (SELECT doc_id, ${graft.text.Text.TokSql} AS toks FROM b0),
+          q0 AS (${graft.analysis.TextAnalysis.qualityCteSql("tk0")}),
+          sh0 AS (SELECT doc_id, ${graft.OracleSql.shingle3("toks")} AS s
+                  FROM tk0 WHERE len(toks) >= 3),
+          ex0 AS (SELECT DISTINCT b0.doc_id FROM b0
+                  JOIN corpus_fp f ON md5(b0.text) = f.fp),
+          nr0 AS (SELECT DISTINCT a.doc_id FROM sh0 a
+                  JOIN corpus_sh c ON ${jacc("a", "c")}),
+          v0 AS (SELECT b0.doc_id, q0.pass AS quality_pass,
+                        ex0.doc_id IS NOT NULL AS exact_dup,
+                        nr0.doc_id IS NOT NULL AS near_dup,
+                        (q0.pass AND ex0.doc_id IS NULL
+                         AND nr0.doc_id IS NULL) AS keep
+                 FROM b0 JOIN q0 ON b0.doc_id = q0.doc_id
+                 LEFT JOIN ex0 ON b0.doc_id = ex0.doc_id
+                 LEFT JOIN nr0 ON b0.doc_id = nr0.doc_id),
+          kept0 AS (SELECT b0.doc_id, b0.text FROM b0
+                    JOIN v0 ON b0.doc_id = v0.doc_id WHERE v0.keep),
+          seeds AS (SELECT doc_id, text FROM kept0 ORDER BY doc_id LIMIT 2),
+          b1 AS (SELECT doc_id, text FROM batchd WHERE doc_id % 2 = 1
+                 UNION ALL SELECT doc_id + 900000, text FROM seeds
+                 UNION ALL SELECT doc_id + 910000, text || ' zz zz' FROM seeds),
+          fps1 AS (SELECT fp FROM corpus_fp
+                   UNION SELECT md5(text) AS fp FROM kept0),
+          shk AS (SELECT s0.doc_id, s0.s FROM sh0 s0
+                  JOIN kept0 k ON s0.doc_id = k.doc_id),
+          shc1 AS (SELECT doc_id, s FROM corpus_sh
+                   UNION ALL SELECT doc_id, s FROM shk),
+          tk1 AS (SELECT doc_id, ${graft.text.Text.TokSql} AS toks FROM b1),
+          q1 AS (${graft.analysis.TextAnalysis.qualityCteSql("tk1")}),
+          sh1 AS (SELECT doc_id, ${graft.OracleSql.shingle3("toks")} AS s
+                  FROM tk1 WHERE len(toks) >= 3),
+          ex1 AS (SELECT DISTINCT b1.doc_id FROM b1
+                  JOIN fps1 f ON md5(b1.text) = f.fp),
+          nr1 AS (SELECT DISTINCT a.doc_id FROM sh1 a
+                  JOIN shc1 c ON ${jacc("a", "c")}),
+          v1 AS (SELECT b1.doc_id, q1.pass AS quality_pass,
+                        ex1.doc_id IS NOT NULL AS exact_dup,
+                        nr1.doc_id IS NOT NULL AS near_dup,
+                        (q1.pass AND ex1.doc_id IS NULL
+                         AND nr1.doc_id IS NULL) AS keep
+                 FROM b1 JOIN q1 ON b1.doc_id = q1.doc_id
+                 LEFT JOIN ex1 ON b1.doc_id = ex1.doc_id
+                 LEFT JOIN nr1 ON b1.doc_id = nr1.doc_id)
+          SELECT * FROM v0 UNION ALL SELECT * FROM v1"""
+    },
   )
 }

@@ -359,6 +359,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q11_top_nations" -> "1-row global balance total broadcast (the scalar subquery)",
       "ml_nb_train" -> "V x C model-grid crossJoin (vocabulary x class count, the NB model size) + 1-row vocab/doc-count broadcasts",
       "ml_nb_apply" -> "inherits the bounded V x C grid + 1-row broadcasts through the model join",
+      "ta_langid_nb" -> "the ml_nb_train shape over char trigrams: V x C model-grid crossJoin (trigram vocabulary x language count — vocabulary-bounded, broadcast weight at any corpus size) + 1-row vocab/doc-count broadcasts",
       "pr_hits" -> "single 1-row end-of-loop max-normalizer broadcast over the top-k survivors",
       "ir_mlt" -> "1-row corpus stats (N, avgdl) broadcast per query doc (the bm25 shape)",
       "op_join_estimate" -> "1-row sketch-estimate x 1-row exact-F2 crossJoin",

@@ -711,4 +711,99 @@ class StreamingSpec extends AnyFunSuite {
         s"state not evicted: $lastState rows retained of ${want.size} keys")
     } finally ev.unpersist()
   }
+
+  test("streaming curation: multi-microbatch AvailableNow stream equals the batch composition") {
+    import org.apache.spark.sql.functions._
+    // the ingestion split streamed as 3 files so maxFilesPerTrigger=1
+    // yields 3 micro-batches; mod-3 on doc_id is a deterministic cut
+    val batchDocs = graft.dedup.Dedup.ingestBatchFrame(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val srcDir = java.nio.file.Files.createTempDirectory("st-curate-src")
+    (0 until 3).foreach { r =>
+      batchDocs.where(pmod(col("doc_id"), lit(3)) === r)
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+      Thread.sleep(20)
+    }
+    val corpusFps = graft.dedup.Dedup.corpusFpsFrame(spark, sf)
+    val corpusBands = graft.dedup.Dedup.corpusBandsFrame(spark, sf)
+    val corpusSh = graft.dedup.Dedup.corpusShFrame(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("st-curate-out").toString
+    val q = Streaming.curateStreamSink(
+      spark.readStream.schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+      corpusFps, corpusBands, corpusSh, out,
+      java.nio.file.Files.createTempDirectory("st-curate-chk").toString)
+    assert(q.awaitTermination(300000), "stream did not terminate")
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      "expected one microbatch per source file")
+    def vs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "quality_pass", "exact_dup", "near_dup", "keep")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4))).toSet
+    // micro-batch union == whole-split batch form (the hash-gated
+    // st_curate): the composition is order-independent by construction —
+    // each verdict is a pure function of (its batch rows, the index)
+    val got = vs(spark.read.parquet(out))
+    val want = vs(Streaming.curateIngest(spark, sf))
+    assert(got == want, s"stream verdicts drifted: $got vs $want")
+    assert(want.nonEmpty)
+    // planted positive through the same micro-batch path: a batch doc
+    // carrying a corpus doc's exact text must flag exact_dup (bloom
+    // admits it, the exact semi-join confirms) and therefore not keep
+    val corpusText = Tables.documents(spark, sf)
+      .join(corpusFps, md5(col("text")) === col("fp"), "left_semi")
+      .select("text").head.getString(0)
+    import spark.implicits._
+    // the second plant is novel but too short for the quality gate
+    // (n_tokens < 10): present in the verdicts, not kept
+    val planted = Seq((900001L, corpusText), (900002L, "too short to pass"))
+      .toDF("doc_id", "text")
+    val pv = Streaming.curateMicroBatch(planted, corpusFps, corpusBands, corpusSh)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(pv(900001L).getBoolean(2), "planted exact dup not flagged")
+    assert(!pv(900001L).getBoolean(4), "planted exact dup kept")
+    assert(!pv(900002L).getBoolean(1) && !pv(900002L).getBoolean(4),
+      "short doc passed the quality gate")
+  }
+
+  test("self-updating curation stream: index appends make batch 1 see batch 0's kept docs") {
+    import org.apache.spark.sql.functions._
+    val (b0, b1, _) = Streaming.seqParts(spark, sf)
+    // two time-ordered files so maxFilesPerTrigger=1 streams batch 0
+    // strictly before batch 1 (the upsert tests' ordering protocol)
+    val srcDir = java.nio.file.Files.createTempDirectory("st-seq-src")
+    b0.coalesce(1).write.mode("append").parquet(srcDir.toString)
+    Thread.sleep(20)
+    b1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+    // live index seeded from the corpus relations (the persisted
+    // prior-run artifacts a production stream would mount)
+    val idx = java.nio.file.Files.createTempDirectory("st-seq-idx").toString
+    graft.dedup.Dedup.corpusFpsFrame(spark, sf).write.parquet(s"$idx/fps")
+    graft.dedup.Dedup.corpusBandsFrame(spark, sf).write.parquet(s"$idx/bands")
+    graft.dedup.Dedup.corpusShFrame(spark, sf).write.parquet(s"$idx/sh")
+    val out = java.nio.file.Files.createTempDirectory("st-seq-out").toString
+    val q = Streaming.curateStatefulSink(
+      spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+      idx, out,
+      java.nio.file.Files.createTempDirectory("st-seq-chk").toString)
+    assert(q.awaitTermination(300000), "stream did not terminate")
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+      "expected one microbatch per source file")
+    def vs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "quality_pass", "exact_dup", "near_dup", "keep")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4))).toSet
+    val got = vs(spark.read.parquet(out))
+    // ≡ the hash-gated sequential batch form (st_curate_seq)
+    val want = vs(Streaming.curateSequentialIngest(spark, sf))
+    assert(got == want, s"stateful stream verdicts drifted from the sequential form")
+    // the plants' only duplicates are batch-0 KEPT docs — these flags
+    // exist iff batch 1's trigger read index rows batch 0's trigger
+    // appended (exact clone at +900000, near clone at +910000)
+    assert(got.exists(t => t._1 >= 900000L && t._1 < 910000L && t._3 && !t._5),
+      "exact plant not flagged through the appended fp rows")
+    assert(got.exists(t => t._1 >= 910000L && t._4 && !t._5),
+      "near plant not flagged through the appended band/shingle rows")
+  }
 }
