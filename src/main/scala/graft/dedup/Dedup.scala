@@ -1111,21 +1111,29 @@ object Dedup {
     * ([[graft.streaming.Streaming]]) serves the same index to its
     * micro-batches.
     */
+  // The three corpus-index relations are MEMOIZED (the ≥2-consumer
+  // rule): each serves dedup_incremental{,_bloom,_persisted}, st_curate
+  // AND st_curate_seq in one registry run — unmemoized, the band index
+  // recomputed the 60-hash MinHash signatures of the whole corpus once
+  // per consumer.
   private[graft] def corpusFpsFrame(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(md5(col("text")).as("fp"), expr(bucketExpr).as("bucket"))
-      .where(col("bucket") < 90).select(col("fp")).distinct()
+    memoized(spark, dir, "incr_fps")(
+      Tables.documents(spark, dir)
+        .select(md5(col("text")).as("fp"), expr(bucketExpr).as("bucket"))
+        .where(col("bucket") < 90).select(col("fp")).distinct())
 
   /** Corpus shingle sets (doc_id, sh) — narrow filter on the memoized
     * shingle scan; the candidate-verify side of the corpus index.
     */
   private[graft] def corpusShFrame(spark: SparkSession, dir: String): DataFrame =
-    docShingles(spark, dir).withColumn("bucket", expr(bucketExpr))
-      .where(col("bucket") < 90).drop("bucket")
+    memoized(spark, dir, "incr_sh")(
+      docShingles(spark, dir).withColumn("bucket", expr(bucketExpr))
+        .where(col("bucket") < 90).drop("bucket"))
 
   /** The corpus LSH band index (doc_id, band, key). */
   private[graft] def corpusBandsFrame(spark: SparkSession, dir: String): DataFrame =
-    bandBuckets(corpusShFrame(spark, dir))
+    memoized(spark, dir, "incr_bands")(
+      bandBuckets(corpusShFrame(spark, dir)))
 
   /** Shingle frame straight from an arbitrary (doc_id, text) frame — the
     * un-memoized twin of [[docShingles]] for inputs that exist only for

@@ -768,7 +768,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("self-updating curation stream: index appends make batch 1 see batch 0's kept docs") {
     import org.apache.spark.sql.functions._
-    val (b0, b1, _) = Streaming.seqParts(spark, sf)
+    val (b0, b1, _, _) = Streaming.seqParts(spark, sf)
     // two time-ordered files so maxFilesPerTrigger=1 streams batch 0
     // strictly before batch 1 (the upsert tests' ordering protocol)
     val srcDir = java.nio.file.Files.createTempDirectory("st-seq-src")
