@@ -37,6 +37,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fraction×heap/32 per task): 8g made the heavy pairwise queries spill
   // once the cross-query caches filled — the target box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // JIT bandwidth for the codegen storm (r14 measurement): a full
+  // registry run compiles thousands of distinct Catalyst-generated
+  // classes, and the JVM's default compiler-thread count (3-4 on a
+  // 32-core box) drains that queue so slowly that the first ~40 queries
+  // after the concurrent prebuild phase ran their generated code at
+  // C1/interpreter speed for all reps — measured 4-7× their isolated
+  // medians (dedup_simhash_pairs 4.97 s vs 0.68 s, op_snapshot_diff
+  // 4.18 s vs 0.72 s on the same commit), decaying over minutes exactly
+  // as the queue drained, with C2 compiler threads the hottest threads
+  // in the process while executor threads idled. Half the cores as
+  // compiler threads clears the backlog with capacity the query phase
+  // isn't using; scaled to the box so smaller CI hosts aren't
+  // oversubscribed.
+  s"-XX:CICompilerCount=${math.max(4, java.lang.Runtime.getRuntime.availableProcessors() / 2)}",
 ) ++
   // ad-hoc profiling hook (GC logs, JFR, agent flags) without editing the
   // build: SPARK_GRAFT_JAVA_OPTS="-Xlog:gc" sbt "runMain graft.Bench"

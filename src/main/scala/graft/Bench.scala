@@ -202,8 +202,15 @@ object Bench {
     // the full registry.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_REVERSE=1 reverses the (still deterministic) execution
+    // order — a contamination diagnostic: per-query medians that FOLLOW
+    // POSITION under reversal (early rows slow either way) indicate
+    // decaying in-run JVM state, not plan cost. Dev-only; the driver
+    // never sets it.
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val names =
+      if (sys.env.contains("SPARK_GRAFT_REVERSE")) names0.reverse else names0
     require(names.nonEmpty,
       s"SPARK_GRAFT_ONLY matched no registered query: ${only.getOrElse(Set.empty).mkString(",")}")
 

@@ -296,15 +296,35 @@ object TextAnalysis {
     withToks(spark, dir)
       .where(size(col("toks")) > 0)
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        // Run-length form (r14 optimization): the original per-distinct
+        // `size(filter(toks, x = w))` evaluated the filter TWICE per
+        // distinct token — O(2·d·n) interpreted lambda steps per row
+        // (~50k for a 200-token doc; measured 1.6-1.9 s for the query).
+        // Sorting groups equal tokens adjacent, so one O(n) fold over
+        // array_sort(toks) recovers every (token, count) run. Each
+        // run's term is the IDENTICAL expression round6((c/n)·log2(c/n))
+        // cast DECIMAL(18,6) on the identical integer count, and the
+        // per-doc total is the same exact order-free decimal sum — the
+        // oracle (relational unnest + group) is unchanged and the gate
+        // hash cannot move.
         expr(
-          """CAST(-aggregate(
-               transform(array_distinct(toks), w ->
+          """CAST(-(aggregate(
+               array_sort(toks),
+               named_struct('run', CAST(0 AS BIGINT), 'prev', CAST(NULL AS STRING),
+                            'acc', CAST(0 AS DECIMAL(18,6))),
+               (s, t) -> IF(s.prev IS NOT NULL AND t = s.prev,
+                 named_struct('run', s.run + 1L, 'prev', t, 'acc', s.acc),
+                 named_struct('run', 1L, 'prev', t,
+                   'acc', CAST(s.acc + IF(s.run = 0L, CAST(0 AS DECIMAL(18,6)),
+                     CAST(round(
+                       (s.run / CAST(size(toks) AS DOUBLE))
+                         * log2(s.run / CAST(size(toks) AS DOUBLE)),
+                       6) AS DECIMAL(18,6))) AS DECIMAL(18,6)))),
+               s -> CAST(s.acc +
                  CAST(round(
-                   (size(filter(toks, x -> x = w)) / CAST(size(toks) AS DOUBLE))
-                     * log2(size(filter(toks, x -> x = w)) / CAST(size(toks) AS DOUBLE)),
-                   6) AS DECIMAL(18,6))),
-               CAST(0 AS DECIMAL(18,6)),
-               (acc, t) -> CAST(acc + t AS DECIMAL(18,6))) AS DOUBLE)""")
+                   (s.run / CAST(size(toks) AS DOUBLE))
+                     * log2(s.run / CAST(size(toks) AS DOUBLE)),
+                   6) AS DECIMAL(18,6)) AS DECIMAL(18,6)))) AS DOUBLE)""")
           .as("entropy_bits"))
 
   /** Document scoring under the Kneser-Ney bigram LM — the consumer half

@@ -93,8 +93,15 @@ object Layout {
       val long = bk.select(lit("day").as("layout"), col("b_day").as("f"), col("d"), col("h"))
         .unionByName(bk.select(lit("hour").as("layout"), col("b_hour").as("f"), col("d"), col("h")))
         .unionByName(bk.select(lit("z").as("layout"), col("b_z").as("f"), col("d"), col("h")))
+      // sort key is PREFIXED with the partition columns (r14): the
+      // dynamic-partition writer requires its output ordered by the
+      // partition cols and silently inserts its own per-task sort when
+      // the child's ordering doesn't start with them — the (d, h)-only
+      // form paid that second sort every build. Prefixing keeps one
+      // sort; within each (layout, f) run the (d, h) clustering — and
+      // therefore every file's rows and footer envelope — is unchanged.
       long.repartition(col("layout"), col("f"))
-        .sortWithinPartitions(col("d"), col("h"))
+        .sortWithinPartitions(col("layout"), col("f"), col("d"), col("h"))
         .write.mode("overwrite").partitionBy("layout", "f")
         .parquet(path)
       spark.read.parquet(path)

@@ -105,8 +105,22 @@ object KMeans {
     * [[Similarity]] PQ sub-quantizers train on SUBVECTOR slices through
     * this entry; [[train]] is the full-vector special case.
     */
-  private[sim] def trainOn(ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+  private[graft] def trainOn(ds0: org.apache.spark.sql.Dataset[(Long, Array[Float])],
                            k: Int, iterations: Int): (Array[Array[Double]], Array[Long]) = {
+    val spark = ds0.sparkSession
+    import spark.implicits._
+    // Persist the (deserialized) vector dataset for the loop's lifetime
+    // (r14 optimization, guide §5 caching rule: reused `iterations`+1
+    // times, and re-deriving it re-runs the parquet scan PLUS the
+    // per-row Array[Float] decode every iteration — the decode, not the
+    // scan, dominated). Scoped: unpersisted before return, so the only
+    // cross-query footprint stays the caller's memo entry.
+    val ds = ds0.persist()
+    try { trainLoop(ds, k, iterations) } finally { ds.unpersist() }
+  }
+
+  private def trainLoop(ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                        k: Int, iterations: Int): (Array[Array[Double]], Array[Long]) = {
     val spark = ds.sparkSession
     import spark.implicits._
     val seeds = ds.filter(_._1 < k).collect().sortBy(_._1)
@@ -134,6 +148,55 @@ object KMeans {
       bc.destroy()
     }
     (cents, counts)
+  }
+
+  /** All `m` subspace sub-quantizers of a PQ codebook trained in ONE
+    * loop (r14 optimization): the per-subspace [[trainOn]] calls ran
+    * m × iterations separate jobs, each re-slicing (and before the
+    * persist, re-scanning and re-decoding) the corpus — for PQ's 4×3
+    * grid that was 12 aggregate jobs plus 4 seed collects on data that
+    * fits one pass. Here ONE cached corpus scan serves one job per
+    * iteration: each row contributes its m slices keyed (subspace,
+    * nearest cell), and the same [[VecMeanAgg]] mean runs per
+    * (subspace, cell) group. Per subspace the arithmetic is IDENTICAL
+    * to [[trainOn]] on that slice — assignment reads only the
+    * subspace's own centroids, the mean is the same r6-rounded decimal
+    * fold — so the returned codebooks are bit-equal (asserted in
+    * KMeansSpec) and every PQ oracle is untouched.
+    */
+  private[graft] def trainOnSlices(ds0: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                                 m: Int, subDim: Int, k: Int, iterations: Int)
+      : IndexedSeq[(Array[Array[Double]], Array[Long])] = {
+    val spark = ds0.sparkSession
+    import spark.implicits._
+    val ds = ds0.persist()
+    try {
+      val seeds = ds.filter(_._1 < k).collect().sortBy(_._1)
+      require(seeds.length == k && seeds.map(_._1).sameElements(0L until k map (_.toLong)),
+        s"k-means seeding expects vec_ids 0..${k - 1}; got ${seeds.map(_._1).mkString(",")}")
+      var cents: Array[Array[Array[Double]]] = Array.tabulate(m)(mi =>
+        seeds.map(_._2.slice(mi * subDim, (mi + 1) * subDim).map(_.toDouble)))
+      var counts = Array.fill(m)(new Array[Long](k))
+      for (_ <- 1 to iterations) {
+        val bc = spark.sparkContext.broadcast(cents)
+        val stats = ds.flatMap { case (_, v) =>
+          (0 until m).iterator.map { mi =>
+            val s = v.slice(mi * subDim, (mi + 1) * subDim)
+            ((mi, nearest(bc.value(mi), s)), s)
+          }.toSeq
+        }.groupByKey(_._1).mapValues(_._2)
+          .agg(new VecMeanAgg(subDim).toColumn)
+          .collect().toMap
+        cents = Array.tabulate(m)(mi => Array.tabulate(k) { c =>
+          stats.get((mi, c)).filter(_.n > 0)
+            .map(_.mean.map(r6)).getOrElse(cents(mi)(c))
+        })
+        counts = Array.tabulate(m)(mi =>
+          Array.tabulate(k)(c => stats.get((mi, c)).map(_.n).getOrElse(0L)))
+        bc.destroy()
+      }
+      (0 until m).map(mi => (cents(mi), counts(mi)))
+    } finally ds.unpersist()
   }
 
   /** sim_kmeans: the trained quantizer as a table — per cell, member

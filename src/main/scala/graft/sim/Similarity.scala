@@ -63,7 +63,16 @@ object Similarity {
     */
   def cosinePairs(spark: SparkSession, dir: String, minCos: Double = 0.45): DataFrame = {
     val e = exactInput(spark, dir)
-    e.toDF("v1", "e1", "n1").join(e.toDF("v2", "e2", "n2"), col("v1") < col("v2"))
+    // The n² loop runs as a BroadcastNestedLoopJoin whose parallelism is
+    // the STREAMED side's partition count — and the embeddings scan is
+    // one small parquet file, so the whole |e|²/2 dot-product loop ran
+    // in a single task (measured 2.3-2.9 s with 31 cores idle; guide
+    // §2.6 idle-capacity). Spreading the streamed side across the
+    // session width divides the loop's wall by the core count; row set
+    // and per-pair arithmetic are unchanged.
+    val streamed = e.toDF("v1", "e1", "n1")
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    streamed.join(e.toDF("v2", "e2", "n2"), col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
         cosinePre(col("e1"), col("n1"), col("e2"), col("n2")).as("cos"))
       .where(col("cos") >= minCos)
@@ -511,14 +520,16 @@ object Similarity {
       import spark.implicits._
       val ds = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      val rows = (0 until PqM).flatMap { m =>
-        val sliced = ds.map { case (id, v) => (id, v.slice(m * PqSub, (m + 1) * PqSub)) }
-        val (cents, _) = KMeans.trainOn(sliced, PqK, PqIters)
-        cents.zipWithIndex.map { case (c, cell) =>
-          // sequential left-to-right square-sum ≡ DuckDB list_sum
-          (m, cell, c, c.map(x => x * x).sum)
+      // all four sub-quantizers in one cached loop (see
+      // KMeans.trainOnSlices — bit-equal per subspace to the previous
+      // per-m trainOn calls, a quarter of the jobs)
+      val rows = KMeans.trainOnSlices(ds, PqM, PqSub, PqK, PqIters)
+        .zipWithIndex.flatMap { case ((cents, _), m) =>
+          cents.zipWithIndex.map { case (c, cell) =>
+            // sequential left-to-right square-sum ≡ DuckDB list_sum
+            (m, cell, c, c.map(x => x * x).sum)
+          }
         }
-      }
       rows.toDF("m", "cell", "ce", "cn2")
     }
 

@@ -55,6 +55,21 @@ class KMeansSpec extends AnyFunSuite {
     assert(gotN.toSeq == refN)
   }
 
+  test("single-pass multi-subspace trainer is bit-equal to per-slice trainOn") {
+    import spark.implicits._
+    val ds = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val m = 4; val subDim = 16; val k = 16; val iters = 3
+    val combined = KMeans.trainOnSlices(ds, m, subDim, k, iters)
+    (0 until m).foreach { mi =>
+      val sliced = ds.map { case (id, v) => (id, v.slice(mi * subDim, (mi + 1) * subDim)) }
+      val (refC, refN) = KMeans.trainOn(sliced, k, iters)
+      assert(combined(mi)._1.map(_.toSeq).toSeq == refC.map(_.toSeq).toSeq,
+        s"subspace $mi centroids diverge")
+      assert(combined(mi)._2.toSeq == refN.toSeq, s"subspace $mi counts diverge")
+    }
+  }
+
   test("training improves the clustering objective over the init quantizer") {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, sf)
