@@ -46,11 +46,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // medians (dedup_simhash_pairs 4.97 s vs 0.68 s, op_snapshot_diff
   // 4.18 s vs 0.72 s on the same commit), decaying over minutes exactly
   // as the queue drained, with C2 compiler threads the hottest threads
-  // in the process while executor threads idled. Half the cores as
-  // compiler threads clears the backlog with capacity the query phase
-  // isn't using; scaled to the box so smaller CI hosts aren't
-  // oversubscribed.
-  s"-XX:CICompilerCount=${math.max(4, java.lang.Runtime.getRuntime.availableProcessors() / 2)}",
+  // in the process while executor threads idled. A quarter of the cores
+  // as compiler threads (A/B: cores/2 drained fastest but taxed the
+  // saturated prebuild phase ~30 s of wall; cores/4 keeps the queue
+  // short while Bench's post-prebuild JIT-drain wait absorbs the rest),
+  // scaled to the box so smaller CI hosts aren't oversubscribed.
+  s"-XX:CICompilerCount=${math.max(4, java.lang.Runtime.getRuntime.availableProcessors() / 4)}",
 ) ++
   // ad-hoc profiling hook (GC logs, JFR, agent flags) without editing the
   // build: SPARK_GRAFT_JAVA_OPTS="-Xlog:gc" sbt "runMain graft.Bench"

@@ -281,6 +281,30 @@ object Bench {
     Thread.sleep(2000)
     System.gc()
     Thread.sleep(2000)
+    // JIT-drain wait (r14): the prebuild phase enqueues thousands of
+    // generated-class methods for C2 compilation, and a queue still deep
+    // when timed reps start runs the first queries' codegen at
+    // C1/interpreter speed for every rep — measured 4-7× inflation on
+    // the first ~40 sorted queries, decaying exactly as the queue
+    // drained, invisible to both the steal and ambient sensors (the
+    // probe kernel is long-compiled). Wait out the backlog in the
+    // UNTIMED gap: poll the JVM's cumulative compilation time until a
+    // 2 s window shows less than half a compiler-thread of activity
+    // (or the 120 s cap). Reported as `jit_drain_sec`; not part of
+    // build_sec (the prebuild phase wall) nor of any query median.
+    val cmx = java.lang.management.ManagementFactory.getCompilationMXBean
+    val drain0 = System.nanoTime()
+    if (cmx != null && cmx.isCompilationTimeMonitoringSupported) {
+      var last = cmx.getTotalCompilationTime
+      var quiet = false
+      while (!quiet && (System.nanoTime() - drain0) / 1e9 < 120.0) {
+        Thread.sleep(2000)
+        val now = cmx.getTotalCompilationTime
+        quiet = now - last < 1000 // <0.5 compiler-thread-seconds / 2 s
+        last = now
+      }
+    }
+    val jitDrainSec = (System.nanoTime() - drain0) / 1e9
     // exclusive-rows sum at the phase boundary: whatever the ledger
     // gains AFTER this point fired inside a timed rep (stray build) and
     // belongs in build_sec on top of the phase wall
@@ -595,7 +619,7 @@ object Bench {
     val prebuildAmbient =
       prebuildProbe > AmbientProbe.FlagRatio * probeMin && prebuildProbe - probeMin > 0.003
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec,"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"cpu_ticks":$cpuTicks,"steal_ratio":$stealRatio,"probe_calib":$probeCalibR,"probe_min":$probeMinR,"ambient_ratio":$ambientRatio,"run_valid":$runValid,"steal_flagged":$flaggedJson,"spread_flagged":$spreadFlaggedJson,"ambient_flagged":$ambientJson,"escalated":$escalatedJson,"no_quiet_rep":$noQuietJson,"builds_steal_flagged":$buildsFlaggedJson,"steal_reps":$stealReps,"quiet_reps":$quietReps,"probe_reps":$probeReps,"scaling":$scaling,"build_sec":$buildSec,"prebuild_par":$prebuildPar,"prebuild_ambient":$prebuildAmbient,"builds_excl_sec":${math.rint(buildsExclSec * 100) / 100},"builds":$builds,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup_sec":$warmupSec,"jit_drain_sec":${math.rint(jitDrainSec * 100) / 100},"load_start":$loadStart,"load_end":$loadEnd,"steal_ticks":$stealTicks,"cpu_ticks":$cpuTicks,"steal_ratio":$stealRatio,"probe_calib":$probeCalibR,"probe_min":$probeMinR,"ambient_ratio":$ambientRatio,"run_valid":$runValid,"steal_flagged":$flaggedJson,"spread_flagged":$spreadFlaggedJson,"ambient_flagged":$ambientJson,"escalated":$escalatedJson,"no_quiet_rep":$noQuietJson,"builds_steal_flagged":$buildsFlaggedJson,"steal_reps":$stealReps,"quiet_reps":$quietReps,"probe_reps":$probeReps,"scaling":$scaling,"build_sec":$buildSec,"prebuild_par":$prebuildPar,"prebuild_ambient":$prebuildAmbient,"builds_excl_sec":${math.rint(buildsExclSec * 100) / 100},"builds":$builds,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
     // The full-fidelity record goes ONLY to target/bench.json — NOT to
     // stdout. The driver's BENCH artifact keeps the LAST ~2000 chars of
     // stdout (BENCH_r01..r05 all carry a 2000-char "tail", parsed:null):

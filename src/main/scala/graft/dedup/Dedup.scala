@@ -59,6 +59,26 @@ object Dedup {
         .filter(size(col("sh")) > 0)
     }
 
+  /** The corpus's exploded hashed shingle inverted index — (doc_id,
+    * xxhash64(shingle), length(shingle)) — memoized once per run and
+    * PRE-PLACED on the join key (r14 optimization): ngram_jaccard,
+    * ngram_capped and overlap_pairs each re-ran the explode+hash pass
+    * per rep and then exchanged the index for their (s, sl)-keyed
+    * self-join and df aggregate. The memo's repartition advertises
+    * hash(s, sl) through the truncated leaf (GraftExpr.truncated
+    * rewrites the build's partitioning onto the cached plan), so every
+    * consumer's self-join sides and df aggregate plan ZERO exchanges
+    * over the corpus-sized index — the skew tier's skew_ex memo pattern,
+    * promoted to the fixture tier.
+    */
+  private def docShingleIndex(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "ngram_ex") {
+      docShingles(spark, dir)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+        .repartition(col("s"), col("sl"))
+    }
+
   /** Exact dedup: md5 content fingerprint; canonical = min doc_id per
     * fingerprint. Output keeps every doc so the query is non-empty even on
     * a dup-free corpus.
@@ -232,8 +252,11 @@ object Dedup {
     *   additionally asserted pairwise in DedupSpec.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, minJaccard: Double = 0.2,
-                        maxShingleDf: Option[Long] = None): DataFrame =
-    indexJaccardPairs(docShingles(spark, dir), minJaccard, maxShingleDf)
+                        maxShingleDf: Option[Long] = None): DataFrame = {
+    val sh = docShingles(spark, dir)
+    jaccardFromIndex(docShingleIndex(spark, dir),
+      sh.select(col("doc_id"), size(col("sh")).as("n_sh")), minJaccard, maxShingleDf)
+  }
 
   /** ASYMMETRIC near-dup pairs by overlap coefficient
     * |A∩B| / min(|A|,|B|) — the subset-inclusion class symmetric Jaccard
@@ -247,8 +270,7 @@ object Dedup {
   def overlapPairs(spark: SparkSession, dir: String, minOverlap: Double = 0.9): DataFrame = {
     val sh = docShingles(spark, dir)
     val counts = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+    val ex = docShingleIndex(spark, dir) // shared pre-placed memo (r14)
     val inter = ex.toDF("d1", "s", "sl").join(ex.toDF("d2", "s2", "sl2"),
         col("s") === col("s2") && col("sl") === col("sl2") && col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
@@ -594,6 +616,10 @@ object Dedup {
     val ex = memoized(spark, dir, s"big_ngram_ex_$replicas") {
       sh.select(col("doc_id"), explode(col("sh")).as("s"))
         .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+        // pre-placed on the join key like the fixture-tier ngram_ex memo
+        // (r14): the df agg, the cap semi-join and both self-join sides
+        // all key on (s, sl) — zero per-rep exchanges of the ×10 index
+        .repartition(col("s"), col("sl"))
     }
     val keep = ex.groupBy(col("s"), col("sl")).agg(count(lit(1)).as("df"))
       .where(col("df") <= cap).select(col("s"), col("sl"))
@@ -683,6 +709,9 @@ object Dedup {
       skewShingles(spark, dir, replicas)
         .select(col("doc_id"), explode(col("sh")).as("s"))
         .select(col("doc_id"), xxhash64(col("s")).as("s"), length(col("s")).as("sl"))
+        // pre-placed on the join key (the ngram_ex pattern, r14): df
+        // stats, cap semi-join and both self-join sides reuse hash(s, sl)
+        .repartition(col("s"), col("sl"))
     }
 
   /** The skewed corpus: ×replicas near-dup inflation plus deterministic

@@ -164,9 +164,21 @@ object Similarity {
     * exact replays, so recall itself rides the hash gate (the spec-side
     * recall assertions bound it; this row PINS it).
     */
+  /** The exact top-k reference ranking, memoized (r14): recall_at_k and
+    * every row of the recall table join against the SAME exact ranking,
+    * and each union branch re-planned and re-ran the n·q brute-force
+    * scan + window per rep (6 copies across the two queries). One
+    * ledgered build serves them all — the ANN sides already ride their
+    * index memos.
+    */
+  private def exactTopK(spark: SparkSession, dir: String,
+                        k: Int, nQueries: Int): DataFrame =
+    graft.Caches.memoized(spark, dir, s"sim:exact_topk_${k}_$nQueries")(
+      topK(spark, dir, k, nQueries).select(col("query_id"), col("vec_id")))
+
   def recallAtK(spark: SparkSession, dir: String,
                 k: Int = 3, nQueries: Int = 10): DataFrame = {
-    val ex = topK(spark, dir, k, nQueries).select(col("query_id"), col("vec_id"))
+    val ex = exactTopK(spark, dir, k, nQueries)
     val ap = topKLsh(spark, dir, k, nQueries)
       .select(col("query_id").as("qa"), col("vec_id").as("va"), lit(1L).as("hit"))
     ex.join(ap, col("query_id") === col("qa") && col("vec_id") === col("va"),
@@ -191,7 +203,7 @@ object Similarity {
     */
   def recallTable(spark: SparkSession, dir: String,
                   k: Int = 3, nQueries: Int = 10): DataFrame = {
-    val ex = topK(spark, dir, k, nQueries).select(col("query_id"), col("vec_id"))
+    val ex = exactTopK(spark, dir, k, nQueries)
     val variants: Seq[(String, DataFrame)] = Seq(
       "ivf"            -> topKIvf(spark, dir, k, nQueries),
       "ivfpq"          -> topKIvfPq(spark, dir, k, nQueries),
