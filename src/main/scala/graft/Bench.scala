@@ -528,7 +528,9 @@ object Bench {
           Seq("corpus:docs_big_10", "dedup:big_shingles_10",
             "dedup:big_h60_10", "dedup:big_permbands_10"))),
       ("ngram_capped_x10",
-        ("dedup_ngram_capped", Seq("dedup:shingles")),
+        // ngram_ex is the fixture tier's memoized hashed index (r14) —
+        // charged to the base side like big_ngram_ex_10 on the big side
+        ("dedup_ngram_capped", Seq("dedup:shingles", "dedup:ngram_ex")),
         ("dedup_ngram_capped_big",
           Seq("corpus:docs_big_10", "dedup:big_shingles_10", "dedup:big_ngram_ex_10"))),
       ("ann_lsh_x10",

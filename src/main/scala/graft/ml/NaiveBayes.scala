@@ -155,9 +155,19 @@ object NaiveBayes {
 
   private def langIdTf(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.memoized(spark, dir, "ml:langid_chartf")(
+      // explode the POSITION sequence and substring in the next project
+      // (r14 optimization): the [[charGrams]] transform built ~|text|
+      // substrings per row inside an interpreted higher-order lambda
+      // before the explode — the substr now runs codegen'd per exploded
+      // row. Identical gram stream: positions 1..len−(n−1) on docs with
+      // len ≥ n, no rows otherwise (the transform produced an empty
+      // array there, which explode dropped).
       Tables.documents(spark, dir)
+        .where(length(col("text")) >= LangIdGramN)
+        .select(col("doc_id"), col("lang"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (LangIdGramN - 1))).as("i"))
         .select(col("doc_id"), col("lang"),
-          explode(charGrams(col("text"), LangIdGramN)).as("w"))
+          col("text").substr(col("i"), lit(LangIdGramN)).as("w"))
         .groupBy(col("doc_id"), col("lang"), col("w"))
         .agg(count(lit(1)).as("tf")))
 
