@@ -539,6 +539,9 @@ object Dedup {
           s"transform(sequence(0, ${Bands - 1}), " +
             s"b -> struct(b AS band, $keyExpr AS key))")).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        // pre-placed on the candidate-join key (the ngram_ex pattern,
+        // r14): the per-rep band self-join keys on (band, key)
+        .repartition(col("band"), col("key"))
     }
   }
 

